@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark implementation plus (when SQL-expressible) a
+  * DuckDB oracle over the same parquet tables. The driver's correctness
+  * gate diffs the two (SURVEY.md §5); queries without an oracle get a
+  * weaker rows-only check.
+  *
+  * Portability rules every query follows (so Spark parquet output
+  * hash-matches DuckDB):
+  *  - integer outputs are BIGINT in both engines (Spark `length`/`size`
+  *    return INT, DuckDB's return BIGINT — always cast);
+  *  - every query ends in a total ORDER BY (all columns, or a unique key);
+  *  - doubles are either raw column passthroughs or results of exact
+  *    integer/decimal arithmetic cast to double at the end — never
+  *    order-dependent float accumulation;
+  *  - timestamps are surfaced as BIGINT epoch seconds;
+  *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *    replace-all semantics.
+  */
+final case class EngineQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false,
+)
+
+/** Central registry; each operator family contributes its queries here. */
+object Registry {
+  def all: Seq[EngineQuery] =
+    kmer.Kmers.engineQueries ++
+      operators.Relational.engineQueries ++
+      operators.Analytic.engineQueries ++
+      text.TextAnalysis.engineQueries ++
+      dedup.Dedup.engineQueries ++
+      similarity.Ann.engineQueries ++
+      streaming.EventAnalytics.engineQueries ++
+      multimodal.Multimodal.engineQueries
+}

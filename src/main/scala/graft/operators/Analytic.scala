@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{EngineQuery, Tables}
+
+/** Analytic (SQL window-function) and event-time operators — a category
+  * the reference lacks entirely (SURVEY.md §2.2 "Window functions:
+  * none") but that the engine provides as first-class surface.
+  *
+  * Timestamp portability: all event times are surfaced as BIGINT epoch
+  * milliseconds (`unix_millis` / DuckDB `epoch_ms`) — the events table is
+  * nanosecond parquet, which Spark truncates to micros and DuckDB keeps;
+  * millisecond flooring agrees on both.
+  *
+  * Scale notes: window functions partition-shuffle once on the partition
+  * key and sort within partitions; running sums use exact decimal so the
+  * result is independent of partitioning. The hourly rollup is the batch
+  * twin of the Structured Streaming job in graft.streaming.
+  */
+object Analytic {
+
+  private def dec(c: String) = col(c).cast(DecimalType(12, 2))
+
+  /** Top-n rows per group via row_number (ranking window). */
+  def topNPerGroup(df: DataFrame, partCol: String, orderCols: Seq[org.apache.spark.sql.Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= n)
+  }
+
+  /** Gap-based sessionization: a new session starts after `gapMs` of
+    * user inactivity. Pure window functions — one shuffle on user_id.
+    */
+  def sessionize(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"))
+      .withColumn("prev", lag(col("tms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tms") - col("prev") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(cum).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tms")).as("start_ms"),
+        max(col("tms")).as("end_ms"))
+  }
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    // Ranking window: top-2 orders per customer.
+    EngineQuery(
+      "window_rank_top_orders",
+      (s, dir) =>
+        topNPerGroup(
+          Tables.orders(s, dir), "o_custkey",
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 2)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn"),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
+    ),
+    // Running (cumulative) aggregate window — exact decimal accumulation.
+    EngineQuery(
+      "window_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, dir)
+          .withColumn("running_qty", sum(dec("l_quantity")).over(w).cast("double"))
+          .select(
+            col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+             |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+    ),
+    // lag/lead: inter-event gap per user in milliseconds.
+    EngineQuery(
+      "window_lag_event_gap",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+          .withColumn("gap_ms", col("tms") - lag(col("tms"), 1).over(w))
+          .where(col("gap_ms").isNotNull)
+          .select("user_id", "event_id", "gap_ms")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, gap_ms FROM (
+             |  SELECT user_id, event_id,
+             |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+             |  FROM events) WHERE gap_ms IS NOT NULL ORDER BY user_id, event_id""".stripMargin),
+    ),
+    // Event-time tumbling-window rollup (batch twin of the streaming job).
+    EngineQuery(
+      "events_hourly_rollup",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(
+            unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(dec("value")).cast("double").as("sum_value"))
+          .orderBy("hour_ms", "event_type"),
+      Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY hour_ms, event_type ORDER BY hour_ms, event_type""".stripMargin),
+      headline = true,
+    ),
+    // Gap-based sessionization (30-minute inactivity gap).
+    EngineQuery(
+      "events_sessionize",
+      (s, dir) =>
+        sessionize(Tables.events(s, dir), gapMs = 30 * 60 * 1000L)
+          .orderBy("user_id", "session_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+             |g AS (SELECT user_id, event_id, tms,
+             |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+             |s AS (SELECT user_id, tms,
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events, min(tms) AS start_ms, max(tms) AS end_ms
+             |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{EngineQuery, Tables}
+
+/** Generic relational operator surface: the reference's scan / project /
+  * filter / group-count / threshold / distinct / sort / total operators
+  * (SURVEY.md §2 M-1..M-6, D-2, H-2, H-3) expressed over the harness
+  * tables, plus the join / set-op / top-k categories the reference lacks
+  * (§2.2) but any engine user needs.
+  *
+  * Scale notes: every query here is a declarative single-pass plan —
+  * filters and projections reach the parquet scan (predicate pushdown +
+  * column pruning), aggregations run partial+final around one shuffle,
+  * dimension joins are broadcast so the fact table never shuffles.
+  */
+object Relational {
+
+  /** Exact decimal view of a money/quantity column: makes SUM results
+    * order-independent (float accumulation is not associative; decimal
+    * is), so results are reproducible across engines and cluster sizes.
+    */
+  private def dec(c: String) = col(c).cast(DecimalType(12, 2))
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    // M-1 + H-3: scan with pushed-down filter and pruned projection.
+    EngineQuery(
+      "scan_project",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .where(col("l_quantity") > 30)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_quantity"),
+            col("l_returnflag"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem WHERE l_quantity > 30 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    ),
+    // M-5: the reference's one aggregation — group-count.
+    EngineQuery(
+      "group_count",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+    // M-6a: post-aggregation threshold (the reference's `v > 1` output filter).
+    EngineQuery(
+      "threshold_filter",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") > 5)
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS cnt FROM orders
+             |GROUP BY o_custkey HAVING count(*) > 5 ORDER BY o_custkey""".stripMargin),
+    ),
+    // M-6b: distinct output (the reference's unordered_set dedup).
+    EngineQuery(
+      "dedup_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_linestatus").distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+    // M-4: sort by key.
+    EngineQuery(
+      "sort_by_key",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select("p_partkey", "p_name", "p_retailprice")
+          .orderBy(col("p_retailprice").desc, col("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+             |ORDER BY p_retailprice DESC, p_partkey""".stripMargin),
+    ),
+    // D-2: total count.
+    EngineQuery(
+      "total_count",
+      (s, dir) => Tables.lineitem(s, dir).agg(count(lit(1)).as("total")),
+      Some("SELECT count(*) AS total FROM lineitem"),
+    ),
+    // H-3: per-row truncation (`head -c N` analog).
+    EngineQuery(
+      "truncate_project",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").substr(1, 100).as("prefix"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, substr(text, 1, 100) AS prefix FROM documents ORDER BY doc_id"),
+    ),
+    // H-2: FASTA-style cleanup projection (strip non-alpha, uppercase).
+    EngineQuery(
+      "fasta_clean",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            upper(regexp_replace(col("text"), "[^A-Za-z]", "")).as("cleaned"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, upper(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS cleaned
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    // TPC-H Q1-shaped pricing summary: multi-aggregate with exact decimal
+    // arithmetic surfaced as doubles (order-independent, engine-portable).
+    EngineQuery(
+      "q1_pricing_summary",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec("l_quantity")).cast("double").as("sum_qty"),
+            sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(12, 2)) - dec("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true,
+    ),
+    // Broadcast dimension join: fact table (orders) never shuffles for the
+    // join; nation/customer broadcast. At 100 TB the fact side streams.
+    EngineQuery(
+      "join_broadcast_revenue",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            sum(dec("o_totalprice")).cast("double").as("revenue"),
+            count(lit(1)).as("cnt"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             |  count(*) AS cnt
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      headline = true,
+    ),
+    // Shuffle (big-big) join: lineitem ⋈ orders on the natural key; AQE
+    // handles skew, both sides hash-partition on l_orderkey/o_orderkey.
+    EngineQuery(
+      "join_shuffle_lineitem_orders",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(dec("l_quantity")).cast("double").as("sum_qty"),
+            count(lit(1)).as("cnt"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             |  count(*) AS cnt
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      headline = true,
+    ),
+    // Left-semi join (EXISTS).
+    EngineQuery(
+      "semi_join_customers_with_orders",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+    // Left-anti join (NOT EXISTS).
+    EngineQuery(
+      "anti_join_customers_without_orders",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+    // Set operations (absent from the reference, §2.2 — provided as the
+    // engine's set-op surface).
+    EngineQuery(
+      "set_union_keys",
+      (s, dir) =>
+        Tables.orders(s, dir).select(col("o_custkey").as("key"))
+          .union(Tables.customer(s, dir).select(col("c_custkey").as("key")))
+          .distinct().orderBy("key"),
+      Some("""SELECT o_custkey AS key FROM orders UNION SELECT c_custkey AS key FROM customer ORDER BY key"""),
+    ),
+    EngineQuery(
+      "set_intersect_keys",
+      (s, dir) =>
+        Tables.orders(s, dir).select(col("o_custkey").as("key"))
+          .intersect(
+            Tables.customer(s, dir).where(col("c_acctbal") > 5000)
+              .select(col("c_custkey").as("key")))
+          .orderBy("key"),
+      Some("""SELECT o_custkey AS key FROM orders INTERSECT
+             |SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000 ORDER BY key""".stripMargin),
+    ),
+    EngineQuery(
+      "set_except_keys",
+      (s, dir) =>
+        Tables.customer(s, dir).select(col("c_custkey").as("key"))
+          .except(Tables.orders(s, dir).select(col("o_custkey").as("key")))
+          .orderBy("key"),
+      Some("""SELECT c_custkey AS key FROM customer EXCEPT
+             |SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin),
+    ),
+    // Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    // heaps + a k-row driver merge, no full sort at scale.
+    EngineQuery(
+      "topk_global",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(10),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+             |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin),
+    ),
+  )
+}

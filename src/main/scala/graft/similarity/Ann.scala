@@ -1,0 +1,124 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+import graft.dedup.Dedup
+
+/** Similarity search over an embedding column (north-star extension).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k: exact, O(|Q|·|N|) — the correctness
+  *    baseline, run with a bounded query set;
+  *  - sign-LSH bucketed top-k: hyperplane-sign bucketing turns the cross
+  *    product into an equi-join on bucket — the 100 TB path (candidates
+  *    share a bucket; recall tunes via bucket bits / multi-probe).
+  *
+  * Dot products use floor(x*1000) integer quantization (exact, portable
+  * across engines); cosine = dot / (√na·√nb) in IEEE double.
+  *
+  * Scale notes: the brute-force variant broadcasts the (small) query
+  * set against the full corpus — no shuffle of the big side; the LSH
+  * variant shuffles both sides once on bucket. Top-k per query is a
+  * ranking window over candidates, which Spark executes with a
+  * partial top-k per partition before the shuffle.
+  */
+object Ann {
+
+  private def withSim(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("sim",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val base = Dedup.quantized(embeddings)
+    val q = Dedup.quantized(queries)
+      .select(col("vec_id").as("q_id"), col("q").as("qa"), col("nrm").as("na"))
+    val n = base.select(col("vec_id").as("n_id"), col("q").as("qb"), col("nrm").as("nb"))
+    val scored = withSim(broadcast(q).crossJoin(n).where(col("q_id") =!= col("n_id")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  /** Approximate top-k: candidates restricted to the query's sign-LSH
+    * bucket.
+    */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val bucketed = Dedup.quantized(embeddings)
+      .withColumn("bucket", Dedup.signBucket(col("q"), bits))
+    val q = Dedup.quantized(queries)
+      .withColumn("bucket", Dedup.signBucket(col("q"), bits))
+      .select(col("vec_id").as("q_id"), col("q").as("qa"), col("nrm").as("na"), col("bucket"))
+    val n = bucketed.select(col("vec_id").as("n_id"), col("q").as("qb"), col("nrm").as("nb"), col("bucket"))
+    val scored = withSim(q.join(n, Seq("bucket")).where(col("q_id") =!= col("n_id")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
+  // --------------------------------------------------------------- oracles
+
+  private val duckQuantized =
+    """SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |FROM embeddings""".stripMargin
+
+  private val duckNorm =
+    s"""SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nrm
+       |FROM ($duckQuantized)""".stripMargin
+
+  private val duckSimExpr =
+    """CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+      |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))""".stripMargin
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "ann_brute_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        bruteForceTopK(emb, emb.where(col("vec_id") < 10), 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        s"""WITH n AS ($duckNorm),
+           |scored AS (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckSimExpr AS sim
+           |  FROM n a JOIN n b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10),
+           |ranked AS (
+           |  SELECT q_id, n_id, sim,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+           |  FROM scored)
+           |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+      headline = true,
+    ),
+    EngineQuery(
+      "ann_lsh_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        lshTopK(emb, emb.where(col("vec_id") < 50), 3)
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val bucket = (0 until 8)
+          .map(i => s"CASE WHEN CAST(q[${i + 1}] AS DOUBLE) > 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH n AS (SELECT vec_id, q, nrm, $bucket AS bucket FROM ($duckNorm)),
+           |scored AS (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckSimExpr AS sim
+           |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+           |  WHERE a.vec_id < 50),
+           |ranked AS (
+           |  SELECT q_id, n_id, sim,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+           |  FROM scored)
+           |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      },
+    ),
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{EngineQuery, Tables}
+
+/** Structured Streaming surface (the reference is batch-only, SURVEY.md
+  * §2.2 — this is engine extension surface). The transformation is shared
+  * between batch and streaming inputs: `hourlyRollup` is written against
+  * a plain DataFrame, so the same code runs under `read` and
+  * `readStream` — the Spark-idiomatic way to keep batch/stream parity.
+  *
+  * The `streaming_hourly_rollup` gate query actually executes a
+  * streaming query (file source → complete-mode aggregation → memory
+  * sink, drained with `processAllAvailable`), then returns the sink
+  * table; its oracle is the same SQL as the batch twin
+  * (`events_hourly_rollup`), proving the two paths agree.
+  *
+  * Scale notes: in production this runs with a watermark + append mode
+  * so state is bounded; complete mode here is only for the finite
+  * test corpus. The aggregation state is per (hour, event_type) — tiny.
+  */
+object EventAnalytics {
+
+  /** Shared batch/stream transformation: hourly event-type rollup with
+    * exact decimal sums surfaced as doubles.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events.groupBy(
+      unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+      col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+
+  /** Watermarked sliding-window variant for true unbounded streams
+    * (append-mode-safe; used by the streaming tests).
+    */
+  def windowedRollup(events: DataFrame, window_ : String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_millis(col("window.start")).as("start_ms"),
+        unix_millis(col("window.end")).as("end_ms"),
+        col("event_type"), col("cnt"))
+
+  @volatile private var sinkCounter = 0
+
+  /** Run the hourly rollup as a real streaming query over the events
+    * parquet, drain it, and return the result.
+    */
+  def runStreamingHourlyRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
+    val q = hourlyRollup(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    spark.table(qn)
+  }
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "streaming_hourly_rollup",
+      (s, dir) => runStreamingHourlyRollup(s, dir).orderBy("hour_ms", "event_type"),
+      Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY hour_ms, event_type ORDER BY hour_ms, event_type""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,172 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristic, and document fingerprinting.
+  * Not present in the reference (its corpus is DNA, SURVEY.md §1.1) but a
+  * first-class extension per the north star.
+  *
+  * Portability: ratios are plain IEEE divisions of exact integer counts
+  * (bit-identical across engines, no rounding needed); fingerprints are
+  * md5 hex (identical lowercase hex in Spark and DuckDB); token counts
+  * use regex classes with identical semantics in Java regex and RE2.
+  *
+  * Scale notes: everything here is a narrow per-row projection followed
+  * by at most one aggregation — no joins, no multi-pass; codegen'd
+  * built-in functions only (no UDFs), so the hot path stays inside
+  * WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  /** BPE-ish word/number/symbol tokenizer pattern — same meaning in Java
+    * regex (Spark) and RE2 (DuckDB).
+    */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private val stopEn = Seq("the", "of", "and", "to", "in", "a")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "los")
+  private val stopDe = Seq("der", "die", "und", "das", "ist", "ein")
+  private val stopFr = Seq("le", "les", "et", "des", "un", "une")
+  private val stopZh = Seq("de5", "shi4", "le5", "zai4", "he2", "you3")
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Whitespace tokens of a text column (empty text → empty array). */
+  def wsTokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  private def stopHits(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*))).cast("long")
+
+  /** Per-document token counts: whitespace tokens + regex (BPE-ish)
+    * tokens. Both BIGINT.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).cast("long").as("re_tokens"))
+
+  /** Quality scoring: character-class ratios + stopword density folded
+    * into one score. All counts exact ints; ratios IEEE divisions.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val len = length(col("text")).cast("long")
+    val nAlpha = (len - length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("long")
+    val toks = wsTokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = stopHits(toks, stopEn)
+    docs.select(
+      col("doc_id"),
+      len.as("n_chars"),
+      nTok.as("n_tokens"),
+      (nAlpha.cast("double") / greatest(len, lit(1L)).cast("double")).as("alpha_ratio"),
+      (nStop.cast("double") / greatest(nTok, lit(1L)).cast("double")).as("stop_ratio"))
+      .withColumn("score", lit(0.6) * col("alpha_ratio") + lit(0.4) * col("stop_ratio"))
+  }
+
+  /** Language-ID heuristic: stopword-hit count per language, argmax with
+    * fixed tie-break order (en > es > de > fr > zh).
+    */
+  def langGuess(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val sEn = stopHits(toks, stopEn)
+    val sEs = stopHits(toks, stopEs)
+    val sDe = stopHits(toks, stopDe)
+    val sFr = stopHits(toks, stopFr)
+    val sZh = stopHits(toks, stopZh)
+    docs.select(
+      col("doc_id"),
+      when(sEn >= sEs && sEn >= sDe && sEn >= sFr && sEn >= sZh, "en")
+        .when(sEs >= sDe && sEs >= sFr && sEs >= sZh, "es")
+        .when(sDe >= sFr && sDe >= sZh, "de")
+        .when(sFr >= sZh, "fr")
+        .otherwise("zh").as("lang_guess"))
+  }
+
+  /** Document fingerprints: md5 of whitespace-normalized text (exact
+    * content identity) plus a winnowing-style shingle fingerprint — the
+    * minimum md5 over all 8-char shingles (robust to local edits; it is
+    * MinHash with one permutation). Docs shorter than 8 chars get
+    * shingle fingerprint '' — no shingles.
+    */
+  def shingleFingerprint(docs: DataFrame): DataFrame = {
+    val k = 8
+    val c = col("text")
+    val sh = docs
+      .where(length(c) >= k)
+      .select(col("doc_id"), explode(sequence(lit(1), length(c) - (k - 1))).as("p"), c.as("__t"))
+      .select(col("doc_id"), md5(col("__t").substr(col("p"), lit(k))).as("h"))
+      .groupBy("doc_id").agg(min(col("h")).as("shingle_fp"))
+    docs.select(col("doc_id"), md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("md5_norm"))
+      .join(sh, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("md5_norm"), coalesce(col("shingle_fp"), lit("")).as("shingle_fp"))
+  }
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "text_token_stats",
+      (s, dir) => tokenStats(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN length(trim(text)) = 0 THEN 0
+              |       ELSE length(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+              |  length(regexp_extract_all(text, '$TokenPattern')) AS re_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      headline = true,
+    ),
+    EngineQuery(
+      "text_quality",
+      (s, dir) => qualityScore(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+              |  length(text) AS n_chars,
+              |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+              |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+              |  FROM documents),
+              |u AS (SELECT doc_id, n_chars, length(toks) AS n_tokens,
+              |  CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+              |  CAST(length(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS DOUBLE)
+              |    / CAST(greatest(length(toks), 1) AS DOUBLE) AS stop_ratio
+              |  FROM t)
+              |SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio,
+              |  0.6 * alpha_ratio + 0.4 * stop_ratio AS score
+              |FROM u ORDER BY doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "text_lang_guess",
+      (s, dir) => langGuess(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id,
+              |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              |       ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+              |  FROM documents),
+              |s AS (SELECT doc_id,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS s_en,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopEs)}))) AS s_es,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopDe)}))) AS s_de,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopFr)}))) AS s_fr,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopZh)}))) AS s_zh
+              |  FROM t)
+              |SELECT doc_id,
+              |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+              |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              |       WHEN s_fr >= s_zh THEN 'fr'
+              |       ELSE 'zh' END AS lang_guess
+              |FROM s ORDER BY doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "doc_fingerprint",
+      (s, dir) => shingleFingerprint(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, min(md5(substr(text, CAST(unnest(generate_series(1, length(text) - 7)) AS INT), 8))) AS shingle_fp
+             |  FROM documents WHERE length(text) >= 8 GROUP BY doc_id),
+             |n AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS md5_norm FROM documents)
+             |SELECT n.doc_id, md5_norm, coalesce(shingle_fp, '') AS shingle_fp
+             |FROM n LEFT JOIN sh ON n.doc_id = sh.doc_id ORDER BY n.doc_id""".stripMargin),
+    ),
+  )
+}
