@@ -29,13 +29,20 @@ object Bench {
     headline.foreach(q => try runOnce(q) catch { case _: Throwable => () }) // warm-up, discarded
     val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try runOnce(q)
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      // A failed query records sentinel -1, never a bogus partial time.
+      val sec =
+        try { runOnce(q); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            -1.0
+        }
+      q.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

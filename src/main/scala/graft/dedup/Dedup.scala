@@ -19,12 +19,14 @@ import graft.{EngineQuery, Tables}
   *    cap (drops shingles appearing in >50 docs — the classic hot-key
   *    guard that keeps the shingle self-join from exploding on stopword
   *    shingles);
-  *  - embedding near-dup: sign-LSH bucketing (8 hyperplane signs) then
-  *    within-bucket exact cosine on quantized vectors.
+  *  - embedding near-dup: random-hyperplane sign-LSH bucketing (exact
+  *    integer dots over quantized vectors, `bits` as the recall knob)
+  *    then within-bucket exact cosine.
   *
   * Hash portability: all hashing is md5-hex-derived (identical in Spark
-  * and DuckDB); MinHash permutation i is `md5('<i>|' || shingle)`;
-  * SimHash bit j is the high bit of hex digit j of md5(token), i.e.
+  * and DuckDB); MinHash permutation i is `(A_i*lane + B_i) mod P` over
+  * the four 32-bit lanes of one md5(shingle) digest; SimHash bit j is
+  * the high bit of hex digit j of md5(token), i.e.
   * `substr(md5(t), j+1, 1) ∈ [8-f]`. Cosine uses floor(x*1000) integer
   * quantization so dot products are exact and engine-independent.
   */
@@ -34,29 +36,60 @@ object Dedup {
   val NumBands = 4 // 4 rows per band
   val ShingleK = 8
 
-  /** Distinct k-char shingles per document. */
+  /** Largest prime below 2^32 — modulus of the Carter-Wegman permutation
+    * family `perm_i(h) = (A_i*h + B_i) mod P`.
+    */
+  val PermP = 4294967291L
+
+  /** Fixed (A_i, B_i) permutation constants. A_i < 2^31 keeps
+    * `A_i * h` below 2^63 for any 32-bit lane h — exact in BIGINT on
+    * both engines. Generated from a fixed LCG so Spark exprs and oracle
+    * SQL share one source of truth.
+    */
+  val Perms: IndexedSeq[(Long, Long)] = (0 until NumPerms).map { i =>
+    val a = (2654435761L * (i + 1) + 104729L) % 2147483629L + 1L
+    val b = (2971215073L * (i + 1) + 433494437L) % PermP
+    (a, b)
+  }
+
+  /** All k-char shingles per document (with multiplicity — min-hash over
+    * a multiset equals min-hash over its set, so no distinct: a distinct
+    * here would full-shuffle the exploded shingle stream, ~1 row per
+    * corpus character, before the aggregation. Without it the only
+    * shuffle is the groupBy, and map-side partial min-agg collapses each
+    * partition to ≤NumPerms values per doc first.)
+    */
   def docShingles(docs: DataFrame, k: Int): DataFrame = {
     val c = col("text")
-    docs.where(length(c) >= k)
+    graft.Partitioning.fanOut(docs.where(length(c) >= k))
       .select(col("doc_id"), explode(sequence(lit(1), length(c) - (k - 1))).as("p"), c.as("__t"))
       .select(col("doc_id"), col("__t").substr(col("p"), lit(k)).as("shingle"))
-      .distinct()
   }
 
-  /** MinHash signature: one column h0..h{n-1} per permutation. */
+  /** MinHash signature: one column h0..h{n-1} per permutation (BIGINT).
+    * Each shingle is md5-hashed ONCE; the digest's four 32-bit hex lanes
+    * seed the 16 universal-hash permutations — 16× fewer digest
+    * computations per shingle row than hashing per permutation.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docShingles(docs, ShingleK)
+    val sh = docShingles(docs, ShingleK).withColumn("__d", md5(col("shingle")))
+    val lanes = (0 until 4).map(j =>
+      conv(substring(col("__d"), 8 * j + 1, 8), 16, 10).cast("long").as(s"__l$j"))
+    val withLanes = sh.select(col("doc_id") +: lanes: _*)
     val aggs = (0 until NumPerms).map { i =>
-      min(substring(md5(concat(lit(s"$i|"), col("shingle"))), 1, 8)).as(s"h$i")
+      val (a, b) = Perms(i)
+      min((lit(a) * col(s"__l${i % 4}") + lit(b)) % lit(PermP)).as(s"h$i")
     }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    withLanes.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (doc_id, band_idx, band_val): LSH banding of the signature. */
+  /** (doc_id, band_idx, band_val): LSH banding of the signature.
+    * Values are '-'-joined so variable-width decimal lanes can't alias.
+    */
   def minhashBands(sigs: DataFrame): DataFrame = {
     val rows = NumPerms / NumBands
     val bandVals = (0 until NumBands).map { b =>
-      concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+      concat_ws("-", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
     }
     sigs.select(
       col("doc_id"),
@@ -124,15 +157,48 @@ object Dedup {
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
 
-  /** Sign-LSH bucket: concat of sign bits of the first `bits` dims. */
-  def signBucket(vecCol: Column, bits: Int): Column =
-    concat((0 until bits).map(i =>
-      when(element_at(vecCol, i + 1).cast("double") > 0, "1").otherwise("0")): _*)
+  /** Embedding dimensionality of the harness tables (64-dim float). */
+  val Dim = 64
+
+  /** Deterministic ±1 hyperplane matrix: `bits` planes × `dim`
+    * components, splitmix-style mixed. Random hyperplanes decorrelate
+    * bucket bits from raw dimension signs — bucketing on the signs of
+    * the first k dims collapses into few hot buckets when embedding
+    * dims are correlated (the O(n²)-within-bucket skew hazard); `bits`
+    * is the recall/selectivity knob (more bits → smaller buckets, lower
+    * per-bucket cost, lower recall).
+    */
+  def hyperplanes(bits: Int, dim: Int = Dim): IndexedSeq[IndexedSeq[Int]] =
+    (0 until bits).map { j =>
+      (0 until dim).map { i =>
+        var x = j.toLong * 1315423911L + i.toLong * 2654435761L + 0x9E3779B97F4A7C15L
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 27
+        if (((x >>> 17) & 1L) == 0L) 1 else -1
+      }
+    }
+
+  /** Sign-LSH bucket over a quantized (BIGINT-array) column: bit j = 1
+    * iff dot(q, plane_j) > 0. Exact integer dot products — bucket bits
+    * are bit-identical across engines (no float-sum order sensitivity).
+    */
+  def hyperplaneBucket(qColName: String, bits: Int): Column =
+    concat(hyperplanes(bits).map { plane =>
+      val arr = plane.mkString(",")
+      when(
+        expr(s"aggregate(zip_with($qColName, array($arr), (x, y) -> x * y), 0L, (acc, v) -> acc + v)") > 0,
+        "1").otherwise("0")
+    }: _*)
+
+  /** DuckDB twin of [[hyperplaneBucket]] (same plane literals). */
+  def duckHyperplaneBucket(qExpr: String, bits: Int): String =
+    hyperplanes(bits).map { plane =>
+      s"(CASE WHEN list_sum(list_transform(list_zip($qExpr, [${plane.mkString(",")}]), p -> p[1] * p[2])) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
 
   /** Embedding near-dup: within-bucket exact quantized cosine. */
   def embeddingNearDupPairs(embeddings: DataFrame, bits: Int = 8): DataFrame = {
     val q = quantized(embeddings)
-      .withColumn("bucket", signBucket(col("q"), bits))
+      .withColumn("bucket", hyperplaneBucket("q", bits))
     val a = q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"), col("bucket"))
     val b = q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
@@ -144,21 +210,27 @@ object Dedup {
 
   // --------------------------------------------------------------- oracles
 
-  /** DuckDB CTE for distinct k-shingles per doc. */
+  /** DuckDB CTE for k-shingles per doc (multiset — matches docShingles). */
   private def duckShingles(k: Int): String =
-    s"""SELECT DISTINCT doc_id, substr(text, CAST(unnest(generate_series(1, length(text) - ${k - 1})) AS INT), $k) AS shingle
+    s"""SELECT doc_id, substr(text, CAST(unnest(generate_series(1, length(text) - ${k - 1})) AS INT), $k) AS shingle
        |FROM documents WHERE length(text) >= $k""".stripMargin
 
   private val duckSig: String = {
-    val aggs = (0 until NumPerms)
-      .map(i => s"min(substr(md5('$i|' || shingle), 1, 8)) AS h$i").mkString(",\n  ")
-    s"""SELECT doc_id, $aggs FROM (${duckShingles(ShingleK)}) GROUP BY doc_id"""
+    val lanes = (0 until 4)
+      .map(j => s"CAST('0x' || substr(md5(shingle), ${8 * j + 1}, 8) AS BIGINT) AS l$j").mkString(",\n  ")
+    val aggs = (0 until NumPerms).map { i =>
+      val (a, b) = Perms(i)
+      s"min(($a * l${i % 4} + $b) % $PermP) AS h$i"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, $aggs
+       |FROM (SELECT doc_id, $lanes FROM (${duckShingles(ShingleK)}))
+       |GROUP BY doc_id""".stripMargin
   }
 
   private val duckBands: String = {
     val rows = NumPerms / NumBands
     val selects = (0 until NumBands).map { b =>
-      val cat = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || ")
+      val cat = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '-' || ")
       s"SELECT doc_id, $b AS band_idx, $cat AS band_val FROM sig"
     }
     selects.mkString("\nUNION ALL\n")
@@ -242,16 +314,12 @@ object Dedup {
       "embedding_neardup_pairs",
       (s, dir) => embeddingNearDupPairs(Tables.embeddings(s, dir)).orderBy("bucket", "vec_a", "vec_b"),
       Some {
-        val bucket = (0 until 8)
-          .map(i => s"CASE WHEN CAST(embedding[${i + 1}] AS DOUBLE) > 0 THEN '1' ELSE '0' END")
-          .mkString(" || ")
-        s"""WITH q AS (
+        s"""WITH qx AS (
            |  SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q,
-           |    $bucket AS bucket
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
            |  FROM embeddings),
-           |n AS (SELECT vec_id, q, bucket,
-           |  CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nrm FROM q)
+           |n AS (SELECT vec_id, q, ${duckHyperplaneBucket("q", 8)} AS bucket,
+           |  CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nrm FROM qx)
            |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
            |  CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
            |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS sim

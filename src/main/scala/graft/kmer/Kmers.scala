@@ -40,7 +40,7 @@ object Kmers {
     val c = col(textCol)
     // Guard length >= k before sequence(): Spark's sequence(1, 0) counts
     // *down* ([1, 0]), it is not empty.
-    df.where(length(c) >= k)
+    graft.Partitioning.fanOut(df.where(length(c) >= k))
       .select(explode(sequence(lit(1), length(c) - (k - 1))).as("p"), c.as("__text"))
       .select(col("__text").substr(col("p"), lit(k)).as("word"))
   }
@@ -57,7 +57,8 @@ object Kmers {
   def thresholded(df: DataFrame, textCol: String, k: Int, minCount: Long = 1): DataFrame =
     kmerCounts(df, textCol, k)
       .where(col("cnt") > minCount && col("word") =!= "")
-      .dropDuplicates("word")
+  // (the reference's output dedup, src/main.cpp:65-70, is already
+  // guaranteed by groupBy("word") — no extra dropDuplicates pass)
 
   /** Total window count = sum of all v (dead reference code
     * `compute_unique_total`, `src/main.cpp:47-53`, kept as the cleanest

@@ -50,9 +50,9 @@ object Ann {
     */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
     val bucketed = Dedup.quantized(embeddings)
-      .withColumn("bucket", Dedup.signBucket(col("q"), bits))
+      .withColumn("bucket", Dedup.hyperplaneBucket("q", bits))
     val q = Dedup.quantized(queries)
-      .withColumn("bucket", Dedup.signBucket(col("q"), bits))
+      .withColumn("bucket", Dedup.hyperplaneBucket("q", bits))
       .select(col("vec_id").as("q_id"), col("q").as("qa"), col("nrm").as("na"), col("bucket"))
     val n = bucketed.select(col("vec_id").as("n_id"), col("q").as("qb"), col("nrm").as("nb"), col("bucket"))
     val scored = withSim(q.join(n, Seq("bucket")).where(col("q_id") =!= col("n_id")))
@@ -105,9 +105,7 @@ object Ann {
           .orderBy("q_id", "rank")
       },
       Some {
-        val bucket = (0 until 8)
-          .map(i => s"CASE WHEN CAST(q[${i + 1}] AS DOUBLE) > 0 THEN '1' ELSE '0' END")
-          .mkString(" || ")
+        val bucket = Dedup.duckHyperplaneBucket("q", 8)
         s"""WITH n AS (SELECT vec_id, q, nrm, $bucket AS bucket FROM ($duckNorm)),
            |scored AS (
            |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckSimExpr AS sim

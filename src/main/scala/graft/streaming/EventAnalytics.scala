@@ -53,8 +53,19 @@ object EventAnalytics {
     * parquet, drain it, and return the result.
     */
   def runStreamingHourlyRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Tables.events(spark, sfDir).schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/events.parquet")
+    // The file source needs a *directory*; pathGlobFilter narrows it to the
+    // events file. The user schema must be the RAW on-disk schema (ts is
+    // TIMESTAMP(NANOS) read as long via the legacy conf — Tables.events
+    // doc), so the nanos→micros timestamp rebuild from Tables.events is
+    // re-applied inside the streaming path.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
     val q = hourlyRollup(stream).writeStream
       .outputMode("complete")

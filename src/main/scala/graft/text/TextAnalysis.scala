@@ -161,9 +161,10 @@ object TextAnalysis {
     EngineQuery(
       "doc_fingerprint",
       (s, dir) => shingleFingerprint(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some("""WITH sh AS (
-             |  SELECT doc_id, min(md5(substr(text, CAST(unnest(generate_series(1, length(text) - 7)) AS INT), 8))) AS shingle_fp
-             |  FROM documents WHERE length(text) >= 8 GROUP BY doc_id),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, md5(substr(text, CAST(unnest(generate_series(1, length(text) - 7)) AS INT), 8)) AS h
+             |  FROM documents WHERE length(text) >= 8),
+             |sh AS (SELECT doc_id, min(h) AS shingle_fp FROM pos GROUP BY doc_id),
              |n AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS md5_norm FROM documents)
              |SELECT n.doc_id, md5_norm, coalesce(shingle_fp, '') AS shingle_fp
              |FROM n LEFT JOIN sh ON n.doc_id = sh.doc_id ORDER BY n.doc_id""".stripMargin),
