@@ -10,6 +10,8 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (TestSpark); run them sequentially.
+Test / parallelExecution := false
 run / fork := true
 // The driver parses Bench's single JSON stdout line; without this the
 // forked process's output goes through sbt's logger and gains an

@@ -1,0 +1,76 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "completely unrelated text with different words entirely"),
+  ).toDF("doc_id", "text")
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sig = Dedup.minhashSignatures(docs).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    sig(1L) shouldBe sig(2L)
+    sig(1L) should not be sig(3L)
+    // permutation values stay inside the Carter-Wegman field
+    sig.values.flatten.foreach { v =>
+      val h = v.asInstanceOf[Long]
+      h should (be >= 0L and be < Dedup.PermP)
+    }
+  }
+
+  test("minhash LSH pairs: identical docs share all bands -> candidate pair") {
+    val pairs = Dedup.minhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+  }
+
+  test("simhash: deterministic 16-bit string, equal for equal docs") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sh(1L) shouldBe sh(2L)
+    sh(1L).length shouldBe 16
+    sh(1L).foreach(c => "01" should contain(c))
+  }
+
+  test("ngram jaccard: identical docs score 1.0") {
+    val rows = Dedup.ngramJaccardPairs(docs, n = 5, maxDf = 50, minJaccard = 0.05)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    rows((1L, 2L)) shouldBe 1.0
+  }
+
+  test("hyperplanes are deterministic, ±1, and per-plane balanced-ish") {
+    val a = Dedup.hyperplanes(8)
+    val b = Dedup.hyperplanes(8)
+    a shouldBe b
+    a.foreach { plane =>
+      plane.foreach(v => Set(1, -1) should contain(v))
+      val pos = plane.count(_ == 1)
+      // a degenerate all-same plane would make the bucket bit constant
+      pos should (be > 8 and be < Dedup.Dim - 8)
+    }
+  }
+
+  test("embedding near-dup: identical vectors pair with cosine 1.0") {
+    val v = Array.fill(64)(1.0f)
+    val w = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    pairs.keySet should contain((1L, 2L))
+    pairs((1L, 2L)) shouldBe 1.0
+  }
+
+  test("exact dedup groups by content hash") {
+    val grouped = docs.groupBy(md5(col("text")).as("hash"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    grouped shouldBe Map(1L -> 2L, 3L -> 1L)
+  }
+}

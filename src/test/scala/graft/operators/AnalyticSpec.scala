@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+class AnalyticSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sessionize splits on inactivity gaps") {
+    // user 1: events at 0s, 10s (same session), then 100s (> 30s gap)
+    val events = Seq(
+      (1L, 0L, 100L), (1L, 10000L, 101L), (1L, 100000L, 102L),
+      (2L, 5000L, 200L),
+    ).toDF("user_id", "tms_raw", "event_id")
+      .withColumn("ts", timestamp_millis(col("tms_raw")))
+    val out = Analytic.sessionize(events, gapMs = 30000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L)
+  }
+
+  test("topNPerGroup keeps n best rows per key") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
+    val out = Analytic.topNPerGroup(df, "k", Seq(col("v").desc), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    out shouldBe Set(("a", 3), ("a", 2), ("b", 9))
+  }
+}

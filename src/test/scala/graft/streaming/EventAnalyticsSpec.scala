@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.{Tables, TestSpark}
+
+class EventAnalyticsSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hourlyRollup: exact counts and decimal sums per (hour, type)") {
+    val events = Seq(
+      ("2024-01-01 10:05:00", "click", 1.10),
+      ("2024-01-01 10:55:00", "click", 2.20),
+      ("2024-01-01 10:30:00", "view", 5.00),
+      ("2024-01-01 11:05:00", "click", 4.00),
+    ).toDF("raw_ts", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("raw_ts")))
+    val out = EventAnalytics.hourlyRollup(events)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val h10 = 1704103200000L // 2024-01-01T10:00:00Z
+    val h11 = h10 + 3600000L
+    out((h10, "click")) shouldBe ((2L, 3.30))
+    out((h10, "view")) shouldBe ((1L, 5.00))
+    out((h11, "click")) shouldBe ((1L, 4.00))
+  }
+
+  test("windowedRollup emits closed windows under a watermark (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("event_type"))
+    val q = EventAnalytics.windowedRollup(events, "1 hour", "1 hour", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("wr_sink").start()
+    try {
+      val h0 = 1704103200000L // 10:00
+      input.addData((h0 + 60000L, "click"), (h0 + 120000L, "click"))
+      q.processAllAvailable()
+      // advance event time far enough that the watermark closes hour 10
+      input.addData((h0 + 4 * 3600000L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("wr_sink")
+        .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getLong(3)).toMap
+      rows((h0, "click")) shouldBe 2L
+    } finally q.stop()
+  }
+
+  test("streaming rollup over the harness parquet equals its batch twin") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = EventAnalytics.runStreamingHourlyRollup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventAnalytics.hourlyRollup(Tables.events(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    streamed shouldBe batch
+    streamed should not be empty
+  }
+}

@@ -1,0 +1,48 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token stats: whitespace vs regex tokens") {
+    val docs = Seq((1L, "Hello, world 42"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // ws: [Hello, | world | 42]; regex: Hello , world 42
+    out(1L) shouldBe ((3L, 4L))
+    out(2L) shouldBe ((0L, 0L))
+  }
+
+  test("quality score: exact ratios on a known doc") {
+    val docs = Seq((1L, "the the the")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs).collect()(0)
+    r.getLong(1) shouldBe 11L // n_chars
+    r.getLong(2) shouldBe 3L // n_tokens
+    r.getDouble(3) shouldBe (9.0 / 11.0) // alpha_ratio
+    r.getDouble(4) shouldBe 1.0 // stop_ratio: all tokens are stopwords
+    r.getDouble(5) shouldBe (0.6 * 9.0 / 11.0 + 0.4)
+  }
+
+  test("language guess picks the stopword-dominant language") {
+    val docs = Seq(
+      (1L, "the cat of the house and a dog"),
+      (2L, "el perro y la casa de los gatos"),
+      (3L, "der hund und die katze ist ein tier"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langGuess(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "en", 2L -> "es", 3L -> "de")
+  }
+
+  test("shingle fingerprint: short docs get empty fp, equal docs equal fp") {
+    val docs = Seq((1L, "abcdefgh_long_enough"), (2L, "abcdefgh_long_enough"), (3L, "short")).toDF("doc_id", "text")
+    val out = TextAnalysis.shingleFingerprint(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    out(1L) shouldBe out(2L)
+    out(3L)._2 shouldBe "" // < 8 chars: no shingles
+    out(1L)._2 should fullyMatch regex "[0-9a-f]{32}"
+  }
+}
