@@ -36,5 +36,6 @@ object Registry {
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       streaming.EventAnalytics.engineQueries ++
-      multimodal.Multimodal.engineQueries
+      multimodal.Multimodal.engineQueries ++
+      sources.CorpusSource.engineQueries
 }
