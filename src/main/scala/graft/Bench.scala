@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   * driver: one discarded warm-up pass per query (JIT/codegen warm-up,
   * reference `runprogram.sh:27-40`), then one measured pass. The noop
   * sink forces full materialization of every operator in the plan
-  * (a bare `.count()` would let Catalyst prune work).
+  * (a bare `.count()` would let Catalyst prune work). Alongside
+  * wall-clock, per-query stage metrics (shuffle bytes/records, input
+  * rows, spill) are captured via a SparkListener — the H-5
+  * SyclProfiler analog (reference `src/helper.h:124-196`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,8 +29,13 @@ object Bench {
     def runOnce(q: EngineQuery): Unit =
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    val sc = spark.sparkContext
+    val profiler = new org.apache.spark.graftmetrics.StageMetricsListener
+    sc.addSparkListener(profiler)
+
     headline.foreach(q => try runOnce(q) catch { case _: Throwable => () }) // warm-up, discarded
     val results = headline.map { q =>
+      profiler.reset(sc)
       val t0 = System.nanoTime()
       // A failed query records sentinel -1, never a bogus partial time.
       val sec =
@@ -37,12 +45,15 @@ object Bench {
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             -1.0
         }
-      q.name -> sec
+      (q.name, sec, profiler.snapshot(sc))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val sm = results.map { case (k, _, m) =>
+      "\"" + k + "\":" + m.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_metrics":$sm,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
