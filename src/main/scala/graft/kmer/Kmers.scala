@@ -45,6 +45,20 @@ object Kmers {
       .select(col("__text").substr(col("p"), lit(k)).as("word"))
   }
 
+  /** Window explode via the custom [[KmerGenerator]] — no per-row
+    * position-array materialization; see the Generator's scaladoc for
+    * when each path wins.
+    */
+  def kmersGen(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= MaxK, s"k must be in [1, $MaxK], got $k")
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmer_windows",
+      exprs => KmerGenerator(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "scala_udf")
+    graft.Partitioning.fanOut(df.where(length(col(textCol)) >= k))
+      .selectExpr(s"kmer_windows($textCol, $k) AS word")
+  }
+
   /** k-mer → occurrence count (the full Map+Reduce, reference
     * `src/main.cpp:105-248`). Output: (word STRING, cnt BIGINT).
     */

@@ -59,6 +59,16 @@ class KmersSpec extends AnyFunSuite with Matchers {
     Kmers.totalWindows(df, "text", 3).collect()(0).getLong(0) shouldBe 3L
   }
 
+  test("KmerGenerator path produces exactly the explode-path windows") {
+    val corpus = Seq("ABABCCA", "XY", "", "GATTACA")
+    for (k <- Seq(1, 2, 3, 7)) {
+      val viaGen = Kmers.kmersGen(corpus.toDF("text"), "text", k)
+        .groupBy("word").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      viaGen shouldBe counts(corpus, k)
+    }
+  }
+
   test("verifyJoin classifies match / mismatch / missing") {
     val l = Seq(("AB", 2L), ("BA", 1L)).toDF("word", "cnt")
     val r = Seq(("AB", 2L), ("CC", 5L)).toDF("word", "cnt")
