@@ -36,6 +36,7 @@ object Registry {
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       streaming.EventAnalytics.engineQueries ++
+      streaming.StatefulSessions.engineQueries ++
       multimodal.Multimodal.engineQueries ++
       sources.CorpusSource.engineQueries
 }

@@ -147,6 +147,25 @@ object Kmers {
         s"""SELECT word, count(*) AS cnt FROM (${duckKmers(K)})
            |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin),
     ),
+    // Exact distinct-key cardinality (one shuffle of distinct words).
+    EngineQuery(
+      "kmer_distinct",
+      (s, dir) =>
+        kmers(Tables.documents(s, dir), "text", K)
+          .agg(countDistinct(col("word")).as("distinct_kmers")),
+      Some(s"""SELECT count(DISTINCT word) AS distinct_kmers FROM (${duckKmers(K)})"""),
+    ),
+    // HLL sketch cardinality — the 100 TB path: O(1) state per
+    // partition, no shuffle of the key stream. Approximate, so no SQL
+    // oracle (driver records the weaker rows-only check); the exact
+    // twin above pins correctness.
+    EngineQuery(
+      "kmer_distinct_approx",
+      (s, dir) =>
+        kmers(Tables.documents(s, dir), "text", K)
+          .agg(approx_count_distinct(col("word"), 0.01).as("approx_distinct_kmers")),
+      None,
+    ),
     EngineQuery(
       "kmer_verify_join",
       (s, dir) => {

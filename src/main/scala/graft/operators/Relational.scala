@@ -24,6 +24,21 @@ object Relational {
     */
   private def dec(c: String) = col(c).cast(DecimalType(12, 2))
 
+  /** Two-phase salted group-count — the skew guard for hot grouping
+    * keys. Phase 1 aggregates on (key, salt) so a hot key's rows spread
+    * over `saltBuckets` reducers; phase 2 merges the per-salt partials.
+    * The final relation is salt-invariant (counts are associative), so
+    * any salt source works; a per-row unique column gives the most even
+    * spread. At 100 TB this is the difference between one straggler
+    * reducer owning a whole hot key and `saltBuckets` reducers sharing
+    * it. (AQE's skew handling covers joins; aggregation skew needs this
+    * explicit decomposition.)
+    */
+  def saltedGroupCount(df: org.apache.spark.sql.DataFrame, key: String, saltSource: org.apache.spark.sql.Column, saltBuckets: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltSource), lit(saltBuckets.toLong)))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key)).agg(sum(col("__partial")).cast("long").as("cnt"))
+
   def engineQueries: Seq[EngineQuery] = Seq(
     // M-1 + H-3: scan with pushed-down filter and pruned projection.
     EngineQuery(
@@ -235,6 +250,17 @@ object Relational {
           .orderBy("key"),
       Some("""SELECT c_custkey AS key FROM customer EXCEPT
              |SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin),
+    ),
+    // Skew-safe aggregation: event_type is a classic hot-key column
+    // (few values, millions of rows each at scale); the salted two-phase
+    // plan must produce exactly the plain GROUP BY result.
+    EngineQuery(
+      "salted_group_count",
+      (s, dir) =>
+        saltedGroupCount(Tables.events(s, dir), "event_type", col("event_id"), 32)
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS cnt FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
     // Global top-k: Spark plans TakeOrderedAndProject — per-partition
     // heaps + a k-row driver merge, no full sort at scale.

@@ -62,6 +62,39 @@ object Ann {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** Multi-probe LSH: each query additionally probes every bucket at
+    * Hamming distance 1 (one flipped sign bit), so `bits` can stay high
+    * — small, skew-free buckets — while probing recovers the recall a
+    * single-bucket lookup loses for near-boundary vectors. Cost: the
+    * query side fans out ×(bits+1); the big (corpus) side still shuffles
+    * once on bucket. The standard knob pair at scale: bits ↑ for
+    * selectivity, probes ↑ for recall.
+    */
+  def lshTopKMultiProbe(embeddings: DataFrame, queries: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val base = Dedup.quantized(embeddings)
+      .withColumn("bucket", Dedup.hyperplaneBucket("q", bits))
+    val q0 = Dedup.quantized(queries)
+      .withColumn("bucket", Dedup.hyperplaneBucket("q", bits))
+    val probes = col("bucket") +: (1 to bits).map { f =>
+      concat(
+        substring(col("bucket"), 1, f - 1),
+        when(substring(col("bucket"), f, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), f + 1, bits - f))
+    }
+    val q = q0.select(
+      col("vec_id").as("q_id"), col("q").as("qa"), col("nrm").as("na"),
+      explode(array(probes: _*)).as("bucket"))
+    val n = base.select(col("vec_id").as("n_id"), col("q").as("qb"), col("nrm").as("nb"), col("bucket"))
+    val cand = q.join(n, Seq("bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      // a neighbor can match several probes; pair payloads are identical
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    withSim(cand).withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   // --------------------------------------------------------------- oracles
 
   private val duckQuantized =
@@ -111,6 +144,38 @@ object Ann {
            |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckSimExpr AS sim
            |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
            |  WHERE a.vec_id < 50),
+           |ranked AS (
+           |  SELECT q_id, n_id, sim,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+           |  FROM scored)
+           |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      },
+    ),
+    EngineQuery(
+      "ann_lsh_multiprobe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        lshTopKMultiProbe(emb, emb.where(col("vec_id") < 50), 3)
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val bucket = Dedup.duckHyperplaneBucket("q", 8)
+        s"""WITH n AS (SELECT vec_id, q, nrm, $bucket AS bucket FROM ($duckNorm)),
+           |probes AS (
+           |  SELECT vec_id,
+           |    CASE WHEN f = 0 THEN bucket
+           |         ELSE substr(bucket, 1, f - 1)
+           |           || (CASE WHEN substr(bucket, f, 1) = '1' THEN '0' ELSE '1' END)
+           |           || substr(bucket, f + 1, 8 - f)
+           |    END AS bucket
+           |  FROM n, (SELECT unnest(generate_series(0, 8)) AS f) flips
+           |  WHERE vec_id < 50),
+           |cand AS (
+           |  SELECT DISTINCT p.vec_id AS q_id, b.vec_id AS n_id
+           |  FROM probes p JOIN n b ON p.bucket = b.bucket AND p.vec_id <> b.vec_id),
+           |scored AS (
+           |  SELECT c.q_id, c.n_id, $duckSimExpr AS sim
+           |  FROM cand c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.n_id),
            |ranked AS (
            |  SELECT q_id, n_id, sim,
            |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.{EngineQuery, Tables}
+
+/** Custom-state sessionization via
+  * `KeyValueGroupedDataset.flatMapGroupsWithState` — the engine's
+  * arbitrary-stateful-processing surface (the reference is batch-only;
+  * this extends the windowed streaming surface in [[EventAnalytics]]).
+  *
+  * One pure fold ([[foldSessions]]) drives both wrappers:
+  *  - [[sessionizeBatch]]: NoTimeout, every session is final at the end
+  *    of the (complete) group — the gate query, oracle-checked against
+  *    the window-function formulation in `events_sessionize`;
+  *  - [[sessionizeStream]]: EventTimeTimeout — a session is emitted
+  *    only when a later event opens the next one or the watermark
+  *    passes its gap (the timeout callback), so state is bounded by
+  *    one open session per active user.
+  *
+  * Scale notes: state is one small case class per user key, shuffled
+  * once on user_id; emission is append-mode (no unbounded complete-mode
+  * result table). The batch twin runs the identical fold, so streaming
+  * results converge to the batch answer as the watermark advances.
+  */
+object StatefulSessions {
+
+  final case class Ev(user_id: Long, tms: Long, event_id: Long)
+  /** Streaming-side row: keeps the watermarked TIMESTAMP column itself —
+    * event-time timeout requires the watermark attribute to reach the
+    * stateful operator (projecting ts down to millis first severs it).
+    */
+  final case class EvT(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  final case class OpenSession(session_id: Long, start_ms: Long, last_ms: Long, n_events: Long)
+  final case class Session(user_id: Long, session_id: Long, n_events: Long, start_ms: Long, end_ms: Long)
+
+  val GapMs: Long = 30 * 60 * 1000L
+
+  /** Fold time-sorted events into sessions: returns (closed, open). */
+  def foldSessions(
+      sorted: Seq[Ev], gapMs: Long, carry: Option[OpenSession]): (Seq[OpenSession], Option[OpenSession]) = {
+    var closed = List.empty[OpenSession]
+    var open = carry
+    sorted.foreach { e =>
+      open match {
+        case Some(s) if e.tms - s.last_ms <= gapMs =>
+          open = Some(s.copy(last_ms = math.max(s.last_ms, e.tms), n_events = s.n_events + 1))
+        case Some(s) =>
+          closed ::= s
+          open = Some(OpenSession(s.session_id + 1, e.tms, e.tms, 1))
+        case None =>
+          open = Some(OpenSession(1L, e.tms, e.tms, 1))
+      }
+    }
+    (closed.reverse, open)
+  }
+
+  private def toSession(user: Long, s: OpenSession): Session =
+    Session(user, s.session_id, s.n_events, s.start_ms, s.last_ms)
+
+  private def toEvs(events: DataFrame): Dataset[Ev] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id")).as[Ev]
+  }
+
+  /** Batch wrapper: the group is complete, so the trailing open session
+    * is final too and gets flushed.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = GapMs): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    toEvs(events)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val (closed, open) = foldSessions(it.toSeq.sortBy(e => (e.tms, e.event_id)), gapMs, None)
+          (closed ++ open).iterator.map(toSession(user, _))
+      }
+      .toDF()
+  }
+
+  /** Streaming wrapper: closed sessions emit on the next event's gap or
+    * on event-time timeout once the watermark passes last_ms + gap.
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long = GapMs, watermark: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id")).as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[EvT], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(toSession(user, done))
+          } else {
+            val (closed, open) = foldSessions(
+              it.map(e => Ev(e.user_id, e.ts.getTime, e.event_id))
+                .toSeq.sortBy(e => (e.tms, e.event_id)),
+              gapMs, state.getOption)
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + gapMs + 1)
+            }
+            closed.iterator.map(toSession(user, _))
+          }
+      }
+      .toDF()
+  }
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    // Must reproduce the declarative window-function sessionization
+    // (events_sessionize) exactly — same oracle.
+    EngineQuery(
+      "stateful_sessionize",
+      (s, dir) =>
+        sessionizeBatch(Tables.events(s, dir))
+          .orderBy("user_id", "session_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+             |g AS (SELECT user_id, event_id, tms,
+             |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+             |s AS (SELECT user_id, tms,
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events, min(tms) AS start_ms, max(tms) AS end_ms
+             |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
+    ),
+  )
+}

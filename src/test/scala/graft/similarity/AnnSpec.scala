@@ -25,6 +25,15 @@ class AnnSpec extends AnyFunSuite with Matchers {
     out(1)._3 shouldBe 0.0 +- 1e-12
   }
 
+  test("multi-probe LSH recall is a superset of single-bucket LSH") {
+    val single = Ann.lshTopK(emb, emb.where(col("vec_id") === 1), 2)
+      .collect().map(_.getLong(1)).toSet
+    val multi = Ann.lshTopKMultiProbe(emb, emb.where(col("vec_id") === 1), 2)
+      .collect().map(_.getLong(1)).toSet
+    single.subsetOf(multi) shouldBe true
+    multi should contain(2L)
+  }
+
   test("LSH top-k finds same-bucket colinear neighbor") {
     val out = Ann.lshTopK(emb, emb.where(col("vec_id") === 1), 2)
       .collect().map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
