@@ -251,6 +251,82 @@ object Relational {
       Some("""SELECT c_custkey AS key FROM customer EXCEPT
              |SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin),
     ),
+    // Hierarchical subtotals: ROLLUP plans as a single Expand + one
+    // aggregate pass — no per-level re-scan. (Category absent from the
+    // reference: SURVEY §2.2 "no grouping sets, cube, or rollup".)
+    EngineQuery(
+      "rollup_order_stats",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), sum(dec("o_totalprice")).cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+             |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    ),
+    EngineQuery(
+      "cube_lineitem_stats",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), sum(dec("l_quantity")).cast("double").as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    ),
+    // Temporal scalar functions over the order date (the reference has
+    // no date/time functions at all, SURVEY §2.2).
+    EngineQuery(
+      "date_extract_stats",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("o_year"),
+            quarter(col("o_orderdate")).cast("long").as("o_quarter"))
+          .agg(count(lit(1)).as("cnt"), sum(dec("o_totalprice")).cast("double").as("revenue"))
+          .orderBy("o_year", "o_quarter"),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY o_year, o_quarter ORDER BY o_year, o_quarter""".stripMargin),
+    ),
+    // Exact interpolated percentiles (Spark `percentile` and DuckDB
+    // `quantile_cont` share the (1-f)·lo + f·hi definition).
+    EngineQuery(
+      "percentile_prices",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"),
+            count(lit(1)).as("cnt"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  quantile_cont(o_totalprice, 0.5) AS p50,
+             |  quantile_cont(o_totalprice, 0.9) AS p90,
+             |  count(*) AS cnt
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+    // Sketch twin: t-digest-style approximate percentile — the bounded-
+    // state path at 100 TB; approximate, so rows-only check (the exact
+    // twin above pins correctness).
+    EngineQuery(
+      "percentile_prices_approx",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+            expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+          .orderBy("o_orderpriority"),
+      None,
+    ),
     // Skew-safe aggregation: event_type is a classic hot-key column
     // (few values, millions of rows each at scale); the salted two-phase
     // plan must produce exactly the plain GROUP BY result.
