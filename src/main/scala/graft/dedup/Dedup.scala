@@ -106,6 +106,46 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Connected components over candidate near-dup pairs — the clustering
+    * step that turns pairwise LSH hits into dedup groups (keep one doc
+    * per component). Iterative min-label propagation: each step is one
+    * distributed join + aggregate; the loop converges in
+    * graph-diameter steps (tiny for near-dup clusters, which are
+    * quasi-cliques). The driver only orchestrates — per-step work is
+    * fully distributed, and intermediate labels are cached and
+    * localCheckpointed to cut lineage growth (at 100 TB you'd use
+    * reliable checkpointing; same structure).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val und = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .cache()
+    var cur = und.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neigh = und
+        .join(cur.withColumnRenamed("node", "b_node"), und("b") === col("b_node"))
+        .select(col("a").as("node"), col("component"))
+      val next = cur.select("node", "component").union(neigh)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      converged = next
+        .join(cur.withColumnRenamed("component", "old"), "node")
+        .where(col("component") =!= col("old"))
+        .isEmpty
+      cur.unpersist()
+      cur = next
+      i += 1
+    }
+    und.unpersist()
+    cur.select(col("node").as("doc_id"), col("component"))
+  }
+
   /** 16-bit SimHash over lowercase whitespace tokens (with multiplicity). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -273,6 +313,28 @@ object Dedup {
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
            |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    // Clustering the LSH pairs into dedup groups; oracle computes the
+    // same components via a recursive transitive-closure CTE.
+    EngineQuery(
+      "neardup_components",
+      (s, dir) =>
+        connectedComponents(minhashCandidatePairs(Tables.documents(s, dir)))
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |  WHERE a.doc_id < b.doc_id),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM und
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b)
+           |SELECT a AS doc_id, least(a, min(b)) AS component
+           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
     ),
     EngineQuery(
       "simhash_signatures",

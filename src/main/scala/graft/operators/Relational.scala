@@ -251,6 +251,21 @@ object Relational {
       Some("""SELECT c_custkey AS key FROM customer EXCEPT
              |SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin),
     ),
+    // JSON scalar functions: extract a typed field from the events
+    // payload column (the reference has no json functions, SURVEY §2.2).
+    EngineQuery(
+      "json_extract_stats",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
     // Hierarchical subtotals: ROLLUP plans as a single Expand + one
     // aggregate pass — no per-level re-scan. (Category absent from the
     // reference: SURVEY §2.2 "no grouping sets, cube, or rollup".)

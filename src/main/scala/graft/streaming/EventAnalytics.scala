@@ -80,7 +80,48 @@ object EventAnalytics {
     spark.table(qn)
   }
 
+  /** Stream-static enrichment: the event stream joins a static
+    * dimension (broadcast — the stream side never shuffles for the
+    * join; the standard shape for enriching a 100 TB/day stream with a
+    * small dim), then aggregates per nation. Complete-mode memory sink
+    * drained for the finite gate corpus.
+    */
+  def runStreamingEnrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir)
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"))
+    val joined = stream
+      .join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+      .groupBy("nationkey")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+    val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
+    val q = joined.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn)
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "streaming_enrich_join",
+      (s, dir) => runStreamingEnrichJoin(s, dir).orderBy("nationkey"),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY nationkey ORDER BY nationkey""".stripMargin),
+    ),
     EngineQuery(
       "streaming_hourly_rollup",
       (s, dir) => runStreamingHourlyRollup(s, dir).orderBy("hour_ms", "event_type"),

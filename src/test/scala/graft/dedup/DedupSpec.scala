@@ -67,6 +67,13 @@ class DedupSpec extends AnyFunSuite with Matchers {
     pairs((1L, 2L)) shouldBe 1.0
   }
 
+  test("connected components merge transitively linked pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comps shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+  }
+
   test("exact dedup groups by content hash") {
     val grouped = docs.groupBy(md5(col("text")).as("hash"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
