@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine function registration, packaged both ways Spark supports:
+  *
+  *  - [[GraftExtensions]] for session-creation time
+  *    (`.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.GraftExtensions`) — the idiomatic
+  *    deployment for a cluster;
+  *  - [[GraftFunctions.register]] for an already-running session
+  *    (idempotent; the library's internal entry points call it so the
+  *    functions work regardless of how the session was built).
+  */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "kmer_windows" -> { exprs =>
+      kmer.KmerGenerator(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
+    },
+    "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
+  )
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, null, "", "", "", "", "", "", "scala_udf")
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+
+  private[graft] def inject(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), b))
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}

@@ -191,11 +191,13 @@ object Dedup {
   /** Quantized embedding: floor(x*1000) per element — exact integer dot
     * products, engine-portable.
     */
-  def quantized(embeddings: DataFrame): DataFrame =
+  def quantized(embeddings: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(embeddings.sparkSession)
     embeddings.select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
-      .withColumn("nrm", expr("aggregate(q, 0L, (acc, v) -> acc + v * v)"))
+      .withColumn("nrm", expr("dot_i64(q, q)"))
+  }
 
   /** Embedding dimensionality of the harness tables (64-dim float). */
   val Dim = 64
@@ -218,14 +220,16 @@ object Dedup {
     }
 
   /** Sign-LSH bucket over a quantized (BIGINT-array) column: bit j = 1
-    * iff dot(q, plane_j) > 0. Exact integer dot products — bucket bits
-    * are bit-identical across engines (no float-sum order sensitivity).
+    * iff dot(q, plane_j) > 0. Exact integer dot products (codegen'd
+    * [[graft.functions.DotI64]]; callers go through [[quantized]],
+    * which registers it) — bucket bits are bit-identical across
+    * engines (no float-sum order sensitivity).
     */
   def hyperplaneBucket(qColName: String, bits: Int): Column =
     concat(hyperplanes(bits).map { plane =>
       val arr = plane.mkString(",")
       when(
-        expr(s"aggregate(zip_with($qColName, array($arr), (x, y) -> x * y), 0L, (acc, v) -> acc + v)") > 0,
+        expr(s"dot_i64($qColName, CAST(array($arr) AS ARRAY<BIGINT>))") > 0,
         "1").otherwise("0")
     }: _*)
 
@@ -242,7 +246,7 @@ object Dedup {
     val a = q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"), col("bucket"))
     val b = q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("dot_i64(qa, qb)"))
       .withColumn("sim",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .select("bucket", "vec_a", "vec_b", "sim")

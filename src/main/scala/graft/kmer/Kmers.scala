@@ -51,10 +51,7 @@ object Kmers {
     */
   def kmersGen(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= MaxK, s"k must be in [1, $MaxK], got $k")
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmer_windows",
-      exprs => KmerGenerator(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue()),
-      "scala_udf")
+    graft.GraftFunctions.register(df.sparkSession)
     graft.Partitioning.fanOut(df.where(length(col(textCol)) >= k))
       .selectExpr(s"kmer_windows($textCol, $k) AS word")
   }

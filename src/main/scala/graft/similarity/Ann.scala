@@ -26,11 +26,13 @@ import graft.dedup.Dedup
   */
 object Ann {
 
-  private def withSim(pairs: DataFrame): DataFrame =
+  private def withSim(pairs: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(pairs.sparkSession)
     pairs
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", expr("dot_i64(qa, qb)"))
       .withColumn("sim",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+  }
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -9,6 +9,7 @@ object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[2]")
     .appName("graft-tests")
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
