@@ -32,6 +32,7 @@ object Registry {
     kmer.Kmers.engineQueries ++
       operators.Relational.engineQueries ++
       operators.Analytic.engineQueries ++
+      operators.AsOf.engineQueries ++
       text.TextAnalysis.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++

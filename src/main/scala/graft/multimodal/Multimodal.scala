@@ -66,7 +66,41 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame sampling: split a binary payload into fixed-size frames with
+    * index metadata — the video-frame / audio-chunk shape, as a pure
+    * expression pipeline (binary substring), so it stays inside
+    * codegen; frames explode map-side, never shuffling whole payloads.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int): DataFrame =
+    media
+      .where(length(col("data")) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, CAST(ceil(length(data) / CAST($frameBytes AS DOUBLE)) AS INT) - 1),
+             |  i -> substring(data, i * $frameBytes + 1, $frameBytes))""".stripMargin))
+          .as(Seq("frame_idx", "frame")))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"))
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    // Frame-sample metadata, verified against arithmetic chunking.
+    EngineQuery(
+      "frame_sample",
+      (s, dir) =>
+        frameSample(asMediaTable(Tables.documents(s, dir)), 64)
+          .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             |  CAST(least(64, n - f * 64) AS BIGINT) AS frame_len
+             |FROM (
+             |  SELECT doc_id, octet_length(encode(text)) AS n,
+             |    unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1)) AS f
+             |  FROM documents WHERE octet_length(encode(text)) > 0)
+             |ORDER BY doc_id, frame_idx""".stripMargin),
+    ),
     // Binary-column metadata via pure expressions (octet lengths, content
     // hash) — the declarative half of the multimodal surface.
     EngineQuery(

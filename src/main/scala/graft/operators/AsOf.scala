@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** As-of (point-in-time) join: for each left row, the latest right row
+  * with `right.time <= left.time` within the same key — the standard
+  * enrichment for event streams against slowly-changing facts.
+  *
+  * Scale-safe formulation: tag and UNION the two inputs, then one
+  * window pass per key ordered by (time, tag) carrying the last-seen
+  * right payload forward (`last(..., ignoreNulls=true)`). Exactly one
+  * shuffle + one sort on the key — never the naive per-key theta-join
+  * (`left.time >= right.time` filter + rank), whose intermediate is
+  * |left|×|right| per key. Right rows sort before left rows at equal
+  * timestamps, so `>=` (inclusive) semantics hold.
+  *
+  * The right side must be unique per (key, time) for determinism —
+  * callers pre-aggregate duplicates (the query below keeps max order
+  * key per date, matching the oracle's ASOF tie discipline).
+  */
+object AsOf {
+
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String, payload: String): DataFrame = {
+    val leftCols = left.columns.filter(c => c != key && c != time).toSeq
+    val rightSel = Seq(col(key), col(time), lit(0).as("__tag"), col(payload).as("__payload")) ++
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+    val leftSel = Seq(
+      col(key), col(time), lit(1).as("__tag"),
+      lit(null).cast(right.schema(payload).dataType).as("__payload")) ++ leftCols.map(col)
+    val tagged = right.select(rightSel: _*).unionByName(left.select(leftSel: _*))
+    val w = Window.partitionBy(key).orderBy(col(time), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn(payload, last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 1)
+      .drop("__tag", "__payload")
+  }
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    // Each event enriched with the user's most recent order at or
+    // before the event time; oracle uses DuckDB's native ASOF JOIN.
+    EngineQuery(
+      "asof_event_last_order",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"))
+        val o = Tables.orders(s, dir)
+          .groupBy(
+            col("o_custkey").as("user_id"),
+            // o_orderdate is TIMESTAMP_NTZ; the UTC session makes the
+            // cast to instant deterministic (matches DuckDB epoch_ms)
+            unix_millis(col("o_orderdate").cast("timestamp")).as("tms"))
+          .agg(max(col("o_orderkey")).as("last_orderkey"))
+        asOfJoin(e, o, key = "user_id", time = "tms", payload = "last_orderkey")
+          .select("user_id", "event_id", "tms", "last_orderkey")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+             |o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS oms, max(o_orderkey) AS last_orderkey
+             |      FROM orders GROUP BY o_custkey, oms)
+             |SELECT e.user_id, e.event_id, e.tms, o.last_orderkey
+             |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tms >= o.oms
+             |ORDER BY user_id, event_id""".stripMargin),
+    ),
+  )
+}

@@ -1,0 +1,28 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** The reference's two sinks, Spark-shaped:
+  *
+  *  - the `output.txt` count relation, `"<word> : <count>"` text lines
+  *    (reference `print_mapped_counts`, `src/main.cpp:55-73` — there a
+  *    hardcoded single file; here a parallel text write, one part per
+  *    partition, `coalesce(1)` only if a single file is demanded);
+  *  - the `points.txt` append-mode metrics row
+  *    (reference `POINTSFILE`, `src/main.cpp:19-38`) as append CSV.
+  */
+object Sinks {
+
+  /** Write a (word, cnt) relation in the reference's output format. */
+  def writeCounts(counts: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val lines = counts.select(concat_ws(" : ", col("word"), col("cnt")).as("value"))
+    (if (singleFile) lines.coalesce(1) else lines)
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Append one metrics row (the POINTSFILE analog). */
+  def appendMetricsRow(
+      df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).option("header", "false").csv(path)
+}
