@@ -31,10 +31,12 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
     }
 
-  private[graft] def inject(ext: SparkSessionExtensions): Unit =
+  private[graft] def inject(ext: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, b) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), b))
     }
+    ext.injectOptimizerRule(_ => plans.RewriteDotProduct)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -33,6 +33,7 @@ object Registry {
       operators.Relational.engineQueries ++
       operators.Analytic.engineQueries ++
       operators.AsOf.engineQueries ++
+      operators.RangeJoin.engineQueries ++
       text.TextAnalysis.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** Range (band) join: `left.value ∈ [right.lo, right.hi)`.
+  *
+  * A raw range predicate gives Spark no equi-key, so the planner falls
+  * back to broadcast-nested-loop (or cartesian) — quadratic at scale.
+  * Scale-safe shape: explode each right interval into the fixed-width
+  * buckets it overlaps, map each left row to its one bucket, hash
+  * equi-join on bucket, re-check the exact predicate. Fanout is
+  * interval_width / bucket_width on the (small) interval side only;
+  * the big side neither explodes nor re-shuffles beyond the one
+  * equi-join exchange.
+  */
+object RangeJoin {
+
+  def rangeJoin(
+      left: DataFrame, leftVal: String,
+      right: DataFrame, lo: String, hi: String,
+      bucketWidth: Double): DataFrame = {
+    val lb = left.withColumn("__bucket", floor(col(leftVal) / bucketWidth).cast("long"))
+    val rb = right.withColumn(
+      "__bucket",
+      explode(sequence(
+        floor(col(lo) / bucketWidth).cast("long"),
+        floor(col(hi) / bucketWidth).cast("long"))))
+    lb.join(rb, Seq("__bucket"))
+      .where(col(leftVal) >= col(lo) && col(leftVal) < col(hi))
+      .drop("__bucket")
+  }
+
+  private val bands: Seq[(String, Double, Double)] = Seq(
+    ("p00_tiny", 0.0, 12.5),
+    ("p01_low", 12.5, 60.0),
+    ("p02_mid", 60.0, 180.0),
+    ("p03_high", 180.0, 333.0),
+    ("p04_top", 333.0, 1000.0))
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    // Irregular value bands over the event stream; oracle is the plain
+    // BETWEEN-style theta join (DuckDB's IEJoin handles it exactly).
+    EngineQuery(
+      "range_join_value_bands",
+      (s, dir) => {
+        import s.implicits._
+        val b = bands.toDF("band", "lo", "hi")
+        rangeJoin(Tables.events(s, dir), "value", b, "lo", "hi", bucketWidth = 50.0)
+          .groupBy("band")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+              .cast("double").as("sum_value"))
+          .orderBy("band")
+      },
+      Some {
+        val values = bands.map { case (n, l, h) => s"('$n', $l, $h)" }.mkString(", ")
+        s"""SELECT band, count(*) AS cnt,
+           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           |FROM events e JOIN (VALUES $values) b(band, lo, hi)
+           |  ON e.value >= b.lo AND e.value < b.hi
+           |GROUP BY band ORDER BY band""".stripMargin
+      },
+    ),
+  )
+}
