@@ -339,6 +339,7 @@ object Dedup {
            |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b)
            |SELECT a AS doc_id, least(a, min(b)) AS component
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "simhash_signatures",

@@ -66,6 +66,7 @@ object AsOf {
              |SELECT e.user_id, e.event_id, e.tms, o.last_orderkey
              |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tms >= o.oms
              |ORDER BY user_id, event_id""".stripMargin),
+      headline = true,
     ),
   )
 }

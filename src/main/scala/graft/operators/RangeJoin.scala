@@ -63,6 +63,7 @@ object RangeJoin {
            |  ON e.value >= b.lo AND e.value < b.hi
            |GROUP BY band ORDER BY band""".stripMargin
       },
+      headline = true,
     ),
   )
 }

@@ -352,6 +352,7 @@ object Relational {
           .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS cnt FROM events
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      headline = true,
     ),
     // Global top-k: Spark plans TakeOrderedAndProject — per-partition
     // heaps + a k-row driver merge, no full sort at scale.

@@ -184,6 +184,7 @@ object Ann {
            |  FROM scored)
            |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       },
+      headline = true,
     ),
   )
 }

@@ -129,6 +129,7 @@ object StatefulSessions {
              |  FROM g)
              |SELECT user_id, session_id, count(*) AS n_events, min(tms) AS start_ms, max(tms) AS end_ms
              |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
+      headline = true,
     ),
   )
 }
