@@ -97,6 +97,42 @@ object Ann {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** IVF (inverted-file) top-k: a coarse quantizer of `m` centroids
+    * (deterministic: the first m corpus vectors) partitions the corpus
+    * into inverted lists; each query searches only the lists of its
+    * `nprobe` nearest centroids. The other classic ANN scale shape
+    * next to LSH: corpus assignment is one broadcast-centroids pass
+    * (no shuffle of the big side beyond the one list equi-join), and
+    * recall tunes via nprobe against m. In production the centroids
+    * come from k-means over a sample; the assignment/probe/join
+    * structure — the part that matters at 100 TB — is identical.
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int, m: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = Dedup.quantized(embeddings.where(col("vec_id") < m))
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cdot", expr("dot_i64(q, cq)"))
+        .withColumn("csim",
+          col("cdot").cast("double") / (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= keep)
+        .select(col("vec_id"), col("cid"), col("q"), col("nrm"))
+    }
+    val corpus = assign(Dedup.quantized(embeddings), 1)
+      .select(col("vec_id").as("n_id"), col("cid"), col("q").as("qb"), col("nrm").as("nb"))
+    val qs = assign(Dedup.quantized(queries), nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"), col("q").as("qa"), col("nrm").as("na"))
+    val cand = qs.join(corpus, Seq("cid"))
+      .where(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
+    withSim(cand).withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "sim")
+  }
+
   // --------------------------------------------------------------- oracles
 
   private val duckQuantized =
@@ -152,6 +188,35 @@ object Ann {
            |  FROM scored)
            |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       },
+    ),
+    EngineQuery(
+      "ann_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        ivfTopK(emb, emb.where(col("vec_id") < 50), 3)
+          .orderBy("q_id", "rank")
+      },
+      Some(
+        s"""WITH n AS ($duckNorm),
+           |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM n WHERE vec_id < 16),
+           |asg AS (
+           |  SELECT n.vec_id, c.cid, n.q, n.nrm,
+           |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |      CAST(CAST(list_sum(list_transform(list_zip(n.q, c.cq), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+           |        / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cid) AS crn
+           |  FROM n CROSS JOIN c),
+           |corpus AS (SELECT vec_id AS n_id, cid, q, nrm FROM asg WHERE crn = 1),
+           |qs AS (SELECT vec_id AS q_id, cid, q, nrm FROM asg WHERE crn <= 2 AND vec_id < 50),
+           |cand AS (
+           |  SELECT DISTINCT q_id, n_id FROM qs JOIN corpus USING (cid) WHERE q_id <> n_id),
+           |scored AS (
+           |  SELECT cand.q_id, cand.n_id, $duckSimExpr AS sim
+           |  FROM cand JOIN n a ON a.vec_id = cand.q_id JOIN n b ON b.vec_id = cand.n_id),
+           |ranked AS (
+           |  SELECT q_id, n_id, sim,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+           |  FROM scored)
+           |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
     ),
     EngineQuery(
       "ann_lsh_multiprobe",

@@ -34,6 +34,15 @@ class AnnSpec extends AnyFunSuite with Matchers {
     multi should contain(2L)
   }
 
+  test("IVF top-k finds the colinear neighbor through its inverted list") {
+    // m=2 centroids = vectors 1 and 2 (colinear) -> all three vectors'
+    // nearest centroid lists overlap for query 1; neighbor 2 must rank 1
+    val out = Ann.ivfTopK(emb, emb.where(col("vec_id") === 1), k = 2, m = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    out.head._2 shouldBe 2L
+    out.head._3 shouldBe 1.0 +- 1e-12
+  }
+
   test("LSH top-k finds same-bucket colinear neighbor") {
     val out = Ann.lshTopK(emb, emb.where(col("vec_id") === 1), 2)
       .collect().map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
