@@ -40,5 +40,6 @@ object Registry {
       streaming.EventAnalytics.engineQueries ++
       streaming.StatefulSessions.engineQueries ++
       multimodal.Multimodal.engineQueries ++
-      sources.CorpusSource.engineQueries
+      sources.CorpusSource.engineQueries ++
+      sources.PartitionedLayout.engineQueries
 }
