@@ -251,6 +251,37 @@ object Relational {
       Some("""SELECT c_custkey AS key FROM customer EXCEPT
              |SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin),
     ),
+    // Typed Aggregator surface: exact integer moments, doubles derived
+    // only at the end — reproducible under any partitioning.
+    EngineQuery(
+      "typed_agg_moments",
+      (s, dir) => {
+        val moments = udaf(graft.functions.ExactMomentsAgg)
+        Tables.events(s, dir)
+          .select(
+            col("event_type"),
+            expr("CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT)").as("qv"))
+          .groupBy("event_type")
+          .agg(moments(col("qv")).as("m"))
+          .select(
+            col("event_type"),
+            col("m.n").as("cnt"),
+            col("m.sum").as("sum_q"),
+            col("m.sumsq").as("sumsq_q"),
+            (col("m.sum").cast("double") / col("m.n").cast("double") / lit(100.0)).as("mean"),
+            ((col("m.sumsq").cast("double") / col("m.n").cast("double")
+              - (col("m.sum").cast("double") / col("m.n").cast("double"))
+                * (col("m.sum").cast("double") / col("m.n").cast("double"))) / lit(10000.0)).as("var_pop"))
+          .orderBy("event_type")
+      },
+      Some("""WITH q AS (SELECT event_type, CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS qv FROM events),
+             |m AS (SELECT event_type, count(*) AS cnt, sum(qv) AS sum_q, sum(qv * qv) AS sumsq_q FROM q GROUP BY event_type)
+             |SELECT event_type, cnt, sum_q, sumsq_q,
+             |  CAST(sum_q AS DOUBLE) / CAST(cnt AS DOUBLE) / 100.0 AS mean,
+             |  (CAST(sumsq_q AS DOUBLE) / CAST(cnt AS DOUBLE)
+             |    - (CAST(sum_q AS DOUBLE) / CAST(cnt AS DOUBLE)) * (CAST(sum_q AS DOUBLE) / CAST(cnt AS DOUBLE))) / 10000.0 AS var_pop
+             |FROM m ORDER BY event_type""".stripMargin),
+    ),
     // JSON scalar functions: extract a typed field from the events
     // payload column (the reference has no json functions, SURVEY §2.2).
     EngineQuery(

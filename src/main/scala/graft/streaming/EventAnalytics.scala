@@ -113,7 +113,50 @@ object EventAnalytics {
     spark.table(qn)
   }
 
+  /** foreachBatch file-sink ingest: the stream lands as parquet via
+    * per-microbatch writes (the escape hatch for sinks without a native
+    * streaming writer — JDBC, custom stores); the gate re-reads the
+    * landed files and aggregates, proving the full ingest loop.
+    */
+  def runForeachBatchIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val outBase = {
+      val t = new java.io.File("/root/repo/target")
+      if (t.getParentFile.isDirectory) t.getPath else "target"
+    }
+    val outDir = s"$outBase/graft_stream_ingest/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir)
+      .select("event_id", "event_type", "value")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "streaming_foreach_ingest",
+      (s, dir) =>
+        runForeachBatchIngest(s, dir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
     EngineQuery(
       "streaming_enrich_join",
       (s, dir) => runStreamingEnrichJoin(s, dir).orderBy("nationkey"),
