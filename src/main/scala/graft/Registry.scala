@@ -41,5 +41,6 @@ object Registry {
       streaming.StatefulSessions.engineQueries ++
       multimodal.Multimodal.engineQueries ++
       sources.CorpusSource.engineQueries ++
-      sources.PartitionedLayout.engineQueries
+      sources.PartitionedLayout.engineQueries ++
+      sources.FormatSources.engineQueries
 }

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{EngineQuery, Tables}
+
+/** Row-format source coverage: CSV, JSON-lines, and ORC reads of the
+  * same relation, each verified against the parquet-table oracle. The
+  * reference's only format is whole text files; a pipeline engine must
+  * ingest the common row formats with explicit schemas (schema
+  * inference is a full extra pass at 100 TB — always pass the schema).
+  *
+  * Materialization is one-time test plumbing, as in [[CorpusSource]].
+  */
+object FormatSources {
+
+  private val base: String = {
+    val repoTarget = new File("/root/repo/target")
+    if (repoTarget.getParentFile.isDirectory) repoTarget.getPath else "target"
+  }
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def dirFor(sfDir: String, fmt: String): String =
+    s"$base/graft_formats/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}/$fmt"
+
+  private def materialize(spark: SparkSession, sfDir: String, fmt: String): String = synchronized {
+    val dir = dirFor(sfDir, fmt)
+    if (!new File(dir, "_SUCCESS").exists()) {
+      val df = Tables.events(spark, sfDir).select("event_id", "user_id", "event_type", "value")
+      fmt match {
+        case "csv" => df.write.mode("overwrite").option("header", "true").csv(dir)
+        case "json" => df.write.mode("overwrite").json(dir)
+        case "orc" => df.write.mode("overwrite").orc(dir)
+      }
+    }
+    dir
+  }
+
+  /** Read back with an explicit schema (no inference pass). */
+  def read(spark: SparkSession, sfDir: String, fmt: String): DataFrame = {
+    val dir = materialize(spark, sfDir, fmt)
+    fmt match {
+      case "csv" => spark.read.schema(schema).option("header", "true").csv(dir)
+      case "json" => spark.read.schema(schema).json(dir)
+      case "orc" => spark.read.orc(dir)
+    }
+  }
+
+  private def rollupOf(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy("event_type")
+
+  private val oracle =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  max(event_id) AS max_event_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def engineQueries: Seq[EngineQuery] =
+    Seq("csv", "json", "orc").map { fmt =>
+      EngineQuery(
+        s"${fmt}_source_scan",
+        (s, dir) => rollupOf(read(s, dir, fmt)),
+        Some(oracle),
+      )
+    }
+}
