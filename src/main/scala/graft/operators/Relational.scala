@@ -251,6 +251,57 @@ object Relational {
       Some("""SELECT c_custkey AS key FROM customer EXCEPT
              |SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin),
     ),
+    // Pivot: long -> wide with an explicit value list (never the
+    // implicit-distinct form, which needs an extra pass to discover
+    // columns). Oracle is conditional aggregation — same plan shape
+    // Spark lowers pivot to.
+    EngineQuery(
+      "pivot_event_counts",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+    // Unpivot (melt): wide -> long without a join or explode-side blowup
+    // (Expand node, one pass).
+    EngineQuery(
+      "unpivot_quality_metrics",
+      (s, dir) =>
+        graft.text.TextAnalysis.qualityScore(Tables.documents(s, dir))
+          .select("doc_id", "alpha_ratio", "stop_ratio", "score")
+          .unpivot(
+            Array(col("doc_id")),
+            Array(col("alpha_ratio"), col("stop_ratio"), col("score")),
+            "metric", "metric_value")
+          .orderBy("doc_id", "metric"),
+      Some("""WITH t AS (SELECT doc_id, text,
+             |  length(text) AS n_chars,
+             |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+             |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |       ELSE string_split_regex(trim(text), '\s+') END AS toks
+             |  FROM documents),
+             |u AS (SELECT doc_id,
+             |  CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+             |  CAST(length(list_filter(toks, x -> x IN ('the', 'of', 'and', 'to', 'in', 'a'))) AS DOUBLE)
+             |    / CAST(greatest(length(toks), 1) AS DOUBLE) AS stop_ratio
+             |  FROM t),
+             |w AS (SELECT doc_id, alpha_ratio, stop_ratio,
+             |  0.6 * alpha_ratio + 0.4 * stop_ratio AS score FROM u)
+             |SELECT doc_id, 'alpha_ratio' AS metric, alpha_ratio AS metric_value FROM w
+             |UNION ALL SELECT doc_id, 'score', score FROM w
+             |UNION ALL SELECT doc_id, 'stop_ratio', stop_ratio FROM w
+             |ORDER BY doc_id, metric""".stripMargin),
+    ),
     // Typed Aggregator surface: exact integer moments, doubles derived
     // only at the end — reproducible under any partitioning.
     EngineQuery(
