@@ -130,16 +130,18 @@ object Dedup {
     while (!converged && i < maxIter) {
       val neigh = und
         .join(cur.withColumnRenamed("node", "b_node"), und("b") === col("b_node"))
-        .select(col("a").as("node"), col("component"))
-      val next = cur.select("node", "component").union(neigh)
-        .groupBy("node").agg(min("component").as("component"))
+        .select(col("a").as("node"), col("component"), lit(null).cast("long").as("old"))
+      // carry each node's previous label through the same aggregate so
+      // convergence reads off the checkpointed result — no extra
+      // join+shuffle per iteration just to compare generations
+      val next = cur
+        .select(col("node"), col("component"), col("component").as("old"))
+        .union(neigh)
+        .groupBy("node").agg(min("component").as("component"), min("old").as("old"))
         .localCheckpoint(true)
-      converged = next
-        .join(cur.withColumnRenamed("component", "old"), "node")
-        .where(col("component") =!= col("old"))
-        .isEmpty
+      converged = next.where(col("component") =!= col("old")).isEmpty
       cur.unpersist()
-      cur = next
+      cur = next.select("node", "component")
       i += 1
     }
     und.unpersist()
