@@ -150,7 +150,7 @@ object Dedup {
 
   /** 16-bit SimHash over lowercase whitespace tokens (with multiplicity). */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = graft.Partitioning.fanOut(docs)
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
       .where(col("tok") =!= "")
       .withColumn("h", md5(col("tok")))
@@ -164,7 +164,8 @@ object Dedup {
 
   /** Distinct word-5-gram shingles per doc. */
   def wordNgrams(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .where(size(col("t")) >= n)
       .select(
         col("doc_id"),

@@ -143,7 +143,45 @@ object EventAnalytics {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming exact dedup: the source is unioned with itself, so every
+    * event arrives twice (possibly in different microbatches); stateful
+    * `dropDuplicates` on the key must restore exact batch counts. State
+    * is one key per distinct event — in production bounded with
+    * `dropDuplicatesWithinWatermark`; complete drain here for the
+    * finite gate corpus.
+    */
+  def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir)
+      .select("event_id", "event_type")
+    val doubled = src.union(src)
+    val agg = doubled
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn)
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "streaming_dedup_counts",
+      (s, dir) => runStreamingDedup(s, dir).orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
     EngineQuery(
       "streaming_foreach_ingest",
       (s, dir) =>

@@ -46,7 +46,7 @@ object TextAnalysis {
     * tokens. Both BIGINT.
     */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.Partitioning.fanOut(docs).select(
       col("doc_id"),
       size(wsTokens(col("text"))).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).cast("long").as("re_tokens"))
@@ -60,7 +60,7 @@ object TextAnalysis {
     val toks = wsTokens(col("text"))
     val nTok = size(toks).cast("long")
     val nStop = stopHits(toks, stopEn)
-    docs.select(
+    graft.Partitioning.fanOut(docs).select(
       col("doc_id"),
       len.as("n_chars"),
       nTok.as("n_tokens"),
