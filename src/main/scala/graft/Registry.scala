@@ -42,5 +42,6 @@ object Registry {
       multimodal.Multimodal.engineQueries ++
       sources.CorpusSource.engineQueries ++
       sources.PartitionedLayout.engineQueries ++
-      sources.FormatSources.engineQueries
+      sources.FormatSources.engineQueries ++
+      sources.BucketedTables.engineQueries
 }
