@@ -251,6 +251,26 @@ object Relational {
       Some("""SELECT c_custkey AS key FROM customer EXCEPT
              |SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin),
     ),
+    // Array scalar functions over tokenized text: distinct, sort,
+    // slice, size — all codegen'd builtins (no UDFs).
+    EngineQuery(
+      "array_funcs_tokens",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+          .select(
+            col("doc_id"),
+            size(col("t")).cast("long").as("n_tokens"),
+            size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+            concat_ws(" ", slice(array_sort(array_distinct(col("t"))), 1, 5)).as("first5_sorted"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  length(t) AS n_tokens,
+             |  length(list_distinct(t)) AS n_distinct,
+             |  array_to_string(list_sort(list_distinct(t))[1:5], ' ') AS first5_sorted
+             |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+    ),
     // Pivot: long -> wide with an explicit value list (never the
     // implicit-distinct form, which needs an extra pass to discover
     // columns). Oracle is conditional aggregation — same plan shape
