@@ -251,6 +251,35 @@ object Relational {
       Some("""SELECT c_custkey AS key FROM customer EXCEPT
              |SELECT o_custkey AS key FROM orders ORDER BY key""".stripMargin),
     ),
+    // The SQL-text front door: a TPC-H-Q3-shaped query submitted as raw
+    // ANSI SQL over temp views — same Catalyst pipeline as the
+    // DataFrame API, same oracle discipline.
+    EngineQuery(
+      "sql_text_shipping_priority",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT o_orderkey, o_orderpriority,
+                |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+                |  count(*) AS n_lines
+                |FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+                |JOIN lineitem_v ON o_orderkey = l_orderkey
+                |WHERE c_mktsegment = 'BUILDING'
+                |GROUP BY o_orderkey, o_orderpriority
+                |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_lines
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY o_orderkey, o_orderpriority
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
+    ),
     // Array scalar functions over tokenized text: distinct, sort,
     // slice, size — all codegen'd builtins (no UDFs).
     EngineQuery(
