@@ -120,6 +120,36 @@ object Analytic {
              |FROM events GROUP BY hour_ms, event_type ORDER BY hour_ms, event_type""".stripMargin),
       headline = true,
     ),
+    // Native session_window operator — the engine's third sessionization
+    // formulation (window-function based, stateful fold based, and this
+    // built-in merging session window). NOTE the boundary semantics:
+    // session_window is half-open — an event at exactly last+gap starts
+    // a NEW session — so the oracle splits on `diff >= gap` (the other
+    // two formulations use the inclusive `diff > gap` convention).
+    // end = last event + gap, so last_ms = end - gap.
+    EngineQuery(
+      "session_window_native",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            unix_millis(col("session_window.start")).as("start_ms"),
+            (unix_millis(col("session_window.end")) - lit(30 * 60 * 1000L)).as("end_ms"),
+            col("n_events"))
+          .orderBy("user_id", "start_ms"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+             |g AS (SELECT user_id, event_id, tms,
+             |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+             |s AS (SELECT user_id, tms,
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, min(tms) AS start_ms, max(tms) AS end_ms, count(*) AS n_events
+             |FROM s GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin),
+    ),
     // Gap-based sessionization (30-minute inactivity gap).
     EngineQuery(
       "events_sessionize",
