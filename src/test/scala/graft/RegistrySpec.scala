@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the driver contract: SparkEntry.queries is built as a Map, so a
+  * duplicate registry name would silently DROP a query from the gate.
+  */
+class RegistrySpec extends AnyFunSuite with Matchers {
+
+  test("registry names are unique, well-formed, and survive the Map") {
+    val names = Registry.all.map(_.name)
+    names.distinct.length shouldBe names.length
+    names.foreach(n => n should fullyMatch regex "[a-z0-9_]+")
+    SparkEntry.queries.size shouldBe names.length
+  }
+
+  test("every oracle key exists in queries; headline set is non-empty") {
+    SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
+    Registry.all.count(_.headline) should be >= 8
+    // oracles exist for all but the explicitly-approximate queries
+    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    noOracle shouldBe Set("kmer_distinct_approx", "percentile_prices_approx")
+  }
+}
