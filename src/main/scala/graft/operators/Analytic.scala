@@ -65,11 +65,15 @@ object Analytic {
              |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
     ),
     // Running (cumulative) aggregate window — exact decimal accumulation.
+    // The window ORDER BY includes l_quantity: lineitem carries genuine
+    // duplicate (l_orderkey, l_linenumber) rows with different
+    // quantities (seen at sf0.1), and without it the running sum
+    // depends on nondeterministic tie order.
     EngineQuery(
       "window_running_sum",
       (s, dir) => {
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.lineitem(s, dir)
           .withColumn("running_qty", sum(dec("l_quantity")).over(w).cast("double"))
@@ -81,7 +85,7 @@ object Analytic {
       },
       Some("""SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
-             |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
              |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
     ),
