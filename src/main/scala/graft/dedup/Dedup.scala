@@ -148,6 +148,19 @@ object Dedup {
     cur.select(col("node").as("doc_id"), col("component"))
   }
 
+  /** Apply near-dup dedup: keep one document per component (the
+    * minimum doc_id — each component's label), drop the rest. Exact
+    * duplicates are subsumed: identical texts share every band, pair
+    * up, and land in one component. The end of the dedup pipeline —
+    * pairs → components → kept corpus.
+    */
+  def dedupApply(docs: DataFrame): DataFrame = {
+    val drop = connectedComponents(minhashCandidatePairs(docs))
+      .where(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+
   /** 16-bit SimHash over lowercase whitespace tokens (with multiplicity). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = graft.Partitioning.fanOut(docs)
@@ -343,6 +356,27 @@ object Dedup {
            |SELECT a AS doc_id, least(a, min(b)) AS component
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
       headline = true,
+    ),
+    // The applied dedup: corpus minus non-representative members.
+    EngineQuery(
+      "dedup_apply_keep",
+      (s, dir) => dedupApply(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |  WHERE a.doc_id < b.doc_id),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM und
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> component)
+           |ORDER BY doc_id""".stripMargin),
     ),
     EngineQuery(
       "simhash_signatures",
