@@ -15,6 +15,10 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     SparkEntry.queries.size shouldBe names.length
   }
 
+  test("flagship entry returns rows (the driver's smoke check)") {
+    SparkEntry.entry(TestSpark.spark).limit(1).count() shouldBe 1L
+  }
+
   test("every oracle key exists in queries; headline set is non-empty") {
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
     Registry.all.count(_.headline) should be >= 8
