@@ -64,7 +64,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stage_metrics":$sm,"failed":$failed,"sf":"$sfDir"}""")
+    // Stage metrics go on their OWN earlier line (and to a file): the
+    // driver captures only a bounded stdout tail and parses the last
+    // JSON-looking line, so the compact total+queries line must come
+    // LAST and stay small enough to fit the capture window whole.
+    val smLine = s"""{"metric":"stage_metrics","per_query":$sm,"sf":"$sfDir"}"""
+    println(smLine)
+    try {
+      val out = java.nio.file.Paths.get(graft.OutDir.base, "bench_stage_metrics.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, smLine)
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,14 +13,27 @@ import org.apache.spark.sql.DataFrame
 object Partitioning {
 
   /** Round-robin fan-out of a (small, pre-expansion) input to the
-    * session's default parallelism — only when the scan yields fewer
-    * partitions. The shuffled volume is the pre-expansion corpus (k×
-    * smaller than the window stream it feeds), and on a real cluster a
-    * 100 TB corpus already arrives in thousands of splits, where this
-    * is a no-op — the guard keeps it from ever reshuffling a big scan.
+    * session's default parallelism — only when the scan would yield
+    * fewer partitions. The shuffled volume is the pre-expansion corpus
+    * (k× smaller than the window stream it feeds), and on a real
+    * cluster a 100 TB corpus already arrives in thousands of splits,
+    * where this is a no-op — the guard keeps it from ever reshuffling a
+    * big scan.
+    *
+    * The guard reads the OPTIMIZED plan's size estimate (file-size sum
+    * for a parquet scan), never the physical plan: `df.rdd` here would
+    * compile a physical plan that the enclosing query then recompiles —
+    * double planning on every query build. A source is "small" when its
+    * estimated bytes can't fill `target` scan splits of
+    * `spark.sql.files.maxPartitionBytes` each.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val splitBytes =
+      try spark.sessionState.conf.filesMaxPartitionBytes
+      catch { case _: Throwable => 128L * 1024 * 1024 }
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(splitBytes) * target) df.repartition(target) else df
   }
 }

@@ -96,15 +96,48 @@ object Dedup {
       posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
   }
 
-  /** Candidate near-dup pairs: docs sharing at least one LSH band. */
-  def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+  /** Per-band candidate cap: a band value shared by m docs yields
+    * m·(m−1)/2 pairs, so ONE degenerate band (mass-duplicated
+    * boilerplate — empty pages, license headers) degrades the band join
+    * to O(n²) within that bucket. Bands above the cap are dropped from
+    * candidate generation (same hot-key guard as `maxDf` in
+    * [[ngramJaccardPairs]]); [[minhashBandStats]] surfaces how many.
+    * Genuine near-dup clusters are far smaller than the cap, and
+    * mass-duplicated content is better handled by exact dedup first.
+    */
+  val DefaultMaxBandSize = 1000
+
+  /** Candidate near-dup pairs: docs sharing at least one LSH band (bands
+    * with more than `maxBandSize` members dropped — see
+    * [[DefaultMaxBandSize]]).
+    */
+  def minhashCandidatePairs(docs: DataFrame, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
     val bands = minhashBands(minhashSignatures(docs))
-    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
+    val keep = bands.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("__m"))
+      .where(col("__m") <= maxBandSize)
+      .select("band_idx", "band_val")
+    val capped = bands.join(keep, Seq("band_idx", "band_val"))
+    val a = capped.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** Band-population profile: per band_idx, how many distinct band
+    * values exist, the largest membership, and how many exceed the cap
+    * (the dropped-band count for [[minhashCandidatePairs]]) — the
+    * observability face of the cap.
+    */
+  def minhashBandStats(docs: DataFrame, maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    minhashBands(minhashSignatures(docs))
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("m"))
+      .groupBy("band_idx")
+      .agg(
+        count(lit(1)).as("n_band_vals"),
+        max(col("m")).as("max_members"),
+        sum(when(col("m") > maxBandSize, 1L).otherwise(0L)).cast("long").as("capped_bands"))
 
   /** Connected components over candidate near-dup pairs — the clustering
     * step that turns pairwise LSH hits into dedup groups (keep one doc
@@ -144,6 +177,14 @@ object Dedup {
       cur = next.select("node", "component")
       i += 1
     }
+    // Non-converged labels are WRONG labels (dedupApply would keep/drop
+    // the wrong docs with no signal). Near-dup clusters are quasi-cliques
+    // with tiny diameter, so hitting maxIter means the input isn't the
+    // expected shape — fail loudly rather than return silently-bad data.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations; " +
+          "component diameter exceeds maxIter — raise maxIter for long-chain graphs")
     und.unpersist()
     cur.select(col("node").as("doc_id"), col("component"))
   }
@@ -333,6 +374,24 @@ object Dedup {
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
            |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    // The cap's observability face: band-population profile per band
+    // index (distinct band values, max membership, bands over the cap).
+    EngineQuery(
+      "minhash_band_stats",
+      (s, dir) =>
+        minhashBandStats(Tables.documents(s, dir))
+          .select(
+            col("band_idx").cast("long").as("band_idx"),
+            col("n_band_vals"), col("max_members"), col("capped_bands"))
+          .orderBy("band_idx"),
+      Some(
+        s"""WITH sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |m AS (SELECT band_idx, band_val, count(*) AS m FROM bands GROUP BY band_idx, band_val)
+           |SELECT CAST(band_idx AS BIGINT) AS band_idx, count(*) AS n_band_vals, max(m) AS max_members,
+           |  CAST(sum(CASE WHEN m > $DefaultMaxBandSize THEN 1 ELSE 0 END) AS BIGINT) AS capped_bands
+           |FROM m GROUP BY band_idx ORDER BY band_idx""".stripMargin),
     ),
     // Clustering the LSH pairs into dedup groups; oracle computes the
     // same components via a recursive transitive-closure CTE.

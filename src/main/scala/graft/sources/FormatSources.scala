@@ -17,10 +17,7 @@ import graft.{EngineQuery, Tables}
   */
 object FormatSources {
 
-  private val base: String = {
-    val repoTarget = new File("/root/repo/target")
-    if (repoTarget.getParentFile.isDirectory) repoTarget.getPath else "target"
-  }
+  private def base: String = graft.OutDir.base
 
   private val schema = StructType(Seq(
     StructField("event_id", LongType),

@@ -19,10 +19,7 @@ import graft.{EngineQuery, Tables}
   */
 object PartitionedLayout {
 
-  private val base: String = {
-    val repoTarget = new File("/root/repo/target")
-    if (repoTarget.getParentFile.isDirectory) repoTarget.getPath else "target"
-  }
+  private def base: String = graft.OutDir.base
 
   /** events laid out as event_type=<v>/ parquet dirs (one-time). */
   def materialize(spark: SparkSession, sfDir: String): String = synchronized {

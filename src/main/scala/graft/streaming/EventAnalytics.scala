@@ -121,11 +121,7 @@ object EventAnalytics {
   def runForeachBatchIngest(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val outBase = {
-      val t = new java.io.File("/root/repo/target")
-      if (t.getParentFile.isDirectory) t.getPath else "target"
-    }
-    val outDir = s"$outBase/graft_stream_ingest/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    val outDir = s"${graft.OutDir.base}/graft_stream_ingest/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
     val stream = spark.readStream
       .schema(rawSchema)

@@ -37,17 +37,24 @@ object StatefulSessions {
 
   val GapMs: Long = 30 * 60 * 1000L
 
-  /** Fold time-sorted events into sessions: returns (closed, open). */
+  /** Fold time-sorted events into sessions: returns (closed, open).
+    *
+    * A carry with `n_events == 0` is a TOMBSTONE: "no open session, but
+    * numbering already reached session_id" — left behind by a stream
+    * timeout so the next session continues the sequence instead of
+    * restarting at 1 (which would emit duplicate (user_id, session_id)
+    * keys and diverge from the batch twin's sequential numbering).
+    */
   def foldSessions(
       sorted: Seq[Ev], gapMs: Long, carry: Option[OpenSession]): (Seq[OpenSession], Option[OpenSession]) = {
     var closed = List.empty[OpenSession]
     var open = carry
     sorted.foreach { e =>
       open match {
-        case Some(s) if e.tms - s.last_ms <= gapMs =>
+        case Some(s) if s.n_events > 0 && e.tms - s.last_ms <= gapMs =>
           open = Some(s.copy(last_ms = math.max(s.last_ms, e.tms), n_events = s.n_events + 1))
         case Some(s) =>
-          closed ::= s
+          if (s.n_events > 0) closed ::= s
           open = Some(OpenSession(s.session_id + 1, e.tms, e.tms, 1))
         case None =>
           open = Some(OpenSession(1L, e.tms, e.tms, 1))
@@ -94,8 +101,12 @@ object StatefulSessions {
         (user: Long, it: Iterator[EvT], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             val done = state.get
-            state.remove()
-            Iterator.single(toSession(user, done))
+            // Leave an n_events=0 tombstone (no timeout armed) so the
+            // next session for this user continues the id sequence —
+            // state stays one small record per user either way.
+            state.update(done.copy(n_events = 0))
+            if (done.n_events > 0) Iterator.single(toSession(user, done))
+            else Iterator.empty
           } else {
             val (closed, open) = foldSessions(
               it.map(e => Ev(e.user_id, e.ts.getTime, e.event_id))
@@ -103,7 +114,7 @@ object StatefulSessions {
               gapMs, state.getOption)
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last_ms + gapMs + 1)
+              if (s.n_events > 0) state.setTimeoutTimestamp(s.last_ms + gapMs + 1)
             }
             closed.iterator.map(toSession(user, _))
           }

@@ -22,8 +22,8 @@ class RegistrySpec extends AnyFunSuite with Matchers {
   test("every oracle key exists in queries; headline set is non-empty") {
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
     Registry.all.count(_.headline) should be >= 8
-    // oracles exist for all but the explicitly-approximate queries
-    val noOracle = Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    noOracle shouldBe Set("kmer_distinct_approx", "percentile_prices_approx")
+    // every query has an oracle — the approximate-sketch queries are
+    // self-verifying (exact value + within-tolerance boolean relation)
+    Registry.all.filter(_.oracle.isEmpty).map(_.name) shouldBe empty
   }
 }

@@ -32,6 +32,34 @@ class DedupSpec extends AnyFunSuite with Matchers {
     pairs should contain((1L, 2L))
   }
 
+  test("per-band cap drops degenerate bands but keeps small clusters") {
+    // 10 copies of mass-duplicated boilerplate (one band value with 10
+    // members) + one small near-dup pair — the O(n²)-within-a-bucket
+    // scenario the cap exists for.
+    val boiler = (1L to 10L).map(i => (i, "this legal boilerplate footer is repeated on every single page"))
+    val pair = Seq(
+      (100L, "a genuinely distinct document about rivers and mountains"),
+      (101L, "a genuinely distinct document about rivers and mountains"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text")
+
+    val capped = Dedup.minhashCandidatePairs(corpus, maxBandSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe Set((100L, 101L)) // boilerplate band (10 > 5) dropped, pair kept
+
+    val uncapped = Dedup.minhashCandidatePairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped should contain((1L, 2L)) // default cap leaves the small corpus intact
+    uncapped.size shouldBe 45 + 1     // C(10,2) boilerplate pairs + the near-dup pair
+
+    // the stats relation surfaces exactly what the cap dropped
+    val stats = Dedup.minhashBandStats(corpus, maxBandSize = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    stats.foreach { case (_, _, maxMembers, cappedBands) =>
+      maxMembers shouldBe 10L
+      cappedBands shouldBe 1L
+    }
+  }
+
   test("simhash: deterministic 16-bit string, equal for equal docs") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     sh(1L) shouldBe sh(2L)

@@ -69,6 +69,30 @@ class KmersSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("KmerGenerator runs inside WholeStageCodegen (no interpreted boundary)") {
+    // fallback=false makes a codegen compile error FAIL the query
+    // instead of silently dropping to the interpreted path
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Kmers.kmersGen(Seq("GATTACA").toDF("text"), "text", 3)
+      df.collect().map(_.getString(0)) should contain theSameElementsAs
+        Seq("GAT", "ATT", "TTA", "TAC", "ACA")
+      // AQE applies codegen collapse per stage — assert on the FINAL plan;
+      // codegen'd operators carry the `*(n)` prefix
+      df.queryExecution.executedPlan.toString should include regex """\*\(\d+\) Generate"""
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("KmerGenerator handles multibyte text (char windows, not byte windows)") {
+    val viaGen = Kmers.kmersGen(Seq("héllò", "日本語です").toDF("text"), "text", 2)
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaGen shouldBe Map(
+      "hé" -> 1L, "él" -> 1L, "ll" -> 1L, "lò" -> 1L,
+      "日本" -> 1L, "本語" -> 1L, "語で" -> 1L, "です" -> 1L)
+    viaGen shouldBe counts(Seq("héllò", "日本語です"), 2)
+  }
+
   test("verifyJoin classifies match / mismatch / missing") {
     val l = Seq(("AB", 2L), ("BA", 1L)).toDF("word", "cnt")
     val r = Seq(("AB", 2L), ("CC", 5L)).toDF("word", "cnt")

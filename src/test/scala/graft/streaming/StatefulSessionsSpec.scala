@@ -56,4 +56,34 @@ class StatefulSessionsSpec extends AnyFunSuite with Matchers {
       rows should contain((1L, 1L, 2L, t0, t0 + 60000L))
     } finally q.stop()
   }
+
+  test("session numbering continues across event-time timeouts (no duplicate keys)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().select(
+      col("_1").as("user_id"), timestamp_millis(col("_2")).as("ts"), col("_3").as("event_id"))
+    val out = StatefulSessions.sessionizeStream(events, watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ss_renum").start()
+    try {
+      val t0 = 1704103200000L
+      val h = 3600000L
+      input.addData((1L, t0, 1L))              // user 1, session 1
+      q.processAllAvailable()
+      input.addData((2L, t0 + 2 * h, 2L))      // watermark past session 1's gap
+      q.processAllAvailable()
+      input.addData((2L, t0 + 2 * h + 1000L, 3L)) // trigger: session 1 times out
+      q.processAllAvailable()
+      input.addData((1L, t0 + 3 * h, 4L))      // user 1 returns after the timeout
+      q.processAllAvailable()
+      input.addData((2L, t0 + 6 * h, 5L))      // watermark past session 2's gap
+      q.processAllAvailable()
+      input.addData((2L, t0 + 6 * h + 1000L, 6L)) // trigger: session 2 times out
+      q.processAllAvailable()
+      val user1 = spark.table("ss_renum").where(col("user_id") === 1L)
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+      // the post-timeout session continues the sequence at 2 — it must
+      // NOT reuse key (1, 1), which would collide with the first session
+      user1 shouldBe Set((1L, t0), (2L, t0 + 3 * h))
+    } finally q.stop()
+  }
 }
