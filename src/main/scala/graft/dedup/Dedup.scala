@@ -60,10 +60,11 @@ object Dedup {
     * partition to ≤NumPerms values per doc first.)
     */
   def docShingles(docs: DataFrame, k: Int): DataFrame = {
-    val c = col("text")
-    graft.Partitioning.fanOut(docs.where(length(c) >= k))
-      .select(col("doc_id"), explode(sequence(lit(1), length(c) - (k - 1))).as("p"), c.as("__t"))
-      .select(col("doc_id"), col("__t").substr(col("p"), lit(k)).as("shingle"))
+    graft.GraftFunctions.register(docs.sparkSession)
+    // kmer_windows Generator: windows stream lazily inside
+    // WholeStageCodegen — no per-row position array (see KmerGenerator)
+    graft.Partitioning.fanOut(docs.where(length(col("text")) >= k))
+      .select(col("doc_id"), expr(s"kmer_windows(text, $k)").as("shingle"))
   }
 
   /** MinHash signature: one column h0..h{n-1} per permutation (BIGINT).
@@ -112,12 +113,15 @@ object Dedup {
     * [[DefaultMaxBandSize]]).
     */
   def minhashCandidatePairs(docs: DataFrame, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
-    val bands = minhashBands(minhashSignatures(docs))
-    val keep = bands.groupBy("band_idx", "band_val")
-      .agg(count(lit(1)).as("__m"))
+    // The cap is a window count over the band key, NOT a groupBy+join:
+    // both self-join sides then share one identical exchange-rooted
+    // subplan (shuffle on (band_idx, band_val)), which ReuseExchange
+    // computes ONCE — a separate count aggregate would re-run the whole
+    // shingle→signature pipeline a second time just to size the bands.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")
+    val capped = minhashBands(minhashSignatures(docs))
+      .withColumn("__m", count(lit(1)).over(w))
       .where(col("__m") <= maxBandSize)
-      .select("band_idx", "band_val")
-    val capped = bands.join(keep, Seq("band_idx", "band_val"))
     val a = capped.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
     val b = capped.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
     a.join(b, Seq("band_idx", "band_val"))

@@ -31,9 +31,12 @@ object Kmers {
   val MaxK = 64
 
   /** All sliding windows of width k over `textCol`, one row per window
-    * (the Map kernel, reference `src/GPU_Module/GPU.cpp:32-45`).
-    * Rows shorter than k yield nothing (`setsize=0` guard,
-    * reference `src/main.cpp:133`).
+    * (the Map kernel, reference `src/GPU_Module/GPU.cpp:32-45`) — the
+    * builtin-composition formulation. Rows shorter than k yield nothing
+    * (`setsize=0` guard, reference `src/main.cpp:133`). Kept as the
+    * extension-free baseline and [[KmerBench]] comparator; the default
+    * pipeline path is [[kmersGen]], which beats it by skipping the
+    * per-row O(len) position-array materialization.
     */
   def kmers(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= MaxK, s"k must be in [1, $MaxK], got $k")
@@ -45,9 +48,10 @@ object Kmers {
       .select(col("__text").substr(col("p"), lit(k)).as("word"))
   }
 
-  /** Window explode via the custom [[KmerGenerator]] — no per-row
-    * position-array materialization; see the Generator's scaladoc for
-    * when each path wins.
+  /** Window explode via the custom [[KmerGenerator]] — runs inside
+    * WholeStageCodegen over a lazy collection (no per-row position or
+    * window array). The DEFAULT path: measured ≥ the explode
+    * formulation at k ∈ {3, 8, 21} ([[KmerBench]]).
     */
   def kmersGen(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= MaxK, s"k must be in [1, $MaxK], got $k")
@@ -60,7 +64,7 @@ object Kmers {
     * `src/main.cpp:105-248`). Output: (word STRING, cnt BIGINT).
     */
   def kmerCounts(df: DataFrame, textCol: String, k: Int): DataFrame =
-    kmers(df, textCol, k).groupBy("word").agg(count(lit(1)).as("cnt"))
+    kmersGen(df, textCol, k).groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Reference-faithful output relation: counts > 1, deduped, formatted
     * sort (reference `print_mapped_counts`, `src/main.cpp:55-73`).
@@ -148,7 +152,7 @@ object Kmers {
     EngineQuery(
       "kmer_distinct",
       (s, dir) =>
-        kmers(Tables.documents(s, dir), "text", K)
+        kmersGen(Tables.documents(s, dir), "text", K)
           .agg(countDistinct(col("word")).as("distinct_kmers")),
       Some(s"""SELECT count(DISTINCT word) AS distinct_kmers FROM (${duckKmers(K)})"""),
     ),
@@ -161,7 +165,7 @@ object Kmers {
     EngineQuery(
       "kmer_distinct_approx",
       (s, dir) =>
-        kmers(Tables.documents(s, dir), "text", K)
+        kmersGen(Tables.documents(s, dir), "text", K)
           .agg(
             countDistinct(col("word")).as("distinct_kmers"),
             approx_count_distinct(col("word"), 0.01).as("__approx"))
