@@ -35,6 +35,7 @@ object Registry {
       operators.AsOf.engineQueries ++
       operators.RangeJoin.engineQueries ++
       text.TextAnalysis.engineQueries ++
+      curation.Curation.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       streaming.EventAnalytics.engineQueries ++

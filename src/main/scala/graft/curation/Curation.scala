@@ -1,0 +1,276 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** Training-data curation operators (north-star extension; the reference
+  * engine — a k-mer counter — has none of these, but any 100 TB corpus
+  * pipeline runs them between ingestion and training):
+  *
+  *  - deterministic hash bucketing → train/val/test split and sampling
+  *    that is reproducible under reruns, retries, and any partitioning
+  *    (a `rand()` sample is none of those: task retries resample);
+  *  - stratified sampling with per-stratum rates (down-weight
+  *    over-represented languages/sources without a full shuffle);
+  *  - global deterministic shuffle order (training-data randomization
+  *    as a range-partitioned sort by a hash key — no RNG state);
+  *  - Gopher-style repetition scoring (top-token dominance);
+  *  - PII scrubbing (email/phone redaction) as codegen'd regex
+  *    projections;
+  *  - benchmark decontamination: drop docs sharing word n-grams with a
+  *    holdout set (the standard eval-leak guard), holdout side
+  *    broadcast;
+  *  - sequence packing: fixed-token-budget bin assignment per language
+  *    via a windowed running sum (the concat-then-chunk packing shape).
+  *
+  * Portability: all hashing is md5-hex (identical in Spark and DuckDB;
+  * same trick as [[graft.dedup.Dedup]]); ratios are exact-integer
+  * divisions surfaced as double at the end.
+  *
+  * Scale notes: bucketing/scrubbing/repetition are narrow projections or
+  * single partial+final aggregations; the split/sample queries add NO
+  * shuffle at all (pure filter+project — they stream); shuffle-order and
+  * packing are one range-sort / one window pass; decontamination
+  * broadcasts the (small) holdout gram set so the corpus never shuffles.
+  */
+object Curation {
+
+  /** Deterministic bucket in [0, mod): first 8 md5 hex digits of the
+    * key rendered as an integer. Stable across engines, partitionings,
+    * and retries — the property `rand()`-based sampling lacks.
+    */
+  def md5Bucket(key: Column, mod: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % mod
+
+  /** DuckDB twin of [[md5Bucket]] (same first-8-hex-digits integer). */
+  def duckMd5Bucket(keyExpr: String, mod: Int): String =
+    s"CAST('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8) AS BIGINT) % $mod"
+
+  /** (doc_id, bucket, split): 80/10/10 train/val/test by hash bucket. */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5Bucket(col("doc_id"), 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** Per-stratum deterministic sampling: keep a doc iff its hash bucket
+    * (per-mille) falls under its stratum's rate. Rates are a plain
+    * column expression, so the plan is filter+project — no shuffle, no
+    * per-stratum pass.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, r).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), col("source"), md5Bucket(col("doc_id"), 1000).as("mille"))
+      .where(col("mille") < rate)
+  }
+
+  /** (doc_id, pos): global deterministic shuffle order — pseudorandom
+    * but reproducible (hash sort key, no RNG state).
+    *
+    * A naive `row_number() OVER (ORDER BY hash)` is a scale-killer: a
+    * global window moves EVERY row into one partition. Instead the
+    * total order is (bucket, md5key, id) and the position decomposes as
+    * bucket offset + within-bucket rank: per-bucket counts (tiny
+    * aggregate) → prefix offsets (window over `buckets` rows, driver-
+    * sized) → broadcast back → rank windows partitioned by bucket run
+    * in parallel. Identical output to the global row_number over the
+    * same total order, shuffle bounded by one hash exchange.
+    */
+  def shuffleOrder(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"),
+      md5Bucket(col("doc_id"), buckets).as("b"),
+      md5(col("doc_id").cast("string")).as("hk"))
+    val offsets = keyed.groupBy("b").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(
+          sum(col("n")).over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("b", "offset")
+    keyed.join(broadcast(offsets), Seq("b"))
+      .select(
+        col("doc_id"),
+        (col("offset") +
+          row_number().over(Window.partitionBy("b").orderBy("hk", "doc_id")).cast("long"))
+          .as("pos"))
+  }
+
+  /** Gopher-style repetition score: the most frequent token's share of
+    * all tokens. Boilerplate/spam scores high; natural text low.
+    */
+  def repetitionScore(docs: DataFrame): DataFrame =
+    graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt")).as("top_tok_cnt"), sum(col("cnt")).cast("long").as("n_tokens"))
+      .select(
+        col("doc_id"), col("top_tok_cnt"), col("n_tokens"),
+        (col("top_tok_cnt").cast("double") / col("n_tokens").cast("double")).as("top_tok_ratio"))
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub: count and redact email/phone matches. Pure codegen'd
+    * regex projections — no UDF, no shuffle. (Patterns are passed as
+    * literal Columns, never through SQL text — SQL string literals
+    * would eat the regex backslashes.)
+    */
+  def piiScrub(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(textCol, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      md5(regexp_replace(
+        regexp_replace(textCol, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("scrubbed_md5"))
+
+  /** Docs sharing ≥1 distinct word n-gram with a holdout set (the
+    * benchmark-decontamination check). The holdout gram set is
+    * broadcast: the corpus-side gram stream joins map-side and never
+    * shuffles; the aggregation is the only exchange.
+    */
+  def decontaminate(docs: DataFrame, holdout: DataFrame, n: Int): DataFrame = {
+    val corpusGrams = graft.dedup.Dedup.wordNgrams(docs, n)
+    val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n).select("gram").distinct()
+    corpusGrams.join(broadcast(holdoutGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Sequence packing: per-language running token total, chunked into
+    * `budget`-token bins (the concat-then-chunk packing shape). One
+    * window pass after one hash exchange on lang.
+    */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before DIV $budget").as("bin"))
+  }
+
+  // --------------------------------------------------------------- gate
+
+  private val StratRates = Map("en" -> 500, "de" -> 200, "zh" -> 100)
+  private val StratDefault = 50
+
+  /** Deterministic PII injection: docs with doc_id % 10 == 0 get a
+    * synthetic contact line appended (the raw corpus contains no PII, so
+    * the scrub would be vacuously identity — the injection exercises
+    * both the counting and the redaction on a known subset). Applied
+    * identically in the oracle SQL.
+    */
+  private def withInjectedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("__pii_text",
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact: jane.doe@example.com or 555-123-4567")))
+        .otherwise(col("text")))
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "split_assign",
+      (s, dir) => splitAssign(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${duckMd5Bucket("doc_id", 100)} AS bucket,
+             |  CASE WHEN ${duckMd5Bucket("doc_id", 100)} < 80 THEN 'train'
+             |       WHEN ${duckMd5Bucket("doc_id", 100)} < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "sample_stratified",
+      (s, dir) =>
+        stratifiedSample(Tables.documents(s, dir), StratRates, StratDefault)
+          .orderBy("doc_id"),
+      Some {
+        val rate = StratRates.foldRight(StratDefault.toString) { case ((l, r), acc) =>
+          s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+        }
+        s"""SELECT doc_id, lang, source, ${duckMd5Bucket("doc_id", 1000)} AS mille
+           |FROM documents WHERE ${duckMd5Bucket("doc_id", 1000)} < $rate
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+    EngineQuery(
+      "shuffle_order",
+      (s, dir) => shuffleOrder(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |  row_number() OVER (ORDER BY ${duckMd5Bucket("doc_id", 64)}, md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "text_repetition",
+      (s, dir) => repetitionScore(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |  FROM documents),
+             |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY doc_id, tok)
+             |SELECT doc_id, max(cnt) AS top_tok_cnt, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_tok_ratio
+             |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "pii_scrub",
+      (s, dir) =>
+        piiScrub(withInjectedPii(Tables.documents(s, dir)), col("__pii_text"))
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0
+             |         THEN text || ' contact: jane.doe@example.com or 555-123-4567'
+             |         ELSE text END AS pt
+             |  FROM documents)
+             |SELECT doc_id,
+             |  length(regexp_extract_all(pt, '$EmailRe')) AS n_emails,
+             |  length(regexp_extract_all(pt, '$PhoneRe')) AS n_phones,
+             |  md5(regexp_replace(regexp_replace(pt, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+             |FROM t ORDER BY doc_id""".stripMargin),
+    ),
+    // Holdout = every 50th doc (a stand-in benchmark set); flags
+    // non-holdout docs sharing any distinct word-5-gram with it.
+    EngineQuery(
+      "decontaminate_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        decontaminate(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0), n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i FROM toks WHERE length(t) >= 5)),
+             |hold AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+             |SELECT g.doc_id, count(*) AS n_shared_grams
+             |FROM grams g JOIN hold h ON g.gram = h.gram
+             |WHERE g.doc_id % 50 <> 0
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "pack_sequences",
+      (s, dir) => packSequences(Tables.documents(s, dir), budget = 512).orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, lang, n_tokens,
+             |  coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 512 AS bin
+             |FROM t ORDER BY doc_id""".stripMargin),
+    ),
+  )
+}

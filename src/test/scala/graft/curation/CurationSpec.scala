@@ -1,0 +1,96 @@
+package graft.curation
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.{Tables, TestSpark}
+
+class CurationSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("split assignment is deterministic and partitioning-invariant") {
+    val a = Curation.splitAssign(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Curation.splitAssign(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    a shouldBe b // a rand()-based split would fail this
+    a.values.toSet shouldBe Set("train", "val", "test")
+    // 80/10/10 within hash tolerance on 500 docs
+    val train = a.values.count(_ == "train").toDouble / a.size
+    train should (be > 0.7 and be < 0.9)
+  }
+
+  test("stratified sample honors per-stratum rates") {
+    val sampled = Curation.stratifiedSample(docs, Map("en" -> 1000, "zh" -> 0), 500)
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang("en") shouldBe total("en") // rate 1000/1000 keeps everything
+    byLang.get("zh") shouldBe None    // rate 0 drops everything
+  }
+
+  test("shuffle order is a permutation of 1..n and stable across runs") {
+    val pos = Curation.shuffleOrder(docs).collect().map(_.getLong(1)).sorted
+    pos shouldBe (1L to pos.length.toLong).toArray
+    // not the identity order (it actually shuffles)
+    val firstIds = Curation.shuffleOrder(docs).orderBy("pos").limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    firstIds should not be firstIds.sorted
+    Curation.shuffleOrder(docs.repartition(5)).orderBy("pos").limit(10)
+      .collect().map(_.getLong(0)).toSeq shouldBe firstIds
+  }
+
+  test("repetition score flags boilerplate over natural text") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam ham"),
+      (2L, "all words here are fully distinct tokens")).toDF("doc_id", "text")
+    val scores = Curation.repetitionScore(d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    scores(1L) shouldBe (5.0 / 6.0) +- 1e-12
+    scores(2L) shouldBe (1.0 / 7.0) +- 1e-12
+  }
+
+  test("pii scrub counts and redacts emails/phones") {
+    val d = Seq(
+      (1L, "reach me at a.b@corp.io or 555-123-4567 thanks"),
+      (2L, "no contact info here")).toDF("doc_id", "text")
+    val out = Curation.piiScrub(d, col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((1L, 1L))
+    out(2L) shouldBe ((0L, 0L))
+    // scrubbed text differs iff something was redacted
+    val hashes = Curation.piiScrub(d, col("text")).collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val plain = d.select(col("doc_id"), md5(col("text"))).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    hashes(1L) should not be plain(1L)
+    hashes(2L) shouldBe plain(2L)
+  }
+
+  test("decontamination flags exactly the docs sharing a holdout n-gram") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words with no overlap at all here")).toDF("doc_id", "text")
+    val holdout = Seq((99L, "the quick brown fox jumps straight up")).toDF("doc_id", "text")
+    val flagged = Curation.decontaminate(corpus, holdout, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flagged.keySet shouldBe Set(1L) // shares "the quick brown fox jumps"
+    flagged(1L) shouldBe 1L
+  }
+
+  test("sequence packing: bins are contiguous and respect the budget") {
+    val packed = Curation.packSequences(docs, budget = 512)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // bin index is the exclusive running token total DIV budget
+      var cum = 0L
+      sorted.foreach { case (_, _, n, bin) =>
+        bin shouldBe cum / 512
+        cum += n
+      }
+    }
+  }
+}
