@@ -17,7 +17,7 @@ object Plans {
     "scan_project" ->
       "Filter and projection reach the parquet scan: `PushedFilters` carries the quantity predicate, `ReadSchema` lists only the 4 output columns.",
     "kmer_count" ->
-      "Partial `HashAggregate` before the single exchange, final after — shuffle volume is distinct-kmers-per-partition, not the window stream. The `Generate explode` sits inside a `WholeStageCodegen` span.",
+      "Partial `HashAggregate` before the single exchange, final after — shuffle volume is distinct-kmers-per-partition, not the window stream. The `Generate kmergenerator` (lazy-collection CollectionGenerator) sits inside a `WholeStageCodegen` span — no position/window array per row.",
     "q1_pricing_summary" ->
       "One partial+final aggregate pair around one exchange; all four aggregates computed in a single pass over the scan (no re-reads).",
     "join_broadcast_revenue" ->
@@ -46,6 +46,14 @@ object Plans {
       "`PartitionFilters: [... (event_type = purchase)]` on the scan — four of five partition directories never open; the predicate never reaches row-level filtering.",
     "bucketed_join_revenue" ->
       "Both scans read `SelectedBucketsCount: 16 out of 16` pre-hashed buckets; the join needs no `Exchange hashpartitioning` on either input — the write-time bucket layout replaces the per-query shuffle (only the small post-join aggregation exchanges).",
+    "minhash_lsh_pairs" ->
+      "The per-band candidate cap is a `Window` count over the band key, so both self-join sides root in canonically identical band exchanges; this pre-execution dump shows the subtree twice, but the executed AQE plan replaces the second with `ReusedExchange` (verified live: `ShuffleQueryStage 8 +- ReusedExchange ... hashpartitioning(band_idx, band_val)`), so the shingle→signature pipeline runs ONCE, and a mass-duplicated band value is filtered before it can emit O(n²) pairs.",
+    "shuffle_order" ->
+      "Global deterministic order WITHOUT a single-partition window: per-bucket counts aggregate small, offsets broadcast back (`BroadcastHashJoin`), and the `Window` that ranks rows is `partitionBy(b)` — every window partition is a hash bucket, all of them in parallel.",
+    "decontaminate_overlap" ->
+      "The holdout gram set is the build side of a `BroadcastHashJoin`: the corpus gram stream is filtered map-side and never shuffles; the only exchange is the final per-doc count aggregate.",
+    "sample_stratified" ->
+      "Deterministic sampling is filter+project over the scan — the sampling itself adds NO exchange (the only one in the plan is the gate query's output ORDER BY); the per-stratum rate is a CASE column, not a per-stratum pass.",
   )
 
   def main(args: Array[String]): Unit = {
