@@ -171,7 +171,61 @@ object EventAnalytics {
     spark.table(qn)
   }
 
+  /** Stream-stream interval join (the attribution shape): views join
+    * purchases of the same user landing within 30 minutes AFTER the
+    * view. Both sides carry event-time watermarks and the join
+    * condition carries explicit time bounds, so each side's buffered
+    * state is evicted once the other side's watermark passes the
+    * interval — bounded state on unbounded streams. Inner joins emit
+    * eagerly (no watermark wait), so draining the finite gate corpus
+    * yields exactly the batch join. Append mode: the only mode
+    * stream-stream joins support.
+    */
+  def runStreamingIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(
+      purchases,
+      expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 30 minutes"))
+      .select(
+        col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
+    val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn)
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "streaming_interval_join",
+      (s, dir) =>
+        runStreamingIntervalJoin(s, dir).orderBy("user_id", "view_id", "purchase_id"),
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             |  epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
+             |FROM events v JOIN events p
+             |  ON v.user_id = p.user_id
+             | AND v.event_type = 'view' AND p.event_type = 'purchase'
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+             |ORDER BY v.user_id, view_id, purchase_id""".stripMargin),
+    ),
     EngineQuery(
       "streaming_dedup_counts",
       (s, dir) => runStreamingDedup(s, dir).orderBy("event_type"),
