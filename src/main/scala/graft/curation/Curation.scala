@@ -210,6 +210,7 @@ object Curation {
       Some(s"""SELECT doc_id,
              |  row_number() OVER (ORDER BY ${duckMd5Bucket("doc_id", 64)}, md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
              |FROM documents ORDER BY doc_id""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "text_repetition",
@@ -259,6 +260,7 @@ object Curation {
              |FROM grams g JOIN hold h ON g.gram = h.gram
              |WHERE g.doc_id % 50 <> 0
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "pack_sequences",

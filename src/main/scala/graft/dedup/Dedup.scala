@@ -300,10 +300,23 @@ object Dedup {
       s"(CASE WHEN list_sum(list_transform(list_zip($qExpr, [${plane.mkString(",")}]), p -> p[1] * p[2])) > 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
-  /** Embedding near-dup: within-bucket exact quantized cosine. */
-  def embeddingNearDupPairs(embeddings: DataFrame, bits: Int = 8): DataFrame = {
+  /** Embedding near-dup: within-bucket exact quantized cosine.
+    *
+    * `maxBucketSize` is the same O(n²)-within-a-bucket guard as the
+    * MinHash band cap (identical embeddings — e.g. a mass-duplicated
+    * image's vector — all land in one sign bucket): a window count over
+    * the bucket key drops oversized buckets before the self-join, and
+    * both join sides share one exchange (runtime ReusedExchange, as in
+    * [[minhashCandidatePairs]]). Default is high enough to be inert at
+    * gate scales; at 100 TB set it to the pair budget per bucket.
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame, bits: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
     val q = quantized(embeddings)
       .withColumn("bucket", hyperplaneBucket("q", bits))
+      .withColumn("__m", count(lit(1)).over(w))
+      .where(col("__m") <= maxBucketSize)
     val a = q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"), col("bucket"))
     val b = q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))

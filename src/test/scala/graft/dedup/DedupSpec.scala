@@ -60,6 +60,19 @@ class DedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("embedding bucket cap drops a degenerate bucket, keeps the rest") {
+    // 8 identical vectors share one sign bucket; 2 identical different
+    // vectors share another. Cap 5 must kill only the big bucket's pairs.
+    val vecs = ((1L to 8L).map(i => (i, Array.fill(64)(0.5f))) ++
+      Seq((100L, Array.fill(64)(-0.5f)), (101L, Array.fill(64)(-0.5f)))).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupPairs(vecs, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    capped shouldBe Set((100L, 101L))
+    val uncapped = Dedup.embeddingNearDupPairs(vecs)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    uncapped.size shouldBe 28 + 1 // C(8,2) + the small pair
+  }
+
   test("simhash: deterministic 16-bit string, equal for equal docs") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     sh(1L) shouldBe sh(2L)
