@@ -163,6 +163,31 @@ object Curation {
         expr(s"cum_before DIV $budget").as("bin"))
   }
 
+  /** The composed curation pipeline — quality gate ∧ near-dup dedup
+    * keep-set, then split assignment, reported per (lang, split). This
+    * is the "operators compose" demonstration: quality scoring
+    * ([[graft.text.TextAnalysis.qualityScore]]), the full
+    * MinHash→LSH→connected-components→keep pipeline
+    * ([[graft.dedup.Dedup.dedupApply]]), and the deterministic split,
+    * glued with semi-joins (id-set intersections — the fact stream is
+    * filtered, never widened).
+    */
+  def curatedCorpus(docs: DataFrame, minScore: Double): DataFrame = {
+    val good = graft.text.TextAnalysis.qualityScore(docs)
+      .where(col("score") >= minScore)
+      .select("doc_id")
+    val kept = graft.dedup.Dedup.dedupApply(docs)
+    docs.join(good, Seq("doc_id"), "left_semi")
+      .join(kept, Seq("doc_id"), "left_semi")
+      .withColumn("bucket", md5Bucket(col("doc_id"), 100))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   // --------------------------------------------------------------- gate
 
   private val StratRates = Map("en" -> 500, "de" -> 200, "zh" -> 100)
@@ -261,6 +286,51 @@ object Curation {
              |WHERE g.doc_id % 50 <> 0
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
       headline = true,
+    ),
+    // The end-to-end pipeline: quality >= 0.51 (median ~0.517 on this
+    // corpus, so the gate genuinely filters) AND survives near-dup
+    // dedup, bucketed into train/val/test, counted per (lang, split).
+    EngineQuery(
+      "curated_corpus",
+      (s, dir) =>
+        curatedCorpus(Tables.documents(s, dir), minScore = 0.51)
+          .orderBy("lang", "split"),
+      Some {
+        import graft.dedup.Dedup.{duckSig, duckBands}
+        s"""WITH RECURSIVE sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |  WHERE a.doc_id < b.doc_id),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM und
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+           |qt AS (SELECT doc_id, text,
+           |  length(text) AS n_chars,
+           |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+           |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+           |  FROM documents),
+           |qs AS (SELECT doc_id,
+           |  0.6 * (CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE))
+           |  + 0.4 * (CAST(length(list_filter(toks, x -> x IN ('the', 'of', 'and', 'to', 'in', 'a'))) AS DOUBLE)
+           |      / CAST(greatest(length(toks), 1) AS DOUBLE)) AS score
+           |  FROM qt),
+           |cur AS (
+           |  SELECT d.doc_id, d.lang FROM documents d
+           |  JOIN qs ON d.doc_id = qs.doc_id AND qs.score >= 0.51
+           |  WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> component))
+           |SELECT lang,
+           |  CASE WHEN ${duckMd5Bucket("doc_id", 100)} < 80 THEN 'train'
+           |       WHEN ${duckMd5Bucket("doc_id", 100)} < 90 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  count(*) AS n_docs
+           |FROM cur GROUP BY lang, split ORDER BY lang, split""".stripMargin
+      },
     ),
     EngineQuery(
       "pack_sequences",

@@ -333,7 +333,7 @@ object Dedup {
     s"""SELECT doc_id, substr(text, CAST(unnest(generate_series(1, length(text) - ${k - 1})) AS INT), $k) AS shingle
        |FROM documents WHERE length(text) >= $k""".stripMargin
 
-  private val duckSig: String = {
+  private[graft] val duckSig: String = {
     val lanes = (0 until 4)
       .map(j => s"CAST('0x' || substr(md5(shingle), ${8 * j + 1}, 8) AS BIGINT) AS l$j").mkString(",\n  ")
     val aggs = (0 until NumPerms).map { i =>
@@ -345,7 +345,7 @@ object Dedup {
        |GROUP BY doc_id""".stripMargin
   }
 
-  private val duckBands: String = {
+  private[graft] val duckBands: String = {
     val rows = NumPerms / NumBands
     val selects = (0 until NumBands).map { b =>
       val cat = (0 until rows).map(r => s"h${b * rows + r}").mkString(" || '-' || ")
