@@ -33,4 +33,28 @@ object KmerProps extends Properties("Kmers") {
       val expectedTotal = texts.map(t => math.max(0, t.length - k + 1).toLong).sum
       engine == naive && engine.values.sum == expectedTotal
     }
+
+  // Windows are CODE POINTS, not UTF-16 units or bytes: 1-, 2-, 3-, and
+  // 4-byte UTF-8 sequences (the last is an astral char — a surrogate
+  // PAIR in the JVM String) must each count as one window position.
+  private val genCodePoint: Gen[String] =
+    Gen.oneOf("a", "é", "λ", "日", new String(Character.toChars(0x1F600)))
+  private val genUnicodeText: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, genCodePoint).map(_.mkString))
+
+  private def cpWindows(s: String, k: Int): Seq[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) Nil else (0 to cps.length - k).map(i => new String(cps, i, k))
+  }
+
+  property("multibyte text windows are code-point windows (generator path)") =
+    forAll(Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, genUnicodeText)), Gen.chooseNum(1, 4)) {
+      (texts, k) =>
+        import spark.implicits._
+        val engine = Kmers.kmerCounts(texts.toDF("text"), "text", k)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val naive = texts.flatMap(cpWindows(_, k))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        engine == naive
+    }
 }
