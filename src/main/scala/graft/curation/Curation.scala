@@ -140,9 +140,14 @@ object Curation {
     * shuffles; the aggregation is the only exchange.
     */
   def decontaminate(docs: DataFrame, holdout: DataFrame, n: Int): DataFrame = {
-    val corpusGrams = graft.dedup.Dedup.wordNgrams(docs, n)
+    // Corpus side stays RAW (no distinct — that would shuffle the whole
+    // gram stream); the broadcast holdout join filters it map-side to
+    // only shared grams, and the per-doc dedup + count shuffle only
+    // that typically tiny remainder.
+    val corpusGrams = graft.dedup.Dedup.wordNgramsRaw(docs, n)
     val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n).select("gram").distinct()
     corpusGrams.join(broadcast(holdoutGrams), Seq("gram"))
+      .dropDuplicates("doc_id", "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 

@@ -220,8 +220,8 @@ object Dedup {
       .select(col("doc_id"), concat(bits: _*).as("simhash16"))
   }
 
-  /** Distinct word-5-gram shingles per doc. */
-  def wordNgrams(docs: DataFrame, n: Int): DataFrame =
+  /** Word-n-gram stream per doc, with multiplicity (no shuffle). */
+  def wordNgramsRaw(docs: DataFrame, n: Int): DataFrame =
     graft.Partitioning.fanOut(docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .where(size(col("t")) >= n)
@@ -229,7 +229,14 @@ object Dedup {
         col("doc_id"),
         explode(expr(s"transform(sequence(1, size(t) - ${n - 1}), i -> concat_ws(' ', slice(t, i, $n)))"))
           .as("gram"))
-      .distinct()
+
+  /** Distinct word-n-gram shingles per doc. The distinct shuffles the
+    * whole gram stream — callers that filter the stream first (e.g.
+    * decontamination's broadcast holdout join) should use
+    * [[wordNgramsRaw]] and dedupe AFTER the filter.
+    */
+  def wordNgrams(docs: DataFrame, n: Int): DataFrame =
+    wordNgramsRaw(docs, n).distinct()
 
   /** Near-dup pairs by n-gram Jaccard with a shingle df cap. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, maxDf: Int = 50, minJaccard: Double = 0.05): DataFrame = {
