@@ -220,6 +220,58 @@ object Dedup {
       .select(col("doc_id"), concat(bits: _*).as("simhash16"))
   }
 
+  /** 64-bit SimHash (Manku-style) over lowercase whitespace tokens:
+    * bit j is derived from md5(token) hex digit j/2 — even j tests the
+    * digit's 8-bit, odd j its 4-bit — giving 64 independent bits from
+    * one digest. One aggregation pass (64 signed sums), no shuffle
+    * beyond the per-doc groupBy.
+    */
+  def simhash64(docs: DataFrame): DataFrame = {
+    val toks = graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      val alphabet = if (j % 2 == 0) "89abcdef" else "4567cdef"
+      sum(when(instr(lit(alphabet), substring(col("h"), j / 2 + 1, 1)) > 0, 1).otherwise(-1)).as(s"s$j")
+    }
+    val bits = (0 until 64).map(j => when(col(s"s$j") > 0, "1").otherwise("0"))
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("sig"))
+  }
+
+  /** SimHash near-dup pairs: 4 bands × 16 bits — by pigeonhole, any two
+    * signatures within Hamming distance 3 share at least one full band,
+    * so the all-pairs Hamming scan becomes a band equi-join (Manku et
+    * al.'s web-dedup shape). The signature rides along the band explode
+    * so the Hamming verify needs no extra join; the same window cap as
+    * [[minhashCandidatePairs]] guards degenerate bands.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame, maxHamming: Int = 3, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val sigs = simhash64(docs)
+    val bandVals = (0 until 4).map(b => substring(col("sig"), 16 * b + 1, 16))
+    val bands = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")
+    val capped = bands
+      .withColumn("__m", count(lit(1)).over(w))
+      .where(col("__m") <= maxBandSize)
+    val a = capped.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band_idx"), col("band_val"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band_idx"), col("band_val"))
+    val hamming = (1 to 64)
+      .map(i => when(substring(col("sig_a"), i, 1) =!= substring(col("sig_b"), i, 1), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Word-n-gram stream per doc, with multiplicity (no shuffle). */
   def wordNgramsRaw(docs: DataFrame, n: Int): DataFrame =
     graft.Partitioning.fanOut(docs)
@@ -475,6 +527,36 @@ object Dedup {
            |  WHERE tok <> ''),
            |sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id)
            |SELECT doc_id, $bits AS simhash16 FROM sums ORDER BY doc_id""".stripMargin
+      },
+    ),
+    EngineQuery(
+      "simhash_neardup_pairs",
+      (s, dir) => simhashNearDupPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b"),
+      Some {
+        val sums = (0 until 64).map { j =>
+          val alphabet = if (j % 2 == 0) "89abcdef" else "4567cdef"
+          s"sum(CASE WHEN strpos('$alphabet', substr(h, ${j / 2 + 1}, 1)) > 0 THEN 1 ELSE -1 END) AS s$j"
+        }.mkString(",\n  ")
+        val bits = (0 until 64).map(j => s"CASE WHEN s$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+        val bandSelects = (0 until 4).map(b =>
+          s"SELECT doc_id, sig, $b AS band_idx, substr(sig, ${16 * b + 1}, 16) AS band_val FROM sig")
+          .mkString("\nUNION ALL\n")
+        val hamming = (1 to 64)
+          .map(i => s"CASE WHEN substr(sig_a, $i, 1) <> substr(sig_b, $i, 1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, md5(tok) AS h FROM (
+           |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents)
+           |  WHERE tok <> ''),
+           |sums AS (SELECT doc_id, $sums FROM toks GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $bits AS sig FROM sums),
+           |bands AS ($bandSelects),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+           |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |  WHERE a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST($hamming AS BIGINT) AS hamming
+           |FROM pairs WHERE $hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
       },
     ),
     EngineQuery(

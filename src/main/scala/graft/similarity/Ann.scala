@@ -133,6 +133,38 @@ object Ann {
       .select("q_id", "n_id", "rank", "sim")
   }
 
+  /** One Lloyd (k-means) iteration over the embedding corpus — the
+    * operator that trains IVF's coarse quantizer in production (see
+    * [[ivfTopK]]): assign every vector to its nearest centroid
+    * (broadcast centroids, cosine over exact integer dots — the corpus
+    * never shuffles for assignment), then recompute per-centroid
+    * per-dimension sums/means in one partial+final aggregation.
+    * Output: (cid, dim, n_members, sum_q, mean_q) — the full updated
+    * centroid matrix, exact-integer sums so the relation is
+    * engine-portable. Iterating = re-feeding means as next centroids;
+    * each iteration is the same two-exchange plan.
+    */
+  def kmeansStep(embeddings: DataFrame, m: Int = 16): DataFrame = {
+    val base = Dedup.quantized(embeddings)
+    val cents = base.where(col("vec_id") < m)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("cdot", expr("dot_i64(q, cq)"))
+      .withColumn("csim",
+        col("cdot").cast("double") / (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .withColumn("crn", row_number().over(w))
+      .where(col("crn") === 1)
+      .select("cid", "q")
+    assigned
+      .select(col("cid"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sum_q"))
+      .select(
+        col("cid"), col("dim").cast("long").as("dim"), col("n_members"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n_members").cast("double")).as("mean_q"))
+  }
+
   // --------------------------------------------------------------- oracles
 
   private val duckQuantized =
@@ -250,6 +282,26 @@ object Ann {
            |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       },
       headline = true,
+    ),
+    EngineQuery(
+      "kmeans_step",
+      (s, dir) => kmeansStep(Tables.embeddings(s, dir)).orderBy("cid", "dim"),
+      Some(
+        s"""WITH n AS ($duckNorm),
+           |c AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM n WHERE vec_id < 16),
+           |asg AS (
+           |  SELECT n.vec_id, c.cid, n.q,
+           |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |      CAST(CAST(list_sum(list_transform(list_zip(n.q, c.cq), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+           |        / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cid) AS crn
+           |  FROM n CROSS JOIN c),
+           |members AS (SELECT cid, q FROM asg WHERE crn = 1),
+           |dims AS (
+           |  SELECT cid, CAST(i - 1 AS BIGINT) AS dim, q[CAST(i AS INT)] AS v
+           |  FROM (SELECT cid, q, unnest(generate_series(1, ${Dedup.Dim})) AS i FROM members))
+           |SELECT cid, dim, count(*) AS n_members, CAST(sum(v) AS BIGINT) AS sum_q,
+           |  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+           |FROM dims GROUP BY cid, dim ORDER BY cid, dim""".stripMargin),
     ),
   )
 }
