@@ -302,6 +302,7 @@ object Ann {
            |SELECT cid, dim, count(*) AS n_members, CAST(sum(v) AS BIGINT) AS sum_q,
            |  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
            |FROM dims GROUP BY cid, dim ORDER BY cid, dim""".stripMargin),
+      headline = true,
     ),
   )
 }
