@@ -42,6 +42,58 @@ object TextAnalysis {
   private def stopHits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words: _*))).cast("long")
 
+  /** TF-IDF top terms per document: tf = in-doc term count, idf =
+    * ln(N / df) over the corpus (plain log of exact integer counts —
+    * bit-identical across engines), top-k by weight with a total
+    * (weight DESC, term) tie-break. The df relation is tiny (one row
+    * per vocab term) and broadcasts; the per-doc rank is a
+    * WindowGroupLimit cut. The classic relevance/feature op a text
+    * pipeline runs after tokenization.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val toks = graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
+    tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("weight",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "weight")
+  }
+
+  /** RAG-style chunking: overlapping fixed-size token windows (size
+    * `chunk`, stride `stride`) per document — the preprocessing shape
+    * for embedding pipelines. Pure per-row array arithmetic (one
+    * explode, no shuffle); emits a trailing partial chunk so no token
+    * is dropped. Chunk text is surfaced as md5 + token count (the gate
+    * relation stays narrow; real pipelines feed the text to the
+    * embedder).
+    */
+  def chunkDocuments(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunk >= stride, "need 1 <= stride <= chunk")
+    graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), wsTokens(trim(col("text"))).as("t"))
+      .where(size(col("t")) > 0)
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, 1 + greatest(CAST(ceil((size(t) - $chunk) / CAST($stride AS DOUBLE)) AS INT), 0)), " +
+            s"i -> slice(t, 1 + (i - 1) * $stride, $chunk))"))
+          .as(Seq("chunk_idx", "c")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("c")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_md5"))
+  }
+
   /** Per-document token counts: whitespace tokens + regex (BPE-ish)
     * tokens. Both BIGINT.
     */
@@ -108,6 +160,55 @@ object TextAnalysis {
   }
 
   def engineQueries: Seq[EngineQuery] = Seq(
+    // The gate relation carries rank/term/tf/df but NOT the raw weight:
+    // ln() differs by 1 ulp between the JVM and DuckDB's libm, which
+    // fails the exact hash compare. The RANKING is still fully checked
+    // (and is ulp-robust: distinct (tf, df) pairs give weights separated
+    // by far more than an ulp; equal pairs give exactly-equal weights in
+    // each engine, broken by the term tie-break).
+    EngineQuery(
+      "tfidf_top_terms",
+      (s, dir) =>
+        tfidfTopTerms(Tables.documents(s, dir), 3)
+          .select("doc_id", "rank", "term", "tf", "df")
+          .orderBy("doc_id", "rank"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY doc_id, term),
+             |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |nn AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term, tf, df,
+             |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS weight
+             |  FROM tf JOIN dfr USING (term) CROSS JOIN nn),
+             |ranked AS (
+             |  SELECT doc_id, term, tf, df, weight,
+             |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT doc_id, rank, term, tf, df
+             |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    ),
+    EngineQuery(
+      "chunk_documents",
+      (s, dir) => chunkDocuments(Tables.documents(s, dir), chunk = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |idx AS (
+             |  SELECT doc_id, t,
+             |    unnest(generate_series(1, 1 + greatest(CAST(ceil((length(t) - 64) / 48.0) AS INT), 0))) AS i
+             |  FROM t),
+             |chunks AS (
+             |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+             |    t[CAST(1 + (i - 1) * 48 AS INT):CAST((i - 1) * 48 + 64 AS INT)] AS c
+             |  FROM idx)
+             |SELECT doc_id, chunk_idx,
+             |  CAST(length(c) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(c, ' ')) AS chunk_md5
+             |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin),
+    ),
     EngineQuery(
       "text_token_stats",
       (s, dir) => tokenStats(Tables.documents(s, dir)).orderBy("doc_id"),
