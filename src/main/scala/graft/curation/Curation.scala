@@ -103,6 +103,37 @@ object Curation {
           .as("pos"))
   }
 
+  /** Balanced per-class cap: keep at most `cap` docs per stratum,
+    * chosen by hash rank (deterministic, partitioning-invariant — the
+    * same docs survive every rerun). The window partitions by stratum,
+    * so all class windows rank in parallel; the classic guard against
+    * one language/source dominating a training mix.
+    */
+  def balancedCap(docs: DataFrame, stratum: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col(stratum))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap)
+  }
+
+  /** Corpus snapshot diff: classify every doc_id across two table
+    * versions as added / removed / changed / same (content compared by
+    * md5). One full-outer join on the key — the reproducibility audit
+    * between pipeline runs.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "same")
+          .otherwise("changed").as("status"))
+  }
+
   /** Gopher-style repetition score: the most frequent token's share of
     * all tokens. Boilerplate/spam scores high; natural text low.
     */
@@ -241,6 +272,44 @@ object Curation {
              |  row_number() OVER (ORDER BY ${duckMd5Bucket("doc_id", 64)}, md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
              |FROM documents ORDER BY doc_id""".stripMargin),
       headline = true,
+    ),
+    // At most 30 docs per language, hash-ranked — en/de/zh/fr/es all
+    // exceed 30 at sf0.01, so the cap genuinely bites every stratum.
+    EngineQuery(
+      "sample_balanced_cap",
+      (s, dir) =>
+        balancedCap(Tables.documents(s, dir), "lang", 30).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, rk FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM documents)
+             |WHERE rk <= 30 ORDER BY doc_id""".stripMargin),
+    ),
+    // Version diff between the corpus and a synthetic next snapshot
+    // (every 10th doc dropped, every 7th rewritten, all others kept).
+    EngineQuery(
+      "snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val v2 = docs.where(col("doc_id") % 10 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text")))
+        snapshotDiff(docs, v2).orderBy("doc_id")
+      },
+      Some("""WITH v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+             |b AS (SELECT doc_id, md5(text) AS h2 FROM v2)
+             |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             |  CASE WHEN a.doc_id IS NULL THEN 'added'
+             |       WHEN b.doc_id IS NULL THEN 'removed'
+             |       WHEN h1 = h2 THEN 'same'
+             |       ELSE 'changed' END AS status
+             |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+             |ORDER BY doc_id""".stripMargin),
     ),
     EngineQuery(
       "text_repetition",

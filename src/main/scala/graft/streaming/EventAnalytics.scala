@@ -213,7 +213,47 @@ object EventAnalytics {
     spark.table(qn)
   }
 
+  /** Production-shaped streaming dedup: `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by event time (a key is remembered only
+    * until the watermark passes it), unlike [[runStreamingDedup]]'s
+    * unbounded exact state. Same doubled source, same expected result:
+    * exact batch counts restored. Chained stateful ops (dedup → agg)
+    * in one streaming query.
+    */
+  def runStreamingDedupWatermarked(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "event_type", "ts")
+    val doubled = src.union(src)
+    val agg = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn)
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "streaming_dedup_watermarked",
+      (s, dir) => runStreamingDedupWatermarked(s, dir).orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
     EngineQuery(
       "streaming_interval_join",
       (s, dir) =>
