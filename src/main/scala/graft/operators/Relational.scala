@@ -508,6 +508,22 @@ object Relational {
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       headline = true,
     ),
+    // Array-valued aggregation: per-customer sorted order-key list.
+    // collect_list is order-nondeterministic under parallelism, so the
+    // engine ALWAYS sorts the collected array — the only way a
+    // list-valued aggregate is reproducible across partitionings/engines.
+    EngineQuery(
+      "collect_orders_per_customer",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(
+            sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+            count(lit(1)).as("cnt"))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys, count(*) AS cnt
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+    ),
     // Global top-k: Spark plans TakeOrderedAndProject — per-partition
     // heaps + a k-row driver merge, no full sort at scale.
     EngineQuery(
