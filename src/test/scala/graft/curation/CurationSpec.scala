@@ -80,6 +80,25 @@ class CurationSpec extends AnyFunSuite with Matchers {
     flagged(1L) shouldBe 1L
   }
 
+  test("balanced cap keeps at most N per stratum, deterministically") {
+    val capped = Curation.balancedCap(docs, "lang", 10)
+    val byLang = capped.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    all(byLang.values) should be <= 10L
+    // deterministic under repartitioning
+    val a = capped.collect().map(_.getLong(0)).sorted
+    val b = Curation.balancedCap(docs.repartition(7), "lang", 10).collect().map(_.getLong(0)).sorted
+    a shouldBe b
+  }
+
+  test("snapshot diff classifies added/removed/changed/same") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("doc_id", "text")
+    val st = Curation.snapshotDiff(v1, v2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    st shouldBe Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added")
+  }
+
   test("sequence packing: bins are contiguous and respect the budget") {
     val packed = Curation.packSequences(docs, budget = 512)
       .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
