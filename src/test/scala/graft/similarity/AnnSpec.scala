@@ -50,4 +50,25 @@ class AnnSpec extends AnyFunSuite with Matchers {
     out.map(_._2) should contain(2L)
     out.find(_._2 == 2L).get._3 shouldBe 1.0 +- 1e-12
   }
+
+  test("kmeans step: centroid members and exact dimension sums") {
+    // 4-dim-style tiny corpus embedded in 64 dims: vectors 0 and 1 are
+    // the centroids; 2 is colinear with 1, 3 with 0 -> memberships {0,3} {1,2}
+    import spark.implicits._
+    def vec(base: Float, scale: Float) = Array.tabulate(64)(i => if (i % 2 == 0) base * scale else -base * scale)
+    val vs = Seq(
+      (0L, vec(1.0f, 1.0f)),
+      (1L, vec(-1.0f, 1.0f)),
+      (2L, vec(-1.0f, 2.0f)),
+      (3L, vec(1.0f, 3.0f))).toDF("vec_id", "embedding")
+    val out = Ann.kmeansStep(vs, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // every (cid, dim) row carries its cluster size
+    out.keys.map(_._1).toSet shouldBe Set(0L, 1L)
+    out((0L, 0L))._1 shouldBe 2L // vectors 0 and 3
+    out((1L, 0L))._1 shouldBe 2L // vectors 1 and 2
+    // dim 0 sums: cluster 0: 1000 + 3000; cluster 1: -1000 + -2000
+    out((0L, 0L))._2 shouldBe 4000L
+    out((1L, 0L))._2 shouldBe -3000L
+  }
 }

@@ -45,4 +45,32 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(3L)._2 shouldBe "" // < 8 chars: no shingles
     out(1L)._2 should fullyMatch regex "[0-9a-f]{32}"
   }
+
+  test("tf-idf: corpus-unique terms outrank ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common words here"),
+      (3L, "common other words"),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // 'common' has df=3 -> idf ln(1)=0; 'zebra' df=1 dominates doc 1
+    out((1L, 1L)) shouldBe "zebra"
+    out((2L, 1L)) should (be("here") or be("words"))
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val docs = Seq((1L, (1 to 150).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, chunk = 64, stride = 48)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // 150 tokens, windows at 1, 49, 97 -> sizes 64, 64, 54
+    out.sortBy(_._1) shouldBe Seq((0L, 64L), (1L, 64L), (2L, 54L))
+  }
+
+  test("chunking: short doc yields one whole-doc chunk") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, 64, 48).collect()
+    out.length shouldBe 1
+    out(0).getLong(2) shouldBe 3L
+  }
 }
