@@ -50,6 +50,47 @@ object Analytic {
   }
 
   def engineQueries: Seq[EngineQuery] = Seq(
+    // NTILE quartiles per group: orders bucketed into price quartiles
+    // within each priority. Ties broken by the unique key so the bucket
+    // assignment is total across engines.
+    EngineQuery(
+      "ntile_price_quartiles",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("quartile",
+            ntile(4).over(
+              Window.partitionBy("o_orderpriority")
+                .orderBy(col("o_totalprice"), col("o_orderkey"))).cast("long"))
+          .groupBy("o_orderpriority", "quartile")
+          .agg(
+            count(lit(1)).as("cnt"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+          .orderBy("o_orderpriority", "quartile"),
+      Some("""SELECT o_orderpriority, quartile, count(*) AS cnt,
+             |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |FROM (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+             |  FROM orders)
+             |GROUP BY o_orderpriority, quartile
+             |ORDER BY o_orderpriority, quartile""".stripMargin),
+    ),
+    // Fixed-width histogram: one partial+final aggregation over the
+    // binned value — the profiling op behind every data-quality
+    // dashboard. Bin edges by integer floor division (exact).
+    EngineQuery(
+      "histogram_prices",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy((floor(col("o_totalprice") / 25000) * 25000).cast("long").as("bin_lo"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("bin_lo"),
+      Some("""SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT) AS bin_lo, count(*) AS cnt
+             |FROM orders GROUP BY bin_lo ORDER BY bin_lo""".stripMargin),
+    ),
     // Ranking window: top-2 orders per customer.
     EngineQuery(
       "window_rank_top_orders",
