@@ -74,7 +74,10 @@ object Bench {
       val out = java.nio.file.Paths.get(graft.OutDir.base, "bench_stage_metrics.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, smLine)
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write stage-metrics file: ${e.getMessage}")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -48,15 +48,24 @@ object Curation {
   def duckMd5Bucket(keyExpr: String, mod: Int): String =
     s"CAST('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8) AS BIGINT) % $mod"
 
+  /** The 80/10/10 split rule over a [0,100) bucket — ONE definition
+    * shared by [[splitAssign]] and [[curatedCorpus]] (and mirrored once
+    * for the oracles by [[duckSplitCase]]); changing the ratio means
+    * changing exactly these two functions.
+    */
+  def splitCol(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** DuckDB twin of [[splitCol]] over a bucket SQL expression. */
+  def duckSplitCase(bucketExpr: String): String =
+    s"CASE WHEN $bucketExpr < 80 THEN 'train' WHEN $bucketExpr < 90 THEN 'val' ELSE 'test' END"
+
   /** (doc_id, bucket, split): 80/10/10 train/val/test by hash bucket. */
   def splitAssign(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       md5Bucket(col("doc_id"), 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("bucket")))
 
   /** Per-stratum deterministic sampling: keep a doc iff its hash bucket
     * (per-mille) falls under its stratum's rate. Rates are a plain
@@ -216,10 +225,7 @@ object Curation {
     docs.join(good, Seq("doc_id"), "left_semi")
       .join(kept, Seq("doc_id"), "left_semi")
       .withColumn("bucket", md5Bucket(col("doc_id"), 100))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("bucket")))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"))
   }
@@ -246,9 +252,7 @@ object Curation {
       "split_assign",
       (s, dir) => splitAssign(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(s"""SELECT doc_id, ${duckMd5Bucket("doc_id", 100)} AS bucket,
-             |  CASE WHEN ${duckMd5Bucket("doc_id", 100)} < 80 THEN 'train'
-             |       WHEN ${duckMd5Bucket("doc_id", 100)} < 90 THEN 'val'
-             |       ELSE 'test' END AS split
+             |  ${duckSplitCase(duckMd5Bucket("doc_id", 100))} AS split
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
     EngineQuery(
@@ -370,13 +374,10 @@ object Curation {
         curatedCorpus(Tables.documents(s, dir), minScore = 0.51)
           .orderBy("lang", "split"),
       Some {
-        import graft.dedup.Dedup.{duckSig, duckBands}
+        import graft.dedup.Dedup.{duckSig, duckBands, duckPairs}
         s"""WITH RECURSIVE sig AS ($duckSig),
            |bands AS ($duckBands),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-           |  WHERE a.doc_id < b.doc_id),
+           |pairs AS ($duckPairs),
            |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
            |reach(a, b) AS (
            |  SELECT a, b FROM und
@@ -399,9 +400,7 @@ object Curation {
            |  JOIN qs ON d.doc_id = qs.doc_id AND qs.score >= 0.51
            |  WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> component))
            |SELECT lang,
-           |  CASE WHEN ${duckMd5Bucket("doc_id", 100)} < 80 THEN 'train'
-           |       WHEN ${duckMd5Bucket("doc_id", 100)} < 90 THEN 'val'
-           |       ELSE 'test' END AS split,
+           |  ${duckSplitCase(duckMd5Bucket("doc_id", 100))} AS split,
            |  count(*) AS n_docs
            |FROM cur GROUP BY lang, split ORDER BY lang, split""".stripMargin
       },

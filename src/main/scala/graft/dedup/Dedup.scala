@@ -108,20 +108,27 @@ object Dedup {
     */
   val DefaultMaxBandSize = 1000
 
+  /** The hot-key window cap shared by every bucketed self-join in this
+    * file: keep only rows whose key group has ≤ `max` members. A window
+    * count over the key, NOT a groupBy+join: both self-join sides then
+    * share one identical exchange-rooted subplan (shuffle on the key),
+    * which ReuseExchange computes ONCE — a separate count aggregate
+    * would re-run the whole upstream pipeline a second time just to
+    * size the groups.
+    */
+  private[graft] def capByKey(df: DataFrame, keys: Seq[String], max: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__m", count(lit(1)).over(w)).where(col("__m") <= max).drop("__m")
+  }
+
   /** Candidate near-dup pairs: docs sharing at least one LSH band (bands
     * with more than `maxBandSize` members dropped — see
-    * [[DefaultMaxBandSize]]).
+    * [[DefaultMaxBandSize]]; the cap is part of the operator's
+    * semantics and mirrored in the oracles via [[duckPairs]]).
     */
   def minhashCandidatePairs(docs: DataFrame, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
-    // The cap is a window count over the band key, NOT a groupBy+join:
-    // both self-join sides then share one identical exchange-rooted
-    // subplan (shuffle on (band_idx, band_val)), which ReuseExchange
-    // computes ONCE — a separate count aggregate would re-run the whole
-    // shingle→signature pipeline a second time just to size the bands.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")
-    val capped = minhashBands(minhashSignatures(docs))
-      .withColumn("__m", count(lit(1)).over(w))
-      .where(col("__m") <= maxBandSize)
+    val capped = capByKey(
+      minhashBands(minhashSignatures(docs)), Seq("band_idx", "band_val"), maxBandSize)
     val a = capped.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
     val b = capped.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
     a.join(b, Seq("band_idx", "band_val"))
@@ -285,10 +292,7 @@ object Dedup {
     val bands = sigs.select(
       Seq(col("doc_id"), col("sig"),
         posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val"))) ++ lanes: _*)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")
-    val capped = bands
-      .withColumn("__m", count(lit(1)).over(w))
-      .where(col("__m") <= maxBandSize)
+    val capped = capByKey(bands, Seq("band_idx", "band_val"), maxBandSize)
     def side(s: String) = capped.select(
       Seq(col("doc_id").as(s"doc_$s"), col("band_idx"), col("band_val")) ++
         (0 until 4).map(b => col(s"l$b").as(s"l$b$s")): _*)
@@ -404,11 +408,9 @@ object Dedup {
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame, bits: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    val q = quantized(embeddings)
-      .withColumn("bucket", hyperplaneBucket("q", bits))
-      .withColumn("__m", count(lit(1)).over(w))
-      .where(col("__m") <= maxBucketSize)
+    val q = capByKey(
+      quantized(embeddings).withColumn("bucket", hyperplaneBucket("q", bits)),
+      Seq("bucket"), maxBucketSize)
     val a = q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"), col("bucket"))
     val b = q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket")).where(col("vec_a") < col("vec_b"))
@@ -445,6 +447,19 @@ object Dedup {
     }
     selects.mkString("\nUNION ALL\n")
   }
+
+  /** DuckDB twin of [[minhashCandidatePairs]] INCLUDING the band cap —
+    * every oracle that consumes MinHash pairs must use this fragment so
+    * the cap semantics can never diverge between engine and oracle.
+    * Expects `sig` and `bands` CTEs in scope.
+    */
+  private[graft] val duckPairs: String =
+    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  JOIN (SELECT band_idx, band_val FROM bands
+       |        GROUP BY band_idx, band_val HAVING count(*) <= $DefaultMaxBandSize) k
+       |    ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+       |  WHERE a.doc_id < b.doc_id""".stripMargin
 
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
@@ -512,10 +527,7 @@ object Dedup {
       Some(
         s"""WITH RECURSIVE sig AS ($duckSig),
            |bands AS ($duckBands),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-           |  WHERE a.doc_id < b.doc_id),
+           |pairs AS ($duckPairs),
            |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
            |reach(a, b) AS (
            |  SELECT a, b FROM und
@@ -532,10 +544,7 @@ object Dedup {
       Some(
         s"""WITH RECURSIVE sig AS ($duckSig),
            |bands AS ($duckBands),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-           |  WHERE a.doc_id < b.doc_id),
+           |pairs AS ($duckPairs),
            |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
            |reach(a, b) AS (
            |  SELECT a, b FROM und

@@ -55,13 +55,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     plan("decontaminate_overlap") should include("BroadcastHashJoin")
   }
 
-  test("shuffle order has no global (unpartitioned) window") {
-    // every Window node must carry a partition spec — a global window
-    // would collapse all rows into a single partition at scale
+  test("shuffle order's row-ranking window is partitioned (not global)") {
+    // In a windowspecdefinition the partition columns come FIRST and
+    // carry no sort direction; an unpartitioned (single-partition,
+    // scale-killing) ranking window would print its first argument with
+    // `ASC/DESC`. Assert the row_number spec starts with the bare
+    // partition column `b`, i.e. `windowspecdefinition(b#NNL, hk#...`.
+    // (The small offsets window over `buckets` rows is legitimately
+    // unpartitioned — driver-sized — so we pin the ranking window
+    // specifically rather than all Window nodes.)
     val p = plan("shuffle_order")
-    val windows = p.linesIterator.filter(_.contains("Window ")).toList
-    windows should not be empty
-    all(windows) should include("windowspecdefinition(b#")
+    p should include regex """row_number\(\) windowspecdefinition\(b#\d+L, hk#"""
+    p should not include regex ("""row_number\(\) windowspecdefinition\(b#\d+L ASC""")
   }
 
   test("deterministic sampling adds no exchange beyond the output ORDER BY") {
