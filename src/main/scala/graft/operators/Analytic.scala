@@ -50,6 +50,67 @@ object Analytic {
   }
 
   def engineQueries: Seq[EngineQuery] = Seq(
+    // RANGE-frame moving aggregate: 7-day trailing revenue per order
+    // day. The frame is value-based (rangeBetween over a day number),
+    // not row-based — days with no orders still shrink the window, and
+    // duplicate days fall into one frame; a ROWS frame gets both wrong.
+    EngineQuery(
+      "moving_avg_daily_revenue",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
+          .agg(sum(dec("o_totalprice")).cast("double").as("revenue"))
+        val w = Window.orderBy("day_no").rangeBetween(-6, 0)
+        daily
+          .withColumn("trailing_7d_revenue", sum(col("revenue")).over(w))
+          .withColumn("trailing_7d_days", count(lit(1)).over(w))
+          .orderBy("day_no")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             |  FROM orders GROUP BY day_no)
+             |SELECT day_no, revenue,
+             |  sum(revenue) OVER w AS trailing_7d_revenue,
+             |  count(*) OVER w AS trailing_7d_days
+             |FROM daily
+             |WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY day_no""".stripMargin),
+    ),
+    // Event funnel: users who viewed and then purchased AFTER their
+    // first view. One running-flag window pass + one aggregation — no
+    // self-join of the event stream.
+    EngineQuery(
+      "funnel_view_purchase",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(
+            col("user_id"),
+            col("event_type"),
+            unix_millis(col("ts")).as("tms"),
+            col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val flagged = ev
+          .withColumn("seen_view", max(when(col("event_type") === "view", 1L).otherwise(0L)).over(w))
+        flagged.groupBy("user_id")
+          .agg(
+            max(when(col("event_type") === "view", 1L).otherwise(0L)).as("viewed"),
+            max(when(col("event_type") === "purchase" && col("seen_view") === 1L, 1L)
+              .otherwise(0L)).as("purchased_after_view"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+             |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_view
+             |  FROM events)
+             |SELECT user_id,
+             |  CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+             |  CAST(max(CASE WHEN event_type = 'purchase' AND seen_view = 1 THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_view
+             |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
     // NTILE quartiles per group: orders bucketed into price quartiles
     // within each priority. Ties broken by the unique key so the bucket
     // assignment is total across engines.
