@@ -55,6 +55,41 @@ object CorpusSource {
     dir
   }
 
+  /** Uncompressed corpus layout for the binary-file source (gzip bytes
+    * embed no header timestamp with Spark's codec, but plain bytes make
+    * the content-hash oracle trivially engine-portable). One `.txt`
+    * file per doc: `">doc N\n" + text`.
+    */
+  def materializeBinaryCorpus(spark: SparkSession, sfDir: String): String = synchronized {
+    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = s"$corpusBase/graft_corpus_bin/$name"
+    if (!new File(dir, "_SUCCESS").exists()) {
+      Tables.documents(spark, sfDir)
+        .select(
+          col("doc_id"),
+          concat(lit(">doc "), col("doc_id"), lit("\n"), col("text")).as("value"))
+        .write.partitionBy("doc_id")
+        .mode("overwrite")
+        .text(dir)
+    }
+    dir
+  }
+
+  /** Multimodal ingestion source: `binaryFile` reads whole files as
+    * opaque byte payloads with filesystem metadata — the real entry
+    * point for image/audio/video corpora (the [[graft.multimodal]]
+    * decode pipeline starts from exactly this relation shape).
+    */
+  def readBinaryCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long").as("doc_id"),
+        col("length"),
+        col("content"))
+
   /** M-1: whole-file dir scan with provenance. One row per file. */
   def readCorpus(spark: SparkSession, dir: String): DataFrame =
     spark.read
@@ -87,6 +122,24 @@ object CorpusSource {
           .select(col("doc_id"), md5(col("text")).as("content_md5"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(text) AS content_md5
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    // binaryFile ingestion: whole-file byte payloads + metadata, content
+    // verified by md5 against the document reconstruction. The text
+    // writer appends a trailing newline per row — included in the hash.
+    EngineQuery(
+      "binaryfile_source_scan",
+      (s, dir) => {
+        val bin = readBinaryCorpus(s, materializeBinaryCorpus(s, dir))
+        bin.select(
+          col("doc_id"),
+          col("length").as("byte_len"),
+          md5(col("content")).as("content_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode('>doc ' || doc_id || chr(10) || text || chr(10))) AS BIGINT) AS byte_len,
+             |  md5('>doc ' || doc_id || chr(10) || text || chr(10)) AS content_md5
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
     // The reference's whole pipeline over the faithful source: dir scan
