@@ -1,0 +1,52 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** In-flight pipeline metrics via `Dataset.observe`: named aggregates
+  * (row count, null count, value bounds) computed DURING the query's
+  * own pass — no second scan, no extra action — and delivered to a
+  * [[QueryExecutionListener]] when the query finishes.
+  *
+  * This is the production data-quality hook: a 100 TB curation run
+  * asserts "0 null keys, score within [0,1]" on the same pass that
+  * writes the output, instead of re-reading the result to validate it.
+  */
+object Observed {
+
+  /** Attach standard quality metrics for `keyCol` to the frame under
+    * observation `name`: row count, null-key count, min/max of the key.
+    */
+  def withKeyStats(df: DataFrame, name: String, keyCol: String): DataFrame =
+    df.observe(
+      name,
+      count(lit(1)).as("rows"),
+      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("null_keys"),
+      min(col(keyCol)).as("min_key"),
+      max(col(keyCol)).as("max_key"))
+
+  /** Collects observation rows by name as queries complete. Register on
+    * the session once; read with [[get]]. */
+  final class Collector extends QueryExecutionListener {
+    private val seen = TrieMap.empty[String, Row]
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) => seen.put(name, row) }
+
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+
+    def get(name: String): Option[Row] = seen.get(name)
+    def clear(): Unit = seen.clear()
+  }
+
+  /** Register a collector on the session (caller keeps the reference). */
+  def install(spark: SparkSession): Collector = {
+    val c = new Collector
+    spark.listenerManager.register(c)
+    c
+  }
+}
