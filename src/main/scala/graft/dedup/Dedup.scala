@@ -227,6 +227,70 @@ object Dedup {
       .select(col("doc_id"), concat(bits: _*).as("simhash16"))
   }
 
+  /** Incremental near-dup dedup — the production ingestion shape: a new
+    * batch is deduped against the EXISTING corpus without re-clustering
+    * the corpus itself (at 100 TB the existing side's band table is a
+    * precomputed, incrementally-maintained index; only the batch's
+    * signatures are computed fresh). Semantics:
+    *
+    *  1. drop any incoming doc sharing an LSH band with an existing doc;
+    *  2. among the remaining incoming docs, cluster near-dup components
+    *     and keep one representative (min doc_id) per component.
+    *
+    * The band cap applies over the combined band population (a
+    * degenerate band is degenerate regardless of which side its members
+    * came from). Returns the kept incoming doc_ids.
+    */
+  /** The (matched-to-existing, dropped-within-batch) id sets shared by
+    * [[dedupIncremental]] and [[dedupIncrementalStats]]. */
+  private def incrementalParts(
+      existing: DataFrame, incoming: DataFrame, maxBandSize: Int): (DataFrame, DataFrame) = {
+    val eb = minhashBands(minhashSignatures(existing)).withColumn("side", lit("e"))
+    val ib = minhashBands(minhashSignatures(incoming)).withColumn("side", lit("i"))
+    val capped = capByKey(eb.union(ib), Seq("band_idx", "band_val"), maxBandSize).cache()
+    val matched = capped.where(col("side") === "i")
+      .join(
+        capped.where(col("side") === "e").select("band_idx", "band_val").distinct(),
+        Seq("band_idx", "band_val"), "left_semi")
+      .select("doc_id").distinct()
+    val rest = capped.where(col("side") === "i")
+      .join(matched, Seq("doc_id"), "left_anti")
+    val a = rest.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val b = rest.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
+    val pairs = a.join(b, Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val drop = connectedComponents(pairs)
+      .where(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    (matched, drop)
+  }
+
+  def dedupIncremental(
+      existing: DataFrame, incoming: DataFrame,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val (matched, drop) = incrementalParts(existing, incoming, maxBandSize)
+    incoming.select("doc_id")
+      .join(matched, Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** One-row decision summary of an incremental dedup run — what the
+    * pipeline operator reports per batch: incoming size, how many were
+    * duplicates of the existing corpus, how many were intra-batch
+    * near-dups, how many land in the corpus.
+    */
+  def dedupIncrementalStats(
+      existing: DataFrame, incoming: DataFrame,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val (matched, drop) = incrementalParts(existing, incoming, maxBandSize)
+    incoming.agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(matched.agg(count(lit(1)).as("n_matched_existing")))
+      .crossJoin(drop.agg(count(lit(1)).as("n_dropped_in_batch")))
+      .withColumn("n_kept",
+        col("n_incoming") - col("n_matched_existing") - col("n_dropped_in_batch"))
+  }
+
   /** 64-bit SimHash (Manku-style) over lowercase whitespace tokens:
     * bit j is derived from md5(token) hex digit j/2 — even j tests the
     * digit's 8-bit, odd j its 4-bit — giving 64 independent bits from
@@ -554,6 +618,93 @@ object Dedup {
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> component)
            |ORDER BY doc_id""".stripMargin),
+    ),
+    // Incremental dedup of a simulated new batch (every 3rd doc)
+    // against the rest of the corpus as the existing index.
+    EngineQuery(
+      "dedup_incremental_keep",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        dedupIncremental(
+          docs.where(col("doc_id") % 3 =!= 0),
+          docs.where(col("doc_id") % 3 === 0))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE sig AS ($duckSig),
+           |bands0 AS ($duckBands),
+           |bands AS (SELECT doc_id, band_idx, band_val,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'i' ELSE 'e' END AS side FROM bands0),
+           |sizes AS (SELECT band_idx, band_val FROM bands
+           |  GROUP BY band_idx, band_val HAVING count(*) <= $DefaultMaxBandSize),
+           |cb AS (SELECT b.* FROM bands b JOIN sizes s
+           |  ON b.band_idx = s.band_idx AND b.band_val = s.band_val),
+           |matched AS (
+           |  SELECT DISTINCT i.doc_id FROM cb i JOIN cb e
+           |    ON i.band_idx = e.band_idx AND i.band_val = e.band_val
+           |  WHERE i.side = 'i' AND e.side = 'e'),
+           |rest AS (SELECT * FROM cb WHERE side = 'i'
+           |  AND doc_id NOT IN (SELECT doc_id FROM matched)),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM rest a JOIN rest b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |  WHERE a.doc_id < b.doc_id),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM und
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id % 3 = 0
+           |  AND doc_id NOT IN (SELECT doc_id FROM matched)
+           |  AND doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> component)
+           |ORDER BY doc_id""".stripMargin),
+    ),
+    // The batch-decision summary of the same incremental run.
+    EngineQuery(
+      "dedup_incremental_stats",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        dedupIncrementalStats(
+          docs.where(col("doc_id") % 3 =!= 0),
+          docs.where(col("doc_id") % 3 === 0))
+      },
+      Some(
+        s"""WITH RECURSIVE sig AS ($duckSig),
+           |bands0 AS ($duckBands),
+           |bands AS (SELECT doc_id, band_idx, band_val,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'i' ELSE 'e' END AS side FROM bands0),
+           |sizes AS (SELECT band_idx, band_val FROM bands
+           |  GROUP BY band_idx, band_val HAVING count(*) <= $DefaultMaxBandSize),
+           |cb AS (SELECT b.* FROM bands b JOIN sizes s
+           |  ON b.band_idx = s.band_idx AND b.band_val = s.band_val),
+           |matched AS (
+           |  SELECT DISTINCT i.doc_id FROM cb i JOIN cb e
+           |    ON i.band_idx = e.band_idx AND i.band_val = e.band_val
+           |  WHERE i.side = 'i' AND e.side = 'e'),
+           |rest AS (SELECT * FROM cb WHERE side = 'i'
+           |  AND doc_id NOT IN (SELECT doc_id FROM matched)),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM rest a JOIN rest b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |  WHERE a.doc_id < b.doc_id),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM und
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+           |dropped AS (SELECT doc_id FROM lab WHERE doc_id <> component)
+           |SELECT
+           |  (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS n_incoming,
+           |  (SELECT count(*) FROM matched) AS n_matched_existing,
+           |  (SELECT count(*) FROM dropped) AS n_dropped_in_batch,
+           |  (SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
+           |    - (SELECT count(*) FROM matched)
+           |    - (SELECT count(*) FROM dropped) AS n_kept""".stripMargin),
     ),
     EngineQuery(
       "simhash_signatures",
