@@ -25,7 +25,9 @@ object Observed {
     df.observe(
       name,
       count(lit(1)).as("rows"),
-      sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("null_keys"),
+      // coalesce: sum over ZERO rows is NULL, and "no rows" is exactly
+      // when the quality hook must still read null_keys without an NPE
+      coalesce(sum(when(col(keyCol).isNull, 1L).otherwise(0L)), lit(0L)).as("null_keys"),
       min(col(keyCol)).as("min_key"),
       max(col(keyCol)).as("max_key"))
 

@@ -126,15 +126,19 @@ object Dedup {
     * [[DefaultMaxBandSize]]; the cap is part of the operator's
     * semantics and mirrored in the oracles via [[duckPairs]]).
     */
-  def minhashCandidatePairs(docs: DataFrame, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
-    val capped = capByKey(
-      minhashBands(minhashSignatures(docs)), Seq("band_idx", "band_val"), maxBandSize)
-    val a = capped.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
+  /** Banded self-join → distinct (doc_a < doc_b) candidate pairs — the
+    * one pair-generation definition shared by every MinHash path. */
+  private def pairsFromBands(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  def minhashCandidatePairs(docs: DataFrame, maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    pairsFromBands(capByKey(
+      minhashBands(minhashSignatures(docs)), Seq("band_idx", "band_val"), maxBandSize))
 
   /** Band-population profile: per band_idx, how many distinct band
     * values exist, the largest membership, and how many exceed the cap
@@ -227,6 +231,35 @@ object Dedup {
       .select(col("doc_id"), concat(bits: _*).as("simhash16"))
   }
 
+  /** The (matched-to-existing, dropped-within-batch) id sets shared by
+    * [[dedupIncremental]] and [[dedupIncrementalStats]]. Both returned
+    * frames are materialized (localCheckpoint) before the shared band
+    * cache is released, so callers compose them freely without
+    * re-running the signature pipelines and nothing stays pinned in the
+    * block manager after the call.
+    */
+  private def incrementalParts(
+      existing: DataFrame, incoming: DataFrame, maxBandSize: Int): (DataFrame, DataFrame) = {
+    val eb = minhashBands(minhashSignatures(existing)).withColumn("side", lit("e"))
+    val ib = minhashBands(minhashSignatures(incoming)).withColumn("side", lit("i"))
+    val capped = capByKey(eb.union(ib), Seq("band_idx", "band_val"), maxBandSize).cache()
+    val matched = capped.where(col("side") === "i")
+      .join(
+        capped.where(col("side") === "e").select("band_idx", "band_val").distinct(),
+        Seq("band_idx", "band_val"), "left_semi")
+      .select("doc_id").distinct()
+      .localCheckpoint(true)
+    val rest = capped.where(col("side") === "i")
+      .join(matched, Seq("doc_id"), "left_anti")
+    // connectedComponents localCheckpoints its result, so `drop` is
+    // independent of `capped`'s lineage by the time it returns
+    val drop = connectedComponents(pairsFromBands(rest))
+      .where(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    capped.unpersist()
+    (matched, drop)
+  }
+
   /** Incremental near-dup dedup — the production ingestion shape: a new
     * batch is deduped against the EXISTING corpus without re-clustering
     * the corpus itself (at 100 TB the existing side's band table is a
@@ -241,31 +274,6 @@ object Dedup {
     * degenerate band is degenerate regardless of which side its members
     * came from). Returns the kept incoming doc_ids.
     */
-  /** The (matched-to-existing, dropped-within-batch) id sets shared by
-    * [[dedupIncremental]] and [[dedupIncrementalStats]]. */
-  private def incrementalParts(
-      existing: DataFrame, incoming: DataFrame, maxBandSize: Int): (DataFrame, DataFrame) = {
-    val eb = minhashBands(minhashSignatures(existing)).withColumn("side", lit("e"))
-    val ib = minhashBands(minhashSignatures(incoming)).withColumn("side", lit("i"))
-    val capped = capByKey(eb.union(ib), Seq("band_idx", "band_val"), maxBandSize).cache()
-    val matched = capped.where(col("side") === "i")
-      .join(
-        capped.where(col("side") === "e").select("band_idx", "band_val").distinct(),
-        Seq("band_idx", "band_val"), "left_semi")
-      .select("doc_id").distinct()
-    val rest = capped.where(col("side") === "i")
-      .join(matched, Seq("doc_id"), "left_anti")
-    val a = rest.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
-    val b = rest.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
-    val pairs = a.join(b, Seq("band_idx", "band_val"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val drop = connectedComponents(pairs)
-      .where(col("doc_id") =!= col("component"))
-      .select("doc_id")
-    (matched, drop)
-  }
-
   def dedupIncremental(
       existing: DataFrame, incoming: DataFrame,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame = {

@@ -54,28 +54,45 @@ object Analytic {
     // day. The frame is value-based (rangeBetween over a day number),
     // not row-based — days with no orders still shrink the window, and
     // duplicate days fall into one frame; a ROWS frame gets both wrong.
+    // The window accumulates in DECIMAL (exact — Spark's and DuckDB's
+    // windowed-sum combine orders may differ, so a double accumulation
+    // would be ulp-fragile); doubles are derived only at the end, per
+    // the EngineQuery portability contract.
     EngineQuery(
       "moving_avg_daily_revenue",
       (s, dir) => {
         val daily = Tables.orders(s, dir)
           .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
-          .agg(sum(dec("o_totalprice")).cast("double").as("revenue"))
+          .agg(sum(dec("o_totalprice")).as("revenue_dec"))
         val w = Window.orderBy("day_no").rangeBetween(-6, 0)
         daily
-          .withColumn("trailing_7d_revenue", sum(col("revenue")).over(w))
+          .withColumn("trailing_dec", sum(col("revenue_dec")).over(w))
           .withColumn("trailing_7d_days", count(lit(1)).over(w))
+          .select(
+            col("day_no"),
+            col("revenue_dec").cast("double").as("revenue"),
+            col("trailing_dec").cast("double").as("trailing_7d_revenue"),
+            col("trailing_7d_days"),
+            (col("trailing_dec").cast("double") / col("trailing_7d_days").cast("double"))
+              .as("trailing_7d_avg"))
           .orderBy("day_no")
       },
       Some("""WITH daily AS (
              |  SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
-             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-             |  FROM orders GROUP BY day_no)
-             |SELECT day_no, revenue,
-             |  sum(revenue) OVER w AS trailing_7d_revenue,
-             |  count(*) OVER w AS trailing_7d_days
-             |FROM daily
-             |WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-             |ORDER BY day_no""".stripMargin),
+             |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue_dec
+             |  FROM orders GROUP BY day_no),
+             |win AS (
+             |  SELECT day_no, revenue_dec,
+             |    sum(revenue_dec) OVER w AS trailing_dec,
+             |    count(*) OVER w AS trailing_7d_days
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT day_no,
+             |  CAST(revenue_dec AS DOUBLE) AS revenue,
+             |  CAST(trailing_dec AS DOUBLE) AS trailing_7d_revenue,
+             |  trailing_7d_days,
+             |  CAST(trailing_dec AS DOUBLE) / CAST(trailing_7d_days AS DOUBLE) AS trailing_7d_avg
+             |FROM win ORDER BY day_no""".stripMargin),
     ),
     // Event funnel: users who viewed and then purchased AFTER their
     // first view. One running-flag window pass + one aggregation — no

@@ -39,41 +39,36 @@ object CorpusSource {
     */
   private def corpusBase: String = graft.OutDir.base
 
-  def materializeCorpus(spark: SparkSession, sfDir: String): String = synchronized {
-    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val dir = s"$corpusBase/graft_corpus/$name"
-    if (!new File(dir, "_SUCCESS").exists()) {
-      Tables.documents(spark, sfDir)
-        .select(
-          col("doc_id"),
-          concat(lit(">doc "), col("doc_id"), lit("\n"), col("text")).as("value"))
-        .write.partitionBy("doc_id")
-        .option("compression", "gzip")
-        .mode("overwrite")
-        .text(dir)
+  /** One layout implementation for both corpus variants: FASTA-style
+    * `">doc N\n" + text`, one file per doc, idempotent via _SUCCESS.
+    */
+  private def materialize(
+      spark: SparkSession, sfDir: String, subdir: String, compression: Option[String]): String =
+    synchronized {
+      val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val dir = s"$corpusBase/$subdir/$name"
+      if (!new File(dir, "_SUCCESS").exists()) {
+        val w = Tables.documents(spark, sfDir)
+          .select(
+            col("doc_id"),
+            concat(lit(">doc "), col("doc_id"), lit("\n"), col("text")).as("value"))
+          .write.partitionBy("doc_id")
+          .mode("overwrite")
+        compression.fold(w)(c => w.option("compression", c)).text(dir)
+      }
+      dir
     }
-    dir
-  }
+
+  def materializeCorpus(spark: SparkSession, sfDir: String): String =
+    materialize(spark, sfDir, "graft_corpus", Some("gzip"))
 
   /** Uncompressed corpus layout for the binary-file source (gzip bytes
     * embed no header timestamp with Spark's codec, but plain bytes make
     * the content-hash oracle trivially engine-portable). One `.txt`
     * file per doc: `">doc N\n" + text`.
     */
-  def materializeBinaryCorpus(spark: SparkSession, sfDir: String): String = synchronized {
-    val name = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val dir = s"$corpusBase/graft_corpus_bin/$name"
-    if (!new File(dir, "_SUCCESS").exists()) {
-      Tables.documents(spark, sfDir)
-        .select(
-          col("doc_id"),
-          concat(lit(">doc "), col("doc_id"), lit("\n"), col("text")).as("value"))
-        .write.partitionBy("doc_id")
-        .mode("overwrite")
-        .text(dir)
-    }
-    dir
-  }
+  def materializeBinaryCorpus(spark: SparkSession, sfDir: String): String =
+    materialize(spark, sfDir, "graft_corpus_bin", None)
 
   /** Multimodal ingestion source: `binaryFile` reads whole files as
     * opaque byte payloads with filesystem metadata — the real entry
