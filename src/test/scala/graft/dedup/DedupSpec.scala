@@ -73,6 +73,23 @@ class DedupSpec extends AnyFunSuite with Matchers {
     uncapped.size shouldBe 28 + 1 // C(8,2) + the small pair
   }
 
+  test("incremental dedup: existing dups drop, batch dups keep one, novel docs land") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "some established corpus document with plenty of unique words")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"), // dup of existing 1
+      (11L, "a genuinely novel incoming document about glaciers and fjords"), // novel
+      (12L, "another brand new text mentioning volcanoes and geysers"),  // novel
+      (13L, "another brand new text mentioning volcanoes and geysers")   // dup of 12 within batch
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(existing, incoming)
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(11L, 12L) // 10 matched existing; 13 lost to 12
+    val stats = Dedup.dedupIncrementalStats(existing, incoming).collect()(0)
+    (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3)) shouldBe ((4L, 1L, 1L, 2L))
+  }
+
   test("simhash: deterministic 16-bit string, equal for equal docs") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     sh(1L) shouldBe sh(2L)
