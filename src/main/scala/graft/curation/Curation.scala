@@ -143,6 +143,39 @@ object Curation {
           .otherwise("changed").as("status"))
   }
 
+  /** Training-mixture accounting: per stratum, document and token
+    * counts plus their corpus shares — the report a mixture-weighting
+    * step consumes. Shares are exact-integer ratios surfaced as double
+    * (numerator and denominator both BIGINT). One aggregation + a
+    * broadcast of the single-row totals.
+    */
+  def mixtureReport(docs: DataFrame, stratum: String): DataFrame = {
+    val per = docs.select(
+      col(stratum),
+      size(graft.text.TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(stratum)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+    val totals = per.agg(
+      sum(col("n_docs")).cast("long").as("t_docs"),
+      sum(col("n_tokens")).cast("long").as("t_tokens"))
+    per.crossJoin(broadcast(totals))
+      .select(
+        col(stratum), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("t_docs").cast("double")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("t_tokens").cast("double")).as("token_share"))
+  }
+
+  /** Length-outlier trim: keep docs at or under the q-quantile of
+    * n_chars. The threshold is one exact-percentile scalar broadcast
+    * against the corpus — the filter itself never shuffles.
+    */
+  def lengthTrim(docs: DataFrame, q: Double): DataFrame = {
+    val thr = docs.agg(expr(s"percentile(n_chars, $q)").as("__thr"))
+    docs.crossJoin(broadcast(thr))
+      .where(col("n_chars") <= col("__thr"))
+      .select("doc_id", "n_chars")
+  }
+
   /** Gopher-style repetition score: the most frequent token's share of
     * all tokens. Boilerplate/spam scores high; natural text low.
     */
@@ -276,6 +309,28 @@ object Curation {
              |  row_number() OVER (ORDER BY ${duckMd5Bucket("doc_id", 64)}, md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
              |FROM documents ORDER BY doc_id""".stripMargin),
       headline = true,
+    ),
+    EngineQuery(
+      "mixture_report",
+      (s, dir) => mixtureReport(Tables.documents(s, dir), "lang").orderBy("lang"),
+      Some("""WITH per AS (
+             |  SELECT lang, count(*) AS n_docs,
+             |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE length(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM per)
+             |SELECT lang, n_docs, n_tokens,
+             |  CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE) AS doc_share,
+             |  CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE) AS token_share
+             |FROM per CROSS JOIN t ORDER BY lang""".stripMargin),
+    ),
+    EngineQuery(
+      "length_trim_p99",
+      (s, dir) => lengthTrim(Tables.documents(s, dir), 0.99).orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM documents
+             |WHERE n_chars <= (SELECT quantile_cont(n_chars, 0.99) FROM documents)
+             |ORDER BY doc_id""".stripMargin),
     ),
     // At most 30 docs per language, hash-ranked — en/de/zh/fr/es all
     // exceed 30 at sf0.01, so the cap genuinely bites every stratum.
