@@ -459,6 +459,7 @@ object Curation {
            |  count(*) AS n_docs
            |FROM cur GROUP BY lang, split ORDER BY lang, split""".stripMargin
       },
+      headline = true,
     ),
     EngineQuery(
       "pack_sequences",
