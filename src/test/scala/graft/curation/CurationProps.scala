@@ -1,0 +1,46 @@
+package graft.curation
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.TestSpark
+
+/** Property twins for the curation primitives: the hash bucket is a
+  * total, stable function into its range, and chunking covers every
+  * token with the configured stride — checked against in-driver models
+  * on random inputs.
+  */
+object CurationProps extends Properties("Curation") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = TestSpark.spark
+
+  property("md5Bucket lands in [0, mod) and is reproducible") =
+    forAll(Gen.listOfN(20, Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)), Gen.chooseNum(2, 1000)) {
+      (ids, mod) =>
+        import spark.implicits._
+        val df = ids.distinct.toDF("doc_id")
+        def run() = df.select(Curation.md5Bucket(org.apache.spark.sql.functions.col("doc_id"), mod))
+          .collect().map(_.getLong(0)).toSeq
+        val a = run()
+        a.forall(b => b >= 0 && b < mod) && a == run()
+    }
+
+  property("chunking covers every token; window starts follow the stride") =
+    forAll(Gen.chooseNum(1, 200), Gen.chooseNum(1, 8)) { (nTok, strideFactor) =>
+      import spark.implicits._
+      val chunk = 32
+      val stride = math.max(1, chunk / strideFactor)
+      val text = (1 to nTok).map(i => s"t$i").mkString(" ")
+      val out = graft.text.TextAnalysis
+        .chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"), chunk, stride)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val nChunks = 1 + math.max(0, math.ceil((nTok - chunk) / stride.toDouble).toInt)
+      val sizes = (0 until nChunks).map(i => math.min(chunk, nTok - i * stride).toLong)
+      out.map(_._1).toSeq == (0L until nChunks.toLong) &&
+        out.map(_._2).toSeq == sizes &&
+        // coverage: the last chunk reaches the final token
+        (nChunks - 1) * stride + sizes.last == nTok
+    }
+}
