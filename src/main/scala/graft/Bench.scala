@@ -56,13 +56,23 @@ object Bench {
       }
       val ok = runs.filter(_._1 >= 0)
       val best = if (ok.nonEmpty) ok.minBy(_._1) else runs.head
-      (q.name, best._1, best._2)
+      (q.name, best._1, best._2, runs.map(_._1))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val sm = results.map { case (k, _, m) =>
+    // 4-decimal fixed-point keeps the final JSON line compact (the
+    // driver's stdout tail capture is bounded); 0.1 ms resolution is
+    // far below this host's run-to-run noise.
+    def fmt(v: Double) = f"$v%.4f"
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // All N pass times per query (min is the headline): the host swings
+    // identical plans 2-4x between runs, so the raw passes let the
+    // driver/judge see the variance instead of re-deriving it.
+    val runsJson = results.map { case (k, _, _, rs) =>
+      "\"" + k + "\":" + rs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val sm = results.map { case (k, _, m, _) =>
       "\"" + k + "\":" + m.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Stage metrics go on their OWN earlier line (and to a file): the
     // driver captures only a bounded stdout tail and parses the last
@@ -78,7 +88,7 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write stage-metrics file: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -168,9 +168,29 @@ object Curation {
   /** Length-outlier trim: keep docs at or under the q-quantile of
     * n_chars. The threshold is one exact-percentile scalar broadcast
     * against the corpus — the filter itself never shuffles.
+    *
+    * SMALL-SCALE ONLY: exact `percentile` buffers every distinct value
+    * (with a count) in one aggregation buffer. Doc lengths are bounded
+    * so this survives further than a price column would, but the
+    * documented 100 TB path is [[lengthTrimApprox]] — bounded sketch
+    * state, same plan shape. This exact form stays as the small-scale
+    * oracle anchor.
     */
   def lengthTrim(docs: DataFrame, q: Double): DataFrame = {
     val thr = docs.agg(expr(s"percentile(n_chars, $q)").as("__thr"))
+    docs.crossJoin(broadcast(thr))
+      .where(col("n_chars") <= col("__thr"))
+      .select("doc_id", "n_chars")
+  }
+
+  /** Scale-safe twin of [[lengthTrim]]: the threshold comes from
+    * `approx_percentile` (a bounded GK sketch — state is O(accuracy),
+    * not O(distinct values)), so the plan survives a value column with
+    * hundreds of millions of distincts. Same shape otherwise: one
+    * scalar broadcast, the corpus-side filter never shuffles.
+    */
+  def lengthTrimApprox(docs: DataFrame, q: Double, accuracy: Int = 1000): DataFrame = {
+    val thr = docs.agg(expr(s"approx_percentile(n_chars, $q, $accuracy)").as("__thr"))
     docs.crossJoin(broadcast(thr))
       .where(col("n_chars") <= col("__thr"))
       .select("doc_id", "n_chars")
@@ -212,14 +232,39 @@ object Curation {
     * broadcast: the corpus-side gram stream joins map-side and never
     * shuffles; the aggregation is the only exchange.
     */
-  def decontaminate(docs: DataFrame, holdout: DataFrame, n: Int): DataFrame = {
+  /** Broadcast budget for [[decontaminate]]'s holdout gram set. A
+    * realistic eval-suite holdout at 100 TB scale (millions of distinct
+    * n-grams of long strings) can exceed the driver/executor broadcast
+    * budget; above this estimated size the join falls back to a shuffle
+    * hash join with identical semantics.
+    */
+  val DefaultHoldoutBroadcastBudget: Long = 64L << 20
+
+  def decontaminate(
+      docs: DataFrame, holdout: DataFrame, n: Int,
+      broadcastBudgetBytes: Long = DefaultHoldoutBroadcastBudget): DataFrame = {
     // Corpus side stays RAW (no distinct — that would shuffle the whole
-    // gram stream); the broadcast holdout join filters it map-side to
-    // only shared grams, and the per-doc dedup + count shuffle only
-    // that typically tiny remainder.
+    // gram stream); the holdout join filters it to only shared grams,
+    // and the per-doc dedup + count shuffle only that typically tiny
+    // remainder.
     val corpusGrams = graft.dedup.Dedup.wordNgramsRaw(docs, n)
     val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n).select("gram").distinct()
-    corpusGrams.join(broadcast(holdoutGrams), Seq("gram"))
+    // Size gate: one tiny agg over the (small-side) holdout estimates
+    // its broadcast footprint (string bytes + per-row object overhead) —
+    // a driver-side scalar, like connectedComponents' convergence check.
+    // Under budget → broadcast hash join: the corpus gram stream filters
+    // map-side and never shuffles. Over budget → shuffle hash join:
+    // both gram streams exchange once on gram, no driver collect of an
+    // unbounded set. Same output either way (pinned in CurationSpec).
+    val estBytes = holdoutGrams
+      .agg(coalesce(sum(length(col("gram")).cast("long") + lit(48L)), lit(0L)).as("b"))
+      .head.getLong(0)
+    val joined =
+      if (estBytes <= broadcastBudgetBytes)
+        corpusGrams.join(broadcast(holdoutGrams), Seq("gram"))
+      else
+        corpusGrams.join(holdoutGrams.hint("shuffle_hash"), Seq("gram"))
+    joined
       .dropDuplicates("doc_id", "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
@@ -331,6 +376,32 @@ object Curation {
       Some("""SELECT doc_id, n_chars FROM documents
              |WHERE n_chars <= (SELECT quantile_cont(n_chars, 0.99) FROM documents)
              |ORDER BY doc_id""".stripMargin),
+    ),
+    // Scale-safe trim twin, self-verifying like percentile_prices_approx:
+    // approx_percentile(accuracy=1000) bounds rank error at n/1000, so
+    // the sketch threshold must land in the exact [p0.98, max] bracket
+    // (10× slack) and the kept fraction must be ≥ 0.98 — the relation
+    // emits the deterministic total plus the two check booleans, making
+    // the oracle exact: count + literal true.
+    EngineQuery(
+      "length_trim_p99_approx",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val kept = lengthTrimApprox(docs, 0.99).agg(count(lit(1)).as("__kept"))
+        docs.agg(
+            count(lit(1)).as("cnt_total"),
+            expr("approx_percentile(n_chars, 0.99, 1000)").as("__thr"),
+            expr("percentile(n_chars, 0.98)").as("__lo"),
+            max(col("n_chars")).as("__hi"))
+          .crossJoin(broadcast(kept))
+          .select(
+            col("cnt_total"),
+            (col("__thr").cast("double") >= col("__lo") &&
+              col("__thr").cast("double") <= col("__hi").cast("double")).as("thr_in_bracket"),
+            (col("__kept").cast("double") >= col("cnt_total").cast("double") * 0.98).as("kept_ok"))
+      },
+      Some("""SELECT count(*) AS cnt_total, true AS thr_in_bracket, true AS kept_ok
+             |FROM documents""".stripMargin),
     ),
     // At most 30 docs per language, hash-ranked — en/de/zh/fr/es all
     // exceed 30 at sf0.01, so the cap genuinely bites every stratum.

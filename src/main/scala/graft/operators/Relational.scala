@@ -39,6 +39,42 @@ object Relational {
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum(col("__partial")).cast("long").as("cnt"))
 
+  /** Deliberately skewed fact-fact join — the AQE skew-join surface.
+    * Every `hotModulus`-th orderkey on BOTH sides collapses onto hot key
+    * 0, synthesizing the real-world hot-join-key profile (at 100 TB a
+    * shuffle join always inherits key skew). The `merge` hint pins the
+    * shuffle sort-merge path — the big-big shape where a hot key means
+    * one straggler reducer — so AQE's OptimizeSkewedJoin can split the
+    * oversized partition at runtime into advisory-sized chunks (each
+    * joined against a replicated copy of the other side's partition).
+    * Salting (saltedGroupCount) covers aggregation skew; this covers
+    * join skew, where AQE's runtime split IS the idiomatic fix — no
+    * manual salt column threads through the join. The skew split fires
+    * when partition sizes cross the configured thresholds (asserted
+    * plan-level in SkewJoinSpec with scaled-down thresholds); the
+    * relation itself is threshold-invariant.
+    */
+  def skewedJoinStats(lineitem: DataFrame, orders: DataFrame, hotModulus: Int = 100): DataFrame = {
+    def hot(c: org.apache.spark.sql.Column) =
+      when(c % hotModulus === 0, lit(0L)).otherwise(c)
+    val li = lineitem.select(hot(col("l_orderkey")).as("hot_key"), dec("l_quantity").as("qty"))
+    val o = orders.select(hot(col("o_orderkey")).as("hot_key"), col("o_orderpriority"))
+    li.hint("merge").join(o, Seq("hot_key"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).cast("double").as("qty"))
+  }
+
+  /** Typed array-valued aggregate: per-customer sorted order-key list.
+    * One partial+final hash-agg shuffle on o_custkey; sort_array makes
+    * the list deterministic regardless of partitioning.
+    */
+  def collectOrdersPerCustomer(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        count(lit(1)).as("cnt"))
+
   def engineQueries: Seq[EngineQuery] = Seq(
     // M-1 + H-3: scan with pushed-down filter and pruned projection.
     EngineQuery(
@@ -508,20 +544,49 @@ object Relational {
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       headline = true,
     ),
+    // Join-key skew: 1% of lineitem rows and 1% of orders collapse onto
+    // one hot key; the shuffle sort-merge join inherits the straggler
+    // partition and AQE splits it at runtime (see skewedJoinStats doc).
+    EngineQuery(
+      "skew_join_hot_key",
+      (s, dir) =>
+        skewedJoinStats(Tables.lineitem(s, dir), Tables.orders(s, dir))
+          .orderBy("o_orderpriority"),
+      Some("""WITH li AS (
+             |  SELECT CASE WHEN l_orderkey % 100 = 0 THEN 0 ELSE l_orderkey END AS hot_key,
+             |    CAST(l_quantity AS DECIMAL(12,2)) AS qty
+             |  FROM lineitem),
+             |o AS (
+             |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN 0 ELSE o_orderkey END AS hot_key,
+             |    o_orderpriority
+             |  FROM orders)
+             |SELECT o_orderpriority, count(*) AS cnt,
+             |  CAST(sum(qty) AS DOUBLE) AS qty
+             |FROM li JOIN o USING (hot_key)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      headline = true,
+    ),
     // Array-valued aggregation: per-customer sorted order-key list.
     // collect_list is order-nondeterministic under parallelism, so the
     // engine ALWAYS sorts the collected array — the only way a
     // list-valued aggregate is reproducible across partitionings/engines.
+    // The gate emits the list as a CSV scalar (sorted numerically FIRST,
+    // then stringified): the driver's pandas checker cannot sort/hash raw
+    // ARRAY cells, so the portable twin IS the graded output. Callers who
+    // want the typed array use collectOrdersPerCustomer directly.
     EngineQuery(
       "collect_orders_per_customer",
       (s, dir) =>
-        Tables.orders(s, dir)
-          .groupBy(col("o_custkey"))
-          .agg(
-            sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
-            count(lit(1)).as("cnt"))
+        collectOrdersPerCustomer(Tables.orders(s, dir))
+          .select(
+            col("o_custkey"),
+            concat_ws(",", transform(col("order_keys"), _.cast("string")))
+              .as("order_keys_csv"),
+            col("cnt"))
           .orderBy("o_custkey"),
-      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys, count(*) AS cnt
+      Some("""SELECT o_custkey,
+             |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys_csv,
+             |  count(*) AS cnt
              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
     ),
     // Global top-k: Spark plans TakeOrderedAndProject — per-partition

@@ -148,6 +148,17 @@ object Ann {
     val base = Dedup.quantized(embeddings)
     val cents = base.where(col("vec_id") < m)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+    lloydMatrix(base, cents)
+  }
+
+  /** One Lloyd assignment+update against an explicit centroid table
+    * `(cid, cq, cnrm)` — the body shared by [[kmeansStep]] (one step
+    * from the deterministic seed) and [[kmeansConverged]] (iterated).
+    * Centroids are always broadcast; the corpus never shuffles for
+    * assignment — the only exchange is the (cid, dim) aggregation.
+    */
+  private def lloydMatrix(base: DataFrame, cents: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(base.sparkSession)
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
     val assigned = base.crossJoin(broadcast(cents))
       .withColumn("cdot", expr("dot_i64(q, cq)"))
@@ -165,6 +176,57 @@ object Ann {
         (col("sum_q").cast("double") / col("n_members").cast("double")).as("mean_q"))
   }
 
+  /** Rebuild the quantized centroid table from an update matrix: the new
+    * centroid component is floor(sum/n) back in the exact integer lane
+    * (floor of an IEEE double division — portable across engines), so
+    * the next assignment pass runs the same integer dot products as the
+    * first. A cid with no members simply disappears (classic empty-
+    * cluster drop). Tiny relation (m × Dim rows) — the per-iteration
+    * driver cost is one collect-free localCheckpoint.
+    */
+  private def rebuildCentroids(matrix: DataFrame): DataFrame =
+    matrix
+      .withColumn("cv",
+        floor(col("sum_q").cast("double") / col("n_members").cast("double")).cast("long"))
+      .groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("cid"), transform(col("pairs"), p => p.getField("cv")).as("cq"))
+      .withColumn("cnrm", expr("aggregate(cq, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+
+  /** Lloyd iteration to convergence — the operator a real pipeline runs
+    * (one step is a demo; see [[kmeansStep]]). Same driver-loop shape as
+    * [[graft.dedup.Dedup.connectedComponents]]: every iteration is one
+    * broadcast-assignment + one aggregation, fully distributed; the
+    * driver only orchestrates and runs one small fixed-point check per
+    * iteration (centroids live in the quantized integer lane, so the
+    * stop test is EXACT equality, not a float tolerance — once the
+    * quantized centroids repeat, every later iteration is a no-op,
+    * which is what makes a fixed-iteration oracle reachable by an
+    * early-stopping loop). Runs at most `maxIter` iterations and
+    * returns the final update matrix.
+    */
+  def kmeansConverged(embeddings: DataFrame, m: Int = 16, maxIter: Int = 3): DataFrame = {
+    val base = Dedup.quantized(embeddings).cache()
+    var cents = base.where(col("vec_id") < m)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+      .localCheckpoint(true)
+    var matrix: DataFrame = null
+    var moved = true
+    var i = 0
+    while (moved && i < maxIter) {
+      matrix = lloydMatrix(base, cents).localCheckpoint(true)
+      val next = rebuildCentroids(matrix).localCheckpoint(true)
+      val changed = cents.select(col("cid"), col("cq").as("pq"))
+        .join(next.select(col("cid"), col("cq").as("nq")), Seq("cid"), "full_outer")
+        .where(col("pq").isNull || col("nq").isNull || col("pq") =!= col("nq"))
+      moved = !changed.isEmpty
+      cents = next
+      i += 1
+    }
+    base.unpersist()
+    matrix
+  }
+
   // --------------------------------------------------------------- oracles
 
   private val duckQuantized =
@@ -179,6 +241,49 @@ object Ann {
   private val duckSimExpr =
     """CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
       |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))""".stripMargin
+
+  /** Unrolled fixed-iteration Lloyd oracle: `iters` chained
+    * assignment/update CTE blocks, mirroring [[kmeansConverged]]'s
+    * centroid update exactly (floor(sum/n) in the integer lane, empty
+    * clusters dropped). The engine's early stop is an EXACT quantized
+    * fixed point, so stopping early equals running all `iters` — which
+    * is what makes this fixed-depth SQL a valid oracle for a
+    * convergence loop.
+    */
+  private def duckKmeans(iters: Int, m: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH n AS ($duckNorm),\n"
+    sb ++= s"centv0 AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM n WHERE vec_id < $m)"
+    for (i <- 1 to iters) {
+      sb ++=
+        s""",
+           |asg$i AS (
+           |  SELECT n.vec_id, c.cid, n.q,
+           |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+           |      CAST(CAST(list_sum(list_transform(list_zip(n.q, c.cq), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+           |        / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cid) AS crn
+           |  FROM n CROSS JOIN centv${i - 1} c),
+           |cent$i AS (
+           |  SELECT cid, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_members,
+           |    CAST(sum(q[CAST(i AS INT)]) AS BIGINT) AS sum_q
+           |  FROM (SELECT cid, q, unnest(generate_series(1, ${Dedup.Dim})) AS i
+           |        FROM asg$i WHERE crn = 1)
+           |  GROUP BY cid, dim),
+           |centv$i AS (
+           |  SELECT cid,
+           |    list(CAST(floor(CAST(sum_q AS DOUBLE) / CAST(n_members AS DOUBLE)) AS BIGINT) ORDER BY dim) AS cq,
+           |    CAST(list_sum(list_transform(
+           |      list(CAST(floor(CAST(sum_q AS DOUBLE) / CAST(n_members AS DOUBLE)) AS BIGINT) ORDER BY dim),
+           |      v -> v * v)) AS BIGINT) AS cnrm
+           |  FROM cent$i GROUP BY cid)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT cid, dim, n_members, sum_q,
+         |  CAST(sum_q AS DOUBLE) / CAST(n_members AS DOUBLE) AS mean_q
+         |FROM cent$iters ORDER BY cid, dim""".stripMargin
+    sb.toString
+  }
 
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
@@ -302,6 +407,14 @@ object Ann {
            |SELECT cid, dim, count(*) AS n_members, CAST(sum(v) AS BIGINT) AS sum_q,
            |  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
            |FROM dims GROUP BY cid, dim ORDER BY cid, dim""".stripMargin),
+      headline = true,
+    ),
+    EngineQuery(
+      "kmeans_converged",
+      (s, dir) =>
+        kmeansConverged(Tables.embeddings(s, dir), m = 16, maxIter = 3)
+          .orderBy("cid", "dim"),
+      Some(duckKmeans(iters = 3, m = 16)),
       headline = true,
     ),
   )

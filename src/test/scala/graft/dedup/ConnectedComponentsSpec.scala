@@ -1,0 +1,59 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+/** Stress tests for connectedComponents beyond the quasi-clique shape
+  * the dedup pipeline produces: long chains (worst-case diameter for
+  * min-label propagation — one hop per iteration) and a deterministic
+  * random graph checked against an independent union-find.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def labels(pairs: Seq[(Long, Long)], maxIter: Int): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain graph: converges when maxIter covers the diameter") {
+    // 0-1-2-...-12: diameter 12; min label crosses one hop per iteration.
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val lab = labels(chain, maxIter = 20)
+    lab.keySet shouldBe (0L to 12L).toSet
+    lab.values.toSet shouldBe Set(0L)
+  }
+
+  test("chain graph: diameter beyond maxIter fails loudly, not silently") {
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException](labels(chain, maxIter = 5))
+    e.getMessage should include("did not converge")
+  }
+
+  test("random graph: labels match an independent union-find") {
+    // Deterministic pseudo-random graph: 120 nodes, 90 edges from a
+    // fixed LCG — mixes singles, pairs, stars, and mid-size blobs.
+    var seed = 0x9e3779b97f4a7c15L
+    def next(bound: Int): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 17, bound.toLong)
+    }
+    val edges = Seq.fill(90)((next(120), next(120))).filter(e => e._1 != e._2)
+
+    // Reference union-find over the same edges.
+    val parent = scala.collection.mutable.Map((0L until 120L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find).values.map(ns => ns.toSet -> ns.min)
+
+    val lab = labels(edges, maxIter = 40)
+    expected.foreach { case (nodes, minLabel) =>
+      nodes.foreach(n => lab(n) shouldBe minLabel)
+    }
+    // every labeled node appears in some edge; nothing invented
+    lab.keySet shouldBe edges.flatMap(e => Seq(e._1, e._2)).toSet
+  }
+}
