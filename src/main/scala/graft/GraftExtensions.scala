@@ -21,6 +21,17 @@ object GraftFunctions {
       kmer.KmerGenerator(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
     },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
+    // Spark ships these sketch expressions for its own runtime join
+    // filters but leaves them out of the public registry; the engine
+    // exposes them under the upstream names for bounded-size semi-join
+    // pre-filters (see Curation.decontaminateBloom).
+    "bloom_filter_agg" -> { exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2))
+    },
+    "might_contain" -> { exprs =>
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+    },
   )
 
   private def info(name: String): ExpressionInfo =

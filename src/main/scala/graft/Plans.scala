@@ -51,7 +51,17 @@ object Plans {
     "shuffle_order" ->
       "Global deterministic order WITHOUT a single-partition window: per-bucket counts aggregate small, offsets broadcast back (`BroadcastHashJoin`), and the `Window` that ranks rows is `partitionBy(b)` — every window partition is a hash bucket, all of them in parallel.",
     "decontaminate_overlap" ->
-      "The holdout gram set is the build side of a `BroadcastHashJoin`: the corpus gram stream is filtered map-side and never shuffles; the only exchange is the final per-doc count aggregate.",
+      "The holdout gram set is the build side of a `BroadcastHashJoin`: the corpus gram stream is filtered map-side and never shuffles; the only exchange is the final per-doc count aggregate. The broadcast is SIZE-GATED: `Curation.decontaminate` estimates the distinct-gram footprint first and falls back to a shuffle hash join past `DefaultHoldoutBroadcastBudget` (64 MB) — same relation either way (pinned in `DecontaminateFallbackSpec`), so an eval-suite holdout too big for the driver can't kill the job at 100 TB.",
+    "skew_join_hot_key" ->
+      "Join-key skew surface: 1% of both fact sides collapse onto one hot key and the `merge` hint pins the shuffle sort-merge path. This pre-execution dump shows plain `SortMergeJoin`; at runtime AQE's OptimizeSkewedJoin splits the oversized partition into advisory-sized mapper-range chunks — `SortMergeJoin(skew=true)` in the final adaptive plan, asserted live in `SkewJoinSpec` with thresholds scaled to test data. Salting covers aggregation skew (`salted_group_count`); this covers join skew, where the runtime split is the idiomatic fix.",
+    "kmeans_converged" ->
+      "Per-iteration Lloyd plan (the loop re-runs it against each checkpointed centroid table): centroids are always the `BroadcastExchange` side of the assignment — the embedding corpus NEVER shuffles to be assigned; the only hash exchanges are the (cid, dim) update aggregation. The driver-side fixed-point check is exact integer equality on the quantized centroids, so early stop ≡ the fixed-iteration oracle.",
+    "pack_sequences_scalable" ->
+      "Scale-safe prefix aggregate — shuffleOrder's decomposition generalized from row numbering to a running token total. `pack_sequences` is one window partition per language (an `en` partition = most of a 100 TB corpus on one reducer); this plan buckets by order-aligned doc_id ranges, aggregates per-(lang, bucket) sums small, broadcasts the ≤buckets-row offset table back (`BroadcastHashJoin`), and ranks inside `Window partitionBy(lang, b)` — every window partition is one bucket, all in parallel. Output is EXACTLY the single-window relation (same DuckDB oracle, equality pinned for 1/32/512 buckets in `ScalablePrefixSpec`).",
+    "price_quartiles_scalable" ->
+      "Scale-safe quantile bucketing — the ntile twin. Exact `ntile(4) OVER (PARTITION BY priority)` sorts each priority in ONE window partition (five straggler reducers at 100 TB); here per-group p25/p50/p75 come from a bounded-state `approx_percentile` aggregate whose tiny result broadcasts back, and bucket assignment is a comparison projection — the fact stream never window-sorts. Shares are 0.25 ± sketch rank error; the gate asserts the share brackets (self-verifying booleans).",
+    "length_trim_p99_approx" ->
+      "The scale-safe trim path: `approx_percentile` runs as a partial+final `ObjectHashAggregate` with O(accuracy) sketch state — unlike exact `percentile` (used by `length_trim_p99`/`percentile_prices` as small-scale oracle anchors), whose aggregation buffer holds every distinct value per group and becomes unbounded at 100 TB. The threshold is one broadcast scalar; the corpus-side filter never shuffles.",
     "sample_stratified" ->
       "Deterministic sampling is filter+project over the scan — the sampling itself adds NO exchange (the only one in the plan is the gate query's output ORDER BY); the per-stratum rate is a CASE column, not a per-stratum pass.",
   )

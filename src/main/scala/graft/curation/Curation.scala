@@ -269,6 +269,37 @@ object Curation {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Bloom pre-pass decontamination — the third strategy next to
+    * [[decontaminate]]'s broadcast/shuffle switch, for the regime where
+    * the holdout gram SET is too big to broadcast but its bloom sketch
+    * is not: the sketch is FIXED-SIZE (`numBits`, independent of
+    * holdout cardinality), so the corpus gram stream still filters
+    * map-side; only bloom survivors (true matches + the few-percent
+    * false positives) reach the exact semi-join that removes FPs. Same
+    * relation as [[decontaminate]] (pinned in
+    * `DecontaminateFallbackSpec`), shuffle volume ~ the survivor set.
+    * Uses Spark's own runtime-filter expressions (`bloom_filter_agg` /
+    * `might_contain`, exposed via [[graft.GraftFunctions]]).
+    */
+  def decontaminateBloom(
+      docs: DataFrame, holdout: DataFrame, n: Int,
+      expectedItems: Long = 4L << 20, numBits: Long = 32L << 20): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val corpusGrams = graft.dedup.Dedup.wordNgramsRaw(docs, n)
+    val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n).select("gram").distinct()
+    // One driver-held sketch of bounded size (numBits/8 bytes) — the
+    // analog of the size estimate in [[decontaminate]], but the bound
+    // holds no matter how many grams the holdout has.
+    val bf = holdoutGrams
+      .agg(expr(s"bloom_filter_agg(xxhash64(gram), ${expectedItems}L, ${numBits}L)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+    corpusGrams
+      .where(call_function("might_contain", lit(bf), xxhash64(col("gram"))))
+      .join(holdoutGrams.hint("shuffle_hash"), Seq("gram"))
+      .dropDuplicates("doc_id", "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Sequence packing: per-language running token total, chunked into
     * `budget`-token bins (the concat-then-chunk packing shape). One
     * window pass after one hash exchange on lang.
@@ -281,6 +312,60 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     toks
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before DIV $budget").as("bin"))
+  }
+
+  /** Scale-safe twin of [[packSequences]] — EXACT same relation, no
+    * per-language window straggler. `packSequences`'s running total is
+    * one window partition per language: at 100 TB an "en" partition is
+    * most of the corpus on one reducer. This twin generalizes
+    * [[shuffleOrder]]'s decomposition from row numbering to an
+    * arbitrary prefix aggregate:
+    *
+    *  1. bucket rows by ORDER-ALIGNED doc_id ranges (quantile
+    *     boundaries collected once — a tiny driver array; ANY boundary
+    *     choice yields the same output, the quantiles only keep buckets
+    *     balanced);
+    *  2. per-(lang, bucket) token sums — a small aggregate;
+    *  3. prefix offsets over ≤ `buckets` rows per language — a tiny
+    *     window; broadcast back;
+    *  4. the per-row prefix is offset + a window over (lang, bucket) —
+    *     every window partition is one bucket, all in parallel.
+    */
+  def packSequencesScalable(docs: DataFrame, budget: Int, buckets: Int = 32): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds: Seq[Long] =
+      if (qs.isEmpty) Seq.empty // 1 bucket: degenerate single-window shape
+      else Option(
+        toks.agg(expr(s"approx_percentile(doc_id, array(${qs.mkString(",")}), 10000)").as("bs"))
+          .head.getSeq[Long](0)
+      ).getOrElse(Seq.empty) // empty input: approx_percentile yields NULL
+    // One higher-order aggregate over the literal bounds array (a
+    // nested when-chain would build an expression tree as deep as the
+    // bucket count); linear scan of ≤ `buckets` longs per row, codegen'd.
+    val bucketCol =
+      if (bounds.isEmpty) lit(0L)
+      else expr(
+        s"aggregate(array(${bounds.mkString("L,") + "L"}), 0L, (acc, b) -> acc + IF(doc_id > b, 1L, 0L))")
+    val bucketed = toks.withColumn("b", bucketCol)
+    val offsets = bucketed.groupBy("lang", "b")
+      .agg(sum(col("n_tokens")).as("bucket_toks"))
+      .withColumn("offset",
+        coalesce(
+          sum(col("bucket_toks")).over(
+            Window.partitionBy("lang").orderBy("b")
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("lang", "b", "offset")
+    val w = Window.partitionBy("lang", "b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("lang", "b"))
+      .withColumn("cum_before", col("offset") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col("doc_id"), col("lang"), col("n_tokens"),
         expr(s"cum_before DIV $budget").as("bin"))
@@ -480,16 +565,22 @@ object Curation {
           docs.where(col("doc_id") % 50 === 0), n = 5)
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-             |grams AS (
-             |  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
-             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i FROM toks WHERE length(t) >= 5)),
-             |hold AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
-             |SELECT g.doc_id, count(*) AS n_shared_grams
-             |FROM grams g JOIN hold h ON g.gram = h.gram
-             |WHERE g.doc_id % 50 <> 0
-             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+      Some(DuckDecontaminate),
       headline = true,
+    ),
+    // Bloom pre-pass formulation: identical relation (the exact join
+    // removes the sketch's false positives), so it shares the oracle.
+    EngineQuery(
+      "decontaminate_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        decontaminateBloom(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0), n = 5,
+          expectedItems = 1L << 17, numBits = 1L << 20)
+          .orderBy("doc_id")
+      },
+      Some(DuckDecontaminate),
     ),
     // The end-to-end pipeline: quality >= 0.51 (median ~0.517 on this
     // corpus, so the gate genuinely filters) AND survives near-dup
@@ -535,14 +626,36 @@ object Curation {
     EngineQuery(
       "pack_sequences",
       (s, dir) => packSequences(Tables.documents(s, dir), budget = 512).orderBy("doc_id"),
-      Some("""WITH t AS (
-             |  SELECT doc_id, lang,
-             |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-             |  FROM documents)
-             |SELECT doc_id, lang, n_tokens,
-             |  coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 512 AS bin
-             |FROM t ORDER BY doc_id""".stripMargin),
+      Some(DuckPackSequences),
+    ),
+    // Same relation, scale-safe plan: the decomposed prefix must equal
+    // the single-window formulation EXACTLY — so it shares the oracle.
+    EngineQuery(
+      "pack_sequences_scalable",
+      (s, dir) =>
+        packSequencesScalable(Tables.documents(s, dir), budget = 512).orderBy("doc_id"),
+      Some(DuckPackSequences),
     ),
   )
+
+  private val DuckDecontaminate =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i FROM toks WHERE length(t) >= 5)),
+      |hold AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+      |SELECT g.doc_id, count(*) AS n_shared_grams
+      |FROM grams g JOIN hold h ON g.gram = h.gram
+      |WHERE g.doc_id % 50 <> 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  private val DuckPackSequences =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, lang, n_tokens,
+      |  coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 512 AS bin
+      |FROM t ORDER BY doc_id""".stripMargin
 }

@@ -160,11 +160,18 @@ object Dedup {
     * distributed join + aggregate; the loop converges in
     * graph-diameter steps (tiny for near-dup clusters, which are
     * quasi-cliques). The driver only orchestrates — per-step work is
-    * fully distributed, and intermediate labels are cached and
-    * localCheckpointed to cut lineage growth (at 100 TB you'd use
-    * reliable checkpointing; same structure).
+    * fully distributed, and intermediate labels are checkpointed every
+    * iteration to cut lineage growth: `reliable = false` (default) uses
+    * executor-local checkpoints (fast, lost on executor death);
+    * `reliable = true` writes to the SparkContext checkpoint dir (set
+    * `sc.setCheckpointDir` to durable storage first) — the 100 TB
+    * long-job setting, where losing iteration N-1 to one executor
+    * failure would otherwise replay the whole loop.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val und = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -182,11 +189,10 @@ object Dedup {
       // carry each node's previous label through the same aggregate so
       // convergence reads off the checkpointed result — no extra
       // join+shuffle per iteration just to compare generations
-      val next = cur
+      val next = checkpointed(cur
         .select(col("node"), col("component"), col("component").as("old"))
         .union(neigh)
-        .groupBy("node").agg(min("component").as("component"), min("old").as("old"))
-        .localCheckpoint(true)
+        .groupBy("node").agg(min("component").as("component"), min("old").as("old")))
       converged = next.where(col("component") =!= col("old")).isEmpty
       cur.unpersist()
       cur = next.select("node", "component")

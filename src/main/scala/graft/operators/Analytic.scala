@@ -49,6 +49,39 @@ object Analytic {
         max(col("tms")).as("end_ms"))
   }
 
+  /** Scale-safe quantile bucketing — the 100 TB twin of the exact
+    * `ntile` quartiles. `ntile(4) OVER (PARTITION BY priority)` sorts
+    * each priority's rows in ONE window partition: with 5 priorities at
+    * 100 TB that is five straggler reducers each sorting a fifth of the
+    * fact table. This twin gets per-group p25/p50/p75 thresholds from a
+    * bounded-state `approx_percentile` aggregate (tiny result,
+    * broadcast) and assigns the bucket as a pure comparison projection
+    * — the fact stream never window-sorts. ntile balances COUNTS
+    * exactly; threshold bucketing assigns by VALUE, so shares are
+    * 0.25 ± sketch rank error (≤ n/1000) ± tie mass — the gate asserts
+    * the shares, which is the operator's contract.
+    */
+  def quartilesByThreshold(orders: DataFrame): DataFrame = {
+    val thr = orders.groupBy("o_orderpriority")
+      .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000)").as("thr"))
+    val bucketed = orders.select("o_orderpriority", "o_totalprice")
+      .join(broadcast(thr), Seq("o_orderpriority"))
+      .withColumn("q",
+        lit(1L)
+          + when(col("o_totalprice") > col("thr")(0), 1L).otherwise(0L)
+          + when(col("o_totalprice") > col("thr")(1), 1L).otherwise(0L)
+          + when(col("o_totalprice") > col("thr")(2), 1L).otherwise(0L))
+    val shares = (1 to 4).map { i =>
+      (sum(when(col("q") === i, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)).cast("double")).as(s"__s$i")
+    }
+    bucketed.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt_total"), shares: _*)
+      .select(
+        col("o_orderpriority") +: col("cnt_total") +:
+          (1 to 4).map(i => (abs(col(s"__s$i") - 0.25) <= 0.02).as(s"q${i}_share_ok")): _*)
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
     // RANGE-frame moving aggregate: 7-day trailing revenue per order
     // day. The frame is value-based (rangeBetween over a day number),
@@ -155,6 +188,19 @@ object Analytic {
              |  FROM orders)
              |GROUP BY o_orderpriority, quartile
              |ORDER BY o_orderpriority, quartile""".stripMargin),
+    ),
+    // Scale-safe quantile-bucket twin (see quartilesByThreshold doc):
+    // self-verifying like percentile_prices_approx — the relation emits
+    // the deterministic per-priority totals plus share-bracket booleans,
+    // so the oracle is exact (count + literal true).
+    EngineQuery(
+      "price_quartiles_scalable",
+      (s, dir) =>
+        quartilesByThreshold(Tables.orders(s, dir)).orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS cnt_total,
+             |  true AS q1_share_ok, true AS q2_share_ok,
+             |  true AS q3_share_ok, true AS q4_share_ok
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     ),
     // Fixed-width histogram: one partial+final aggregation over the
     // binned value — the profiling op behind every data-quality

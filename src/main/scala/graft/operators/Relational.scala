@@ -438,6 +438,27 @@ object Relational {
              |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+    // Same extraction through the VARIANT lane (Spark 4 semi-structured
+    // type): parse once into the binary variant encoding, then typed
+    // path access — at scale this beats per-access string re-parsing
+    // when several fields are read (parse cost paid once per row, and
+    // shredded variant columns prune at the scan). Oracle = the JSON
+    // twin's: the lane change must not change the relation.
+    EngineQuery(
+      "variant_extract_stats",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
     // Hierarchical subtotals: ROLLUP plans as a single Expand + one
     // aggregate pass — no per-level re-scan. (Category absent from the
     // reference: SURVEY §2.2 "no grouping sets, cube, or rollup".)
@@ -464,6 +485,57 @@ object Relational {
              |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    ),
+    // Arbitrary grouping sets (the general form rollup/cube specialize):
+    // Spark 4's Dataset.groupingSets API — still one Expand + one
+    // aggregate pass, no per-set re-scan.
+    EngineQuery(
+      "grouping_sets_stats",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupingSets(
+            Seq(
+              Seq(col("o_orderpriority"), col("o_orderstatus")),
+              Seq(col("o_orderstatus")),
+              Seq.empty),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"), sum(dec("o_totalprice")).cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+             |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin),
+    ),
+    // Mergeable-sketch distinct counting: per (event_type, day) HLL
+    // sketches — the pre-aggregated rollup a 100 TB pipeline stores —
+    // then hll_union_agg merges the partials into per-type estimates
+    // WITHOUT re-touching rows. Re-aggregatability is what exact
+    // count(distinct) can't give you: a day's sketch is computed once,
+    // and any date-range cardinality is a cheap union of stored
+    // sketches. Self-verifying gate (sketches aren't engine-portable):
+    // lgConfigK=14 keeps typical error under 1%; the gate asserts ±5%
+    // of exact alongside the deterministic exact count.
+    EngineQuery(
+      "hll_partitioned_distinct",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val daily = ev
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val est = daily.groupBy("event_type")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.join(exact, Seq("event_type"))
+          .select(
+            col("event_type"), col("exact_users"),
+            (abs(col("est") - col("exact_users")) <= col("exact_users").cast("double") * 0.05)
+              .as("est_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS est_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
     // Temporal scalar functions over the order date (the reference has
     // no date/time functions at all, SURVEY §2.2).

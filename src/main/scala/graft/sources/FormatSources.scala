@@ -36,6 +36,7 @@ object FormatSources {
         case "csv" => df.write.mode("overwrite").option("header", "true").csv(dir)
         case "json" => df.write.mode("overwrite").json(dir)
         case "orc" => df.write.mode("overwrite").orc(dir)
+        case "xml" => df.write.mode("overwrite").option("rowTag", "event").xml(dir)
       }
     }
     dir
@@ -48,6 +49,9 @@ object FormatSources {
       case "csv" => spark.read.schema(schema).option("header", "true").csv(dir)
       case "json" => spark.read.schema(schema).json(dir)
       case "orc" => spark.read.orc(dir)
+      // XML is a first-class Spark 4 source (spark-xml was merged into
+      // core) — same explicit-schema contract as the text formats.
+      case "xml" => spark.read.schema(schema).option("rowTag", "event").xml(dir)
     }
   }
 
@@ -66,7 +70,7 @@ object FormatSources {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def engineQueries: Seq[EngineQuery] =
-    Seq("csv", "json", "orc").map { fmt =>
+    Seq("csv", "json", "orc", "xml").map { fmt =>
       EngineQuery(
         s"${fmt}_source_scan",
         (s, dir) => rollupOf(read(s, dir, fmt)),

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues}
 import graft.{EngineQuery, Tables}
 
 /** Custom-state sessionization via
@@ -122,6 +123,41 @@ object StatefulSessions {
       .toDF()
   }
 
+  /** The same session fold on Spark 4's arbitrary-state v2 surface
+    * (`transformWithState` + `StatefulProcessor`) — the API that
+    * replaces `flatMapGroupsWithState` for new pipelines (typed state
+    * variables, timers, TTL, initial state). The batch twin needs no
+    * state variable: the group is complete, so one fold per key emits
+    * every session. Gate-checked against the identical oracle as the
+    * fMGWS and window-function formulations — three formulations, one
+    * relation.
+    */
+  class SessionFoldProcessor(gapMs: Long) extends StatefulProcessor[Long, Ev, Session] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev], timerValues: TimerValues): Iterator[Session] = {
+      val (closed, open) =
+        foldSessions(rows.toSeq.sortBy(e => (e.tms, e.event_id)), gapMs, None)
+      (closed ++ open).iterator.map(toSession(user, _))
+    }
+  }
+
+  def sessionizeTws(events: DataFrame, gapMs: Long = GapMs): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Batch transformWithState runs through the state-store machinery,
+    // whose driver-side coordinator endpoint is registered lazily by the
+    // StreamingQueryManager — touch it or a pure-batch session fails
+    // task-side with CANNOT_LOAD_STATE_STORE (no StateStoreCoordinator
+    // endpoint).
+    spark.streams.active
+    toEvs(events)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionFoldProcessor(gapMs), TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
     // Must reproduce the declarative window-function sessionization
     // (events_sessionize) exactly — same oracle.
@@ -141,6 +177,23 @@ object StatefulSessions {
              |SELECT user_id, session_id, count(*) AS n_events, min(tms) AS start_ms, max(tms) AS end_ms
              |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
       headline = true,
+    ),
+    // transformWithState formulation — same fold, same oracle.
+    EngineQuery(
+      "tws_sessionize",
+      (s, dir) =>
+        sessionizeTws(Tables.events(s, dir))
+          .orderBy("user_id", "session_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+             |g AS (SELECT user_id, event_id, tms,
+             |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+             |s AS (SELECT user_id, tms,
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, session_id, count(*) AS n_events, min(tms) AS start_ms, max(tms) AS end_ms
+             |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
     ),
   )
 }

@@ -36,4 +36,12 @@ class DecontaminateFallbackSpec extends AnyFunSuite with Matchers {
     // doc 3 shares nothing and must not appear on either path
     broadcastPath.map(_._1) should not contain 3L
   }
+
+  test("bloom pre-pass produces the identical relation (FPs removed by the exact join)") {
+    val bloomPath = Curation
+      .decontaminateBloom(corpus, holdout, n = 5, expectedItems = 1L << 10, numBits = 1L << 13)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    bloomPath shouldBe rows(Curation.DefaultHoldoutBroadcastBudget)
+  }
 }

@@ -32,6 +32,16 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
     e.getMessage should include("did not converge")
   }
 
+  test("reliable checkpoint path produces the same labels") {
+    val dir = new java.io.File(graft.OutDir.base, "cc_checkpoint_test")
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    val chain = (0L until 8L).map(i => (i, i + 1))
+    val rel = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), maxIter = 20, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rel shouldBe labels(chain, maxIter = 20)
+    rel.values.toSet shouldBe Set(0L)
+  }
+
   test("random graph: labels match an independent union-find") {
     // Deterministic pseudo-random graph: 120 nodes, 90 edges from a
     // fixed LCG — mixes singles, pairs, stars, and mid-size blobs.
