@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
-  GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues}
+  ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.{EngineQuery, Tables}
 
 /** Custom-state sessionization via
@@ -155,6 +156,70 @@ object StatefulSessions {
       .groupByKey(_.user_id)
       .transformWithState(
         new SessionFoldProcessor(gapMs), TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Streaming arbitrary-state-v2 sessionization: [[sessionizeStream]]'s
+    * semantics (emit on gap or watermark timeout, tombstone keeps the
+    * session numbering monotone across timeouts) on `transformWithState`
+    * with explicit event-time timers and a typed `ValueState`. Differences
+    * from the fMGWS formulation that the processor must own:
+    *
+    *  - timers ACCUMULATE (`registerTimer` doesn't replace like
+    *    `setTimeoutTimestamp`), so extending a session deletes the
+    *    superseded deadline and `handleExpiredTimer` guards against any
+    *    stale timer that still fires;
+    *  - state lives in a named `ValueState` slot (RocksDB-backed in
+    *    streaming) rather than the single implicit `GroupState`.
+    */
+  class StreamingSessionTwsProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, EvT, Session] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    private def deadline(s: OpenSession): Long = s.last_ms + gapMs + 1
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[EvT], timerValues: TimerValues): Iterator[Session] = {
+      val sorted = rows.map(e => Ev(e.user_id, e.ts.getTime, e.event_id))
+        .toSeq.sortBy(e => (e.tms, e.event_id))
+      val carry = if (open.exists()) Some(open.get()) else None
+      carry.filter(_.n_events > 0).foreach(s => getHandle.deleteTimer(deadline(s)))
+      val (closed, newOpen) = foldSessions(sorted, gapMs, carry)
+      newOpen.foreach { s =>
+        open.update(s)
+        if (s.n_events > 0) getHandle.registerTimer(deadline(s))
+      }
+      closed.iterator.map(toSession(user, _))
+    }
+
+    override def handleExpiredTimer(
+        user: Long, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val done = open.get()
+        // only the CURRENT session's deadline closes it; a stale timer
+        // (session was extended after registration) is a no-op
+        if (done.n_events > 0 && expiredTimerInfo.getExpiryTimeInMs() >= deadline(done)) {
+          open.update(done.copy(n_events = 0)) // tombstone: numbering continues
+          Iterator.single(toSession(user, done))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  def sessionizeStreamTws(
+      events: DataFrame, gapMs: Long = GapMs, watermark: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id")).as[EvT]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StreamingSessionTwsProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 

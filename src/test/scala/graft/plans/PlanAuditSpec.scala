@@ -73,4 +73,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     val p = plan("sample_stratified")
     "Exchange [a-z]+partitioning".r.findAllIn(p).toList.count(_.startsWith("Exchange hash")) shouldBe 0
   }
+
+  test("scalable packing: per-row prefix window is bucket-partitioned, offsets broadcast") {
+    val p = plan("pack_sequences_scalable")
+    p should include("BroadcastHashJoin") // the ≤buckets-row offset table joins broadcast
+    // the big per-row window partitions on (lang, b) — never lang alone
+    p should include regex """windowspecdefinition\(lang#\d+, b#\d+L, doc_id#"""
+  }
+
+  test("scalable quartiles: sketch thresholds instead of a per-group ntile sort") {
+    val p = plan("price_quartiles_scalable")
+    p should include("approx_percentile")
+    p should not include regex ("""[^_a-z]ntile\(""") // no window ntile (approx_percentile contains the substring)
+    p should include("BroadcastHashJoin") // thresholds broadcast back, fact never window-sorts
+  }
+
+  test("bloom decontamination filters the gram stream map-side") {
+    val p = plan("decontaminate_bloom")
+    p should include("might_contain") // fixed-size sketch filter below the join
+  }
+
+  test("variant extraction stays a single aggregate pass") {
+    val p = plan("variant_extract_stats")
+    p should include("variant_get")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1 // only the group-by
+  }
 }

@@ -33,6 +33,46 @@ class StatefulSessionsSpec extends AnyFunSuite with Matchers {
     stateful should not be empty
   }
 
+  test("tws streaming sessions: gap emit, timer timeout, numbering across timeouts") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState streaming requires the RocksDB provider
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long, Long)]
+    val events = input.toDF().select(
+      col("_1").as("user_id"), timestamp_millis(col("_2")).as("ts"), col("_3").as("event_id"))
+    val out = StatefulSessions.sessionizeStreamTws(events, watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("tws_sink").start()
+    try {
+      val t0 = 1704103200000L
+      val h = 3600000L
+      input.addData((1L, t0, 1L), (1L, t0 + 60000L, 2L))
+      q.processAllAvailable()
+      spark.table("tws_sink").count() shouldBe 0 // session still open
+      input.addData((2L, t0 + 2 * h, 3L)) // advances watermark past user 1's gap
+      q.processAllAvailable()
+      val afterTimeout = spark.table("tws_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      afterTimeout should contain((1L, 1L, 2L, t0, t0 + 60000L)) // timer closed it
+      input.addData((1L, t0 + 3 * h, 4L)) // user 1 returns after the timeout
+      input.addData((2L, t0 + 6 * h, 5L)) // watermark past both open sessions
+      q.processAllAvailable()
+      val all = spark.table("tws_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // numbering continued: user 1's post-timeout session is id 2, not a duplicate 1
+      all should contain((1L, 2L, 1L, t0 + 3 * h, t0 + 3 * h))
+      all.map(r => (r._1, r._2)).toSet should have size all.length.toLong
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sessions emit on gap and on watermark timeout, not before") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long)]
