@@ -60,6 +60,12 @@ object Plans {
       "Scale-safe prefix aggregate — shuffleOrder's decomposition generalized from row numbering to a running token total. `pack_sequences` is one window partition per language (an `en` partition = most of a 100 TB corpus on one reducer); this plan buckets by order-aligned doc_id ranges, aggregates per-(lang, bucket) sums small, broadcasts the ≤buckets-row offset table back (`BroadcastHashJoin`), and ranks inside `Window partitionBy(lang, b)` — every window partition is one bucket, all in parallel. Output is EXACTLY the single-window relation (same DuckDB oracle, equality pinned for 1/32/512 buckets in `ScalablePrefixSpec`).",
     "price_quartiles_scalable" ->
       "Scale-safe quantile bucketing — the ntile twin. Exact `ntile(4) OVER (PARTITION BY priority)` sorts each priority in ONE window partition (five straggler reducers at 100 TB); here per-group p25/p50/p75 come from a bounded-state `approx_percentile` aggregate whose tiny result broadcasts back, and bucket assignment is a comparison projection — the fact stream never window-sorts. Shares are 0.25 ± sketch rank error; the gate asserts the share brackets (self-verifying booleans).",
+    "rolling_distinct_users" ->
+      "Rolling 7-day distinct users WITHOUT rescanning rows per window: one HLL sketch per day (partial+final ObjectHashAggregate), then a windowed `hll_union_agg` merges 7 stored sketches per output row. The window runs over per-DAY rows — bounded cardinality at any corpus scale (like moving_avg_daily_revenue) — on a value-based day-number RANGE frame. The exact twin computed alongside for the self-verifying bracket is itself distributed (7-way fan-out of distinct (day,user) pairs, no per-window rescan).",
+    "asof_tolerance_1h" ->
+      "Bounded-staleness as-of: the same single UNION+window pass as asof_event_last_order (one exchange + one sort on the key, no per-key theta-join), with the matched TIME carried next to the payload so staleness is a projection — tolerance adds zero exchanges.",
+    "ann_ivf_trained_topk" ->
+      "Composed train→index→search: kmeansConverged's broadcast Lloyd iterations run first (driver-orchestrated, corpus never shuffles for assignment), the trained centroid table is localCheckpointed so training executes ONCE, then the shared IVF search broadcasts it for corpus assignment and query probing — the only exchanges are the inverted-list equi-join and the rank window.",
     "length_trim_p99_approx" ->
       "The scale-safe trim path: `approx_percentile` runs as a partial+final `ObjectHashAggregate` with O(accuracy) sketch state — unlike exact `percentile` (used by `length_trim_p99`/`percentile_prices` as small-scale oracle anchors), whose aggregation buffer holds every distinct value per group and becomes unbounded at 100 TB. The threshold is one broadcast scalar; the corpus-side filter never shuffles.",
     "sample_stratified" ->

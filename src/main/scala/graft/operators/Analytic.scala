@@ -202,6 +202,75 @@ object Analytic {
              |  true AS q3_share_ok, true AS q4_share_ok
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     ),
+    // Forward fill (gap filling): carry the last non-null observation
+    // per user through time — one window pass, the time-series
+    // enrichment twin of the as-of join. Gaps synthesized
+    // deterministically (every 5th event's value nulled) so the fill
+    // provably fires; applied identically in the oracle.
+    EngineQuery(
+      "gap_fill_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"),
+          when(col("event_id") % 5 =!= 0, col("value")).as("v"))
+        val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev.withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+             |  CASE WHEN event_id % 5 <> 0 THEN value END AS v FROM events)
+             |SELECT user_id, tms, event_id, v,
+             |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+             |FROM e ORDER BY user_id, event_id""".stripMargin),
+    ),
+    // Rolling distinct users over a 7-day window WITHOUT re-touching
+    // rows: one HLL sketch per day (the stored partial), then a windowed
+    // hll_union_agg merges 7 sketches per output row — the mergeable-
+    // sketch answer to "rolling cardinality", which exact
+    // count(distinct) can only do by rescanning each window. The
+    // windows run over per-DAY rows (bounded cardinality at any corpus
+    // scale, like moving_avg_daily_revenue) on a value-based day-number
+    // RANGE frame so calendar gaps shrink the window. Self-verifying:
+    // the exact rolling distinct is computed alongside (7-way fan-out
+    // of distinct (day, user) pairs — also fully distributed) and the
+    // gate asserts the ±5% bracket.
+    EngineQuery(
+      "rolling_distinct_users",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val daily = ev
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+          .withColumn("day_no", datediff(col("d"), lit("2020-01-01")))
+        val w = Window.orderBy("day_no").rangeBetween(-6, 0)
+        val est = daily
+          .withColumn("usk", expr("hll_union_agg(sk, false)").over(w))
+          .select(col("d"), expr("hll_sketch_estimate(usk)").as("est"))
+        val pairs = ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val days = pairs.select("d").distinct()
+        val exact = pairs
+          .select(explode(sequence(lit(0), lit(6))).as("off"), col("d"), col("user_id"))
+          .select(date_add(col("d"), col("off")).as("d"), col("user_id"))
+          .join(days, Seq("d"), "left_semi")
+          .distinct()
+          .groupBy("d").agg(count(lit(1)).as("exact_users"))
+        est.join(exact, Seq("d"))
+          .select(
+            col("d"), col("exact_users"),
+            (abs(col("est") - col("exact_users"))
+              <= col("exact_users").cast("double") * 0.05 + 1.0).as("est_ok"))
+          .orderBy("d")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+             |days AS (SELECT DISTINCT d FROM pairs),
+             |ex AS (SELECT DISTINCT d + CAST(off AS INT) AS td, user_id
+             |       FROM pairs, (SELECT unnest(generate_series(0, 6)) AS off) o),
+             |roll AS (SELECT td, count(*) AS exact_users FROM ex
+             |         WHERE td IN (SELECT d FROM days) GROUP BY td)
+             |SELECT td AS d, exact_users, true AS est_ok FROM roll ORDER BY d""".stripMargin),
+    ),
     // Fixed-width histogram: one partial+final aggregation over the
     // binned value — the profiling op behind every data-quality
     // dashboard. Bin edges by integer floor division (exact).

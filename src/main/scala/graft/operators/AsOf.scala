@@ -23,9 +23,16 @@ import graft.{EngineQuery, Tables}
   */
 object AsOf {
 
+  /** `toleranceMs`: when set, a match older than `left.time - tolerance`
+    * is discarded (NULL payload) — the bounded-staleness as-of (a quote
+    * older than the tolerance is no quote). Same single window pass:
+    * the match TIME is carried next to the payload and the staleness
+    * test is a projection.
+    */
   def asOfJoin(
       left: DataFrame, right: DataFrame,
-      key: String, time: String, payload: String): DataFrame = {
+      key: String, time: String, payload: String,
+      toleranceMs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.filter(c => c != key && c != time).toSeq
     val rightSel = Seq(col(key), col(time), lit(0).as("__tag"), col(payload).as("__payload")) ++
       leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
@@ -35,10 +42,16 @@ object AsOf {
     val tagged = right.select(rightSel: _*).unionByName(left.select(leftSel: _*))
     val w = Window.partitionBy(key).orderBy(col(time), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
+    val carried = tagged
+      .withColumn("__pt", last(when(col("__tag") === 0, col(time)), ignoreNulls = true).over(w))
       .withColumn(payload, last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
-      .drop("__tag", "__payload")
+    toleranceMs
+      .fold(carried) { tol =>
+        carried.withColumn(
+          payload, when(col(time) - col("__pt") <= tol, col(payload)))
+      }
+      .drop("__tag", "__payload", "__pt")
   }
 
   def engineQueries: Seq[EngineQuery] = Seq(
@@ -67,6 +80,38 @@ object AsOf {
              |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.tms >= o.oms
              |ORDER BY user_id, event_id""".stripMargin),
       headline = true,
+    ),
+    // Bounded-staleness variant over interleaved event streams: each
+    // purchase gets the user's last view, but only if it happened
+    // within the hour (attribution windows, quote staleness). A view
+    // older than the tolerance yields NULL — the semantics a plain
+    // as-of can't express. Oracle: DuckDB ASOF match + the same
+    // staleness projection over the matched time.
+    EngineQuery(
+      "asof_tolerance_1h",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(
+            col("user_id"), unix_millis(col("ts")).as("tms"),
+            col("event_id"), col("event_type"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "tms", "event_id")
+        val views = ev.where(col("event_type") === "view")
+          .groupBy("user_id", "tms") // unique per (key, time) for determinism
+          .agg(max(col("event_id")).as("view_event_id"))
+        asOfJoin(purchases, views, key = "user_id", time = "tms",
+            payload = "view_event_id", toleranceMs = Some(3600L * 1000))
+          .select("user_id", "event_id", "tms", "view_event_id")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events),
+             |p AS (SELECT user_id, tms, event_id FROM e WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, tms AS vms, max(event_id) AS view_event_id
+             |      FROM e WHERE event_type = 'view' GROUP BY user_id, tms)
+             |SELECT p.user_id, p.event_id, p.tms,
+             |  CASE WHEN p.tms - v.vms <= 3600000 THEN v.view_event_id END AS view_event_id
+             |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.tms >= v.vms
+             |ORDER BY p.user_id, p.event_id""".stripMargin),
     ),
   )
 }

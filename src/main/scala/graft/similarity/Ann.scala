@@ -110,6 +110,15 @@ object Ann {
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int, m: Int = 16, nprobe: Int = 2): DataFrame = {
     val cents = Dedup.quantized(embeddings.where(col("vec_id") < m))
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
+    ivfSearch(embeddings, queries, cents, k, nprobe)
+  }
+
+  /** IVF search against an EXPLICIT centroid table `(cid, cq, cnrm)` —
+    * shared by [[ivfTopK]] (deterministic seed centroids) and
+    * [[ivfTrainedTopK]] (k-means-trained centroids).
+    */
+  private def ivfSearch(
+      embeddings: DataFrame, queries: DataFrame, cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     def assign(df: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
       df.crossJoin(broadcast(cents))
@@ -227,6 +236,23 @@ object Ann {
     matrix
   }
 
+  /** IVF search with a TRAINED coarse quantizer — the composed
+    * production shape: [[kmeansConverged]] trains the centroids
+    * (broadcast Lloyd iterations to a quantized fixed point),
+    * [[rebuildCentroids]] puts them back in the exact integer lane, and
+    * the shared [[ivfSearch]] runs the inverted-list probe against
+    * them. One call = train + index + search; the centroid table is
+    * localCheckpointed so the training pipeline runs once, not once per
+    * assignment branch.
+    */
+  def ivfTrainedTopK(
+      embeddings: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 16, nprobe: Int = 2, trainIter: Int = 3): DataFrame = {
+    val cents = rebuildCentroids(kmeansConverged(embeddings, m, trainIter))
+      .localCheckpoint(true)
+    ivfSearch(embeddings, queries, cents, k, nprobe)
+  }
+
   // --------------------------------------------------------------- oracles
 
   private val duckQuantized =
@@ -250,9 +276,13 @@ object Ann {
     * is what makes this fixed-depth SQL a valid oracle for a
     * convergence loop.
     */
-  private def duckKmeans(iters: Int, m: Int): String = {
+  /** The CTE chain only (no WITH, no final select) — shared by the
+    * kmeans_converged oracle and the trained-IVF oracle, which appends
+    * a search over `centv<iters>`.
+    */
+  private def duckKmeansCtes(iters: Int, m: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH n AS ($duckNorm),\n"
+    sb ++= s"n AS ($duckNorm),\n"
     sb ++= s"centv0 AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM n WHERE vec_id < $m)"
     for (i <- 1 to iters) {
       sb ++=
@@ -277,13 +307,38 @@ object Ann {
            |      v -> v * v)) AS BIGINT) AS cnrm
            |  FROM cent$i GROUP BY cid)""".stripMargin
     }
-    sb ++=
-      s"""
-         |SELECT cid, dim, n_members, sum_q,
-         |  CAST(sum_q AS DOUBLE) / CAST(n_members AS DOUBLE) AS mean_q
-         |FROM cent$iters ORDER BY cid, dim""".stripMargin
     sb.toString
   }
+
+  private def duckKmeans(iters: Int, m: Int): String =
+    s"""WITH ${duckKmeansCtes(iters, m)}
+       |SELECT cid, dim, n_members, sum_q,
+       |  CAST(sum_q AS DOUBLE) / CAST(n_members AS DOUBLE) AS mean_q
+       |FROM cent$iters ORDER BY cid, dim""".stripMargin
+
+  /** Trained-IVF oracle: the kmeans chain, then the IVF
+    * assignment/probe/rank over the final trained centroid table.
+    */
+  private def duckIvfTrained(iters: Int, m: Int, nprobe: Int, k: Int, nQueries: Int): String =
+    s"""WITH ${duckKmeansCtes(iters, m)},
+       |asgf AS (
+       |  SELECT n.vec_id, c.cid, n.q, n.nrm,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |      CAST(CAST(list_sum(list_transform(list_zip(n.q, c.cq), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+       |        / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cid) AS crn
+       |  FROM n CROSS JOIN centv$iters c),
+       |corpus AS (SELECT vec_id AS n_id, cid FROM asgf WHERE crn = 1),
+       |qs AS (SELECT vec_id AS q_id, cid FROM asgf WHERE crn <= $nprobe AND vec_id < $nQueries),
+       |cand AS (
+       |  SELECT DISTINCT q_id, n_id FROM qs JOIN corpus USING (cid) WHERE q_id <> n_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id, $duckSimExpr AS sim
+       |  FROM cand JOIN n a ON a.vec_id = cand.q_id JOIN n b ON b.vec_id = cand.n_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, sim,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
@@ -416,6 +471,17 @@ object Ann {
           .orderBy("cid", "dim"),
       Some(duckKmeans(iters = 3, m = 16)),
       headline = true,
+    ),
+    // Train + index + search composed: IVF over k-means-trained
+    // centroids (vs ann_ivf_topk's deterministic seed centroids).
+    EngineQuery(
+      "ann_ivf_trained_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        ivfTrainedTopK(emb, emb.where(col("vec_id") < 50), k = 3)
+          .orderBy("q_id", "rank")
+      },
+      Some(duckIvfTrained(iters = 3, m = 16, nprobe = 2, k = 3, nQueries = 50)),
     ),
   )
 }

@@ -27,6 +27,23 @@ object CurationProps extends Properties("Curation") {
         a.forall(b => b >= 0 && b < mod) && a == run()
     }
 
+  property("scalable packing equals single-window packing for any docs/budget/buckets") =
+    forAll(
+      Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 500L), Gen.oneOf("en", "de"), Gen.chooseNum(1, 30))),
+      Gen.chooseNum(8, 256),
+      Gen.chooseNum(1, 64),
+    ) { (rows, budget, buckets) =>
+      import spark.implicits._
+      val docs = rows.distinctBy(_._1)
+        .map { case (id, lang, nTok) => (id, lang, Seq.fill(nTok)("w").mkString(" ")) }
+        .toDF("doc_id", "lang", "text")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      run(Curation.packSequencesScalable(docs, budget, buckets)) ==
+        run(Curation.packSequences(docs, budget))
+    }
+
   property("chunking covers every token; window starts follow the stride") =
     forAll(Gen.chooseNum(1, 200), Gen.chooseNum(1, 8)) { (nTok, strideFactor) =>
       import spark.implicits._
