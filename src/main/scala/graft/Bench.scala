@@ -61,7 +61,8 @@ object Bench {
     // 4-decimal fixed-point keeps the final JSON line compact (the
     // driver's stdout tail capture is bounded); 0.1 ms resolution is
     // far below this host's run-to-run noise.
-    def fmt(v: Double) = f"$v%.4f"
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // All N pass times per query (min is the headline): the host swings
     // identical plans 2-4x between runs, so the raw passes let the

@@ -215,6 +215,7 @@ object Ann {
     * returns the final update matrix.
     */
   def kmeansConverged(embeddings: DataFrame, m: Int = 16, maxIter: Int = 3): DataFrame = {
+    require(maxIter >= 1, s"kmeansConverged needs at least one iteration, got $maxIter")
     val base = Dedup.quantized(embeddings).cache()
     var cents = base.where(col("vec_id") < m)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))

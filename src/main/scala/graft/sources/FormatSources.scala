@@ -69,6 +69,31 @@ object FormatSources {
       |  max(event_id) AS max_event_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Two parquet generations under one root with different schemas —
+    * generation 1 lacks `event_type` (added later, the classic corpus
+    * evolution). `mergeSchema` unions the footers; gen-1 rows read the
+    * missing column as NULL. At 100 TB schema evolution is a fact of
+    * life: the engine must read a decade of layouts in one scan, not
+    * migrate petabytes.
+    */
+  private def materializeEvolved(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = dirFor(sfDir, "evolved")
+    if (!new File(s"$dir/v2", "_SUCCESS").exists()) {
+      val df = Tables.events(spark, sfDir).select("event_id", "user_id", "event_type", "value")
+      df.where(col("event_id") % 2 === 0).drop("event_type")
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      df.where(col("event_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(s"$dir/v2")
+    }
+    dir
+  }
+
+  def readEvolved(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materializeEvolved(spark, sfDir)
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+  }
+
   def engineQueries: Seq[EngineQuery] =
     Seq("csv", "json", "orc", "xml").map { fmt =>
       EngineQuery(
@@ -76,5 +101,22 @@ object FormatSources {
         (s, dir) => rollupOf(read(s, dir, fmt)),
         Some(oracle),
       )
-    }
+    } :+ EngineQuery(
+      "schema_evolution_scan",
+      (s, dir) =>
+        readEvolved(s, dir)
+          .groupBy(coalesce(col("event_type"), lit("<pre-schema>")).as("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"),
+            max(col("event_id")).as("max_event_id"))
+          .orderBy("event_type"),
+      // The oracle reads the ORIGINAL table and applies the generation
+      // rule: even event_ids were written before event_type existed.
+      Some("""SELECT CASE WHEN event_id % 2 = 0 THEN '<pre-schema>' ELSE event_type END AS event_type,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             |  max(event_id) AS max_event_id
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    )
 }

@@ -25,4 +25,25 @@ object Sinks {
   def appendMetricsRow(
       df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).option("header", "false").csv(path)
+
+  /** Small-files compaction — the housekeeping pass every long-lived
+    * 100 TB table needs (streaming ingest and fine-grained partitions
+    * accrete thousands of KB-sized files; each costs a task + open per
+    * scan). One distributed rewrite: `repartition` bounds the file
+    * count from below, `maxRecordsPerFile` from above, so output files
+    * land in [target/2, target] records regardless of input skew.
+    * Returns the row count for the caller's invariant check.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetRecordsPerFile: Int): Long = {
+    val df = spark.read.parquet(inDir)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRecordsPerFile).toInt)
+    df.repartition(files)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile.toString)
+      .parquet(outDir)
+    n
+  }
 }
