@@ -54,8 +54,8 @@ object Plans {
       "The holdout gram set is the build side of a `BroadcastHashJoin`: the corpus gram stream is filtered map-side and never shuffles; the only exchange is the final per-doc count aggregate. The broadcast is SIZE-GATED: `Curation.decontaminate` estimates the distinct-gram footprint first and falls back to a shuffle hash join past `DefaultHoldoutBroadcastBudget` (64 MB) — same relation either way (pinned in `DecontaminateFallbackSpec`), so an eval-suite holdout too big for the driver can't kill the job at 100 TB.",
     "skew_join_hot_key" ->
       "Join-key skew surface: 1% of both fact sides collapse onto one hot key and the `merge` hint pins the shuffle sort-merge path. This pre-execution dump shows plain `SortMergeJoin`; at runtime AQE's OptimizeSkewedJoin splits the oversized partition into advisory-sized mapper-range chunks — `SortMergeJoin(skew=true)` in the final adaptive plan, asserted live in `SkewJoinSpec` with thresholds scaled to test data. Salting covers aggregation skew (`salted_group_count`); this covers join skew, where the runtime split is the idiomatic fix.",
-    "kmeans_converged" ->
-      "Per-iteration Lloyd plan (the loop re-runs it against each checkpointed centroid table): centroids are always the `BroadcastExchange` side of the assignment — the embedding corpus NEVER shuffles to be assigned; the only hash exchanges are the (cid, dim) update aggregation. The driver-side fixed-point check is exact integer equality on the quantized centroids, so early stop ≡ the fixed-iteration oracle.",
+    "kmeans_step" ->
+      "The Lloyd-iteration plan — dumped from the single-step query because kmeansConverged's returned frame is a localCheckpoint scan (the loop's per-iteration plans are exactly this one, re-planned against each checkpointed centroid table): centroids are always the `BroadcastExchange` side of the assignment — the embedding corpus NEVER shuffles to be assigned; the only hash exchanges are the (cid, dim) update aggregation. The converged loop's driver-side fixed-point check is exact integer equality on the quantized centroids, so early stop ≡ the fixed-iteration oracle.",
     "pack_sequences_scalable" ->
       "Scale-safe prefix aggregate — shuffleOrder's decomposition generalized from row numbering to a running token total. `pack_sequences` is one window partition per language (an `en` partition = most of a 100 TB corpus on one reducer); this plan buckets by order-aligned doc_id ranges, aggregates per-(lang, bucket) sums small, broadcasts the ≤buckets-row offset table back (`BroadcastHashJoin`), and ranks inside `Window partitionBy(lang, b)` — every window partition is one bucket, all in parallel. Output is EXACTLY the single-window relation (same DuckDB oracle, equality pinned for 1/32/512 buckets in `ScalablePrefixSpec`).",
     "price_quartiles_scalable" ->

@@ -248,16 +248,21 @@ object Curation {
     // and the per-doc dedup + count shuffle only that typically tiny
     // remainder.
     val corpusGrams = graft.dedup.Dedup.wordNgramsRaw(docs, n)
-    val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n).select("gram").distinct()
+    // Materialized once (localCheckpoint): both the estimate job and the
+    // join read the same computed gram set instead of re-running the
+    // holdout scan+shuffle twice.
+    val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n)
+      .select("gram").distinct().localCheckpoint(true)
     // Size gate: one tiny agg over the (small-side) holdout estimates
-    // its broadcast footprint (string bytes + per-row object overhead) —
-    // a driver-side scalar, like connectedComponents' convergence check.
+    // its broadcast footprint (string BYTES — octet_length, a CJK gram
+    // is ~3 bytes per char — + per-row object overhead): a driver-side
+    // scalar, like connectedComponents' convergence check.
     // Under budget → broadcast hash join: the corpus gram stream filters
     // map-side and never shuffles. Over budget → shuffle hash join:
     // both gram streams exchange once on gram, no driver collect of an
     // unbounded set. Same output either way (pinned in CurationSpec).
     val estBytes = holdoutGrams
-      .agg(coalesce(sum(length(col("gram")).cast("long") + lit(48L)), lit(0L)).as("b"))
+      .agg(coalesce(sum(octet_length(col("gram")).cast("long") + lit(48L)), lit(0L)).as("b"))
       .head.getLong(0)
     val joined =
       if (estBytes <= broadcastBudgetBytes)
@@ -286,7 +291,10 @@ object Curation {
       expectedItems: Long = 4L << 20, numBits: Long = 32L << 20): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
     val corpusGrams = graft.dedup.Dedup.wordNgramsRaw(docs, n)
-    val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n).select("gram").distinct()
+    // Materialized once — the sketch job and the exact FP-removal join
+    // share the computed gram set.
+    val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n)
+      .select("gram").distinct().localCheckpoint(true)
     // One driver-held sketch of bounded size (numBits/8 bytes) — the
     // analog of the size estimate in [[decontaminate]], but the bound
     // holds no matter how many grams the holdout has.

@@ -43,7 +43,12 @@ object AsOf {
     val w = Window.partitionBy(key).orderBy(col(time), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = tagged
-      .withColumn("__pt", last(when(col("__tag") === 0, col(time)), ignoreNulls = true).over(w))
+      // __pt must track the SAME row the payload comes from: right rows
+      // with a NULL payload are skipped by the payload carry, so they
+      // must not advance the staleness clock either.
+      .withColumn("__pt",
+        last(when(col("__tag") === 0 && col("__payload").isNotNull, col(time)),
+          ignoreNulls = true).over(w))
       .withColumn(payload, last(col("__payload"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
     toleranceMs

@@ -443,14 +443,17 @@ object Relational {
     // path access — at scale this beats per-access string re-parsing
     // when several fields are read (parse cost paid once per row, and
     // shredded variant columns prune at the scan). Oracle = the JSON
-    // twin's: the lane change must not change the relation.
+    // twin's: the lane change must not change the relation —
+    // try_parse_json, because get_json_object is lenient (NULL on
+    // malformed input) and strict parse_json would instead fail the
+    // query on one bad row.
     EngineQuery(
       "variant_extract_stats",
       (s, dir) =>
         Tables.events(s, dir)
           .select(
             col("event_type"),
-            expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+            expr("variant_get(try_parse_json(props), '$.k', 'long')").as("k"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
           .orderBy("event_type"),

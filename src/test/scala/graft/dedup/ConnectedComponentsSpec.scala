@@ -33,13 +33,24 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
   }
 
   test("reliable checkpoint path produces the same labels") {
+    // setCheckpointDir is JVM-global on the shared session; restore the
+    // previous (usually unset) value so later suites still fail fast on
+    // an unconfigured reliable-checkpoint path. The field is
+    // private[spark], hence the reflective save/restore.
+    val sc = spark.sparkContext
+    val getter = classOf[org.apache.spark.SparkContext].getMethod("checkpointDir")
+    val setter = classOf[org.apache.spark.SparkContext]
+      .getMethod("checkpointDir_$eq", classOf[Option[_]])
+    val saved = getter.invoke(sc)
     val dir = new java.io.File(graft.OutDir.base, "cc_checkpoint_test")
-    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
-    val chain = (0L until 8L).map(i => (i, i + 1))
-    val rel = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), maxIter = 20, reliable = true)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    rel shouldBe labels(chain, maxIter = 20)
-    rel.values.toSet shouldBe Set(0L)
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val chain = (0L until 8L).map(i => (i, i + 1))
+      val rel = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), maxIter = 20, reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rel shouldBe labels(chain, maxIter = 20)
+      rel.values.toSet shouldBe Set(0L)
+    } finally setter.invoke(sc, saved)
   }
 
   test("random graph: labels match an independent union-find") {

@@ -28,4 +28,20 @@ class AsOfSpec extends AnyFunSuite with Matchers {
     AsOf.asOfJoin(left, right, "k", "t", "p")
       .collect()(0).getAs[Long]("p") shouldBe 42L
   }
+
+  test("tolerance: staleness is measured at the matched payload's row, not a null-payload row") {
+    // right: payload A at t=0, then a NULL-payload row at t=5000. The
+    // carried payload is A (from t=0); a left row at t=5500 with 1s
+    // tolerance must see A as 5500ms stale → NULL — the null-payload
+    // row must not advance the staleness clock.
+    val left = Seq((1L, 5500L, 1L)).toDF("k", "t", "ev")
+    val right = Seq((1L, 0L, Some(10L)), (1L, 5000L, Option.empty[Long]))
+      .toDF("k", "t", "p")
+    Option(
+      AsOf.asOfJoin(left, right, "k", "t", "p", toleranceMs = Some(1000L))
+        .collect()(0).getAs[Any]("p")) shouldBe None
+    // and with a tolerance that covers the real match age, A is kept
+    AsOf.asOfJoin(left, right, "k", "t", "p", toleranceMs = Some(10000L))
+      .collect()(0).getAs[Long]("p") shouldBe 10L
+  }
 }
