@@ -21,6 +21,7 @@ object GraftFunctions {
       kmer.KmerGenerator(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
     },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
+    "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
     // Spark ships these sketch expressions for its own runtime join
     // filters but leaves them out of the public registry; the engine
     // exposes them under the upstream names for bounded-size semi-join

@@ -539,6 +539,73 @@ object Dedup {
        |    ON a.band_idx = k.band_idx AND a.band_val = k.band_val
        |  WHERE a.doc_id < b.doc_id""".stripMargin
 
+  /** Shared oracle of dedup_incremental_keep AND its streaming twin
+    * (identical relation by construction — see the gate entries).
+    */
+  private lazy val duckIncrementalKeep: String =
+    s"""WITH RECURSIVE sig AS ($duckSig),
+       |bands0 AS ($duckBands),
+       |bands AS (SELECT doc_id, band_idx, band_val,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'i' ELSE 'e' END AS side FROM bands0),
+       |sizes AS (SELECT band_idx, band_val FROM bands
+       |  GROUP BY band_idx, band_val HAVING count(*) <= $DefaultMaxBandSize),
+       |cb AS (SELECT b.* FROM bands b JOIN sizes s
+       |  ON b.band_idx = s.band_idx AND b.band_val = s.band_val),
+       |matched AS (
+       |  SELECT DISTINCT i.doc_id FROM cb i JOIN cb e
+       |    ON i.band_idx = e.band_idx AND i.band_val = e.band_val
+       |  WHERE i.side = 'i' AND e.side = 'e'),
+       |rest AS (SELECT * FROM cb WHERE side = 'i'
+       |  AND doc_id NOT IN (SELECT doc_id FROM matched)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rest a JOIN rest b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  WHERE a.doc_id < b.doc_id),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
+       |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 3 = 0
+       |  AND doc_id NOT IN (SELECT doc_id FROM matched)
+       |  AND doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> component)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Streaming twin of [[dedupIncremental]] — continuous ingestion:
+    * incoming docs arrive as a file stream; each microbatch dedups
+    * against the static existing corpus inside `foreachBatch` (the
+    * per-batch work is dedupIncremental verbatim — LSH band match +
+    * intra-batch clustering) and the kept ids land in a parquet sink.
+    * At 100 TB the existing side is the precomputed band index and each
+    * landed batch is absorbed into it between triggers; the finite gate
+    * source arrives in one microbatch, making the landed keep-set
+    * provably equal to the batch twin's.
+    */
+  def runStreamingIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val existing = Tables.documents(spark, sfDir).where(col("doc_id") % 3 =!= 0)
+    val outDir = s"${graft.OutDir.base}/graft_stream_incdedup/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(sfDir)
+      .where(col("doc_id") % 3 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupIncremental(existing, batch)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
       "dedup_exact",
@@ -644,37 +711,19 @@ object Dedup {
           docs.where(col("doc_id") % 3 === 0))
           .orderBy("doc_id")
       },
-      Some(
-        s"""WITH RECURSIVE sig AS ($duckSig),
-           |bands0 AS ($duckBands),
-           |bands AS (SELECT doc_id, band_idx, band_val,
-           |  CASE WHEN doc_id % 3 = 0 THEN 'i' ELSE 'e' END AS side FROM bands0),
-           |sizes AS (SELECT band_idx, band_val FROM bands
-           |  GROUP BY band_idx, band_val HAVING count(*) <= $DefaultMaxBandSize),
-           |cb AS (SELECT b.* FROM bands b JOIN sizes s
-           |  ON b.band_idx = s.band_idx AND b.band_val = s.band_val),
-           |matched AS (
-           |  SELECT DISTINCT i.doc_id FROM cb i JOIN cb e
-           |    ON i.band_idx = e.band_idx AND i.band_val = e.band_val
-           |  WHERE i.side = 'i' AND e.side = 'e'),
-           |rest AS (SELECT * FROM cb WHERE side = 'i'
-           |  AND doc_id NOT IN (SELECT doc_id FROM matched)),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM rest a JOIN rest b
-           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-           |  WHERE a.doc_id < b.doc_id),
-           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(a, b) AS (
-           |  SELECT a, b FROM und
-           |  UNION
-           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
-           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
-           |SELECT doc_id FROM documents
-           |WHERE doc_id % 3 = 0
-           |  AND doc_id NOT IN (SELECT doc_id FROM matched)
-           |  AND doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> component)
-           |ORDER BY doc_id""".stripMargin),
+      Some(duckIncrementalKeep),
+    ),
+    // The continuous-ingestion form of the SAME operator: the batch
+    // arrives as a stream and each microbatch deduplicates against the
+    // static existing corpus inside foreachBatch (the per-batch work is
+    // dedupIncremental verbatim). The finite gate source lands in one
+    // microbatch, so the landed keep-set must equal the batch twin's —
+    // identical oracle. (In production each landed batch would also be
+    // absorbed into the existing-side band index between triggers.)
+    EngineQuery(
+      "streaming_incremental_dedup",
+      (s, dir) => runStreamingIncrementalDedup(s, dir).orderBy("doc_id"),
+      Some(duckIncrementalKeep),
     ),
     // The batch-decision summary of the same incremental run.
     EngineQuery(

@@ -159,7 +159,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("md5_norm"), coalesce(col("shingle_fp"), lit("")).as("shingle_fp"))
   }
 
+  /** Unicode NFC canonicalization over the corpus, via the engine's
+    * custom codegen expression [[graft.functions.NfcNormalize]] (Spark
+    * ships no normalization function). The dedup motivation: composed
+    * `é` (U+00E9) and decomposed `e`+U+0301 are the same visible text
+    * with different bytes, so unnormalized hashes/shingles treat
+    * duplicates as distinct. Non-NFC text is injected deterministically
+    * (every 7th doc gets a decomposed suffix, the rest the composed
+    * form of the SAME visible text), so both the fired and no-op paths
+    * are exercised, and the md5 of the normalized text must agree
+    * across engines byte-for-byte with DuckDB's `nfc_normalize`.
+    */
+  def nfcNormalized(docs: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    // NOTE: the two literals below differ (decomposed e+U+0301 vs
+    // composed U+00E9) even though most editors render both as "café".
+    val suffixed = docs.withColumn("t",
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" café")))
+        .otherwise(concat(col("text"), lit(" café"))))
+    suffixed.select(
+      col("doc_id"),
+      md5(col("t")).as("raw_md5"),
+      md5(expr("nfc_normalize(t)")).as("nfc_md5"),
+      (col("t") =!= expr("nfc_normalize(t)")).as("changed"))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "nfc_normalize_dedup",
+      (s, dir) => nfcNormalized(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    text || CASE WHEN doc_id % 7 = 0 THEN ' café' ELSE ' café' END AS t
+             |  FROM documents)
+             |SELECT doc_id, md5(t) AS raw_md5, md5(nfc_normalize(t)) AS nfc_md5,
+             |  t <> nfc_normalize(t) AS changed
+             |FROM t ORDER BY doc_id""".stripMargin),
+    ),
     // The gate relation carries rank/term/tf/df but NOT the raw weight:
     // ln() differs by 1 ulp between the JVM and DuckDB's libm, which
     // fails the exact hash compare. The RANKING is still fully checked
