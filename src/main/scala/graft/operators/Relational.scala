@@ -489,6 +489,69 @@ object Relational {
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
     ),
+    // TPC-H Q6 shape — the forecast-revenue scan-aggregate: every
+    // predicate (date band, discount band, quantity cap) must reach the
+    // parquet scan as a pushed filter — which is why the date band is a
+    // RANGE comparison on the raw column, not year(): a function wrap
+    // would block pushdown (asserted in PlanAuditSpec). No join, no
+    // shuffle beyond the single global aggregate. Revenue accumulates in
+    // the exact decimal lane (price × discount), double only at the end.
+    EngineQuery(
+      "q6_forecast_revenue",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .where(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(
+            sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"),
+            count(lit(1)).as("cnt")),
+      Some("""SELECT
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+    ),
+    // TPC-H Q14 shape — promo revenue share: fact × small dimension
+    // (broadcast — lineitem never shuffles to join), conditional decimal
+    // aggregation, ratio derived from the two exact sums in one pass.
+    EngineQuery(
+      "q14_promo_revenue",
+      (s, dir) => {
+        val one = lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2))
+        val rev = dec("l_extendedprice") * (one - dec("l_discount"))
+        Tables.lineitem(s, dir)
+          .where(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(12, 2))))
+              .cast("double").as("promo_revenue"),
+            sum(rev).cast("double").as("total_revenue"),
+            count(lit(1)).as("cnt"))
+          .select(
+            col("promo_revenue"), col("total_revenue"), col("cnt"),
+            (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_share"))
+      },
+      Some("""WITH j AS (
+             |  SELECT p_type,
+             |    CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'),
+             |agg AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+             |    CAST(sum(rev) AS DOUBLE) AS total_revenue,
+             |    count(*) AS cnt
+             |  FROM j)
+             |SELECT promo_revenue, total_revenue, cnt,
+             |  100.0 * promo_revenue / total_revenue AS promo_share
+             |FROM agg""".stripMargin),
+    ),
     // Arbitrary grouping sets (the general form rollup/cube specialize):
     // Spark 4's Dataset.groupingSets API — still one Expand + one
     // aggregate pass, no per-set re-scan.

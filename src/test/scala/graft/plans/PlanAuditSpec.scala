@@ -93,6 +93,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("might_contain") // fixed-size sketch filter below the join
   }
 
+  test("q6: all three predicate bands push to the parquet scan") {
+    // the default 100-char metadata truncation cuts PushedFilters off
+    // mid-list; widen it for this assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try {
+      val p = plan("q6_forecast_revenue")
+      p should include regex """PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"""
+      p should include regex """PushedFilters: \[.*GreaterThanOrEqual\(l_discount"""
+      p should include regex """PushedFilters: \[.*LessThan\(l_quantity"""
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
   test("variant extraction stays a single aggregate pass") {
     val p = plan("variant_extract_stats")
     p should include("variant_get")
