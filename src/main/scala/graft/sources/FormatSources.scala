@@ -94,6 +94,40 @@ object FormatSources {
       .parquet(s"$dir/v1", s"$dir/v2")
   }
 
+  /** A JSON-lines landing with deliberately malformed records (every
+    * 10th line loses its tail) — real ingestion is never clean, and at
+    * 100 TB one bad line must not kill the scan. PERMISSIVE mode + an
+    * explicit corrupt-record column turn bad lines into data: the raw
+    * line is captured, schema fields are NULL, and quarantine
+    * accounting is a plain aggregation. (JSON, not CSV, for the demo:
+    * CSV's documented PERMISSIVE semantics null-fill token-count
+    * mismatches WITHOUT marking the record corrupt, so a malformed JSON
+    * object is the dependable corrupt-capture path.)
+    */
+  private def materializeMalformed(spark: SparkSession, sfDir: String): String = synchronized {
+    val dir = dirFor(sfDir, "malformed_json")
+    if (!new File(dir, "_SUCCESS").exists()) {
+      val good = to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"), col("value")))
+      Tables.events(spark, sfDir)
+        .select(
+          when(col("event_id") % 10 === 0, good.substr(lit(1), length(good) - 5))
+            .otherwise(good)
+            .as("value"))
+        .write.mode("overwrite").text(dir)
+    }
+    dir
+  }
+
+  def readMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materializeMalformed(spark, sfDir)
+    val withCorrupt = schema.add(StructField("_corrupt", StringType))
+    spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+  }
+
   def engineQueries: Seq[EngineQuery] =
     Seq("csv", "json", "orc", "xml").map { fmt =>
       EngineQuery(
@@ -102,6 +136,24 @@ object FormatSources {
         Some(oracle),
       )
     } :+ EngineQuery(
+      "json_malformed_scan",
+      (s, dir) =>
+        readMalformed(s, dir)
+          .groupBy(
+            when(col("_corrupt").isNotNull, lit("<corrupt>"))
+              .otherwise(col("event_type")).as("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            max(col("event_id")).as("max_event_id"))
+          .orderBy("event_type"),
+      // the oracle applies the corruption rule to the original table:
+      // every 10th row lands in the quarantine bucket with NULL fields
+      // (the raw line lives only in the corrupt column)
+      Some("""SELECT CASE WHEN event_id % 10 = 0 THEN '<corrupt>' ELSE event_type END AS event_type,
+             |  count(*) AS cnt,
+             |  max(CASE WHEN event_id % 10 <> 0 THEN event_id END) AS max_event_id
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    ) :+ EngineQuery(
       "schema_evolution_scan",
       (s, dir) =>
         readEvolved(s, dir)
