@@ -539,10 +539,12 @@ object Dedup {
        |    ON a.band_idx = k.band_idx AND a.band_val = k.band_val
        |  WHERE a.doc_id < b.doc_id""".stripMargin
 
-  /** Shared oracle of dedup_incremental_keep AND its streaming twin
-    * (identical relation by construction — see the gate entries).
+  /** The incremental-run CTE prefix (side split, cap, existing-match,
+    * intra-batch clustering) shared by ALL oracles that view the same
+    * run — keep, streaming keep, and stats. One definition so the
+    * cap/side semantics can never diverge between them.
     */
-  private lazy val duckIncrementalKeep: String =
+  private lazy val duckIncrementalCtes: String =
     s"""WITH RECURSIVE sig AS ($duckSig),
        |bands0 AS ($duckBands),
        |bands AS (SELECT doc_id, band_idx, band_val,
@@ -567,7 +569,13 @@ object Dedup {
        |  SELECT a, b FROM und
        |  UNION
        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
-       |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+       |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)""".stripMargin
+
+  /** Shared oracle of dedup_incremental_keep AND its streaming twin
+    * (identical relation by construction — see the gate entries).
+    */
+  private lazy val duckIncrementalKeep: String =
+    s"""$duckIncrementalCtes
        |SELECT doc_id FROM documents
        |WHERE doc_id % 3 = 0
        |  AND doc_id NOT IN (SELECT doc_id FROM matched)
@@ -735,31 +743,7 @@ object Dedup {
           docs.where(col("doc_id") % 3 === 0))
       },
       Some(
-        s"""WITH RECURSIVE sig AS ($duckSig),
-           |bands0 AS ($duckBands),
-           |bands AS (SELECT doc_id, band_idx, band_val,
-           |  CASE WHEN doc_id % 3 = 0 THEN 'i' ELSE 'e' END AS side FROM bands0),
-           |sizes AS (SELECT band_idx, band_val FROM bands
-           |  GROUP BY band_idx, band_val HAVING count(*) <= $DefaultMaxBandSize),
-           |cb AS (SELECT b.* FROM bands b JOIN sizes s
-           |  ON b.band_idx = s.band_idx AND b.band_val = s.band_val),
-           |matched AS (
-           |  SELECT DISTINCT i.doc_id FROM cb i JOIN cb e
-           |    ON i.band_idx = e.band_idx AND i.band_val = e.band_val
-           |  WHERE i.side = 'i' AND e.side = 'e'),
-           |rest AS (SELECT * FROM cb WHERE side = 'i'
-           |  AND doc_id NOT IN (SELECT doc_id FROM matched)),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM rest a JOIN rest b
-           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-           |  WHERE a.doc_id < b.doc_id),
-           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(a, b) AS (
-           |  SELECT a, b FROM und
-           |  UNION
-           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
-           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        s"""$duckIncrementalCtes,
            |dropped AS (SELECT doc_id FROM lab WHERE doc_id <> component)
            |SELECT
            |  (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS n_incoming,

@@ -15,10 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Spark SQL ships no normalization function, so this is the engine's
   * second custom scalar expression (after [[DotI64]]): `doGenCode`
   * emits a direct static call to `java.text.Normalizer` inside the
-  * WholeStageCodegen body — no UDF wrapper, no serialization, and a
-  * fast path that returns the input UTF8String untouched (zero copy)
-  * when it is already NFC (the overwhelmingly common case; the check is
-  * `Normalizer.isNormalized`, which scans without allocating).
+  * WholeStageCodegen body — no UDF wrapper, no serialization, and two
+  * fast paths that return the input UTF8String untouched: pure-ASCII
+  * text (numBytes == numChars — always NFC, checked without decoding
+  * the bytes at all) and already-normalized non-ASCII text
+  * (`Normalizer.isNormalized` over one decoded String, no second
+  * allocation).
   *
   * DuckDB's `nfc_normalize` implements the identical transform, so
   * results are gate-checkable value-for-value.
@@ -46,6 +48,9 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 object NfcNormalize {
   /** Static entry shared by interpreted eval and generated code. */
   def normalize(s: UTF8String): UTF8String = {
+    // ASCII is always NFC: one byte per char means no combining marks,
+    // no decode, no allocation — the dominant case costs a length check.
+    if (s.numBytes == s.numChars) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -520,7 +520,7 @@ object Relational {
     EngineQuery(
       "q14_promo_revenue",
       (s, dir) => {
-        val one = lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2))
+        val one = lit(1).cast(DecimalType(12, 2))
         val rev = dec("l_extendedprice") * (one - dec("l_discount"))
         Tables.lineitem(s, dir)
           .where(
