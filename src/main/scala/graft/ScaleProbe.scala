@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe — the stand-in for the missing sf1 dataset (the
+  * driver serves only sf0.001/0.01/0.1 and the test-data tree is
+  * read-only). Materializes a synthetic ~sf1 directory under /tmp ONCE:
+  *
+  *  - `documents`: 10 copies of the sf0.1 corpus, each copy's text
+  *    ROTATED by a copy-specific offset (cheap codegen, preserves
+  *    length/alphabet, shifts every shingle) so copies are not trivial
+  *    exact dups and the dedup family sees a realistic mostly-distinct
+  *    population; doc_id offset by copy × 10^9.
+  *  - `events`: 10 copies, ts shifted by copy days and event_id offset —
+  *    more days and deeper per-user histories for the window/session
+  *    family.
+  *  - remaining tables: byte-copied from sf0.1 (their queries are
+  *    probed at 1× and excluded from scaling conclusions).
+  *
+  * Runs the heavy headline queries at both scales (min-of-2 after one
+  * warm-up) and prints per-query sf0.1 vs probe seconds + the ratio —
+  * linear-ish ops should sit near the 10× data ratio or below; a ratio
+  * far above flags a memory/shuffle cliff that sf0.1 cannot see.
+  * NOT part of the correctness gate (no oracle at this scale); a
+  * diagnostics main like [[Plans]].
+  */
+object ScaleProbe {
+
+  private val ProbeQueries = Seq(
+    "text_token_stats", "shuffle_order", "pack_sequences", "pack_sequences_scalable",
+    "minhash_signatures", "minhash_lsh_pairs", "simhash_neardup_pairs",
+    "neardup_components", "dedup_exact", "decontaminate_overlap", "curated_corpus",
+    "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
+    "salted_group_count", "skew_join_hot_key")
+
+  def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
+    val done = new java.io.File(outDir, "_PROBE_READY")
+    if (done.exists()) return
+    new java.io.File(outDir).mkdirs()
+
+    def union10(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(base, i)).reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    union10(docs) { (d, i) =>
+      val rot = (i * 37) % 997 + 1
+      d.select(
+        (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+        col("lang"), col("source"),
+        when(length(col("text")) > rot,
+          concat(col("text").substr(lit(rot + 1), length(col("text"))), col("text").substr(1, rot)))
+          .otherwise(col("text")).as("text"),
+        col("n_chars"))
+    }.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    // events.parquet is TIMESTAMP(NANOS); Tables.events reads ts as a
+    // long (nanosAsLong) and rebuilds micros — so the probe copy keeps
+    // ts as LONG NANOS (shifted by copy days) to stay read-compatible.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    union10(events) { (e, i) =>
+      e.select(
+        (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+        (col("ts") + lit(i.toLong * 86400L * 1000000000L)).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "embeddings"))
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+    done.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "/tmp/graft_probe_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    materialize(spark, srcDir, outDir, copies = 10)
+
+    val byName = Registry.all.map(q => q.name -> q).toMap
+    def time(name: String, dir: String): Double = {
+      val q = byName(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { once(); math.min(once(), once()) } // warm-up + min-of-2
+      catch { case e: Throwable => System.err.println(s"[probe] $name: ${e.getMessage}"); -1.0 }
+    }
+
+    val rows = ProbeQueries.map { n =>
+      val base = time(n, srcDir)
+      val probe = time(n, outDir)
+      val ratio = if (base > 0 && probe > 0) probe / base else -1.0
+      println(f"""{"query":"$n","sf01_sec":$base%.2f,"probe_sec":$probe%.2f,"ratio":$ratio%.1f}""")
+      (n, base, probe, ratio)
+    }
+    val flagged = rows.filter(r => r._4 > 25.0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scale_probe","copies":10,"flagged_superlinear":$flagged}""")
+    spark.stop()
+  }
+}
