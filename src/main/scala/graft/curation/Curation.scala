@@ -609,17 +609,7 @@ object Curation {
            |  UNION
            |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
            |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
-           |qt AS (SELECT doc_id, text,
-           |  length(text) AS n_chars,
-           |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
-           |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-           |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
-           |  FROM documents),
-           |qs AS (SELECT doc_id,
-           |  0.6 * (CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE))
-           |  + 0.4 * (CAST(length(list_filter(toks, x -> x IN ('the', 'of', 'and', 'to', 'in', 'a'))) AS DOUBLE)
-           |      / CAST(greatest(length(toks), 1) AS DOUBLE)) AS score
-           |  FROM qt),
+           |$DuckQualityCtes,
            |cur AS (
            |  SELECT d.doc_id, d.lang FROM documents d
            |  JOIN qs ON d.doc_id = qs.doc_id AND qs.score >= 0.51
@@ -630,6 +620,39 @@ object Curation {
            |FROM cur GROUP BY lang, split ORDER BY lang, split""".stripMargin
       },
       headline = true,
+    ),
+    // Keep-best dedup: same components as dedup_apply_keep, but the
+    // survivor is the highest-QUALITY doc per cluster (ties → doc_id),
+    // scored by the same formula the quality gate uses.
+    EngineQuery(
+      "dedup_apply_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.dedup.Dedup.dedupApplyBest(
+            docs, graft.text.TextAnalysis.qualityScore(docs).select("doc_id", "score"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.dedup.Dedup.{duckSig, duckBands, duckPairs}
+        s"""WITH RECURSIVE sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |pairs AS ($duckPairs),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM und
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+           |$DuckQualityCtes,
+           |ranked AS (
+           |  SELECT l.doc_id,
+           |    row_number() OVER (PARTITION BY l.component ORDER BY q.score DESC, l.doc_id) AS rk
+           |  FROM lab l JOIN qs q ON l.doc_id = q.doc_id)
+           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM lab)
+           |UNION ALL
+           |SELECT doc_id FROM ranked WHERE rk = 1
+           |ORDER BY doc_id""".stripMargin
+      },
     ),
     EngineQuery(
       "pack_sequences",
@@ -645,6 +668,27 @@ object Curation {
       Some(DuckPackSequences),
     ),
   )
+
+  /** The quality-score CTE pair `(qt, qs)` — ONE definition of the
+    * 0.6·alpha + 0.4·stopword formula for every oracle that gates on
+    * the score (curated_corpus, dedup_apply_best), mirroring
+    * [[graft.text.TextAnalysis.qualityScore]].
+    */
+  private val DuckQualityCtes =
+    // NOTE plain (non-interpolated) triple quotes do NOT process \\
+    // escapes, unlike the s-interpolated oracle blocks — the regex here
+    // must be written with the single backslash DuckDB should receive.
+    """qt AS (SELECT doc_id, text,
+      |  length(text) AS n_chars,
+      |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+      |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |       ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |qs AS (SELECT doc_id,
+      |  0.6 * (CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE))
+      |  + 0.4 * (CAST(length(list_filter(toks, x -> x IN ('the', 'of', 'and', 'to', 'in', 'a'))) AS DOUBLE)
+      |      / CAST(greatest(length(toks), 1) AS DOUBLE)) AS score
+      |  FROM qt)""".stripMargin
 
   private val DuckDecontaminate =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -223,6 +223,30 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
+  /** Apply near-dup dedup keeping the BEST document per component by an
+    * arbitrary `(doc_id, score)` relation — the production semantics:
+    * among near-duplicates you keep the highest-quality copy, not the
+    * smallest id ([[dedupApply]] keeps min-id — fine when copies are
+    * interchangeable, wrong when one is the clean original and the rest
+    * are degraded scrapes). Ties break on doc_id ASC so the choice is
+    * total. Docs in no component keep themselves (anti-join against the
+    * clustered set). Same pipeline as [[dedupApply]] (bands → capped
+    * pairs → components); the added ranking is one window over
+    * components — component sizes are tiny by construction (band cap).
+    */
+  def dedupApplyBest(docs: DataFrame, scores: DataFrame): DataFrame = {
+    val lab = connectedComponents(minhashCandidatePairs(docs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("score").desc, col("doc_id"))
+    val keepClustered = lab.join(scores, Seq("doc_id"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select("doc_id")
+    docs.select("doc_id")
+      .join(lab.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(keepClustered)
+  }
+
   /** 16-bit SimHash over lowercase whitespace tokens (with multiplicity). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = graft.Partitioning.fanOut(docs)

@@ -26,6 +26,17 @@ class DedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("keep-best dedup keeps the higher-scored duplicate, not the lower id") {
+    import org.apache.spark.sql.functions.col
+    // docs 1 and 2 are exact dups (one component); score doc 2 higher
+    val scores = Seq((1L, 0.1), (2L, 0.9), (3L, 0.5)).toDF("doc_id", "score")
+    val kept = Dedup.dedupApplyBest(docs, scores)
+      .orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    kept shouldBe Seq(2L, 3L) // best-of-cluster 2 survives; unclustered 3 keeps itself
+    // min-id semantics (dedupApply) would instead keep 1
+    Dedup.dedupApply(docs).orderBy(col("doc_id")).collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
+  }
+
   test("minhash LSH pairs: identical docs share all bands -> candidate pair") {
     val pairs = Dedup.minhashCandidatePairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
