@@ -165,6 +165,39 @@ object Curation {
         (col("n_tokens").cast("double") / col("t_tokens").cast("double")).as("token_share"))
   }
 
+  /** Rebalance the corpus to target per-language document shares
+    * WITHOUT upsampling — the training-mixture twin of
+    * [[mixtureReport]] (report says what you have; this makes what you
+    * want). The binding language (smallest count_l / share_l) is kept
+    * whole and every other language downsamples to
+    * floor(share_l · scale) docs, so the result is the LARGEST corpus
+    * achievable at the target proportions. Selection is the
+    * deterministic md5-rank used by [[balancedCap]] — reproducible
+    * across retries and partitionings. Per-language counts are one
+    * tiny aggregate collected to the driver (bounded by the number of
+    * languages); the corpus itself never moves except the one rank
+    * window per language.
+    */
+  def rebalanceToTarget(docs: DataFrame, shares: Map[String, Double]): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0), "shares must be positive")
+    val counts = docs.where(col("lang").isin(shares.keys.toSeq: _*))
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scale = shares.collect {
+      case (l, s) if counts.contains(l) => counts(l) / s
+    }.min
+    val target = shares.map { case (l, s) => l -> math.floor(s * scale).toLong }
+    val targetCol = target.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+      when(col("lang") === l, t).otherwise(acc)
+    }
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.where(col("lang").isin(shares.keys.toSeq: _*))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= targetCol)
+      .select("doc_id", "lang", "rk")
+  }
+
   /** Length-outlier trim: keep docs at or under the q-quantile of
     * n_chars. The threshold is one exact-percentile scalar broadcast
     * against the corpus — the filter itself never shuffles.
@@ -462,6 +495,29 @@ object Curation {
              |  CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE) AS doc_share,
              |  CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE) AS token_share
              |FROM per CROSS JOIN t ORDER BY lang""".stripMargin),
+    ),
+    // Largest corpus at 50/30/20 en/de/zh shares: the binding language
+    // stays whole, the others downsample deterministically.
+    EngineQuery(
+      "mixture_rebalance",
+      (s, dir) =>
+        rebalanceToTarget(
+          Tables.documents(s, dir), Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2))
+          .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT lang, count(*) AS cnt FROM documents
+             |  WHERE lang IN ('en', 'de', 'zh') GROUP BY lang),
+             |sh AS (SELECT lang, cnt,
+             |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 ELSE 0.2 END AS share FROM c),
+             |sc AS (SELECT min(CAST(cnt AS DOUBLE) / share) AS scale FROM sh),
+             |t AS (SELECT lang, CAST(floor(share * scale) AS BIGINT) AS target
+             |      FROM sh CROSS JOIN sc),
+             |r AS (SELECT doc_id, lang,
+             |  CAST(row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM documents WHERE lang IN ('en', 'de', 'zh'))
+             |SELECT doc_id, lang, rk FROM r JOIN t USING (lang)
+             |WHERE rk <= target ORDER BY doc_id""".stripMargin),
     ),
     EngineQuery(
       "length_trim_p99",
