@@ -1,0 +1,91 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** Exact substring-duplication detection — the distributed stand-in for
+  * suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+  * Training Data Makes Language Models Better"): a character k-gram
+  * appearing in more than one document marks a verbatim cross-document
+  * copy of length >= k. Where the paper builds one suffix array, the
+  * Spark-idiomatic shape is gram-hash + one shuffle:
+  *
+  *  1. each doc emits md5 hashes of its length-`k` character windows at
+  *     stride `stride` (stride trades recall granularity for a stride×
+  *     cut in shuffle volume; any copied span of length >= k+stride-1
+  *     is still guaranteed to contain an emitted gram on both sides);
+  *  2. one hash-partitioned aggregation finds grams spanning >= 2
+  *     distinct docs;
+  *  3. grams join back (left join, same key — AQE reuses the
+  *     partitioning) and re-aggregate per doc.
+  *
+  * Output per document: total grams, duplicated grams, the duplication
+  * ratio, and the first duplicated offset (-1 when clean) — the signal
+  * a curation pipeline thresholds on to drop or trim copied documents.
+  *
+  * Scale notes: the only wide operations are the two gram aggregations,
+  * both partial+final on the gram hash; nothing driver-side, no
+  * all-pairs. Docs shorter than k legitimately emit no grams and
+  * surface with n_grams = 0 via the final left join from the docs
+  * relation.
+  */
+object SubstringDup {
+
+  def substringDupStats(docs: DataFrame, k: Int = 40, stride: Int = 10): DataFrame = {
+    require(k >= 1 && stride >= 1, s"need positive k/stride, got k=$k stride=$stride")
+    val grams = graft.Partitioning.fanOut(docs)
+      .where(length(col("text")) >= k)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1), lit(stride))).as("p"),
+        col("text").as("__t"))
+      .select(col("doc_id"), col("p"), md5(col("__t").substr(col("p"), lit(k))).as("h"))
+    val dupHashes = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+      .select("h")
+    val perDoc = grams.join(dupHashes.withColumn("dup", lit(true)), Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("dup")).as("n_dup_grams"),
+        coalesce(min(when(col("dup"), col("p"))).cast("long"), lit(-1L)).as("first_dup_pos"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        (coalesce(col("n_dup_grams"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)).cast("double")).as("dup_ratio"),
+        coalesce(col("first_dup_pos"), lit(-1L)).as("first_dup_pos"))
+  }
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "substring_dup_stats",
+      (s, dir) => substringDupStats(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""WITH grams AS (
+             |  SELECT doc_id, p, md5(substr(text, CAST(p AS INT), 40)) AS h
+             |  FROM documents, unnest(generate_series(1, length(text) - 39, 10)) AS g(p)
+             |  WHERE length(text) >= 40),
+             |duph AS (
+             |  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+             |perdoc AS (
+             |  SELECT g.doc_id, count(*) AS n_grams,
+             |    count(d.h) AS n_dup_grams,
+             |    coalesce(CAST(min(CASE WHEN d.h IS NOT NULL THEN g.p END) AS BIGINT), -1) AS first_dup_pos
+             |  FROM grams g LEFT JOIN duph d ON g.h = d.h
+             |  GROUP BY g.doc_id)
+             |SELECT doc_id,
+             |  coalesce(n_grams, 0) AS n_grams,
+             |  coalesce(n_dup_grams, 0) AS n_dup_grams,
+             |  CAST(coalesce(n_dup_grams, 0) AS DOUBLE)
+             |    / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE) AS dup_ratio,
+             |  coalesce(first_dup_pos, -1) AS first_dup_pos
+             |FROM documents LEFT JOIN perdoc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      headline = true,
+    ),
+  )
+}

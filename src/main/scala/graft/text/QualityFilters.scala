@@ -1,0 +1,233 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** Document-quality filters from the published web-corpus pipelines:
+  * the Gopher rule set (Rae et al. 2021, "Scaling Language Models",
+  * appendix A1.1) and the C4 line-level cleaning rules (Raffel et al.
+  * 2020, §2.2). Not in the reference (its corpus is DNA, SURVEY.md
+  * §1.1); first-class north-star extensions — these are the filters a
+  * training-data pipeline runs before dedup.
+  *
+  * Scale notes: both operators are pure per-row projections over array
+  * lambdas (`filter`/`transform`/`aggregate` on a split column) — zero
+  * shuffle, fully inside WholeStageCodegen, trivially
+  * partition-parallel at 100 TB. The only non-projection work is the
+  * gate's final ORDER BY.
+  *
+  * Portability: counts are exact BIGINTs; ratios are IEEE divisions of
+  * exact integers; every regex used means the same thing in Java regex
+  * and DuckDB's RE2.
+  */
+object QualityFilters {
+
+  /** Gopher stopword list (Rae et al. 2021 use an English function-word
+    * set; the principle is "a real document mentions at least two
+    * distinct function words").
+    */
+  val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  /** Per-document Gopher quality flags. Thresholds are parameters with
+    * the paper's defaults; `pass` is the conjunction. Rules:
+    *  - word count in [minWords, maxWords]            (paper: 50..100k)
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio ('#' or '...') < 0.1
+    *  - fraction of lines starting with a bullet < 0.9
+    *  - fraction of lines ending with an ellipsis < 0.3
+    *  - fraction of words containing an alphabetic char > 0.8
+    *  - at least 2 distinct stopwords present
+    */
+  def gopherQualityFlags(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val text = col("text")
+    val toks = TextAnalysis.wsTokens(text)
+    val nWords = size(toks).cast("long")
+    val sumLen = expr("aggregate(transform(__toks, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    val nAlphaWords = size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))).cast("long")
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nEllipsis = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllLine = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val nStops = size(array_distinct(
+      filter(col("__ltoks"), t => t.isin(GopherStopwords: _*)))).cast("long")
+    val d = (c: Column) => c.cast("double")
+    graft.Partitioning.fanOut(docs)
+      .withColumn("__toks", toks)
+      .withColumn("__ltoks", TextAnalysis.wsTokens(lower(text)))
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        (sumLen.cast("double") / d(greatest(nWords, lit(1L)))).as("mean_word_len"),
+        (d(nAlphaWords) / d(greatest(nWords, lit(1L)))).as("alpha_word_ratio"),
+        ((d(nHash) + d(nEllipsis)) / d(greatest(nWords, lit(1L)))).as("symbol_ratio"),
+        (d(nBullet) / d(greatest(nLines, lit(1L)))).as("bullet_line_ratio"),
+        (d(nEllLine) / d(greatest(nLines, lit(1L)))).as("ellipsis_line_ratio"),
+        nStops.as("n_stopwords"))
+      .withColumn("flag_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("flag_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("flag_alpha", col("alpha_word_ratio") > 0.8)
+      .withColumn("flag_symbol", col("symbol_ratio") < 0.1)
+      .withColumn("flag_bullets", col("bullet_line_ratio") < 0.9)
+      .withColumn("flag_ellipsis", col("ellipsis_line_ratio") < 0.3)
+      .withColumn("flag_stopwords", col("n_stopwords") >= 2)
+      .withColumn("pass",
+        col("flag_word_count") && col("flag_mean_len") && col("flag_alpha") &&
+          col("flag_symbol") && col("flag_bullets") && col("flag_ellipsis") &&
+          col("flag_stopwords"))
+  }
+
+  /** C4 line-level cleaning over a text column that contains newlines.
+    * Line is KEPT iff it ends in terminal punctuation, has >= 5 words,
+    * and mentions neither "javascript" (case-insensitive) nor '{'.
+    * Document is KEPT iff it does not contain "lorem ipsum" and retains
+    * at least `minKeptLines` lines. Emits per-doc counts, the verdict,
+    * and the md5 of the cleaned (order-preserving) text — all scalar,
+    * so the gate can hash it.
+    */
+  def c4LineFilter(docs: DataFrame, minKeptLines: Int = 3): DataFrame = {
+    val text = col("text")
+    val lines = split(text, "\n")
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        !lower(l).contains("javascript") &&
+        !l.contains("{")
+    val kept = filter(lines, keepLine)
+    graft.Partitioning.fanOut(docs)
+      .select(
+        col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        (!lower(text).contains("lorem ipsum") && size(kept) >= minKeptLines).as("keep_doc"),
+        md5(array_join(kept, "\n")).as("clean_md5"))
+  }
+
+  /** Deterministic multi-line corpus for the C4 gate: the harness
+    * documents have no newlines (TESTDATA.md), so — like
+    * [[TextAnalysis.nfcNormalized]]'s injected suffixes — the gate
+    * query first reshapes each doc into lines of 8 tokens whose
+    * endings cycle through the four C4 cases by (doc_id + line index):
+    * terminal '.', no punctuation, a "javascript" mention, and a curly
+    * brace; every 31st doc gains a "lorem ipsum" line. Both engines
+    * build the exact same text, so the filter is exercised on all its
+    * rules. Pure per-row array arithmetic — still zero shuffle.
+    */
+  def withSyntheticLines(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val mkLines = transform(
+      sequence(lit(1), greatest(ceil(size(col("__toks")) / lit(8.0)).cast("int"), lit(1))),
+      i => {
+        val body = concat_ws(" ", slice(col("__toks"), (i - 1) * 8 + 1, 8))
+        val m = pmod(col("doc_id") + i, lit(4))
+        when(m === 0, concat(body, lit(".")))
+          .when(m === 1, body)
+          .when(m === 2, concat(body, lit(" javascript snippet here.")))
+          .otherwise(concat(body, lit(" {code}.")))
+      })
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("text",
+        when(col("doc_id") % 31 === 0,
+          concat(array_join(mkLines, "\n"), lit("\nlorem ipsum dolor sit amet consectetur.")))
+          .otherwise(array_join(mkLines, "\n")))
+      .drop("__toks")
+  }
+
+  // --------------------------------------------------------------- oracles
+
+  private def duckStopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+
+  private val duckGopher =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |       ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+       |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |       ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ltoks,
+       |  string_split(text, chr(10)) AS lines
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(length(toks) AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+       |    / CAST(greatest(length(toks), 1) AS DOUBLE) AS mean_word_len,
+       |  CAST(length(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+       |    / CAST(greatest(length(toks), 1) AS DOUBLE) AS alpha_word_ratio,
+       |  (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+       |    + CAST((length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE))
+       |    / CAST(greatest(length(toks), 1) AS DOUBLE) AS symbol_ratio,
+       |  CAST(length(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+       |    / CAST(greatest(length(lines), 1) AS DOUBLE) AS bullet_line_ratio,
+       |  CAST(length(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
+       |    / CAST(greatest(length(lines), 1) AS DOUBLE) AS ellipsis_line_ratio,
+       |  CAST(length(list_distinct(list_filter(ltoks, x -> x IN ($duckStopList)))) AS BIGINT) AS n_stopwords
+       |  FROM t)
+       |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_ratio,
+       |  bullet_line_ratio, ellipsis_line_ratio, n_stopwords,
+       |  (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+       |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS flag_mean_len,
+       |  (alpha_word_ratio > 0.8) AS flag_alpha,
+       |  (symbol_ratio < 0.1) AS flag_symbol,
+       |  (bullet_line_ratio < 0.9) AS flag_bullets,
+       |  (ellipsis_line_ratio < 0.3) AS flag_ellipsis,
+       |  (n_stopwords >= 2) AS flag_stopwords,
+       |  ((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+       |    AND alpha_word_ratio > 0.8 AND symbol_ratio < 0.1 AND bullet_line_ratio < 0.9
+       |    AND ellipsis_line_ratio < 0.3 AND n_stopwords >= 2) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** The synthetic-lines CTE mirrored in DuckDB (see
+    * [[withSyntheticLines]]) followed by the C4 filter.
+    */
+  private val duckC4 =
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |       ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |built AS (SELECT doc_id,
+      |  list_transform(
+      |    generate_series(1, greatest(CAST(ceil(length(toks) / 8.0) AS INT), 1)),
+      |    i -> array_to_string(toks[CAST((i - 1) * 8 + 1 AS INT):CAST(i * 8 AS INT)], ' ')
+      |      || CASE ((doc_id + i) % 4)
+      |           WHEN 0 THEN '.'
+      |           WHEN 1 THEN ''
+      |           WHEN 2 THEN ' javascript snippet here.'
+      |           ELSE ' {code}.' END) AS lines0
+      |  FROM t),
+      |doc AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 31 = 0
+      |       THEN array_to_string(lines0, chr(10)) || chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+      |       ELSE array_to_string(lines0, chr(10)) END AS text
+      |  FROM built),
+      |f AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+      |  list_filter(string_split(text, chr(10)), l ->
+      |    regexp_matches(l, '[.!?"]$') AND length(string_split_regex(trim(l), '\s+')) >= 5
+      |    AND NOT contains(lower(l), 'javascript') AND NOT contains(l, '{')) AS kept,
+      |  contains(lower(text), 'lorem ipsum') AS lorem
+      |  FROM doc)
+      |SELECT doc_id, CAST(length(lines) AS BIGINT) AS n_lines,
+      |  CAST(length(kept) AS BIGINT) AS n_kept,
+      |  (NOT lorem AND length(kept) >= 3) AS keep_doc,
+      |  md5(array_to_string(kept, chr(10))) AS clean_md5
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "gopher_quality_flags",
+      (s, dir) => gopherQualityFlags(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(duckGopher),
+    ),
+    EngineQuery(
+      "c4_line_filter",
+      (s, dir) => c4LineFilter(withSyntheticLines(Tables.documents(s, dir)))
+        .orderBy("doc_id"),
+      Some(duckC4),
+    ),
+  )
+}
