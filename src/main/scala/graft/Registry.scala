@@ -35,6 +35,9 @@ object Registry {
       operators.AsOf.engineQueries ++
       operators.RangeJoin.engineQueries ++
       text.TextAnalysis.engineQueries ++
+      text.QualityFilters.engineQueries ++
+      text.HeavyHitters.engineQueries ++
+      dedup.SubstringDup.engineQueries ++
       curation.Curation.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++

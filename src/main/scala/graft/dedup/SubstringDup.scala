@@ -11,36 +11,55 @@ import graft.{EngineQuery, Tables}
   * copy of length >= k. Where the paper builds one suffix array, the
   * Spark-idiomatic shape is gram-hash + one shuffle:
   *
-  *  1. each doc emits md5 hashes of its length-`k` character windows at
-  *     stride `stride` (stride trades recall granularity for a stride×
-  *     cut in shuffle volume; any copied span of length >= k+stride-1
-  *     is still guaranteed to contain an emitted gram on both sides);
-  *  2. one hash-partitioned aggregation finds grams spanning >= 2
+  *  1. each doc hashes ALL of its length-`k` character windows, then
+  *     keeps only grams whose hash falls in a fixed fraction of hash
+  *     space (low `sampleBits` bits of the last md5 nibble are zero →
+  *     keep probability 2^-sampleBits). Selection is CONTENT-DEFINED:
+  *     it depends only on the window's bytes, so two verbatim copies of
+  *     a span select the exact same grams no matter how the copies are
+  *     aligned within their documents — unlike fixed-stride position
+  *     sampling, which only matches copies at equal offsets mod stride.
+  *     A copied span of length L contains L-k+1 grams, each kept with
+  *     p = 2^-sampleBits; at the defaults (k=40, sampleBits=3) a span
+  *     of k+39 chars is missed with probability (7/8)^40 ≈ 0.5%, and
+  *     the miss probability halves every ~5 extra chars of span.
+  *  2. one hash-partitioned aggregation finds kept grams spanning >= 2
   *     distinct docs;
   *  3. grams join back (left join, same key — AQE reuses the
   *     partitioning) and re-aggregate per doc.
   *
-  * Output per document: total grams, duplicated grams, the duplication
-  * ratio, and the first duplicated offset (-1 when clean) — the signal
-  * a curation pipeline thresholds on to drop or trim copied documents.
+  * Output per document: kept grams, duplicated kept grams, the
+  * duplication ratio (an unbiased estimate of the duplicated-window
+  * fraction, since selection is independent of duplication), and the
+  * first duplicated kept offset (-1 when clean) — the signal a curation
+  * pipeline thresholds on to drop or trim copied documents.
   *
   * Scale notes: the only wide operations are the two gram aggregations,
   * both partial+final on the gram hash; nothing driver-side, no
-  * all-pairs. Docs shorter than k legitimately emit no grams and
+  * all-pairs. Hashing every window costs ~k× the corpus bytes of md5
+  * CPU — embarrassingly parallel, zero shuffle — while the shuffle
+  * (the real 100 TB bottleneck) carries only the 2^-sampleBits kept
+  * fraction. Docs shorter than k legitimately emit no grams and
   * surface with n_grams = 0 via the final left join from the docs
   * relation.
   */
 object SubstringDup {
 
-  def substringDupStats(docs: DataFrame, k: Int = 40, stride: Int = 10): DataFrame = {
-    require(k >= 1 && stride >= 1, s"need positive k/stride, got k=$k stride=$stride")
+  def substringDupStats(docs: DataFrame, k: Int = 40, sampleBits: Int = 3): DataFrame = {
+    require(k >= 1, s"need positive k, got k=$k")
+    require(sampleBits >= 0 && sampleBits <= 4, s"sampleBits must be 0..4, got $sampleBits")
+    // hex chars of the final md5 nibble whose low `sampleBits` bits are 0
+    val keepNibbles = (0 until 16)
+      .filter(n => (n & ((1 << sampleBits) - 1)) == 0)
+      .map(n => n.toHexString)
     val grams = graft.Partitioning.fanOut(docs)
       .where(length(col("text")) >= k)
       .select(
         col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1), lit(stride))).as("p"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
         col("text").as("__t"))
       .select(col("doc_id"), col("p"), md5(col("__t").substr(col("p"), lit(k))).as("h"))
+      .where(substring(col("h"), 32, 1).isin(keepNibbles: _*))
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") > 1)
@@ -65,10 +84,12 @@ object SubstringDup {
     EngineQuery(
       "substring_dup_stats",
       (s, dir) => substringDupStats(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some("""WITH grams AS (
+      Some("""WITH allgrams AS (
              |  SELECT doc_id, p, md5(substr(text, CAST(p AS INT), 40)) AS h
-             |  FROM documents, unnest(generate_series(1, length(text) - 39, 10)) AS g(p)
+             |  FROM documents, unnest(generate_series(1, length(text) - 39)) AS g(p)
              |  WHERE length(text) >= 40),
+             |grams AS (
+             |  SELECT * FROM allgrams WHERE substr(h, 32, 1) IN ('0', '8')),
              |duph AS (
              |  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1),
              |perdoc AS (

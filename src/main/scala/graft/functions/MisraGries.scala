@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Misra–Gries frequent-items summary as a typed `Aggregator`: a bounded
@@ -45,6 +46,10 @@ class MisraGriesAgg(k: Int) extends Aggregator[String, Map[String, Long], Seq[St
 
   override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
 
-  override def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
-  override def outputEncoder: Encoder[Seq[String]] = Encoders.kryo[Seq[String]]
+  // Native SQL-typed encoders: the buffer travels partial->final as a real
+  // MapType (no per-row kryo in merge), and the output is a real
+  // ArrayType(StringType) column — required so callers can `explode` it
+  // (a kryo output encoder would surface as an un-explodable binary blob).
+  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
 }

@@ -28,19 +28,22 @@ import graft.functions.MisraGriesAgg
 object HeavyHitters {
 
   def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val mg = udaf(new MisraGriesAgg(k))
     val toks = graft.Partitioning.fanOut(docs)
       .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("term"))
       .where(col("term") =!= "")
-    val candidates = toks.agg(mg(col("term")).as("cands"))
-      .select(explode(col("cands")).as("term"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(broadcast(candidates), Seq("term"), "left_semi")
-      .groupBy("term")
+    // Pass 1: one aggregation yields BOTH the MG candidate set and the
+    // exact stream length — a single scan of the corpus. Exploding the
+    // one-row summary gives <= k (term, n_total) rows, broadcast below.
+    val candidates = toks
+      .agg(mg(col("term")).as("cands"), count(lit(1)).as("n_total"))
+      .select(explode(col("cands")).as("term"), col("n_total"))
+    // Pass 2: exact recount restricted to candidates. The inner broadcast
+    // join doubles as the semi-filter and carries n_total to every
+    // surviving row, so no third scan and no separate cross join.
+    toks.join(broadcast(candidates), Seq("term"))
+      .groupBy("term", "n_total")
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
       .where(col("cnt") * (k + 1) > col("n_total"))
       .select(col("term"), col("cnt"), col("n_total"))
   }

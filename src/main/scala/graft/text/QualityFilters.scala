@@ -125,7 +125,7 @@ object QualityFilters {
     val mkLines = transform(
       sequence(lit(1), greatest(ceil(size(col("__toks")) / lit(8.0)).cast("int"), lit(1))),
       i => {
-        val body = concat_ws(" ", slice(col("__toks"), (i - 1) * 8 + 1, 8))
+        val body = concat_ws(" ", slice(col("__toks"), (i - 1) * 8 + 1, lit(8)))
         val m = pmod(col("doc_id") + i, lit(4))
         when(m === 0, concat(body, lit(".")))
           .when(m === 1, body)
@@ -214,7 +214,7 @@ object QualityFilters {
       |SELECT doc_id, CAST(length(lines) AS BIGINT) AS n_lines,
       |  CAST(length(kept) AS BIGINT) AS n_kept,
       |  (NOT lorem AND length(kept) >= 3) AS keep_doc,
-      |  md5(array_to_string(kept, chr(10))) AS clean_md5
+      |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
       |FROM f ORDER BY doc_id""".stripMargin
 
   def engineQueries: Seq[EngineQuery] = Seq(

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+/** Boundary tests for the Gopher document flags and the C4 line filter —
+  * each rule pinned on a hand-built document sitting exactly on (or just
+  * off) its threshold.
+  */
+class QualityFiltersSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def gopherRow(text: String, minWords: Int = 1, maxWords: Int = 100000) = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    QualityFilters.gopherQualityFlags(df, minWords, maxWords).collect().head
+  }
+
+  test("gopher: stopword flag needs >= 2 DISTINCT stopwords") {
+    // "the" repeated is one distinct stopword — fails
+    val one = gopherRow("the the cat sat mat cat sat mat")
+    one.getAs[Long]("n_stopwords") shouldBe 1L
+    one.getAs[Boolean]("flag_stopwords") shouldBe false
+    // "the" + "and" = exactly 2 distinct — passes
+    val two = gopherRow("the cat and dog sat mat run far")
+    two.getAs[Long]("n_stopwords") shouldBe 2L
+    two.getAs[Boolean]("flag_stopwords") shouldBe true
+  }
+
+  test("gopher: mean word length boundaries are inclusive at 3.0 and 10.0") {
+    // four 3-char words → mean exactly 3.0 → pass
+    val lo = gopherRow("cat dog rat bat")
+    lo.getAs[Double]("mean_word_len") shouldBe 3.0
+    lo.getAs[Boolean]("flag_mean_len") shouldBe true
+    // two 2-char words → mean 2.0 → fail
+    gopherRow("ab cd").getAs[Boolean]("flag_mean_len") shouldBe false
+    // two 10-char words → mean exactly 10.0 → pass
+    val hi = gopherRow("abcdefghij klmnopqrst")
+    hi.getAs[Double]("mean_word_len") shouldBe 10.0
+    hi.getAs[Boolean]("flag_mean_len") shouldBe true
+    // one 11-char word → 11.0 → fail
+    gopherRow("abcdefghijk").getAs[Boolean]("flag_mean_len") shouldBe false
+  }
+
+  test("gopher: word-count window is inclusive on both edges") {
+    gopherRow("one two three", minWords = 3, maxWords = 3)
+      .getAs[Boolean]("flag_word_count") shouldBe true
+    gopherRow("one two three four", minWords = 3, maxWords = 3)
+      .getAs[Boolean]("flag_word_count") shouldBe false
+    gopherRow("one two", minWords = 3, maxWords = 3)
+      .getAs[Boolean]("flag_word_count") shouldBe false
+  }
+
+  test("gopher: alpha-word ratio counts words containing any letter") {
+    // 4 of 5 words alphabetic = 0.8, not > 0.8 → fail
+    gopherRow("cat dog rat bat 123").getAs[Boolean]("flag_alpha") shouldBe false
+    // 5 of 5 → 1.0 → pass
+    gopherRow("cat dog rat bat cow").getAs[Boolean]("flag_alpha") shouldBe true
+  }
+
+  test("gopher: symbol ratio counts '#' and '...' against word count") {
+    // 10 words, one '#' → 0.1, not < 0.1 → fail
+    val r = gopherRow("a b c d e f g h i j#")
+    r.getAs[Double]("symbol_ratio") shouldBe 0.1
+    r.getAs[Boolean]("flag_symbol") shouldBe false
+    // '...' counts once per triple
+    val e = gopherRow("a b c d e f g h i j...")
+    e.getAs[Double]("symbol_ratio") shouldBe 0.1
+    e.getAs[Boolean]("flag_symbol") shouldBe false
+    gopherRow("a b c d e f g h i j").getAs[Boolean]("flag_symbol") shouldBe true
+  }
+
+  test("gopher: bullet and ellipsis line ratios") {
+    val bullets = (1 to 9).map(i => s"- item $i").mkString("\n") + "\nplain line"
+    val b = gopherRow(bullets)
+    b.getAs[Double]("bullet_line_ratio") shouldBe 0.9
+    b.getAs[Boolean]("flag_bullets") shouldBe false // 0.9 not < 0.9
+    val ell = "one line...\ntwo line\nthree line\nfour line…\nfive line\nsix line\nseven\neight\nnine\nten"
+    val e = gopherRow(ell)
+    e.getAs[Double]("ellipsis_line_ratio") shouldBe 0.2
+    e.getAs[Boolean]("flag_ellipsis") shouldBe true
+  }
+
+  private def c4Row(text: String, minKeptLines: Int = 3) = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    QualityFilters.c4LineFilter(df, minKeptLines).collect().head
+  }
+
+  test("c4: the four line rules — punctuation, length, javascript, brace") {
+    val doc = Seq(
+      "This line has five words.",            // kept
+      "Too short words here.",                // 4 words → dropped
+      "This line has no terminal punctuation",// dropped
+      "Enable JavaScript to view this page.", // dropped (case-insensitive)
+      "A line with a { brace in it.",         // dropped
+      "Another good line with six words!",    // kept
+      "Quoted lines are also terminal \"",    // kept (ends in ")
+    ).mkString("\n")
+    val r = c4Row(doc)
+    r.getAs[Long]("n_lines") shouldBe 7L
+    r.getAs[Long]("n_kept") shouldBe 3L
+    r.getAs[Boolean]("keep_doc") shouldBe true
+  }
+
+  test("c4: lorem ipsum anywhere kills the document") {
+    val doc = Seq(
+      "This line has five words.",
+      "Another good line with six words!",
+      "A third acceptable line right here.",
+      "Lorem Ipsum dolor sit amet text.",
+    ).mkString("\n")
+    val r = c4Row(doc)
+    r.getAs[Long]("n_kept") shouldBe 4L
+    r.getAs[Boolean]("keep_doc") shouldBe false
+  }
+
+  test("c4: fewer than minKeptLines kept lines kills the document") {
+    val doc = "This line has five words.\nAnother good line with six words!"
+    c4Row(doc, minKeptLines = 3).getAs[Boolean]("keep_doc") shouldBe false
+    c4Row(doc, minKeptLines = 2).getAs[Boolean]("keep_doc") shouldBe true
+  }
+
+  test("synthetic line builder is deterministic and multi-line") {
+    val docs = Seq(
+      (0L, (1 to 20).map(i => s"tok$i").mkString(" ")),
+      (31L, (1 to 20).map(i => s"tok$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val built = QualityFilters.withSyntheticLines(docs)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    // 20 tokens → 3 lines of 8/8/4 tokens; doc 0 and 31 also gain lorem ipsum
+    built.foreach { case (_, t) => t.split("\n").length shouldBe 4 }
+    built.foreach { case (_, t) => t should include("lorem ipsum") }
+    // line endings cycle by (doc_id + i) % 4: doc 0 line 1 → m=1 (bare),
+    // line 2 → m=2 (javascript), line 3 → m=3 (brace)
+    val lines0 = built.head._2.split("\n")
+    lines0(1) should include("javascript")
+    lines0(2) should include("{code}")
+  }
+}

@@ -57,8 +57,10 @@ def main():
             continue
         gperm = [got_cols.index(c) for c in sorted(got_cols)]
         wperm = [want_cols.index(c) for c in sorted(want_cols)]
-        g = sorted(tuple(norm(r[i]) for i in gperm) for r in got)
-        w = sorted(tuple(norm(r[i]) for i in wperm) for r in want)
+        # None-safe total order: a NULL anywhere must not crash the gate
+        key = lambda t: tuple((v is None, str(type(v)), str(v)) for v in t)
+        g = sorted((tuple(norm(r[i]) for i in gperm) for r in got), key=key)
+        w = sorted((tuple(norm(r[i]) for i in wperm) for r in want), key=key)
         if g == w:
             print(f"PASS {name} ({len(g)} rows)")
             n_pass += 1
