@@ -70,6 +70,14 @@ object Plans {
       "The scale-safe trim path: `approx_percentile` runs as a partial+final `ObjectHashAggregate` with O(accuracy) sketch state — unlike exact `percentile` (used by `length_trim_p99`/`percentile_prices` as small-scale oracle anchors), whose aggregation buffer holds every distinct value per group and becomes unbounded at 100 TB. The threshold is one broadcast scalar; the corpus-side filter never shuffles.",
     "sample_stratified" ->
       "Deterministic sampling is filter+project over the scan — the sampling itself adds NO exchange (the only one in the plan is the gate query's output ORDER BY); the per-stratum rate is a CASE column, not a per-stratum pass.",
+    "gopher_quality_flags" ->
+      "All seven Gopher rules are per-row array-lambda projections over the tokenized text — the plan has NO hash exchange at all (the only exchange is the gate query's output ORDER BY range partitioning); at 100 TB this is a pure map stage.",
+    "c4_line_filter" ->
+      "Line filtering (terminal punctuation, word count, javascript/brace, lorem-ipsum) is a single `filter(...)` array lambda inside a projection — like the Gopher flags, zero hash exchanges; the md5 of the cleaned text is computed in the same map pass.",
+    "substring_dup_stats" ->
+      "Exact substring-duplication at scale: every length-k character window is hashed map-side, and the content-defined keep-filter (`substr(md5, 32, 1) IN ('0','8')` — keep probability 1/8) runs BEFORE any exchange, so the only wide operations are the two partial+final aggregations on the kept gram hash (dup-hash detection, then the per-doc left join re-aggregation on the same key, which AQE serves from the reused exchange). No all-pairs join, nothing driver-side.",
+    "heavy_hitters" ->
+      "The exact two-pass heavy-hitters plan: pass 1 is ONE global aggregation computing both the Misra–Gries candidate summary and the exact stream length (a partial `ObjectHashAggregate` per partition, then a single-partition final merge of ≤k-entry maps — bytes on the wire are O(k × partitions), never the token stream); pass 2 recounts ONLY candidate tokens behind a `BroadcastHashJoin` against the ≤k-row exploded summary, so the full-vocabulary `GROUP BY term` shuffle this replaces never happens — the one hash exchange carries tokens that survived the broadcast filter.",
   )
 
   def main(args: Array[String]): Unit = {

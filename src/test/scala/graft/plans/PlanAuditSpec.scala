@@ -110,4 +110,37 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("variant_get")
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1 // only the group-by
   }
+
+  test("gopher flags and c4 filter are pure map stages (no hash exchange)") {
+    for (q <- Seq("gopher_quality_flags", "c4_line_filter")) {
+      val p = plan(q)
+      withClue(q) {
+        "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+      }
+    }
+  }
+
+  test("substring dup: content-defined keep-filter runs below the gram exchanges") {
+    val p = plan("substring_dup_stats")
+    // hash exchanges only ever carry the gram hash (h) or doc_id — never
+    // an all-pairs join. (At test SF the tiny dup-hash side broadcasts,
+    // so `h` may not even need a shuffle; at scale the same declarative
+    // join becomes a hash-partition join on h.)
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    keys.subsetOf(Set("h", "doc_id")) shouldBe true
+    p should not include "BroadcastNestedLoopJoin"
+    // the 1/8 keep-filter is a plain Filter on the md5 nibble, map-side
+    // (projection collapse inlines the md5 under the substring)
+    p should include regex """substring\(md5\(.*\), 32, 1\) IN \(0,8\)"""
+  }
+
+  test("heavy hitters: candidate recount joins broadcast; no full-vocab shuffle") {
+    val p = plan("heavy_hitters")
+    p should include("BroadcastHashJoin")
+    // exactly one token-stream hash exchange: the candidate-only recount
+    // groupBy(term, n_total); the MG summary merge is SinglePartition
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toList
+    hashEx.count(_ == "term") shouldBe 1
+    p should include("Exchange SinglePartition")
+  }
 }
