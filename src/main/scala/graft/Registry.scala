@@ -36,6 +36,7 @@ object Registry {
       operators.RangeJoin.engineQueries ++
       text.TextAnalysis.engineQueries ++
       text.QualityFilters.engineQueries ++
+      text.LineDedup.engineQueries ++
       text.HeavyHitters.engineQueries ++
       dedup.SubstringDup.engineQueries ++
       curation.Curation.engineQueries ++

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** Corpus-level line deduplication — the CCNet/RefinedWeb boilerplate
+  * remover (Wenzek et al. 2020 §2.1 dedup lines across shards; Penedo
+  * et al. 2023 line-wise corrections): a line whose normalized form
+  * appears in at least `minDocs` DISTINCT documents is boilerplate
+  * (navigation, cookie banners, license headers) and is dropped from
+  * EVERY document; the cleaned document preserves the surviving lines
+  * in their original order. Distinct from [[QualityFilters.c4LineFilter]]
+  * (per-line predicates, no corpus state) and from
+  * [[graft.dedup.SubstringDup]] (char-gram copies at any offset):
+  * this one needs a corpus-wide line-frequency table.
+  *
+  * Scale shape: lines travel the wire only as md5 hashes — the
+  * frequency aggregation is partial+final on the 16-byte hash, and the
+  * membership join back is declarative (AQE broadcasts the common set
+  * while it is small, hash-joins on the same key when it is not). The
+  * order-preserving rebuild is a per-doc `collect_list` bounded by the
+  * document's own size — a row that already had to fit in memory.
+  * Nothing driver-side, no all-pairs.
+  */
+object LineDedup {
+
+  def lineDedup(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"a line is boilerplate across >= 2 docs, got $minDocs")
+    val lines = graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("lh", md5(trim(col("line"))))
+    val common = lines.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("lh"), lit(true).as("dup"))
+    lines.join(common, Seq("lh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("dup")).as("n_dropped"),
+        // collect_list skips the null branch → kept lines only; struct
+        // sort restores document order before the rebuild
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("dup").isNull, struct(col("idx"), col("line"))))),
+            s => s.getField("line")),
+          "\n")).as("clean_md5"))
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        (col("n_lines") - col("n_dropped")).as("n_kept"), col("clean_md5"))
+  }
+
+  private val duckLineDedup =
+    "WITH " + QualityFilters.duckSyntheticDocs + ",\n" +
+    """l AS (SELECT doc_id, i AS idx, md5(trim(lines[CAST(i AS INT)])) AS lh,
+       |             lines[CAST(i AS INT)] AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM doc),
+       |       unnest(generate_series(1, length(lines))) AS g(i)),
+       |common AS (SELECT lh FROM l GROUP BY lh HAVING count(DISTINCT doc_id) >= 2),
+       |agg AS (SELECT l.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(count(c.lh) AS BIGINT) AS n_dropped,
+       |  md5(coalesce(string_agg(CASE WHEN c.lh IS NULL THEN l.line END, chr(10) ORDER BY l.idx), '')) AS clean_md5
+       |  FROM l LEFT JOIN common c ON l.lh = c.lh
+       |  GROUP BY l.doc_id)
+       |SELECT doc_id, n_lines, n_dropped, n_lines - n_dropped AS n_kept, clean_md5
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "line_dedup_corpus",
+      (s, dir) => lineDedup(QualityFilters.withSyntheticLines(Tables.documents(s, dir)))
+        .orderBy("doc_id"),
+      Some(duckLineDedup),
+    ),
+  )
+}

@@ -182,11 +182,12 @@ object QualityFilters {
        |    AND ellipsis_line_ratio < 0.3 AND n_stopwords >= 2) AS pass
        |FROM m ORDER BY doc_id""".stripMargin
 
-  /** The synthetic-lines CTE mirrored in DuckDB (see
-    * [[withSyntheticLines]]) followed by the C4 filter.
+  /** The [[withSyntheticLines]] reshape mirrored in DuckDB — CTE chain
+    * ending in `doc(doc_id, text)`. Shared by every oracle that needs a
+    * multi-line corpus (the harness documents have no newlines).
     */
-  private val duckC4 =
-    """WITH t AS (SELECT doc_id,
+  private[text] val duckSyntheticDocs =
+    """t AS (SELECT doc_id,
       |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |       ELSE string_split_regex(trim(text), '\s+') END AS toks
       |  FROM documents),
@@ -204,8 +205,15 @@ object QualityFilters {
       |  CASE WHEN doc_id % 31 = 0
       |       THEN array_to_string(lines0, chr(10)) || chr(10) || 'lorem ipsum dolor sit amet consectetur.'
       |       ELSE array_to_string(lines0, chr(10)) END AS text
-      |  FROM built),
-      |f AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+      |  FROM built)""".stripMargin
+
+  /** The synthetic-lines CTE followed by the C4 filter. (Concatenated,
+    * not interpolated-then-stripMargin'd: stripMargin over interpolated
+    * content would eat one pipe of every `||` concat in the shared CTE.)
+    */
+  private val duckC4 =
+    "WITH " + duckSyntheticDocs + ",\n" +
+    """f AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
       |  list_filter(string_split(text, chr(10)), l ->
       |    regexp_matches(l, '[.!?"]$') AND length(string_split_regex(trim(l), '\s+')) >= 5
       |    AND NOT contains(lower(l), 'javascript') AND NOT contains(l, '{')) AS kept,
