@@ -110,6 +110,92 @@ object QualityFilters {
         md5(array_join(kept, "\n")).as("clean_md5"))
   }
 
+  /** Gopher repetition rules, n-gram family (Rae et al. 2021 appendix
+    * A1.1, Table A1): per (document, n) for n = 2..10,
+    *  - `top_gram_char_frac`: characters of the heaviest n-gram
+    *    (max over grams of count × length) / total n-gram characters —
+    *    thresholded for n = 2..4;
+    *  - `dup_gram_char_frac`: characters in n-grams occurring >= 2
+    *    times / total n-gram characters — thresholded for n = 5..10;
+    *  - `rep_flag`: the paper's per-n threshold verdict.
+    * (The paper attributes overlapping occurrences to distinct char
+    * positions; this engine defines both fractions over count × length
+    * mass — deterministic, order-free, and mirrored exactly in the
+    * oracle.) Docs with fewer than n tokens emit no row for that n.
+    *
+    * Scale shape: ONE corpus scan fans out ×9 n-values map-side
+    * (explode of a 9-element literal array — no re-reads), n-grams
+    * shuffle once for the (doc, n, gram) count whose partial agg
+    * collapses repeats map-side, then the per-(doc, n) rollup reuses
+    * the same partitioning prefix. State is bounded by per-doc
+    * vocabulary, never corpus-global.
+    */
+  val TopGramThresholds: Map[Int, Double] =
+    Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DupGramThresholds: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  def repetitionNgrams(docs: DataFrame, ns: Seq[Int] = 2 to 10): DataFrame = {
+    val perGram = graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("__toks"))
+      .select(col("doc_id"), explode(array(ns.map(lit): _*)).as("n"), col("__toks"))
+      .where(size(col("__toks")) >= col("n"))
+      .select(col("doc_id"), col("n"),
+        explode(transform(
+          sequence(lit(1), size(col("__toks")) - col("n") + 1),
+          i => array_join(slice(col("__toks"), i, col("n")), " "))).as("gram"))
+      .groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", col("cnt") * length(col("gram")).cast("long"))
+    val topThr = TopGramThresholds.foldLeft(lit(Double.MaxValue)) {
+      case (acc, (n, t)) => when(col("n") === n, t).otherwise(acc)
+    }
+    val dupThr = DupGramThresholds.foldLeft(lit(Double.MaxValue)) {
+      case (acc, (n, t)) => when(col("n") === n, t).otherwise(acc)
+    }
+    perGram.groupBy("doc_id", "n")
+      .agg(
+        sum(col("chars")).as("__denom"),
+        max(col("chars")).as("__top"),
+        sum(when(col("cnt") >= 2, col("chars")).otherwise(lit(0L))).as("__dup"))
+      .select(
+        col("doc_id"), col("n"),
+        (col("__top").cast("double") / col("__denom").cast("double")).as("top_gram_char_frac"),
+        (col("__dup").cast("double") / col("__denom").cast("double")).as("dup_gram_char_frac"))
+      .withColumn("rep_flag",
+        col("top_gram_char_frac") <= topThr && col("dup_gram_char_frac") <= dupThr)
+  }
+
+  /** Gopher repetition rules, line family: duplicate-line fraction
+    * (occurrences beyond a line's first / total lines) and
+    * duplicate-line CHARACTER fraction, both within-document on the
+    * trimmed line form. (The paper's paragraph rules are the same
+    * computation at paragraph granularity; the harness corpus has
+    * single-newline lines only.) Pure per-doc aggregation — the only
+    * shuffle is keyed (doc_id, line-hash), bounded by doc size.
+    */
+  def repetitionLines(docs: DataFrame): DataFrame = {
+    val perLine = graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("__line"))
+      .select(col("doc_id"), trim(col("__line")).as("lt"))
+      .groupBy("doc_id", "lt")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("lt")).cast("long"))
+    perLine.groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_lines"),
+        (sum(col("cnt")) - count(lit(1))).as("n_dup_lines"),
+        sum(col("cnt") * col("len")).as("__chars"),
+        sum(when(col("cnt") >= 2, (col("cnt") - 1) * col("len")).otherwise(lit(0L))).as("__dup_chars"))
+      .select(
+        col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double")).as("dup_line_frac"),
+        (col("__dup_chars").cast("double") /
+          greatest(col("__chars"), lit(1L)).cast("double")).as("dup_line_char_frac"))
+      .withColumn("rep_flag",
+        col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20)
+  }
+
   /** Deterministic multi-line corpus for the C4 gate: the harness
     * documents have no newlines (TESTDATA.md), so — like
     * [[TextAnalysis.nfcNormalized]]'s injected suffixes — the gate
@@ -225,11 +311,69 @@ object QualityFilters {
       |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
       |FROM f ORDER BY doc_id""".stripMargin
 
+  private val duckRepNgrams =
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |       ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+      |  FROM documents),
+      |nn AS (SELECT unnest(generate_series(2, 10)) AS n),
+      |g AS (SELECT doc_id, n,
+      |  array_to_string(toks[CAST(i AS INT):CAST(i + n - 1 AS INT)], ' ') AS gram
+      |  FROM t, nn, unnest(generate_series(1, length(toks) - n + 1)) AS u(i)
+      |  WHERE length(toks) >= n),
+      |pg AS (SELECT doc_id, n, gram, count(*) AS cnt,
+      |  count(*) * length(gram) AS chars
+      |  FROM g GROUP BY doc_id, n, gram),
+      |a AS (SELECT doc_id, n, sum(chars) AS denom, max(chars) AS top,
+      |  sum(CASE WHEN cnt >= 2 THEN chars ELSE 0 END) AS dup
+      |  FROM pg GROUP BY doc_id, n)
+      |SELECT doc_id, CAST(n AS INT) AS n,
+      |  CAST(top AS DOUBLE) / CAST(denom AS DOUBLE) AS top_gram_char_frac,
+      |  CAST(dup AS DOUBLE) / CAST(denom AS DOUBLE) AS dup_gram_char_frac,
+      |  (CAST(top AS DOUBLE) / CAST(denom AS DOUBLE)
+      |     <= CASE n WHEN 2 THEN 0.20 WHEN 3 THEN 0.18 WHEN 4 THEN 0.16 ELSE 1e308 END)
+      |  AND (CAST(dup AS DOUBLE) / CAST(denom AS DOUBLE)
+      |     <= CASE n WHEN 5 THEN 0.15 WHEN 6 THEN 0.14 WHEN 7 THEN 0.13
+      |               WHEN 8 THEN 0.12 WHEN 9 THEN 0.11 WHEN 10 THEN 0.10 ELSE 1e308 END)
+      |  AS rep_flag
+      |FROM a ORDER BY doc_id, n""".stripMargin
+
+  private val duckRepLines =
+    "WITH " + duckSyntheticDocs + ",\n" +
+    """l AS (SELECT doc_id, trim(lines[CAST(i AS INT)]) AS lt
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM doc),
+      |       unnest(generate_series(1, length(lines))) AS g(i)),
+      |pl AS (SELECT doc_id, lt, count(*) AS cnt, length(lt) AS len
+      |  FROM l GROUP BY doc_id, lt),
+      |a AS (SELECT doc_id,
+      |  CAST(sum(cnt) AS BIGINT) AS n_lines,
+      |  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_lines,
+      |  sum(cnt * len) AS chars,
+      |  sum(CASE WHEN cnt >= 2 THEN (cnt - 1) * len ELSE 0 END) AS dup_chars
+      |  FROM pl GROUP BY doc_id)
+      |SELECT doc_id, n_lines, n_dup_lines,
+      |  CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+      |  CAST(dup_chars AS DOUBLE) / CAST(greatest(chars, 1) AS DOUBLE) AS dup_line_char_frac,
+      |  (CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.30
+      |    AND CAST(dup_chars AS DOUBLE) / CAST(greatest(chars, 1) AS DOUBLE) <= 0.20) AS rep_flag
+      |FROM a ORDER BY doc_id""".stripMargin
+
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
       "gopher_quality_flags",
       (s, dir) => gopherQualityFlags(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(duckGopher),
+    ),
+    EngineQuery(
+      "gopher_repetition_ngrams",
+      (s, dir) => repetitionNgrams(Tables.documents(s, dir)).orderBy("doc_id", "n"),
+      Some(duckRepNgrams),
+    ),
+    EngineQuery(
+      "gopher_repetition_lines",
+      (s, dir) => repetitionLines(withSyntheticLines(Tables.documents(s, dir)))
+        .orderBy("doc_id"),
+      Some(duckRepLines),
     ),
     EngineQuery(
       "c4_line_filter",

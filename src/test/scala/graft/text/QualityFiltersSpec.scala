@@ -121,6 +121,45 @@ class QualityFiltersSpec extends AnyFunSuite with Matchers {
     c4Row(doc, minKeptLines = 2).getAs[Boolean]("keep_doc") shouldBe true
   }
 
+  test("repetition n-grams: heavy bigram flags, unique text passes") {
+    val docs = Seq(
+      1L -> "a b a b a b",            // "a b"×3 (9 chars), "b a"×2 (6) → top 9/15
+      2L -> "one two three four five six seven eight nine ten eleven twelve" // all n-grams unique
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.repetitionNgrams(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n")) -> r).toMap
+    val r12 = out((1L, 2))
+    r12.getAs[Double]("top_gram_char_frac") shouldBe 0.6 +- 1e-12
+    r12.getAs[Double]("dup_gram_char_frac") shouldBe 1.0
+    r12.getAs[Boolean]("rep_flag") shouldBe false // 0.6 > 0.20
+    val r22 = out((2L, 2))
+    r22.getAs[Double]("dup_gram_char_frac") shouldBe 0.0
+    r22.getAs[Boolean]("rep_flag") shouldBe true
+    // doc 1 has 6 tokens → rows only for n <= 6; doc 2 all n <= 10
+    out.keys.filter(_._1 == 1L).map(_._2).max shouldBe 6
+    out.keys.filter(_._1 == 2L).map(_._2).max shouldBe 10
+    // n=5 on doc 1: grams "a b a b a"(cnt 2? no — positions 1,2 → "a b a b a","b a b a b")
+    val r15 = out((1L, 5))
+    r15.getAs[Double]("dup_gram_char_frac") shouldBe 0.0 // both distinct
+    r15.getAs[Boolean]("rep_flag") shouldBe true
+  }
+
+  test("repetition lines: dup-line fractions just past both thresholds flag") {
+    val docs = Seq(
+      1L -> "x\nx\nyy",   // dup 1/3 > 0.30; chars: dup 1 / 4 = 0.25 > 0.20
+      2L -> "a\nb\nc",
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.repetitionLines(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    out(1L).getAs[Long]("n_lines") shouldBe 3L
+    out(1L).getAs[Long]("n_dup_lines") shouldBe 1L
+    out(1L).getAs[Double]("dup_line_frac") shouldBe (1.0 / 3.0) +- 1e-12
+    out(1L).getAs[Double]("dup_line_char_frac") shouldBe 0.25
+    out(1L).getAs[Boolean]("rep_flag") shouldBe false
+    out(2L).getAs[Double]("dup_line_frac") shouldBe 0.0
+    out(2L).getAs[Boolean]("rep_flag") shouldBe true
+  }
+
   test("synthetic line builder is deterministic and multi-line") {
     val docs = Seq(
       (0L, (1 to 20).map(i => s"tok$i").mkString(" ")),
