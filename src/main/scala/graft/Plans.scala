@@ -78,6 +78,10 @@ object Plans {
       "Exact substring-duplication at scale: every length-k character window is hashed map-side, and the content-defined keep-filter (`substr(md5, 32, 1) IN ('0','8')` — keep probability 1/8) runs BEFORE any exchange, so the only wide operations are the two partial+final aggregations on the kept gram hash (dup-hash detection, then the per-doc left join re-aggregation on the same key, which AQE serves from the reused exchange). No all-pairs join, nothing driver-side.",
     "heavy_hitters" ->
       "The exact two-pass heavy-hitters plan: pass 1 is ONE global aggregation computing both the Misra–Gries candidate summary and the exact stream length (a partial `ObjectHashAggregate` per partition, then a single-partition final merge of ≤k-entry maps — bytes on the wire are O(k × partitions), never the token stream); pass 2 recounts ONLY candidate tokens behind a `BroadcastHashJoin` against the ≤k-row exploded summary, so the full-vocabulary `GROUP BY term` shuffle this replaces never happens — the one hash exchange carries tokens that survived the broadcast filter.",
+    "line_dedup_corpus" ->
+      "Corpus-level boilerplate removal: lines cross the wire only as md5 hashes (the frequency aggregation is partial+final on the 16-byte hash), the common-line membership join back is declarative (AQE broadcasts the small common set at this SF; same plan hash-joins at scale), and the order-preserving document rebuild is a per-doc `collect_list` bounded by the document's own row size. No all-pairs, nothing driver-side.",
+    "gopher_repetition_ngrams" ->
+      "One corpus scan fans out ×9 n-gram sizes via `Generate explode` of a literal array (no re-reads); the (doc, n, gram) count is a partial+final hash aggregate, so within-doc gram repeats collapse map-side; the per-(doc, n) rollup is a second small aggregation. Both exchanges are keyed by doc-scoped composites — state is bounded by per-document vocabulary, never corpus-global.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -60,6 +60,7 @@ object HeavyHitters {
              |n AS (SELECT count(*) AS n_total FROM t)
              |SELECT term, cnt, n_total FROM c CROSS JOIN n
              |WHERE cnt * 50 > n_total ORDER BY term""".stripMargin),
+      headline = true,
     ),
   )
 }

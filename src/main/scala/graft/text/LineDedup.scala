@@ -72,6 +72,7 @@ object LineDedup {
       (s, dir) => lineDedup(QualityFilters.withSyntheticLines(Tables.documents(s, dir)))
         .orderBy("doc_id"),
       Some(duckLineDedup),
+      headline = true,
     ),
   )
 }

@@ -134,6 +134,23 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include regex """substring\(md5\(.*\), 32, 1\) IN \(0,8\)"""
   }
 
+  test("line dedup: only hash exchanges are the line-hash agg and per-doc rebuild") {
+    val p = plan("line_dedup_corpus")
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    keys.subsetOf(Set("lh", "doc_id")) shouldBe true
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("repetition n-grams: one scan fans out x9 sizes, doc-scoped exchanges only") {
+    val p = plan("gopher_repetition_ngrams")
+    // a single documents scan — the 9 n-values come from one explode
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    // every hash exchange leads with doc_id — doc-scoped, never corpus-global
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toList
+    keys should not be empty
+    keys.distinct shouldBe List("doc_id")
+  }
+
   test("heavy hitters: candidate recount joins broadcast; no full-vocab shuffle") {
     val p = plan("heavy_hitters")
     p should include("BroadcastHashJoin")
