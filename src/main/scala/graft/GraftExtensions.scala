@@ -20,6 +20,10 @@ object GraftFunctions {
     "kmer_windows" -> { exprs =>
       kmer.KmerGenerator(exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue())
     },
+    "kmer_windows_pos" -> { exprs =>
+      kmer.KmerGenerator(
+        exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue(), withPos = true)
+    },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
     "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
     // Spark ships these sketch expressions for its own runtime join

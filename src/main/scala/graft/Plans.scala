@@ -82,6 +82,8 @@ object Plans {
       "Corpus-level boilerplate removal: lines cross the wire only as md5 hashes (the frequency aggregation is partial+final on the 16-byte hash), the common-line membership join back is declarative (AQE broadcasts the small common set at this SF; same plan hash-joins at scale), and the order-preserving document rebuild is a per-doc `collect_list` bounded by the document's own row size. No all-pairs, nothing driver-side.",
     "gopher_repetition_ngrams" ->
       "One corpus scan fans out ×9 n-gram sizes via `Generate explode` of a literal array (no re-reads); the (doc, n, gram) count is a partial+final hash aggregate, so within-doc gram repeats collapse map-side; the per-(doc, n) rollup is a second small aggregation. Both exchanges are keyed by doc-scoped composites — state is bounded by per-document vocabulary, never corpus-global.",
+    "gopher_repetition_lines" ->
+      "Same doc-scoped shape as the n-gram family at line granularity: lines explode from the text in the map stage, the (doc, trimmed-line) count collapses repeats via partial aggregation, and the per-doc rollup keys on doc_id — both exchanges lead with doc_id, bounded by per-document line counts.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -31,7 +31,8 @@ object ScaleProbe {
     "text_token_stats", "shuffle_order", "pack_sequences", "pack_sequences_scalable",
     "minhash_signatures", "minhash_lsh_pairs", "simhash_neardup_pairs",
     "neardup_components", "dedup_exact", "decontaminate_overlap", "curated_corpus",
-    "substring_dup_stats", "heavy_hitters", "line_dedup_corpus", "gopher_repetition_ngrams",
+    "substring_dup_stats", "heavy_hitters", "line_dedup_corpus",
+    "gopher_repetition_ngrams", "gopher_repetition_lines",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")
 

@@ -46,19 +46,22 @@ import graft.{EngineQuery, Tables}
 object SubstringDup {
 
   def substringDupStats(docs: DataFrame, k: Int = 40, sampleBits: Int = 3): DataFrame = {
-    require(k >= 1, s"need positive k, got k=$k")
+    require(k >= 1 && k <= graft.kmer.Kmers.MaxK,
+      s"k must be in [1, ${graft.kmer.Kmers.MaxK}], got $k")
     require(sampleBits >= 0 && sampleBits <= 4, s"sampleBits must be 0..4, got $sampleBits")
+    graft.GraftFunctions.register(docs.sparkSession)
     // hex chars of the final md5 nibble whose low `sampleBits` bits are 0
     val keepNibbles = (0 until 16)
       .filter(n => (n & ((1 << sampleBits) - 1)) == 0)
       .map(n => n.toHexString)
+    // windows stream lazily from the positional KmerGenerator (no O(len)
+    // position array or window array per row — a multi-MB document costs
+    // zero transient allocation in the map stage); p is the 1-based char
+    // offset, matching substr semantics in the oracle
     val grams = graft.Partitioning.fanOut(docs)
       .where(length(col("text")) >= k)
-      .select(
-        col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"),
-        col("text").as("__t"))
-      .select(col("doc_id"), col("p"), md5(col("__t").substr(col("p"), lit(k))).as("h"))
+      .selectExpr("doc_id", s"kmer_windows_pos(text, $k) AS (pos, w)")
+      .select(col("doc_id"), (col("pos") + 1).as("p"), md5(col("w")).as("h"))
       .where(substring(col("h"), 32, 1).isin(keepNibbles: _*))
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))

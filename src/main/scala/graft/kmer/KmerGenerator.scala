@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Lazily-evaluated ArrayData of all width-k windows of a string: window
@@ -92,16 +92,26 @@ final class KmerWindowsArrayData(s: UTF8String, k: Int) extends ArrayData {
   * `explode(sequence(...))` formulation nor an O(len) window array.
   * The interpreted `eval` (non-WSCG contexts) walks the same lazy
   * collection. Measured in [[KmerBench]] at k ∈ {3, 8, 21}.
+  *
+  * With `withPos = true` (`kmer_windows_pos`) the generator also emits
+  * the 0-based window ordinal — the `posexplode` analog, used by
+  * [[graft.dedup.SubstringDup]] which needs character offsets; the
+  * position comes from the Generate loop's own index, so the lazy
+  * no-materialization property is unchanged.
   */
-case class KmerGenerator(child: Expression, k: Int)
+case class KmerGenerator(child: Expression, k: Int, withPos: Boolean = false)
     extends UnaryExpression with CollectionGenerator {
 
-  override def position: Boolean = false
+  override def position: Boolean = withPos
   override def inline: Boolean = false
   override def collectionType: DataType = ArrayType(StringType, containsNull = false)
 
   override def elementSchema: StructType =
-    new StructType().add("word", StringType, nullable = false)
+    if (withPos)
+      new StructType()
+        .add("pos", IntegerType, nullable = false)
+        .add("word", StringType, nullable = false)
+    else new StructType().add("word", StringType, nullable = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -122,8 +132,11 @@ case class KmerGenerator(child: Expression, k: Int)
         override def hasNext: Boolean = i < n
         override def next(): InternalRow = {
           val w = arr.getUTF8String(i)
+          val row =
+            if (withPos) new GenericInternalRow(Array[Any](i, w))
+            else new GenericInternalRow(Array[Any](w))
           i += 1
-          new GenericInternalRow(Array[Any](w))
+          row
         }
       }
     }

@@ -151,6 +151,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     keys.distinct shouldBe List("doc_id")
   }
 
+  test("repetition lines: every hash exchange leads with doc_id") {
+    val p = plan("gopher_repetition_lines")
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toList
+    keys should not be empty
+    keys.distinct shouldBe List("doc_id")
+  }
+
   test("heavy hitters: candidate recount joins broadcast; no full-vocab shuffle") {
     val p = plan("heavy_hitters")
     p should include("BroadcastHashJoin")

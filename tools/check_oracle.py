@@ -57,8 +57,16 @@ def main():
             continue
         gperm = [got_cols.index(c) for c in sorted(got_cols)]
         wperm = [want_cols.index(c) for c in sorted(want_cols)]
-        # None-safe total order: a NULL anywhere must not crash the gate
-        key = lambda t: tuple((v is None, str(type(v)), str(v)) for v in t)
+        # None-safe total order that still compares int/float NUMERICALLY
+        # (a type-name key would order Decimal-normalized ints differently
+        # from the float parquet side and false-FAIL equal result sets)
+        def vkey(v):
+            if v is None:
+                return (2, 0, "")
+            if isinstance(v, (int, float)):
+                return (0, v, "")
+            return (1, 0, str(v))
+        key = lambda t: tuple(vkey(v) for v in t)
         g = sorted((tuple(norm(r[i]) for i in gperm) for r in got), key=key)
         w = sorted((tuple(norm(r[i]) for i in wperm) for r in want), key=key)
         if g == w:
