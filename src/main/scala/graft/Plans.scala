@@ -84,6 +84,18 @@ object Plans {
       "One corpus scan fans out ×9 n-gram sizes via `Generate explode` of a literal array (no re-reads); the (doc, n, gram) count is a partial+final hash aggregate, so within-doc gram repeats collapse map-side; the per-(doc, n) rollup is a second small aggregation. Both exchanges are keyed by doc-scoped composites — state is bounded by per-document vocabulary, never corpus-global.",
     "gopher_repetition_lines" ->
       "Same doc-scoped shape as the n-gram family at line granularity: lines explode from the text in the map stage, the (doc, trimmed-line) count collapses repeats via partial aggregation, and the per-doc rollup keys on doc_id — both exchanges lead with doc_id, bounded by per-document line counts.",
+    "bloom_semi_join_pruned" ->
+      "Runtime-filter join pruning: the 16 KiB bitmap is ONE row built by a partial+final `bit_or` aggregate (shuffle volume ≤ 4096 words per partition, independent of build size) and arrives at the probe via a single-row `BroadcastNestedLoopJoin` cross — so the five bit tests run as scan-side scalar filters BEFORE the probe rows reach the exact semi-join's exchange. At 100 TB the semi-join shuffles only Bloom survivors; the oracle is the PLAIN semi-join, pinning transparency.",
+    "setsim_jaccard_join" ->
+      "Lossless prefix-filtered similarity join: the df join shuffles the token stream once; the prefix rank is a doc_id-PARTITIONED window (never a global sort — the global token order is the (df, tok) value itself); the candidate equi-join carries only each doc's rarest ~(1−t) tokens; verification is a candidate-bounded `array_intersect` projection behind two joins to per-doc token arrays. Nothing quadratic in the corpus — only in the true near-dup cliques of the OUTPUT.",
+    "countmin_token_freq" ->
+      "Count-Min build: the ×4 cell explode collapses to ≤ d·w=16384 rows per partition via partial aggregation BEFORE the one exchange — shuffle volume is the grid, not the token stream. The finished sketch is a single row crossed in by broadcast; point estimates are four `element_at` bit of scalar projection per key. The exact top-k side exists only because the gate cross-checks estimates against true counts.",
+    "hashed_linear_score" ->
+      "fastText-style scoring is a pure map stage: tokenize → bigram → hash → integer weight-sum all inside one array-lambda projection; the plan has NO hash exchange (the only exchange is the gate's output ORDER BY). At 100 TB this is scan-bound — the ideal shape for corpus-wide classifier sweeps.",
+    "profile_lineitem" ->
+      "ANALYZE in one pass: every column's null/distinct/min/max aggregates in a SINGLE aggregation (the multiple exact COUNT(DISTINCT)s plan as one `Expand`-based aggregate — one shuffle, map-side ×(ncols+1) expansion). No per-column scans. The 100 TB knob is swapping exact distinct for `approx_count_distinct`, which drops the Expand.",
+    "cdc_merge_upsert" ->
+      "MERGE INTO as ONE full-outer shuffle join on the merge key — update, delete, and insert all resolve as projections of the same join (no per-verb subqueries, no union of three joins). With the base table bucketed on the key the base side's exchange disappears entirely (the merge-on-read layout argument). SCD2 history is a second projection of the SAME join, not a second pass.",
   )
 
   def main(args: Array[String]): Unit = {

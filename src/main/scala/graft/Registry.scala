@@ -31,14 +31,22 @@ object Registry {
   def all: Seq[EngineQuery] =
     kmer.Kmers.engineQueries ++
       operators.Relational.engineQueries ++
+      operators.BloomJoin.engineQueries ++
+      operators.Cdc.engineQueries ++
+      operators.Profile.engineQueries ++
+      operators.ZOrder.engineQueries ++
       operators.Analytic.engineQueries ++
       operators.AsOf.engineQueries ++
       operators.RangeJoin.engineQueries ++
       text.TextAnalysis.engineQueries ++
       text.QualityFilters.engineQueries ++
+      text.HashedLinear.engineQueries ++
       text.LineDedup.engineQueries ++
       text.HeavyHitters.engineQueries ++
+      text.CountMin.engineQueries ++
+      text.Bm25.engineQueries ++
       dedup.SubstringDup.engineQueries ++
+      dedup.SetSimJoin.engineQueries ++
       curation.Curation.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++

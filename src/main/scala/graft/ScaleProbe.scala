@@ -33,6 +33,7 @@ object ScaleProbe {
     "neardup_components", "dedup_exact", "decontaminate_overlap", "curated_corpus",
     "substring_dup_stats", "heavy_hitters", "line_dedup_corpus",
     "gopher_repetition_ngrams", "gopher_repetition_lines",
+    "setsim_jaccard_join", "countmin_token_freq", "hashed_linear_score",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")
 

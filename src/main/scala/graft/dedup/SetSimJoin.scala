@@ -1,0 +1,129 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** Prefix-filtered exact set-similarity self-join — the AllPairs /
+  * PPJoin family (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+  * Search"; Xiao et al. 2008 PPJoin): find EVERY document pair whose
+  * token-set Jaccard similarity is >= t, without an all-pairs
+  * comparison and without the lossy guards of the heuristic paths.
+  *
+  * Contrast inside this engine ([[Dedup.ngramJaccardPairs]] drops
+  * pairs that share only high-df grams; MinHash/SimHash are
+  * probabilistic): prefix filtering is LOSSLESS — it relies on a
+  * theorem, not a heuristic. Order the universe of tokens by ascending
+  * document frequency (rarest first, ties by token); for a set x let
+  * its prefix be its first |x| − ceil(t·|x|) + 1 tokens in that order.
+  * Two sets with J(x,y) >= t MUST share at least one prefix token
+  * (if they shared none, the overlap would be confined to the
+  * suffixes, which are too short to reach t). So an equi-join on
+  * prefix tokens generates a candidate superset, and an exact
+  * verification on the candidates makes the result exact and complete.
+  *
+  * The ORACLE is the quadratic brute-force join (complete because any
+  * pair with J > 0 shares a token) — so the correctness gate literally
+  * re-proves the completeness guarantee on the harness corpus: the
+  * prefix-filtered plan must reproduce the exhaustive answer row for
+  * row.
+  *
+  * Scale shape (100 TB): tokenization is a zero-shuffle projection;
+  * df is one partial+final count on the token stream; the per-doc
+  * prefix rank is a doc-bounded window (never a global sort — the
+  * global token ORDER is (df, tok) itself, which needs no dense rank);
+  * the candidate join carries only the prefix fraction (~(1−t) of the
+  * rarest tokens, the ones with the smallest join fan-out); and
+  * verification joins each candidate pair to two per-doc token arrays
+  * (array_intersect, doc-bounded). Nothing is quadratic in the corpus:
+  * the only quadratic object is the OUTPUT itself, when the corpus
+  * genuinely contains a clique of near-identical documents.
+  */
+object SetSimJoin {
+
+  val DefaultThreshold = 0.5
+
+  /** Distinct lowercase whitespace tokens, one row per (doc, token). */
+  private def tokens(docs: DataFrame): DataFrame =
+    graft.Partitioning.fanOut(docs)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tok"))
+      .where(col("tok") =!= "")
+
+  /** Per-doc distinct token set as a column (for verification). */
+  private def tokenArrays(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      filter(
+        array_distinct(split(trim(lower(col("text"))), "\\s+")),
+        x => x =!= "").as("ts"))
+
+  /** All pairs (doc_a < doc_b) with token-set Jaccard >= t — exact and
+    * complete. Output sizes/intersection as BIGINT; jaccard is one
+    * IEEE division of exact integers (portable). */
+  def jaccardJoin(docs: DataFrame, t: Double = DefaultThreshold): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold must be in (0, 1], got $t")
+    val toks = tokens(docs)
+    val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc rank in the global (df, tok) order + per-doc set size,
+    // both from ONE doc-partitioned window pass
+    val w = Window.partitionBy("doc_id")
+    val ranked = toks.join(dfTbl, Seq("tok"))
+      .withColumn("rn", row_number().over(w.orderBy("df", "tok")))
+      .withColumn("sz", count(lit(1)).over(w))
+      .where(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+    val a = ranked.select(col("doc_id").as("doc_a"), col("tok"), col("sz").as("sz_a"))
+    val b = ranked.select(col("doc_id").as("doc_b"), col("tok"), col("sz").as("sz_b"))
+    // candidate pairs: shared prefix token + the Jaccard length filter
+    // (J >= t forces t·max(|x|,|y|) <= min(|x|,|y|))
+    val cand = a.join(b, Seq("tok"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(
+        col("sz_b") >= ceil(lit(t) * col("sz_a")) &&
+          col("sz_a") >= ceil(lit(t) * col("sz_b")))
+      .select("doc_a", "doc_b").distinct()
+    // exact verification: candidate-bounded array intersection
+    val arrs = tokenArrays(docs)
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(col("ta")).cast("long").as("n_a"),
+        size(col("tb")).cast("long").as("n_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= t)
+  }
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "setsim_jaccard_join",
+      (s, dir) => jaccardJoin(Tables.documents(s, dir)).orderBy("doc_a", "doc_b"),
+      // brute-force complete oracle: every pair sharing >= 1 token
+      Some(s"""WITH toks AS (
+             |  SELECT DISTINCT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+             |    FROM documents WHERE length(trim(text)) > 0)
+             |  WHERE tok <> ''),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(sa.sz AS BIGINT) AS n_a, CAST(sb.sz AS BIGINT) AS n_b,
+             |  CAST(inter AS BIGINT) AS n_inter,
+             |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+             |FROM pairs
+             |JOIN sizes sa ON doc_a = sa.doc_id
+             |JOIN sizes sb ON doc_b = sb.doc_id
+             |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= $DefaultThreshold
+             |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+  )
+}

@@ -315,13 +315,16 @@ object Analytic {
             col("l_suppkey"), col("l_orderkey"),
             col("l_linenumber").cast("long").as("l_linenumber"),
             col("running_qty"))
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+          // running_qty in the sort: (suppkey, orderkey, linenumber) is
+          // NOT unique in the harness data (165 duplicate triples at
+          // sf0.01), so without it the tie order is engine-dependent
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
       },
       Some("""SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
              |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin),
     ),
     // lag/lead: inter-event gap per user in milliseconds.
     EngineQuery(

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{EngineQuery, Tables}
+
+/** Change-data-capture merge — MERGE INTO / upsert semantics and SCD2
+  * (slowly-changing-dimension type 2) history, the ingestion pattern
+  * every periodically-refreshed 100 TB table needs (Delta/Iceberg
+  * MERGE, Kimball SCD2). Not in the reference (one-shot batch only);
+  * north-star extension.
+  *
+  * The change feed is DERIVED deterministically from the snapshot
+  * itself (update/delete/insert cohorts keyed on o_orderkey mod 10),
+  * so both engines construct bit-identical inputs and the gate checks
+  * the MERGE algebra, not a synthetic-data generator:
+  *  - keys ≡ 3 (mod 10): update — status → 'U', totalprice × 1.1
+  *    (exact decimal arithmetic, double only at the surface);
+  *  - keys ≡ 7 (mod 10): delete;
+  *  - keys ≡ 1 (mod 10): insert — the row cloned under key+10^9.
+  *
+  * Plan shape: ONE full-outer shuffle join on the merge key resolves
+  * all three verbs in a single pass — no per-verb subqueries, no
+  * union-of-three-joins. At 100 TB both sides hash-partition on the
+  * key; with the base table bucketed by key (see
+  * [[graft.sources.BucketedTables]]) the base side doesn't even
+  * shuffle, which is the Delta/Iceberg merge-on-read layout argument.
+  * SCD2 derives open/closed version rows from the same single join —
+  * history is a projection of the merge, not a second pass.
+  */
+object Cdc {
+
+  val InsertKeyOffset = 1000000000L
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  /** The deterministic change feed: (o_orderkey, op, new_status,
+    * new_totalprice) with op ∈ {'U','D','I'}. */
+  def changeFeed(orders: DataFrame): DataFrame = {
+    val m = col("o_orderkey") % 10
+    val upd = orders.where(m === 3).select(
+      col("o_orderkey"), lit("U").as("op"), lit("U").as("new_status"),
+      (dec(col("o_totalprice")) * lit("1.1").cast(DecimalType(2, 1))).as("new_totalprice"))
+    val del = orders.where(m === 7).select(
+      col("o_orderkey"), lit("D").as("op"),
+      lit(null).cast("string").as("new_status"),
+      lit(null).cast(DecimalType(15, 3)).as("new_totalprice"))
+    val ins = orders.where(m === 1).select(
+      (col("o_orderkey") + InsertKeyOffset).as("o_orderkey"), lit("I").as("op"),
+      col("o_orderstatus").as("new_status"),
+      dec(col("o_totalprice")).cast(DecimalType(15, 3)).as("new_totalprice"))
+    upd.unionByName(del).unionByName(ins)
+  }
+
+  /** MERGE INTO: one full-outer join resolves update/delete/insert.
+    * Emits the merged table (key, status, totalprice). */
+  def mergeUpsert(base: DataFrame, changes: DataFrame): DataFrame =
+    base
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).cast(DecimalType(15, 3)).as("o_totalprice"))
+      .join(changes, Seq("o_orderkey"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("o_orderkey"),
+        when(col("op") === "U" || col("op") === "I", col("new_status"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("op") === "U" || col("op") === "I", col("new_totalprice"))
+          .otherwise(col("o_totalprice")).cast("double").as("o_totalprice"))
+
+  /** SCD2 history from the same single join: version 1 = the base row
+    * (closed by an update or delete, else current); version 2 = the
+    * post-change row for updates and inserts. */
+  def scd2History(base: DataFrame, changes: DataFrame): DataFrame = {
+    val joined = base
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).cast(DecimalType(15, 3)).as("o_totalprice"))
+      .join(changes, Seq("o_orderkey"), "full_outer")
+    val v1 = joined.where(col("op").isNull || col("op").isin("U", "D"))
+      .select(
+        col("o_orderkey"), lit(1L).as("version"),
+        col("o_orderstatus"), col("o_totalprice").cast("double").as("o_totalprice"),
+        col("op").isNull.as("is_current"))
+    val v2 = joined.where(col("op") === "U" || col("op") === "I")
+      .select(
+        col("o_orderkey"), lit(2L).as("version"),
+        col("new_status").as("o_orderstatus"),
+        col("new_totalprice").cast("double").as("o_totalprice"),
+        lit(true).as("is_current"))
+    v1.unionByName(v2)
+  }
+
+  private def q(f: (DataFrame, DataFrame) => DataFrame, order: String*)
+      : (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      f(orders, changeFeed(orders)).orderBy(order.map(col): _*)
+    }
+
+  private val duckChanges =
+    """ch AS (
+      |  SELECT o_orderkey, 'U' AS op, 'U' AS new_status,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS new_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, 'I', o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3))
+      |  FROM orders WHERE o_orderkey % 10 = 1),
+      |base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3)) AS o_totalprice
+      |  FROM orders),
+      |j AS (
+      |  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |    b.o_orderstatus, b.o_totalprice, c.op, c.new_status, c.new_totalprice
+      |  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey)""".stripMargin
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "cdc_merge_upsert",
+      q(mergeUpsert, "o_orderkey"),
+      Some(s"""WITH $duckChanges
+             |SELECT o_orderkey,
+             |  CASE WHEN op IN ('U','I') THEN new_status ELSE o_orderstatus END AS o_orderstatus,
+             |  CAST(CASE WHEN op IN ('U','I') THEN new_totalprice ELSE o_totalprice END AS DOUBLE)
+             |    AS o_totalprice
+             |FROM j WHERE op IS NULL OR op <> 'D'
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+    EngineQuery(
+      "cdc_scd2_history",
+      q(scd2History, "o_orderkey", "version"),
+      Some(s"""WITH $duckChanges
+             |SELECT o_orderkey, CAST(1 AS BIGINT) AS version, o_orderstatus,
+             |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, op IS NULL AS is_current
+             |FROM j WHERE (op IS NULL OR op <> 'I')
+             |UNION ALL
+             |SELECT o_orderkey, 2, new_status, CAST(new_totalprice AS DOUBLE), true
+             |FROM j WHERE op IN ('U','I')
+             |ORDER BY o_orderkey, version""".stripMargin),
+    ),
+  )
+}

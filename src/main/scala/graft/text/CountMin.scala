@@ -1,0 +1,138 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+  * 2005): a d×w counter grid where every occurrence of key x
+  * increments counter (i, h_i(x)) for each of d hash rows, and the
+  * point estimate is min_i counter(i, h_i(x)) — always an
+  * OVERestimate, never under (each of x's counters holds x's true
+  * count plus whatever collided into it).
+  *
+  * This is the third entry in the engine's bounded-state frequency
+  * family, and the three trade differently at 100 TB:
+  *  - exact GROUP BY ([[TextAnalysis]] token stats): exact, but state
+  *    = vocabulary (unbounded);
+  *  - Misra–Gries ([[HeavyHitters]]): exact counts after a second
+  *    pass, state O(k), but answers only "the heavy" keys;
+  *  - Count-Min (here): ONE pass, fixed d·w state, answers ANY key's
+  *    frequency with bounded overestimate (±εN, ε = e/w, w.p. 1−δ,
+  *    δ = e^−d) — the right tool for point lookups over a keyspace
+  *    too large to hold.
+  *
+  * Scale shape: the build explodes each occurrence ×d map-side, but
+  * the partial aggregation collapses every partition to ≤ d·w rows
+  * before the ONE shuffle, so shuffle volume is d·w per partition —
+  * independent of corpus size. The finished sketch is a single
+  * broadcastable row (d·w longs, 128 KiB at the defaults); point
+  * queries against it are zero-shuffle scalar projections, and two
+  * sketches of two corpus halves MERGE by elementwise addition (the
+  * partial agg IS that merge).
+  *
+  * Hash portability: the same md5-lane universal-hash scheme as
+  * [[graft.dedup.Dedup]] MinHash / [[graft.operators.BloomJoin]], so
+  * the DuckDB oracle rebuilds the identical grid and the verification
+  * query checks estimates EXACTLY, not just by bound.
+  */
+object CountMin {
+
+  val Depth = 4
+  val Width = 4096
+  val P = 2147483647L
+  val A = Seq(6007L, 7459L, 8513L, 9001L)
+  val B = Seq(131L, 241L, 359L, 467L)
+
+  /** Column-DSL position of hash row `i` for a digest column. */
+  private def pos(d: Column, i: Int): Column = {
+    val lane = conv(substring(d, 8 * (i % 4) + 1, 8), 16, 10).cast("long")
+    ((lit(A(i)) * lane + lit(B(i))) % lit(P)) % lit(Width.toLong)
+  }
+
+  /** Non-distinct lowercase whitespace tokens: (doc_id, tok). */
+  private def tokens(docs: DataFrame): DataFrame =
+    graft.Partitioning.fanOut(docs)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+
+  /** The sketch as ONE row `cms: array<bigint>` of length Depth·Width
+    * (row-major: cell (i, p) at index i·Width + p). */
+  def sketch(items: DataFrame, keyCol: String): DataFrame = {
+    val d = md5(col(keyCol).cast("string"))
+    val cells = items
+      .select(d.as("__d"))
+      .select(explode(array((0 until Depth).map(i =>
+        lit(i.toLong) * Width + pos(col("__d"), i)): _*)).as("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("cnt"))
+    cells
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("cnt")))).as("__m"))
+      .select(
+        transform(
+          sequence(lit(0L), lit(Depth.toLong * Width - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0L))).as("cms"))
+  }
+
+  /** Point estimate against a broadcast `cms` array column, for a key
+    * digest column: min over rows of the key's counters. */
+  private def estimate(d: Column): Column =
+    least((0 until Depth).map(i =>
+      element_at(col("cms"), (lit(i.toLong) * Width + pos(d, i) + 1L).cast("int"))): _*)
+
+  /** Verification query: the corpus's top-`k` tokens by exact count
+    * (ties by token), with exact count, CMS estimate, and the
+    * overestimate — cross-engine exact via the rebuilt grid; the
+    * `over_est >= 0` invariant is the sketch's defining guarantee. */
+  def countMinTopTokens(docs: DataFrame, k: Int = 50): DataFrame = {
+    val toks = tokens(docs)
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(k)
+    top
+      .crossJoin(broadcast(sketch(toks, "tok")))
+      .select(
+        col("tok"), col("exact_cnt"),
+        estimate(md5(col("tok"))).as("cms_est"))
+      .withColumn("over_est", col("cms_est") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  private def duckPos(expr: String, i: Int): String = {
+    val lane = s"CAST('0x' || substr(md5($expr), ${8 * (i % 4) + 1}, 8) AS BIGINT)"
+    s"(((${A(i)} * $lane + ${B(i)}) % $P) % $Width)"
+  }
+
+  private def duckOracle(k: Int): String = {
+    val cellList = (0 until Depth).map(i => s"${i.toLong * Width} + ${duckPos("tok", i)}").mkString(", ")
+    val estJoins = (0 until Depth).map { i =>
+      s"LEFT JOIN cells c$i ON c$i.cell = ${i.toLong * Width} + ${duckPos("t.tok", i)}"
+    }.mkString("\n  ")
+    val estExpr = (0 until Depth).map(i => s"coalesce(c$i.cnt, 0)").mkString("least(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT tok FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents WHERE length(trim(text)) > 0)
+       |  WHERE tok <> ''),
+       |cells AS (
+       |  SELECT cell, count(*) AS cnt FROM (
+       |    SELECT unnest([$cellList]) AS cell FROM toks)
+       |  GROUP BY cell),
+       |top AS (
+       |  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+       |  ORDER BY exact_cnt DESC, tok LIMIT $k)
+       |SELECT t.tok, t.exact_cnt, $estExpr AS cms_est,
+       |  $estExpr - t.exact_cnt AS over_est
+       |FROM top t
+       |  $estJoins
+       |ORDER BY t.exact_cnt DESC, t.tok""".stripMargin
+  }
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "countmin_token_freq",
+      (s, dir) => countMinTopTokens(Tables.documents(s, dir)),
+      Some(duckOracle(50)),
+    ),
+  )
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+class CdcSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // keys chosen to hit every cohort: 13→update, 17→delete, 11→insert-src, 20→untouched
+  private val base = Seq(
+    (13L, "O", 100.00), (17L, "O", 200.00), (11L, "F", 300.00), (20L, "O", 400.00),
+  ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  test("mergeUpsert applies update, delete, insert; leaves the rest") {
+    val out = Cdc.mergeUpsert(base, Cdc.changeFeed(base)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    out.keySet shouldBe Set(13L, 11L, 20L, Cdc.InsertKeyOffset + 11L)
+    out(13L) shouldBe (("U", 110.00))          // updated: ×1.1 exact decimal
+    out(20L) shouldBe (("O", 400.00))          // untouched
+    out(11L) shouldBe (("F", 300.00))          // insert SOURCE row remains
+    out(Cdc.InsertKeyOffset + 11L) shouldBe (("F", 300.00)) // cloned insert
+  }
+
+  test("scd2History: closed v1 for update/delete, v2 for update/insert") {
+    val out = Cdc.scd2History(base, Cdc.changeFeed(base)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3), r.getBoolean(4))).toMap
+    out((13L, 1L)) shouldBe (("O", 100.00, false)) // closed by update
+    out((13L, 2L)) shouldBe (("U", 110.00, true))  // new current
+    out((17L, 1L)) shouldBe (("O", 200.00, false)) // closed by delete, no v2
+    out.contains((17L, 2L)) shouldBe false
+    out((20L, 1L)) shouldBe (("O", 400.00, true))  // untouched current
+    out((Cdc.InsertKeyOffset + 11L, 2L)) shouldBe (("F", 300.00, true))
+    out.contains((Cdc.InsertKeyOffset + 11L, 1L)) shouldBe false
+    out((11L, 1L)) shouldBe (("F", 300.00, true))  // source of insert untouched
+  }
+
+  test("merge then re-merge is idempotent for U/D cohorts on unchanged keys") {
+    // merging an EMPTY change feed returns the base unchanged
+    val empty = Cdc.changeFeed(base.where($"o_orderkey" < 0))
+    val out = Cdc.mergeUpsert(base, empty).collect()
+    out.length shouldBe 4
+    out.map(_.getLong(0)).sorted shouldBe Array(11L, 13L, 17L, 20L)
+  }
+}

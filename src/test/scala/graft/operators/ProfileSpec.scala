@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+class ProfileSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profiles mixed types with nulls in one pass") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.5), Some(Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, Some("b"), None, Some(Timestamp.valueOf("2024-06-01 12:00:00"))),
+      (3L, None, Some(2.5), None),
+      (3L, Some("a"), Some(2.5), None),
+    ).toDF("id", "s", "d", "ts")
+    val out = Profile.profile(df).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    out.keySet shouldBe Set("id", "s", "d", "ts")
+
+    val id = out("id")
+    id.getAs[Long]("n_rows") shouldBe 4L
+    id.getAs[Long]("n_nulls") shouldBe 0L
+    id.getAs[Long]("n_distinct") shouldBe 3L
+    id.getAs[Double]("min_num") shouldBe 1.0
+    id.getAs[Double]("max_num") shouldBe 3.0
+    id.getAs[String]("min_str") shouldBe null
+
+    val s = out("s")
+    s.getAs[Long]("n_nulls") shouldBe 1L
+    s.getAs[Long]("n_distinct") shouldBe 2L
+    s.getAs[String]("min_str") shouldBe "a"
+    s.getAs[String]("max_str") shouldBe "b"
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+
+    val d = out("d")
+    d.getAs[Long]("n_nulls") shouldBe 1L
+    d.getAs[Long]("n_distinct") shouldBe 2L
+    d.getAs[Double]("min_num") shouldBe 1.5
+    d.getAs[Double]("max_num") shouldBe 2.5
+
+    val ts = out("ts")
+    ts.getAs[Long]("n_nulls") shouldBe 2L
+    ts.getAs[Long]("n_distinct") shouldBe 2L
+    // epoch micros as exact double
+    ts.getAs[Double]("min_num") shouldBe Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000.0
+  }
+
+  test("all-null column and empty frame don't break") {
+    val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
+    val out = Profile.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    out("s").getAs[Long]("n_nulls") shouldBe 2L
+    out("s").getAs[Long]("n_distinct") shouldBe 0L
+    assert(out("s").isNullAt(out("s").fieldIndex("min_str")))
+  }
+}

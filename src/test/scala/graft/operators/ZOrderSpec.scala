@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+
+class ZOrderSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def morton(x: Long, y: Long): Long =
+    (0 until 16).map { i =>
+      (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))
+    }.sum
+
+  test("zValue matches a reference Morton interleave") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L), (12345L, 54321L), (7L, 8L))
+    val df = pts.toDF("x", "y")
+    val got = df.select(ZOrder.zValue(col("x"), col("y")).as("z")).collect().map(_.getLong(0))
+    got shouldBe pts.map { case (x, y) => morton(x, y) }.toArray
+    // sanity: full 16-bit corner hits 2^32 - 1
+    morton(65535L, 65535L) shouldBe (1L << 32) - 1
+  }
+
+  test("z-order layout bounds BOTH dims; skipping beats the linear layout on 2-D predicates") {
+    // uniform grid over both dimensions so clustering differences show
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 20000).map { _ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+    }
+    val df = rows.toDF("l_partkey", "l_suppkey")
+    val out = ZOrder.zorderSkippingStats(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val z = out("zorder"); val l = out("linear")
+    // both layouts produce full file counts over a uniform grid
+    z.getAs[Long]("n_files") shouldBe 64L
+    l.getAs[Long]("n_files") shouldBe 64L
+    // the predicate covers 1/16 of x and 1/512 of y:
+    // linear layout must read every file in the x-range (y unbounded per file);
+    // zorder bounds y too, reading strictly fewer rows
+    z.getAs[Long]("rows_in_read_files") should be < l.getAs[Long]("rows_in_read_files")
+    // per-file y spans: zorder files cover a fraction of y; linear files ~all of it
+    z.getAs[Long]("sum_y_span_read") should be < l.getAs[Long]("sum_y_span_read")
+  }
+}

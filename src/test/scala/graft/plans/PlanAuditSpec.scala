@@ -167,4 +167,50 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     hashEx.count(_ == "term") shouldBe 1
     p should include("Exchange SinglePartition")
   }
+
+  test("bloom semi-join: single-row bitmap broadcast + scan-side bit tests + exact semi") {
+    val p = plan("bloom_semi_join_pruned")
+    // the one-row bitmap arrives by broadcast cross (never a shuffle)
+    p should include regex """BroadcastNestedLoopJoin BuildRight, Cross"""
+    // bit tests are a plain Filter below the join (element_at over the array)
+    p should include("element_at")
+    // the exact join is a semi join — transparency's second leg
+    p should include("LeftSemi")
+  }
+
+  test("setsim: prefix rank window is doc-partitioned, never a global sort") {
+    val p = plan("setsim_jaccard_join")
+    // row_number over (doc_id) partition: partition col first, unsorted
+    p should include regex """row_number\(\) windowspecdefinition\(doc_id#\d+L, df#"""
+    p should not include regex ("""row_number\(\) windowspecdefinition\(doc_id#\d+L ASC""")
+    // exact verification by array_intersect, not a token re-join
+    p should include("array_intersect")
+  }
+
+  test("count-min: grid aggregates partial+final; sketch crosses in as one broadcast row") {
+    val p = plan("countmin_token_freq")
+    p should include("partial_count")
+    p should include regex """BroadcastNestedLoopJoin BuildRight, Cross"""
+    // estimate is least() over element_at lookups — scalar projection
+    p should include("least")
+  }
+
+  test("hashed linear scoring is a pure map stage (no hash exchange)") {
+    val p = plan("hashed_linear_score")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+  }
+
+  test("profile: one Expand-based aggregate pass, no per-column scans") {
+    val p = plan("profile_lineitem")
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    p should include("Expand")
+  }
+
+  test("cdc merge: ONE full-outer join resolves update/delete/insert") {
+    val p = plan("cdc_merge_upsert")
+    // one full-outer join in the whole plan (orders scans twice: base +
+    // change feed; the three change cohorts union below the ONE exchange)
+    "FullOuter".r.findAllIn(p).size shouldBe 1
+    p should include("SortMergeJoin")
+  }
 }
