@@ -50,6 +50,7 @@ object Registry {
       curation.Curation.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
+      similarity.Pq.engineQueries ++
       streaming.EventAnalytics.engineQueries ++
       streaming.StatefulSessions.engineQueries ++
       multimodal.Multimodal.engineQueries ++

@@ -42,7 +42,16 @@ import graft.{EngineQuery, Tables}
   */
 object SetSimJoin {
 
-  val DefaultThreshold = 0.5
+  /** The harness corpus is heavily templated — at sf0.1 the FULL
+    * corpus holds ~9M pairs above Jaccard 0.5 and ~1M above 0.9 (the
+    * output itself is quadratic in its near-dup cliques, as the
+    * Scaladoc above warns). The gate therefore runs at t = 0.9 over
+    * the deterministic doc_id %% 3 == 0 third of the corpus, keeping
+    * the verified relation ~10^5 rows; the operator itself takes any
+    * threshold/corpus.
+    */
+  val DefaultThreshold = 0.9
+  val GateDocFilter = 3
 
   /** Distinct lowercase whitespace tokens, one row per (doc, token). */
   private def tokens(docs: DataFrame): DataFrame =
@@ -103,12 +112,14 @@ object SetSimJoin {
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
       "setsim_jaccard_join",
-      (s, dir) => jaccardJoin(Tables.documents(s, dir)).orderBy("doc_a", "doc_b"),
+      (s, dir) => jaccardJoin(
+        Tables.documents(s, dir).where(col("doc_id") % GateDocFilter === 0))
+        .orderBy("doc_a", "doc_b"),
       // brute-force complete oracle: every pair sharing >= 1 token
       Some(s"""WITH toks AS (
              |  SELECT DISTINCT doc_id, tok FROM (
              |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-             |    FROM documents WHERE length(trim(text)) > 0)
+             |    FROM documents WHERE length(trim(text)) > 0 AND doc_id % $GateDocFilter = 0)
              |  WHERE tok <> ''),
              |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
              |pairs AS (
@@ -124,6 +135,7 @@ object SetSimJoin {
              |JOIN sizes sb ON doc_b = sb.doc_id
              |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= $DefaultThreshold
              |ORDER BY doc_a, doc_b""".stripMargin),
+      headline = true,
     ),
   )
 }

@@ -215,6 +215,7 @@ object BloomJoin {
              |FROM lineitem
              |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '$urgent')
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "bloom_filter_stats",

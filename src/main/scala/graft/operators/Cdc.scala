@@ -90,6 +90,38 @@ object Cdc {
     v1.unionByName(v2)
   }
 
+  /** Streaming twin of [[mergeUpsert]] — continuous CDC ingestion, the
+    * same shape as [[graft.dedup.Dedup.runStreamingIncrementalDedup]]:
+    * the change source arrives as a file stream, each microbatch
+    * derives its change feed and merges against the static base inside
+    * `foreachBatch`, and the merged rows land in a parquet sink. The
+    * finite gate source lands in ONE microbatch, so the landed table
+    * provably equals the batch twin's — identical oracle. (In
+    * production each merged batch becomes the next trigger's base —
+    * Delta/Iceberg `MERGE` per microbatch.)
+    */
+  def runStreamingCdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val base = Tables.orders(spark, sfDir)
+    val outDir =
+      s"${graft.OutDir.base}/graft_stream_cdc/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val stream = spark.readStream
+      .schema(schema)
+      .format("parquet")
+      .option("pathGlobFilter", "orders.parquet")
+      .load(sfDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeUpsert(base, changeFeed(batch))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   private def q(f: (DataFrame, DataFrame) => DataFrame, order: String*)
       : (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -121,6 +153,17 @@ object Cdc {
     EngineQuery(
       "cdc_merge_upsert",
       q(mergeUpsert, "o_orderkey"),
+      Some(s"""WITH $duckChanges
+             |SELECT o_orderkey,
+             |  CASE WHEN op IN ('U','I') THEN new_status ELSE o_orderstatus END AS o_orderstatus,
+             |  CAST(CASE WHEN op IN ('U','I') THEN new_totalprice ELSE o_totalprice END AS DOUBLE)
+             |    AS o_totalprice
+             |FROM j WHERE op IS NULL OR op <> 'D'
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+    EngineQuery(
+      "streaming_cdc_merge",
+      (s, dir) => runStreamingCdcMerge(s, dir).orderBy("o_orderkey"),
       Some(s"""WITH $duckChanges
              |SELECT o_orderkey,
              |  CASE WHEN op IN ('U','I') THEN new_status ELSE o_orderstatus END AS o_orderstatus,

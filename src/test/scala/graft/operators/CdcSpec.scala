@@ -37,6 +37,18 @@ class CdcSpec extends AnyFunSuite with Matchers {
     out((11L, 1L)) shouldBe (("F", 300.00, true))  // source of insert untouched
   }
 
+  test("streaming twin lands exactly the batch merge relation") {
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.Tables.orders(spark, dir)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))
+    val batch = Cdc.mergeUpsert(orders, Cdc.changeFeed(orders))
+      .collect().map(key).sortBy(_._1)
+    val streamed = Cdc.runStreamingCdcMerge(spark, dir)
+      .collect().map(key).sortBy(_._1)
+    streamed shouldBe batch
+  }
+
   test("merge then re-merge is idempotent for U/D cohorts on unchanged keys") {
     // merging an EMPTY change feed returns the base unchanged
     val empty = Cdc.changeFeed(base.where($"o_orderkey" < 0))
