@@ -87,7 +87,7 @@ object Plans {
     "bloom_semi_join_pruned" ->
       "Runtime-filter join pruning: the 16 KiB bitmap is ONE row built by a partial+final `bit_or` aggregate (shuffle volume ≤ 4096 words per partition, independent of build size) and arrives at the probe via a single-row `BroadcastNestedLoopJoin` cross — so the five bit tests run as scan-side scalar filters BEFORE the probe rows reach the exact semi-join's exchange. At 100 TB the semi-join shuffles only Bloom survivors; the oracle is the PLAIN semi-join, pinning transparency.",
     "setsim_jaccard_join" ->
-      "Lossless prefix-filtered similarity join: the df join shuffles the token stream once; the prefix rank is a doc_id-PARTITIONED window (never a global sort — the global token order is the (df, tok) value itself); the candidate equi-join carries only each doc's rarest ~(1−t) tokens; verification is a candidate-bounded `array_intersect` projection behind two joins to per-doc token arrays. Nothing quadratic in the corpus — only in the true near-dup cliques of the OUTPUT.",
+      "Lossless prefix-filtered similarity join: the df join shuffles the token stream once; the prefix rank is a doc_id-PARTITIONED window (never a global sort — the global token order is the (df, tok) value itself); the candidate equi-join carries only each doc's rarest ~(1−t) tokens AND the PPJoin positional filter (min(rank_a, rank_b) + min(sz−rank) upper-bounds the overlap for every shared-token row, so rows that cannot reach α = ceil(t/(1+t)·(sz_a+sz_b)) drop before the distinct — lossless because a qualifying pair passes on ALL its rows); verification is a candidate-bounded `array_intersect` projection behind two joins to per-doc token arrays. Nothing quadratic in the corpus — only in the true near-dup cliques of the OUTPUT.",
     "countmin_token_freq" ->
       "Count-Min build: the ×4 cell explode collapses to ≤ d·w=16384 rows per partition via partial aggregation BEFORE the one exchange — shuffle volume is the grid, not the token stream. The finished sketch is a single row crossed in by broadcast; point estimates are four `element_at` bit of scalar projection per key. The exact top-k side exists only because the gate cross-checks estimates against true counts.",
     "hashed_linear_score" ->
@@ -96,6 +96,14 @@ object Plans {
       "ANALYZE in one pass: every column's null/distinct/min/max aggregates in a SINGLE aggregation (the multiple exact COUNT(DISTINCT)s plan as one `Expand`-based aggregate — one shuffle, map-side ×(ncols+1) expansion). No per-column scans. The 100 TB knob is swapping exact distinct for `approx_count_distinct`, which drops the Expand.",
     "cdc_merge_upsert" ->
       "MERGE INTO as ONE full-outer shuffle join on the merge key — update, delete, and insert all resolve as projections of the same join (no per-verb subqueries, no union of three joins). With the base table bucketed on the key the base side's exchange disappears entirely (the merge-on-read layout argument). SCD2 history is a second projection of the SAME join, not a second pass.",
+    "zorder_skipping_stats" ->
+      "Both layouts' file ids are pure per-row integer bit expressions — the plan is projection + a 64-group partial+final aggregate per layout (map-side combine; no window, no join, no global sort). At 100 TB the SAME zValue expression feeds repartitionByRange before the writer; this query is the read-side effect, quantified.",
+    "ann_pq_adc_topk" ->
+      "PQ at scan scale: the S·C-row codebook broadcasts into the corpus code-assignment join (corpus never shuffles to be coded; the only wide op is the (vec, subspace)-keyed argmin, S rows per vector); the query ADC table broadcasts back, and the per-(query, vector) distance is a sum of S integers. The rank cut runs under WindowGroupLimit. Composing with IVF's inverted lists restricts WHICH codes are scanned — classic IVF-PQ.",
+    "bm25_top_docs" ->
+      "Inverted-index probe: query terms broadcast into the token-stream semi-join, so the tf aggregation shuffles ONLY query-term occurrences, never the vocabulary; dl is a doc-keyed aggregate; N/avgdl reduce to one broadcast row; the per-term top-k cut sits under WindowGroupLimit. The full-vocab df aggregate exists only because the gate derives its query terms from the corpus.",
+    "bigram_lm_fluency" ->
+      "Self-trained bigram LM scoring in exact integers: the model is two partial+final count aggregations (unigram ~vocab, bigram corpus-supported), cnt1 rides inside the model row (ONE scoring join on (w1, w2), not two), and the per-doc rollup keys on doc_id. No float log anywhere — a 10^5-term ln() sum would drift a ulp per term across engines; scaled integer division cannot.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -45,6 +45,8 @@ object Registry {
       text.HeavyHitters.engineQueries ++
       text.CountMin.engineQueries ++
       text.Bm25.engineQueries ++
+      text.BigramLm.engineQueries ++
+      text.Mojibake.engineQueries ++
       dedup.SubstringDup.engineQueries ++
       dedup.SetSimJoin.engineQueries ++
       curation.Curation.engineQueries ++

@@ -110,7 +110,21 @@ object ScaleProbe {
       println(f"""{"query":"$n","sf01_sec":$base%.2f,"probe_sec":$probe%.2f,"ratio":$ratio%.1f}""")
       (n, base, probe, ratio)
     }
-    val flagged = rows.filter(r => r._4 > 25.0).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // A time ratio must be judged against OUTPUT growth before calling it
+    // superlinear: an operator whose true answer grows quadratically on
+    // the probe corpus (the 10 rotated copies of every document are
+    // mutual token-set near-dups, so a similarity JOIN's result grows
+    // ~copies² per original pair) legitimately spends time proportional
+    // to the rows it must emit. For candidates over the wall-clock
+    // threshold, count output rows at both scales and flag only when
+    // time outgrows both the data (10×) and the output.
+    val flagged = rows.filter(r => r._4 > 25.0).filter { case (n, _, _, tRatio) =>
+      val cntBase = byName(n).fn(spark, srcDir).count().toDouble
+      val cntProbe = byName(n).fn(spark, outDir).count().toDouble
+      val rowsRatio = if (cntBase > 0) cntProbe / cntBase else 1.0
+      println(f"""{"query":"$n","rows_sf01":${cntBase.toLong},"rows_probe":${cntProbe.toLong},"rows_ratio":$rowsRatio%.1f,"time_ratio":$tRatio%.1f}""")
+      tRatio > math.max(25.0, 2.5 * rowsRatio)
+    }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"scale_probe","copies":10,"flagged_superlinear":$flagged}""")
     spark.stop()
   }

@@ -83,15 +83,32 @@ object SetSimJoin {
       .withColumn("rn", row_number().over(w.orderBy("df", "tok")))
       .withColumn("sz", count(lit(1)).over(w))
       .where(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-    val a = ranked.select(col("doc_id").as("doc_a"), col("tok"), col("sz").as("sz_a"))
-    val b = ranked.select(col("doc_id").as("doc_b"), col("tok"), col("sz").as("sz_b"))
+    val a = ranked.select(
+      col("doc_id").as("doc_a"), col("tok"), col("sz").as("sz_a"), col("rn").as("rn_a"))
+    val b = ranked.select(
+      col("doc_id").as("doc_b"), col("tok"), col("sz").as("sz_b"), col("rn").as("rn_b"))
     // candidate pairs: shared prefix token + the Jaccard length filter
-    // (J >= t forces t·max(|x|,|y|) <= min(|x|,|y|))
+    // (J >= t forces t·max(|x|,|y|) <= min(|x|,|y|)) + a POSITIONAL
+    // filter in the PPJoin family (Xiao et al. 2008): J >= t needs
+    // overlap O >= α = ceil(t/(1+t)·(|x|+|y|)), and for a shared token
+    // at ranks (px, py) the overlap splits into common tokens before it
+    // (≤ min(px,py) − 1) and from it onward (≤ min(|x|−px, |y|−py)+1),
+    // so min(px,py) + min(|x|−px, |y|−py) bounds O for EVERY shared
+    // token row. A qualifying pair therefore passes on ALL its rows —
+    // dropping rows below α is lossless by construction — while pairs
+    // whose shared prefix tokens sit at asymmetric ranks (the bulk of
+    // the templated-corpus candidate explosion: 10× corpus → ~10×
+    // per-token df → ~100× bare-prefix candidates while true output
+    // grew 2.5×) die before the distinct.
     val cand = a.join(b, Seq("tok"))
       .where(col("doc_a") < col("doc_b"))
       .where(
         col("sz_b") >= ceil(lit(t) * col("sz_a")) &&
           col("sz_a") >= ceil(lit(t) * col("sz_b")))
+      .where(
+        least(col("rn_a"), col("rn_b")) +
+          least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
+          ceil(lit(t / (1 + t)) * (col("sz_a") + col("sz_b"))))
       .select("doc_a", "doc_b").distinct()
     // exact verification: candidate-bounded array intersection
     val arrs = tokenArrays(docs)

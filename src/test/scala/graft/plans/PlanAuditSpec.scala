@@ -206,6 +206,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("Expand")
   }
 
+  test("zorder stats: pure projection + small aggregates — no join, no window") {
+    val p = plan("zorder_skipping_stats")
+    p should not include "Join"
+    p should not include regex ("""Window(?!GroupLimit)""")
+    // per-layout 64-group aggregates are partial+final (map-side combine)
+    p should include("partial_count")
+  }
+
+  test("pq adc: codebook and query table broadcast; corpus never shuffles to be coded") {
+    val p = plan("ann_pq_adc_topk")
+    p should include("BroadcastHashJoin")
+    p should include("WindowGroupLimit")
+    // the only hash exchanges are (n_id, s)-keyed argmin and the adc pair agg
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
+    keys.subsetOf(Set("n_id", "q_id", "s", "c")) shouldBe true
+  }
+
+  test("bm25: query terms broadcast into the token stream; top-k under WindowGroupLimit") {
+    val p = plan("bm25_top_docs")
+    p should include("BroadcastHashJoin")
+    p should include("WindowGroupLimit")
+  }
+
   test("cdc merge: ONE full-outer join resolves update/delete/insert") {
     val p = plan("cdc_merge_upsert")
     // one full-outer join in the whole plan (orders scans twice: base +
