@@ -42,12 +42,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // the dev filter also scopes the oracle dump and the summary, so a
+    // filtered outDir is self-consistent (a checker pointed at it sees
+    // only oracles whose parquet dirs exist)
+    val oracles = SparkEntry.oracleSql.filter(o => nameFilter(o._1))
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // One-line run summary so a silent partial dump is visible in the
     // correctness log (total vs written mismatch = some query failed).
-    println(s"""{"metric":"verify_summary","queries":${SparkEntry.queries.size},"written":$written,"oracles":${SparkEntry.oracleSql.size}}""")
+    val total = SparkEntry.queries.count(q => nameFilter(q._1))
+    println(s"""{"metric":"verify_summary","queries":$total,"written":$written,"oracles":${oracles.size}}""")
     spark.stop()
   }
 }

@@ -69,10 +69,19 @@ object SetSimJoin {
         array_distinct(split(trim(lower(col("text"))), "\\s+")),
         x => x =!= "").as("ts"))
 
-  /** All pairs (doc_a < doc_b) with token-set Jaccard >= t — exact and
-    * complete. Output sizes/intersection as BIGINT; jaccard is one
-    * IEEE division of exact integers (portable). */
-  def jaccardJoin(docs: DataFrame, t: Double = DefaultThreshold): DataFrame = {
+  /** Distinct candidate pairs the prefix+positional filters admit —
+    * the exact join's true work measure (verification cost is linear
+    * in THIS, not in the output: on a corpus of dense near-dup
+    * cliques candidates ≈ clique mass even when the threshold rejects
+    * most of them). Surfaced for the 10× scale probe's work-aware
+    * superlinearity accounting. */
+  def candidateCount(docs: DataFrame, t: Double = DefaultThreshold): DataFrame =
+    candidates(docs, t).agg(count(lit(1)).as("n_candidates"))
+
+  /** Candidate generation shared by [[jaccardJoin]] and
+    * [[candidateCount]]: distinct (doc_a < doc_b) pairs surviving the
+    * prefix, length, and positional filters. */
+  private def candidates(docs: DataFrame, t: Double): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"threshold must be in (0, 1], got $t")
     val toks = tokens(docs)
     val dfTbl = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -82,37 +91,60 @@ object SetSimJoin {
     val ranked = toks.join(dfTbl, Seq("tok"))
       .withColumn("rn", row_number().over(w.orderBy("df", "tok")))
       .withColumn("sz", count(lit(1)).over(w))
-      .where(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      // prefix length |x| − ⌈t·|x|⌉ + 1; the 1e-9 slack keeps the float
+      // product from ceiling one unit ABOVE the exact rational (e.g.
+      // 0.9·70 = 63.000000000000014 in doubles → ceil 64, exact 63 —
+      // one prefix token short, a silent completeness hole). At worst
+      // the slack lengthens the prefix by one token — conservative.
+      .where(col("rn") <= col("sz") - ceil(lit(t) * col("sz") - lit(1e-9)) + 1)
     val a = ranked.select(
       col("doc_id").as("doc_a"), col("tok"), col("sz").as("sz_a"), col("rn").as("rn_a"))
     val b = ranked.select(
       col("doc_id").as("doc_b"), col("tok"), col("sz").as("sz_b"), col("rn").as("rn_b"))
     // candidate pairs: shared prefix token + the Jaccard length filter
     // (J >= t forces t·max(|x|,|y|) <= min(|x|,|y|)) + a POSITIONAL
-    // filter in the PPJoin family (Xiao et al. 2008): J >= t needs
-    // overlap O >= α = ceil(t/(1+t)·(|x|+|y|)), and for a shared token
-    // at ranks (px, py) the overlap splits into common tokens before it
-    // (≤ min(px,py) − 1) and from it onward (≤ min(|x|−px, |y|−py)+1),
-    // so min(px,py) + min(|x|−px, |y|−py) bounds O for EVERY shared
-    // token row. A qualifying pair therefore passes on ALL its rows —
-    // dropping rows below α is lossless by construction — while pairs
+    // filter in the PPJoin family (Xiao et al. 2008): for a shared
+    // token at ranks (px, py) the overlap splits into common tokens
+    // before it (≤ min(px,py) − 1) and from it onward
+    // (≤ min(|x|−px, |y|−py)+1), so B = min(px,py) + min(|x|−px,|y|−py)
+    // bounds the true overlap O for EVERY shared-token row. Since
+    // J(O) = O/(s−O) is increasing in O, a qualifying pair
+    // (J(O_true) >= t) satisfies J(B) >= t on ALL its rows — so the
+    // filter keeps the bound IN JACCARD FORM, B/(s−B) >= t, reusing
+    // the exact float comparison of the final verification instead of
+    // a ceil(t/(1+t)·s) threshold (whose float ceiling overshoots the
+    // exact rational at e.g. t=0.9, s=133 and would drop boundary
+    // pairs with J exactly t). Lossless by construction, while pairs
     // whose shared prefix tokens sit at asymmetric ranks (the bulk of
     // the templated-corpus candidate explosion: 10× corpus → ~10×
     // per-token df → ~100× bare-prefix candidates while true output
     // grew 2.5×) die before the distinct.
+    val bnd = least(col("rn_a"), col("rn_b")) +
+      least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
+    // the length filter is stated in the same Jaccard form (O ≤ min
+    // sizes, so J ≤ min/(s−min)): a ceil(t·sz) integer threshold would
+    // hit the identical float-ceiling overshoot
+    val minSz = least(col("sz_a"), col("sz_b"))
     val cand = a.join(b, Seq("tok"))
       .where(col("doc_a") < col("doc_b"))
       .where(
-        col("sz_b") >= ceil(lit(t) * col("sz_a")) &&
-          col("sz_a") >= ceil(lit(t) * col("sz_b")))
+        minSz.cast("double") /
+          (col("sz_a") + col("sz_b") - minSz).cast("double") >= t)
+      .withColumn("__bnd", bnd)
       .where(
-        least(col("rn_a"), col("rn_b")) +
-          least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
-          ceil(lit(t / (1 + t)) * (col("sz_a") + col("sz_b"))))
+        col("__bnd").cast("double") /
+          (col("sz_a") + col("sz_b") - col("__bnd")).cast("double") >= t)
       .select("doc_a", "doc_b").distinct()
+    cand
+  }
+
+  /** All pairs (doc_a < doc_b) with token-set Jaccard >= t — exact and
+    * complete. Output sizes/intersection as BIGINT; jaccard is one
+    * IEEE division of exact integers (portable). */
+  def jaccardJoin(docs: DataFrame, t: Double = DefaultThreshold): DataFrame = {
     // exact verification: candidate-bounded array intersection
     val arrs = tokenArrays(docs)
-    cand
+    candidates(docs, t)
       .join(arrs.select(col("doc_id").as("doc_a"), col("ts").as("ta")), Seq("doc_a"))
       .join(arrs.select(col("doc_id").as("doc_b"), col("ts").as("tb")), Seq("doc_b"))
       .select(

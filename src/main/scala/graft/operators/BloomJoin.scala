@@ -59,19 +59,16 @@ object BloomJoin {
   val WordBits = 32
   val NumWords: Int = NumBits / WordBits
   val NumHashes = 5
-  /** Mersenne prime 2^31−1; A/B odd constants < 2^14, so A·lane < 2^46
-    * never overflows BIGINT in either engine. */
-  val P = 2147483647L
+  /** Hash constants for [[graft.functions.PortableHash]]: odd A < 2^14
+    * so A·lane < 2^46 never overflows BIGINT in either engine. */
   val A = Seq(3967L, 4349L, 5843L, 7919L, 9973L)
   val B = Seq(101L, 211L, 307L, 401L, 503L)
 
-  /** SQL fragment: position of hash `i` given a digest column named
-    * `d`. Kept as a string fragment so the identical arithmetic
-    * (modulo hex-lane syntax) appears in the DuckDB oracle below. */
-  private def posSql(i: Int): String = {
-    val lane = s"CAST(conv(substring(__d, ${8 * (i % 4) + 1}, 8), 16, 10) AS BIGINT)"
-    s"(((${A(i)} * $lane + ${B(i)}) % $P) % $NumBits)"
-  }
+  /** Position of hash `i` given a digest column named `__d` — the
+    * shared portable-hash fragment (same arithmetic as the DuckDB
+    * oracle below). */
+  private def posSql(i: Int): String =
+    graft.functions.PortableHash.posSqlSpark("__d", i % 4, A(i), B(i), NumBits.toLong)
 
   /** One dense bitmap row: `bloom: array<bigint>` of length NumWords.
     * The aggregation is partial+final `bit_or` over ≤ NumWords word
@@ -170,12 +167,11 @@ object BloomJoin {
       .crossJoin(one(fp, "n_false_pos"))
   }
 
-  /** The bloom position arithmetic in DuckDB syntax (identical modular
-    * math; hex lane via CAST('0x'||…)). `col` is the key expression. */
-  private def duckPos(col: String, i: Int): String = {
-    val lane = s"CAST('0x' || substr(md5(CAST($col AS VARCHAR)), ${8 * (i % 4) + 1}, 8) AS BIGINT)"
-    s"(((${A(i)} * $lane + ${B(i)}) % $P) % $NumBits)"
-  }
+  /** The bloom position arithmetic in DuckDB syntax — same shared
+    * fragment, oracle side. `col` is the key expression. */
+  private def duckPos(col: String, i: Int): String =
+    graft.functions.PortableHash.posSqlDuck(
+      s"CAST($col AS VARCHAR)", i % 4, A(i), B(i), NumBits.toLong)
 
   private def duckWords: String = {
     val posList = (0 until NumHashes).map(i => duckPos("key", i)).mkString(", ")

@@ -40,15 +40,13 @@ object CountMin {
 
   val Depth = 4
   val Width = 4096
-  val P = 2147483647L
   val A = Seq(6007L, 7459L, 8513L, 9001L)
   val B = Seq(131L, 241L, 359L, 467L)
 
-  /** Column-DSL position of hash row `i` for a digest column. */
-  private def pos(d: Column, i: Int): Column = {
-    val lane = conv(substring(d, 8 * (i % 4) + 1, 8), 16, 10).cast("long")
-    ((lit(A(i)) * lane + lit(B(i))) % lit(P)) % lit(Width.toLong)
-  }
+  /** Position of hash row `i` for a digest column — the shared
+    * portable-hash scheme ([[graft.functions.PortableHash]]). */
+  private def pos(d: Column, i: Int): Column =
+    graft.functions.PortableHash.posCol(d, i % 4, A(i), B(i), Width.toLong)
 
   /** Non-distinct lowercase whitespace tokens: (doc_id, tok). */
   private def tokens(docs: DataFrame): DataFrame =
@@ -98,10 +96,8 @@ object CountMin {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
-  private def duckPos(expr: String, i: Int): String = {
-    val lane = s"CAST('0x' || substr(md5($expr), ${8 * (i % 4) + 1}, 8) AS BIGINT)"
-    s"(((${A(i)} * $lane + ${B(i)}) % $P) % $Width)"
-  }
+  private def duckPos(expr: String, i: Int): String =
+    graft.functions.PortableHash.posSqlDuck(expr, i % 4, A(i), B(i), Width.toLong)
 
   private def duckOracle(k: Int): String = {
     val cellList = (0 until Depth).map(i => s"${i.toLong * Width} + ${duckPos("tok", i)}").mkString(", ")

@@ -62,7 +62,10 @@ object Mojibake {
       .select(
         col("doc_id"),
         col("text").as("__orig"),
-        countOcc(col("text"), "[ÃâÂ].").as("n_latin_pairs"),
+        // each '[ÃâÂ].' match is exactly 2 chars, so halve the removed-
+        // length delta to report true MATCH counts (n_repl/n_ctrl use
+        // 1-char patterns and need no correction)
+        (countOcc(col("text"), "[ÃâÂ].") / 2).cast("long").as("n_latin_pairs"),
         countOcc(col("text"), "�").as("n_repl"),
         (length(col("text")) - length(regexp_replace(col("text"), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")))
           .cast("long").as("n_ctrl"),
@@ -94,7 +97,7 @@ object Mojibake {
         }
         s"""WITH t AS (SELECT doc_id, $inject AS text FROM documents),
            |m AS (SELECT doc_id, text,
-           |  CAST(length(text) - length(regexp_replace(text, '[ÃâÂ].', '', 'g')) AS BIGINT) AS n_latin_pairs,
+           |  CAST((length(text) - length(regexp_replace(text, '[ÃâÂ].', '', 'g'))) // 2 AS BIGINT) AS n_latin_pairs,
            |  CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT) AS n_repl,
            |  CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS BIGINT) AS n_ctrl,
            |  replace($fixExpr, chr(65533), '') AS fixed

@@ -55,6 +55,20 @@ class SetSimJoinSpec extends AnyFunSuite with Matchers {
     out(0).getAs[Long]("n_a") shouldBe 2L
   }
 
+  test("boundary pair with Jaccard exactly t survives every filter (float-ceil regression)") {
+    // |x| = 63 ⊂ |y| = 70: J = 63/70 = 0.9 exactly. In doubles,
+    // 0.9*70 ceils to 64 and 0.9/1.9*133 ceils to 64 (> exact 63) —
+    // integer-threshold formulations of the prefix/length/positional
+    // filters all drop this pair. The Jaccard-form filters must not.
+    val xToks = (1 to 63).map(i => f"tok$i%03d")
+    val yToks = (1 to 70).map(i => f"tok$i%03d")
+    val docs = Seq(1L -> xToks.mkString(" "), 2L -> yToks.mkString(" ")).toDF("doc_id", "text")
+    val out = SetSimJoin.jaccardJoin(docs, 0.9).collect()
+    out.length shouldBe 1
+    out(0).getAs[Long]("n_inter") shouldBe 63L
+    out(0).getAs[Double]("jaccard") shouldBe (63.0 / 70.0)
+  }
+
   test("empty and single-token docs don't break; no self pairs") {
     val docs = Seq(1L -> "", 2L -> "solo", 3L -> "solo", 4L -> "   ").toDF("doc_id", "text")
     val out = SetSimJoin.jaccardJoin(docs, 0.5).collect()

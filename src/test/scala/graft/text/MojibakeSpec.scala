@@ -23,6 +23,7 @@ class MojibakeSpec extends AnyFunSuite with Matchers {
       .map(r => r.getLong(0) -> r).toMap
     out(1L).getAs[Boolean]("is_suspect") shouldBe true
     out(1L).getAs[Boolean]("changed") shouldBe true
+    out(1L).getAs[Long]("n_latin_pairs") shouldBe 2L // 'Ã©' and 'Ã¨': one each
     out(1L).getAs[String]("fixed_md5") shouldBe md5hex("Café et crème")
     out(2L).getAs[Boolean]("is_suspect") shouldBe false
     out(2L).getAs[Boolean]("changed") shouldBe false
