@@ -26,9 +26,51 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional name filter (comma-separated) for ad-hoc single-query runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val headline = Registry.all.filter(_.headline)
-    def runOnce(q: EngineQuery): Unit =
-      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      .filter(q => only.forall(_.contains(q.name)))
+
+    // Per-query wall budget: one pathological query must never zero the
+    // whole artifact (BENCH_r06 was rc=124/parsed-null because the driver
+    // killed the JVM before the final JSON line printed). A pass that
+    // exceeds the budget has its Spark jobs cancelled and records the
+    // sentinel -1 like any other failure; the run moves on and the final
+    // line still prints.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "90").toInt
+    // Cached pool (not single-thread): a cancelled-but-wedged pass must
+    // not block the next query's submission behind it.
+    val runPool = java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "bench-query"); t.setDaemon(true); t
+    }
+    def runOnce(q: EngineQuery): Unit = {
+      val group = s"bench-${q.name}"
+      val fut = runPool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(group, q.name, interruptOnCancel = true)
+          try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try fut.get(budgetSec, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          fut.cancel(true)
+          throw new RuntimeException(s"exceeded ${budgetSec}s wall budget")
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally {
+        // Leave no storage residue between queries: cached frames and
+        // checkpoint blocks a query failed to release would otherwise
+        // crowd the storage pool and degrade every LATER query — the
+        // r6 failure mode, where each new heavy headline query slowed
+        // the whole tail of the bench. Fresh-session storage state per
+        // query is also the honest per-job cost a real cluster sees.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+    }
 
     val sc = spark.sparkContext
     val profiler = new org.apache.spark.graftmetrics.StageMetricsListener

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Eager local checkpoints with an explicit release handle.
+  *
+  * `Dataset.localCheckpoint(eager = true)` persists the materialized
+  * RDD in the block manager, but the Dataset API exposes no way to
+  * free those blocks afterwards — `unpersist()` on the returned frame
+  * only touches the SQL cache manager, which never knew about them.
+  * Iterative driver loops (connected components, Lloyd) that
+  * checkpoint every iteration therefore LEAK one materialized
+  * iteration per step: harmless for one query, but across a long
+  * bench run (or a 100 TB job with hundreds of iterations) the dead
+  * blocks crowd the storage memory pool, push working sets to disk,
+  * and degrade every query that runs after them in the same session.
+  *
+  * The checkpointed frame's logical plan is a [[LogicalRDD]] holding
+  * exactly the persisted RDD, so the release handle is one pattern
+  * match away. Callers free iteration N's blocks once iteration N+1
+  * is materialized (the next checkpoint cuts the lineage, so nothing
+  * re-reads the old blocks).
+  */
+object Checkpoints {
+
+  /** Checkpoint `df` eagerly into executor-local storage and return it
+    * with a handle that frees the underlying blocks. Call the handle
+    * only once no downstream consumer will re-scan the frame.
+    */
+  def localEager(df: DataFrame): (DataFrame, () => Unit) = {
+    val out = df.localCheckpoint(eager = true)
+    val free = () =>
+      out.queryExecution.logical match {
+        case l: LogicalRDD => l.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      }
+    (out, free)
+  }
+}

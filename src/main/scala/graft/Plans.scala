@@ -97,7 +97,7 @@ object Plans {
     "cdc_merge_upsert" ->
       "MERGE INTO as ONE full-outer shuffle join on the merge key — update, delete, and insert all resolve as projections of the same join (no per-verb subqueries, no union of three joins). With the base table bucketed on the key the base side's exchange disappears entirely (the merge-on-read layout argument). SCD2 history is a second projection of the SAME join, not a second pass.",
     "zorder_skipping_stats" ->
-      "Both layouts' file ids are pure per-row integer bit expressions — the plan is projection + a 64-group partial+final aggregate per layout (map-side combine; no window, no join, no global sort). At 100 TB the SAME zValue expression feeds repartitionByRange before the writer; this query is the read-side effect, quantified.",
+      "Both layouts' file ids are per-row integer bit expressions over keys scaled to the 16-bit domain by the table's maxima — ONE one-row aggregate crossed in by broadcast, then projection + a 64-group partial+final aggregate per layout (map-side combine; no window, no shuffle join, no global sort). At 100 TB the SAME scaled zValue expression feeds repartitionByRange before the writer; this query is the read-side effect, quantified.",
     "ann_pq_adc_topk" ->
       "PQ at scan scale: the S·C-row codebook broadcasts into the corpus code-assignment join (corpus never shuffles to be coded; the only wide op is the (vec, subspace)-keyed argmin, S rows per vector); the query ADC table broadcasts back, and the per-(query, vector) distance is a sum of S integers. The rank cut runs under WindowGroupLimit. Composing with IVF's inverted lists restricts WHICH codes are scanned — classic IVF-PQ.",
     "bm25_top_docs" ->

@@ -92,16 +92,34 @@ object ScaleProbe {
     materialize(spark, srcDir, outDir, copies = 10)
 
     val byName = Registry.all.map(q => q.name -> q).toMap
+    // Row counts ride on the TIMED pass via Dataset.observe (a
+    // CollectMetrics node computed during the same execution) — the
+    // superlinearity denominator below never re-executes a query just
+    // to count its output.
+    val observed = Observed.install(spark)
+    def cntKey(name: String, dir: String) = s"cnt:$name:$dir"
     def time(name: String, dir: String): Double = {
       val q = byName(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        try {
+          q.fn(spark, dir)
+            .observe(cntKey(name, dir), count(lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          // same residue discipline as Bench: cached frames / checkpoint
+          // blocks from one pass must not distort the next
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
       }
       try { once(); math.min(once(), once()) } // warm-up + min-of-2
       catch { case e: Throwable => System.err.println(s"[probe] $name: ${e.getMessage}"); -1.0 }
     }
+    def observedCount(name: String, dir: String): Double =
+      observed.get(cntKey(name, dir)).map(_.getLong(0).toDouble)
+        .getOrElse(byName(name).fn(spark, dir).count().toDouble)
 
     val rows = ProbeQueries.map { n =>
       val base = time(n, srcDir)
@@ -133,8 +151,8 @@ object ScaleProbe {
           .collect()(0).getLong(0).toDouble
       })
     val flagged = rows.filter(r => r._4 > 25.0).filter { case (n, _, _, tRatio) =>
-      val cntBase = byName(n).fn(spark, srcDir).count().toDouble
-      val cntProbe = byName(n).fn(spark, outDir).count().toDouble
+      val cntBase = observedCount(n, srcDir)
+      val cntProbe = observedCount(n, outDir)
       val rowsRatio = if (cntBase > 0) cntProbe / cntBase else 1.0
       val workRatio = workMeasure.get(n).map { m =>
         val wb = m(srcDir); val wp = m(outDir)

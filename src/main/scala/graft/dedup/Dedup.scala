@@ -170,8 +170,8 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
-    def checkpointed(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def checkpointed(df: DataFrame): (DataFrame, () => Unit) =
+      if (reliable) (df.checkpoint(true), () => ()) else graft.Checkpoints.localEager(df)
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val und = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -182,6 +182,10 @@ object Dedup {
       .cache()
     var converged = false
     var i = 0
+    // Release iteration N-1's checkpoint blocks once iteration N is
+    // materialized — otherwise every iteration's full label table stays
+    // pinned in the block manager for the rest of the session.
+    var freePrev: () => Unit = () => ()
     while (!converged && i < maxIter) {
       val neigh = und
         .join(cur.withColumnRenamed("node", "b_node"), und("b") === col("b_node"))
@@ -189,12 +193,14 @@ object Dedup {
       // carry each node's previous label through the same aggregate so
       // convergence reads off the checkpointed result — no extra
       // join+shuffle per iteration just to compare generations
-      val next = checkpointed(cur
+      val (next, freeNext) = checkpointed(cur
         .select(col("node"), col("component"), col("component").as("old"))
         .union(neigh)
         .groupBy("node").agg(min("component").as("component"), min("old").as("old")))
       converged = next.where(col("component") =!= col("old")).isEmpty
       cur.unpersist()
+      freePrev()
+      freePrev = freeNext
       cur = next.select("node", "component")
       i += 1
     }

@@ -184,7 +184,12 @@ object SetSimJoin {
              |JOIN sizes sb ON doc_b = sb.doc_id
              |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= $DefaultThreshold
              |ORDER BY doc_a, doc_b""".stripMargin),
-      headline = true,
+      // Gate-only, NOT a bench headline: the exact join's candidate
+      // mass is inherently ~quadratic on this templated near-dup-dense
+      // corpus (8-12s/pass at sf0.1, 21.8x at 10x data per the scale
+      // probe) — correct as the exactness-premium option, but benching
+      // it crowds out the wall budget; the 100 TB-representative dedup
+      // headline is the capped MinHash path.
     ),
   )
 }

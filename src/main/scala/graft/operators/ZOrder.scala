@@ -22,11 +22,23 @@ import graft.{EngineQuery, Tables}
   * The gate query quantifies exactly that effect without writing
   * files: rows map to 64 hypothetical files under (a) the Z-curve and
   * (b) a raw partkey-range layout; per-file min/max of both dimensions
-  * decide which files a fixed 2-D predicate must read. Everything is
-  * integer bit arithmetic — bit-exact in DuckDB — and the whole plan
-  * is one projection + a 64-group aggregate (map-side combine; no
-  * window, no join, no global sort ANYWHERE — both layouts' file ids
-  * are pure per-row expressions).
+  * decide which files a fixed 2-D predicate must read. The whole plan
+  * is one tiny broadcast (the two key maxima) + a projection + a
+  * 64-group aggregate (map-side combine; no window, no big join, no
+  * global sort ANYWHERE — both layouts' file ids are pure per-row
+  * expressions).
+  *
+  * The 16-bit key domain is DERIVED FROM THE DATA, not fixed: each key
+  * is scaled by `floor(key * 2^16 / (max_key + 1))` so the Z-curve
+  * always spans its full 32-bit range and all 64 files materialize at
+  * every scale factor (a fixed `key mod 2^16` domain degenerates when
+  * the observed keys are far below 2^16 — at sf0.01 partkey ≤ 2,000
+  * collapses the layout to 1–2 files and a fixed predicate selects
+  * none of them). The scaling is exact double arithmetic (products
+  * < 2^53) so Spark and DuckDB agree bit-for-bit. The 2-D predicate is
+  * cell-aligned — one 1/8 stripe of each scaled dimension — so at any
+  * SF the Z-layout must read ≥ 1 but far-from-all files while the
+  * linear layout reads the full x-stripe with unbounded y.
   */
 object ZOrder {
 
@@ -46,16 +58,25 @@ object ZOrder {
       s"(((x16 >> $i) & 1) << ${2 * i}) + (((y16 >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
-  // fixed 2-D predicate: partkey16 ∈ [4096, 8192) AND suppkey16 ∈ [128, 256)
-  val PLo = 4096L; val PHi = 8192L; val SLo = 128L; val SHi = 256L
+  // Cell-aligned 2-D predicate over the SCALED domain: the second 1/8
+  // stripe of each dimension — one Z-grid cell, but 8 linear files'
+  // worth of x with every y. Aligned to the 8×8 top-bits grid so the
+  // contrast (Z reads ~1 cell, linear reads the whole x stripe) holds
+  // at every SF once keys are scaled to fill the domain.
+  val PLo = 8192L; val PHi = 16384L; val SLo = 8192L; val SHi = 16384L
 
   /** Per-layout skipping stats: total files, files a 2-D range
     * predicate must read (min/max overlap), and the rows inside them
     * (the scan volume an engine with file stats would actually read). */
   def zorderSkippingStats(lineitem: DataFrame): DataFrame = {
-    val base = lineitem.select(
-      pmod(col("l_partkey"), lit(65536L)).as("x16"),
-      pmod(col("l_suppkey"), lit(65536L)).as("y16"))
+    val mx = lineitem.agg(
+      max(col("l_partkey")).cast("double").as("__mxp"),
+      max(col("l_suppkey")).cast("double").as("__mxs"))
+    val base = lineitem.crossJoin(broadcast(mx)).select(
+      floor(col("l_partkey").cast("double") * lit(65536.0) / (col("__mxp") + lit(1.0)))
+        .cast("long").as("x16"),
+      floor(col("l_suppkey").cast("double") * lit(65536.0) / (col("__mxs") + lit(1.0)))
+        .cast("long").as("y16"))
     val withFids = base.select(
       col("x16"), col("y16"),
       // z ∈ [0, 2^32): 64 files of 2^26 z-values each
@@ -87,8 +108,14 @@ object ZOrder {
     EngineQuery(
       "zorder_skipping_stats",
       (s, dir) => zorderSkippingStats(Tables.lineitem(s, dir)),
-      Some(s"""WITH base AS (
-             |  SELECT l_partkey % 65536 AS x16, l_suppkey % 65536 AS y16 FROM lineitem),
+      Some(s"""WITH mx AS (
+             |  SELECT CAST(max(l_partkey) AS DOUBLE) AS mxp,
+             |         CAST(max(l_suppkey) AS DOUBLE) AS mxs FROM lineitem),
+             |base AS (
+             |  SELECT
+             |    CAST(floor(CAST(l_partkey AS DOUBLE) * 65536.0 / (mxp + 1.0)) AS BIGINT) AS x16,
+             |    CAST(floor(CAST(l_suppkey AS DOUBLE) * 65536.0 / (mxs + 1.0)) AS BIGINT) AS y16
+             |  FROM lineitem, mx),
              |fids AS (
              |  SELECT x16, y16,
              |    ($duckZ) >> 26 AS fid_zorder,
@@ -106,21 +133,21 @@ object ZOrder {
              |  FROM fids GROUP BY 1),
              |sz AS (
              |  SELECT 'zorder' AS layout, count(*) AS n_files,
-             |    sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
-             |        THEN 1 ELSE 0 END) AS n_files_read,
-             |    sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
-             |        THEN cnt ELSE 0 END) AS rows_in_read_files,
-             |    sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
-             |        THEN max_y - min_y ELSE 0 END) AS sum_y_span_read
+             |    CAST(sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS n_files_read,
+             |    CAST(sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
+             |        THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_read_files,
+             |    CAST(sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
+             |        THEN max_y - min_y ELSE 0 END) AS BIGINT) AS sum_y_span_read
              |  FROM pz),
              |sl AS (
              |  SELECT 'linear' AS layout, count(*) AS n_files,
-             |    sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
-             |        THEN 1 ELSE 0 END) AS n_files_read,
-             |    sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
-             |        THEN cnt ELSE 0 END) AS rows_in_read_files,
-             |    sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
-             |        THEN max_y - min_y ELSE 0 END) AS sum_y_span_read
+             |    CAST(sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS n_files_read,
+             |    CAST(sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
+             |        THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_read_files,
+             |    CAST(sum(CASE WHEN max_x >= $PLo AND min_x < $PHi AND max_y >= $SLo AND min_y < $SHi
+             |        THEN max_y - min_y ELSE 0 END) AS BIGINT) AS sum_y_span_read
              |  FROM pl)
              |SELECT * FROM sz UNION ALL SELECT * FROM sl ORDER BY layout""".stripMargin),
     ),

@@ -217,23 +217,33 @@ object Ann {
   def kmeansConverged(embeddings: DataFrame, m: Int = 16, maxIter: Int = 3): DataFrame = {
     require(maxIter >= 1, s"kmeansConverged needs at least one iteration, got $maxIter")
     val base = Dedup.quantized(embeddings).cache()
-    var cents = base.where(col("vec_id") < m)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm"))
-      .localCheckpoint(true)
+    var (cents, freeCents) = graft.Checkpoints.localEager(
+      base.where(col("vec_id") < m)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm")))
     var matrix: DataFrame = null
+    // Free the previous iteration's centroid/matrix checkpoint blocks
+    // once the next is materialized — an unreleased block per iteration
+    // otherwise stays pinned for the whole session (see [[Checkpoints]]).
+    var freeMatrix: () => Unit = () => ()
     var moved = true
     var i = 0
     while (moved && i < maxIter) {
-      matrix = lloydMatrix(base, cents).localCheckpoint(true)
-      val next = rebuildCentroids(matrix).localCheckpoint(true)
+      freeMatrix()
+      val (m1, f1) = graft.Checkpoints.localEager(lloydMatrix(base, cents))
+      matrix = m1; freeMatrix = f1
+      val (next, freeNext) = graft.Checkpoints.localEager(rebuildCentroids(matrix))
       val changed = cents.select(col("cid"), col("cq").as("pq"))
         .join(next.select(col("cid"), col("cq").as("nq")), Seq("cid"), "full_outer")
         .where(col("pq").isNull || col("nq").isNull || col("pq") =!= col("nq"))
       moved = !changed.isEmpty
-      cents = next
+      freeCents()
+      cents = next; freeCents = freeNext
       i += 1
     }
     base.unpersist()
+    // the final update matrix is the return value; its blocks are the
+    // caller's to consume — only the obsolete centroid table is freed
+    freeCents()
     matrix
   }
 

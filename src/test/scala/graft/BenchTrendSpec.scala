@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Wall-clock trend guard — pins the queries that regressed UNBENCHED
+  * in round 5/6 (the driver bench failed two rounds in a row, so a 16×
+  * plan regression in `neardup_components` surfaced only from a judge
+  * rerun two rounds later). The bounds are deliberately generous
+  * (~10× a healthy cold run at sf0.001 on local[2]) so host noise
+  * never trips them, while an order-of-magnitude plan regression fails
+  * `sbt test` the same day it is introduced. A second timed run guards
+  * the repeat path: leaked per-iteration checkpoint blocks made PASS 2
+  * slower than pass 1 before the [[Checkpoints]] release fix.
+  */
+class BenchTrendSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def timeIt(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def run(name: String): Double = {
+    val q = Registry.all.find(_.name == name).get
+    timeIt(q.fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+  }
+
+  test("neardup_components stays within its wall budget, both passes") {
+    run("neardup_components") // cold: codegen + JIT, discarded
+    val p1 = run("neardup_components")
+    val p2 = run("neardup_components")
+    withClue(s"pass1=${p1}s pass2=${p2}s: ") {
+      p1 should be < 30.0
+      p2 should be < 30.0
+    }
+  }
+
+  test("stateful_sessionize stays within its wall budget") {
+    run("stateful_sessionize")
+    val p1 = run("stateful_sessionize")
+    withClue(s"pass=${p1}s: ") { p1 should be < 20.0 }
+  }
+}

@@ -43,4 +43,28 @@ class ZOrderSpec extends AnyFunSuite with Matchers {
     // per-file y spans: zorder files cover a fraction of y; linear files ~all of it
     z.getAs[Long]("sum_y_span_read") should be < l.getAs[Long]("sum_y_span_read")
   }
+
+  test("skipping is non-degenerate on small key domains (gate-SF shape)") {
+    // sf0.01-shaped keys: partkey ≤ 2000, suppkey ≤ 100 — far below 2^16.
+    // The data-derived scaling must still materialize the full 64-file
+    // layout and the cell-aligned predicate must read SOME but not ALL
+    // files in BOTH layouts, with zorder strictly cheaper.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20000).map { _ =>
+      (rnd.nextInt(2000).toLong + 1L, rnd.nextInt(100).toLong + 1L)
+    }
+    val df = rows.toDF("l_partkey", "l_suppkey")
+    val out = ZOrder.zorderSkippingStats(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val z = out("zorder"); val l = out("linear")
+    z.getAs[Long]("n_files") shouldBe 64L
+    l.getAs[Long]("n_files") shouldBe 64L
+    for (r <- Seq(z, l)) {
+      r.getAs[Long]("n_files_read") should be > 0L
+      r.getAs[Long]("n_files_read") should be < r.getAs[Long]("n_files")
+      r.getAs[Long]("rows_in_read_files") should be > 0L
+    }
+    z.getAs[Long]("n_files_read") should be < l.getAs[Long]("n_files_read")
+    z.getAs[Long]("rows_in_read_files") should be < l.getAs[Long]("rows_in_read_files")
+  }
 }

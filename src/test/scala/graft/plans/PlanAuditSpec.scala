@@ -206,9 +206,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("Expand")
   }
 
-  test("zorder stats: pure projection + small aggregates — no join, no window") {
+  test("zorder stats: maxima broadcast + projection + small aggregates — no shuffle join, no window") {
     val p = plan("zorder_skipping_stats")
-    p should not include "Join"
+    // the data-derived key scaling crosses in ONE one-row maxima
+    // aggregate by broadcast; no hash/merge join anywhere
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
     p should not include regex ("""Window(?!GroupLimit)""")
     // per-layout 64-group aggregates are partial+final (map-side combine)
     p should include("partial_count")
