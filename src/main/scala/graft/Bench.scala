@@ -81,19 +81,33 @@ object Bench {
     // identical plans), and the min is the stable estimator of plan
     // cost; stage metrics come from the fastest pass.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
-    headline.foreach(q => try runOnce(q) catch { case _: Throwable => () }) // warm-up, discarded
+    // Global deadline backstop: the r6 artifact died to the DRIVER's
+    // process-level timeout (rc=124) on a host showing 27-minute stalls
+    // between queries — a per-query budget can't save a run whose WALL
+    // total blows past the external kill timer. Past the deadline,
+    // remaining work records the -1 sentinel WITHOUT running, so the
+    // final JSON line always prints with whatever was measured.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1500").toInt
+    val benchT0 = System.nanoTime()
+    def pastDeadline: Boolean = (System.nanoTime() - benchT0) / 1e9 > deadlineSec
+    headline.foreach(q =>
+      if (!pastDeadline) try runOnce(q) catch { case _: Throwable => () }) // warm-up, discarded
     val results = headline.map { q =>
       val runs = (1 to passes).map { _ =>
         profiler.reset(sc)
         val t0 = System.nanoTime()
         // A failed query records sentinel -1, never a bogus partial time.
         val sec =
-          try { runOnce(q); (System.nanoTime() - t0) / 1e9 }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-              -1.0
-          }
+          if (pastDeadline) {
+            System.err.println(s"[bench] ${q.name} skipped: past ${deadlineSec}s bench deadline")
+            -1.0
+          } else
+            try { runOnce(q); (System.nanoTime() - t0) / 1e9 }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+                -1.0
+            }
         (sec, profiler.snapshot(sc))
       }
       val ok = runs.filter(_._1 >= 0)
@@ -121,7 +135,18 @@ object Bench {
     // driver captures only a bounded stdout tail and parses the last
     // JSON-looking line, so the compact total+queries line must come
     // LAST and stay small enough to fit the capture window whole.
-    val smLine = s"""{"metric":"stage_metrics","per_query":$sm,"sf":"$sfDir"}"""
+    // Process memory — the engine analog of the reference's CPU-mem
+    // metric catalog entries (its /proc/meminfo sampler): current and
+    // peak RSS of the whole local-mode JVM, read from /proc/self/status.
+    def rssMb(key: String): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/status")
+        try src.getLines().find(_.startsWith(key + ":"))
+          .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    val procJson = s"""{"rss_mb":${rssMb("VmRSS")},"peak_rss_mb":${rssMb("VmHWM")}}"""
+    val smLine = s"""{"metric":"stage_metrics","per_query":$sm,"proc":$procJson,"sf":"$sfDir"}"""
     println(smLine)
     try {
       val out = java.nio.file.Paths.get(graft.OutDir.base, "bench_stage_metrics.json")
