@@ -11,6 +11,25 @@ import org.apache.spark.sql.SparkSession
   * wall-clock, per-query stage metrics (shuffle bytes/records, input
   * rows, spill) are captured via a SparkListener — the H-5
   * SyclProfiler analog (reference `src/helper.h:124-196`).
+  *
+  * Robustness contract (the reference's driver ALWAYS writes its
+  * points row, `src/main.cpp:19-38` / `runprogram.sh:49-73` — this
+  * main must always print its final JSON line, even when killed):
+  *  - a JVM shutdown hook prints the final line with whatever has been
+  *    measured so far, so an external SIGTERM (the host's kill timer)
+  *    still yields a parsable artifact;
+  *  - per-query wall budget: a pathological query has its job group
+  *    cancelled, records sentinel -1, and the run moves on;
+  *  - post-cancel storage cleanup runs on the watchdog pool with its
+  *    own 15s bound — a cancelled stage draining tasks must never
+  *    block the MAIN loop (the r7 wedge: the process lived 49 min
+  *    after a cancel producing nothing because cleanup blocked);
+  *  - global deadline (default 540s, well under the host kill timer)
+  *    after which remaining work records -1 without running; the
+  *    warm-up sweep alone may consume at most 40% of it;
+  *  - exit path: print, attempt a 30s-bounded `spark.stop()`, then
+  *    `halt(0)` — a hung executor thread must not turn a finished
+  *    bench into rc=124.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,18 +50,96 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val headline = Registry.all.filter(_.headline)
       .filter(q => only.forall(_.contains(q.name)))
+    val order = headline.map(_.name)
+
+    // 4-decimal fixed-point keeps the final JSON line compact (the
+    // driver's stdout tail capture is bounded); 0.1 ms resolution is
+    // far below this host's run-to-run noise.
+    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+    // ---- shared result state + always-print-final-line machinery ----
+    // Maps are concurrent because the shutdown hook reads them from a
+    // different thread while the main loop may still be writing.
+    val bestSec = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val allRuns = new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+    // The artifact line, buildable at ANY point of the run. Queries not
+    // yet measured carry the -1 sentinel. `partial` marks snapshots so
+    // a truncated run is honest about being truncated.
+    def artifactLine(partial: Boolean): String = {
+      def best(n: String): Double = Option(bestSec.get(n)).getOrElse(-1.0)
+      val qs = order.map(n => "\"" + n + "\":" + fmt(best(n))).mkString("{", ",", "}")
+      // All pass times per query (min is the headline): the host swings
+      // identical plans 2-4x between runs, so the raw passes let the
+      // driver/judge see the variance instead of re-deriving it.
+      // Snapshots omit the runs map to stay compact (the driver's tail
+      // capture is bounded; snapshots are printed 25× per run).
+      val runsJson =
+        if (partial) ""
+        else ",\"runs\":" + order.map { n =>
+          val rs = Option(allRuns.get(n)).getOrElse(Seq.empty)
+          "\"" + n + "\":" + rs.map(fmt).mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+      val failed = order.filter(best(_) < 0).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = order.map(best).filter(_ >= 0).sum
+      val partialJson = if (partial) ",\"partial\":true" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$runsJson,"failed":$failed$partialJson,"sf":"$sfDir"}"""
+    }
+    val printedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitFinal(): Unit = if (printedFinal.compareAndSet(false, true)) {
+      // Silence Spark first: the driver parses the last JSON-looking
+      // line of a bounded tail, and a burst of TaskKilled WARNs after
+      // our line could push it out of the capture window.
+      try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+      println(artifactLine(partial = false))
+      System.out.flush()
+    }
+    val finalHook = new Thread(new Runnable { def run(): Unit = emitFinal() }, "bench-final-json")
+    Runtime.getRuntime.addShutdownHook(finalHook)
 
     // Per-query wall budget: one pathological query must never zero the
-    // whole artifact (BENCH_r06 was rc=124/parsed-null because the driver
-    // killed the JVM before the final JSON line printed). A pass that
-    // exceeds the budget has its Spark jobs cancelled and records the
-    // sentinel -1 like any other failure; the run moves on and the final
-    // line still prints.
+    // whole artifact. A pass that exceeds the budget has its Spark jobs
+    // cancelled and records the sentinel -1 like any other failure; the
+    // run moves on and the final line still prints. Known-expensive
+    // queries (e.g. curated_corpus composes the full dedup pipeline)
+    // can carry individual budgets via the overrides env:
+    //   SPARK_GRAFT_BENCH_BUDGET_OVERRIDES="curated_corpus=180,foo=30"
+    // The default override: curated_corpus composes quality gate +
+    // the full MinHash→CC dedup pipeline (~5.5s here) and blew the
+    // flat 90s budget on the r7 driver host (documented multi-minute
+    // stalls) — it alone gets the headroom instead of raising the
+    // flat budget for all 25 queries.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "90").toInt
+    val budgetOverrides: Map[String, Int] =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_OVERRIDES", "curated_corpus=240")
+        .split(",").map(_.trim).filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v.trim.toInt }.toMap
+    def budgetFor(q: EngineQuery): Int = budgetOverrides.getOrElse(q.name, budgetSec)
     // Cached pool (not single-thread): a cancelled-but-wedged pass must
     // not block the next query's submission behind it.
-    val runPool = java.util.concurrent.Executors.newCachedThreadPool { r =>
-      val t = new Thread(r, "bench-query"); t.setDaemon(true); t
+    val runPool = java.util.concurrent.Executors.newCachedThreadPool(new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = { val t = new Thread(r, "bench-query"); t.setDaemon(true); t }
+    })
+    // Leave no storage residue between queries: cached frames and
+    // checkpoint blocks a query failed to release would otherwise
+    // crowd the storage pool and degrade every LATER query — the
+    // r6 failure mode. Runs on the pool with a short bound because
+    // clearCache() can block behind a cancelled stage's draining
+    // tasks — the r7 wedge that kept the main loop from ever
+    // reaching its next deadline check.
+    def cleanupStorage(): Unit = {
+      val f = runPool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
+      })
+      try f.get(15, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: Throwable =>
+          f.cancel(true)
+          System.err.println("[bench] storage cleanup exceeded 15s; continuing without it")
+      }
     }
     def runOnce(q: EngineQuery): Unit = {
       val group = s"bench-${q.name}"
@@ -53,46 +150,41 @@ object Bench {
           finally spark.sparkContext.clearJobGroup()
         }
       })
-      try fut.get(budgetSec, java.util.concurrent.TimeUnit.SECONDS)
+      val budget = budgetFor(q)
+      try fut.get(budget, java.util.concurrent.TimeUnit.SECONDS)
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
           fut.cancel(true)
-          throw new RuntimeException(s"exceeded ${budgetSec}s wall budget")
+          throw new RuntimeException(s"exceeded ${budget}s wall budget")
         case e: java.util.concurrent.ExecutionException => throw e.getCause
-      } finally {
-        // Leave no storage residue between queries: cached frames and
-        // checkpoint blocks a query failed to release would otherwise
-        // crowd the storage pool and degrade every LATER query — the
-        // r6 failure mode, where each new heavy headline query slowed
-        // the whole tail of the bench. Fresh-session storage state per
-        // query is also the honest per-job cost a real cluster sees.
-        spark.sharedState.cacheManager.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      }
+      } finally cleanupStorage()
     }
 
     val sc = spark.sparkContext
     val profiler = new org.apache.spark.graftmetrics.StageMetricsListener
     sc.addSparkListener(profiler)
 
-    // Min of N measured passes after one discarded warm-up: this host's
-    // run-to-run variance is large (single queries swing 2-4x under
-    // identical plans), and the min is the stable estimator of plan
-    // cost; stage metrics come from the fastest pass.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
-    // Global deadline backstop: the r6 artifact died to the DRIVER's
-    // process-level timeout (rc=124) on a host showing 27-minute stalls
-    // between queries — a per-query budget can't save a run whose WALL
-    // total blows past the external kill timer. Past the deadline,
-    // remaining work records the -1 sentinel WITHOUT running, so the
-    // final JSON line always prints with whatever was measured.
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1500").toInt
+    // Min of N measured passes after one discarded warm-up. Driver-safe
+    // default is ONE measured pass: the official artifact must fit the
+    // host kill timer; local/judge runs can raise it for min-of-N.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt.max(1)
+    // Global deadline backstop, defaulting WELL under the driver's
+    // process-level kill timer: past the deadline, remaining work
+    // records the -1 sentinel WITHOUT running, so the final JSON line
+    // always prints with whatever was measured.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "540").toInt
     val benchT0 = System.nanoTime()
-    def pastDeadline: Boolean = (System.nanoTime() - benchT0) / 1e9 > deadlineSec
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    def pastDeadline: Boolean = elapsedSec > deadlineSec
+    // Baseline snapshot before any work: from here on the stdout tail
+    // always contains at least one parsable artifact line.
+    println(artifactLine(partial = true)); System.out.flush()
+    // Warm-up is a luxury: on a slow host it must never eat the time
+    // the MEASURED passes need, so it stops at 40% of the deadline.
     headline.foreach(q =>
-      if (!pastDeadline) try runOnce(q) catch { case _: Throwable => () }) // warm-up, discarded
-    val results = headline.map { q =>
+      if (elapsedSec < deadlineSec * 0.4) try runOnce(q) catch { case _: Throwable => () })
+    val stageMetrics = headline.map { q =>
       val runs = (1 to passes).map { _ =>
         profiler.reset(sc)
         val t0 = System.nanoTime()
@@ -112,40 +204,33 @@ object Bench {
       }
       val ok = runs.filter(_._1 >= 0)
       val best = if (ok.nonEmpty) ok.minBy(_._1) else runs.head
-      (q.name, best._1, best._2, runs.map(_._1))
+      // Publish as soon as this query finishes: a kill mid-bench still
+      // reports every completed query via the shutdown hook.
+      bestSec.put(q.name, best._1)
+      allRuns.put(q.name, runs.map(_._1))
+      // Progressive snapshot: a compact but COMPLETE artifact line after
+      // every query. The shutdown hook covers a direct SIGTERM, but the
+      // sbt pipe between the forked JVM and the driver's tail capture
+      // is not drained when sbt itself is killed — already-flushed
+      // snapshot lines are the only output that provably survives any
+      // kill (even SIGKILL). The driver parses the LAST JSON-looking
+      // line, so the newest snapshot (or the final authoritative line
+      // below) wins.
+      println(artifactLine(partial = true))
+      System.out.flush()
+      (q.name, best._2)
     }
-    // 4-decimal fixed-point keeps the final JSON line compact (the
-    // driver's stdout tail capture is bounded); 0.1 ms resolution is
-    // far below this host's run-to-run noise.
-    // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // All N pass times per query (min is the headline): the host swings
-    // identical plans 2-4x between runs, so the raw passes let the
-    // driver/judge see the variance instead of re-deriving it.
-    val runsJson = results.map { case (k, _, _, rs) =>
-      "\"" + k + "\":" + rs.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val sm = results.map { case (k, _, m, _) =>
-      "\"" + k + "\":" + m.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
     // Stage metrics go on their OWN earlier line (and to a file): the
     // driver captures only a bounded stdout tail and parses the last
     // JSON-looking line, so the compact total+queries line must come
     // LAST and stay small enough to fit the capture window whole.
+    val sm = stageMetrics.map { case (k, m) =>
+      "\"" + k + "\":" + m.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     // Process memory — the engine analog of the reference's CPU-mem
     // metric catalog entries (its /proc/meminfo sampler): current and
     // peak RSS of the whole local-mode JVM, read from /proc/self/status.
-    def rssMb(key: String): Long =
-      try {
-        val src = scala.io.Source.fromFile("/proc/self/status")
-        try src.getLines().find(_.startsWith(key + ":"))
-          .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
-        finally src.close()
-      } catch { case _: Throwable => -1L }
-    val procJson = s"""{"rss_mb":${rssMb("VmRSS")},"peak_rss_mb":${rssMb("VmHWM")}}"""
+    val procJson = s"""{"rss_mb":${ProcStatus.rssMb("VmRSS")},"peak_rss_mb":${ProcStatus.rssMb("VmHWM")}}"""
     val smLine = s"""{"metric":"stage_metrics","per_query":$sm,"proc":$procJson,"sf":"$sfDir"}"""
     println(smLine)
     try {
@@ -156,7 +241,28 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write stage-metrics file: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}""")
-    spark.stop()
+    emitFinal()
+    // Graceful stop, bounded: a hung executor/cleanup thread must not
+    // turn a finished bench into rc=124. halt() skips shutdown hooks —
+    // the final line is already printed and flushed above.
+    Runtime.getRuntime.removeShutdownHook(finalHook)
+    val stopper = new Thread(new Runnable {
+      def run(): Unit = try spark.stop() catch { case _: Throwable => () }
+    }, "bench-stop")
+    stopper.setDaemon(true)
+    stopper.start()
+    stopper.join(30000)
+    Runtime.getRuntime.halt(0)
   }
+}
+
+/** /proc/self/status reader shared by Bench and ScaleProbe. */
+object ProcStatus {
+  def rssMb(key: String): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().find(_.startsWith(key + ":"))
+        .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
 }
