@@ -81,7 +81,7 @@ object Plans {
     "line_dedup_corpus" ->
       "Corpus-level boilerplate removal: lines cross the wire only as md5 hashes (the frequency aggregation is partial+final on the 16-byte hash), the common-line membership join back is declarative (AQE broadcasts the small common set at this SF; same plan hash-joins at scale), and the order-preserving document rebuild is a per-doc `collect_list` bounded by the document's own row size. No all-pairs, nothing driver-side.",
     "gopher_repetition_ngrams" ->
-      "One corpus scan fans out ×9 n-gram sizes via `Generate explode` of a literal array (no re-reads); the (doc, n, gram) count is a partial+final hash aggregate, so within-doc gram repeats collapse map-side; the per-(doc, n) rollup is a second small aggregation. Both exchanges are keyed by doc-scoped composites — state is bounded by per-document vocabulary, never corpus-global.",
+      "One corpus scan fans out ×9 n-gram sizes via `Generate explode` of a literal array (no re-reads); the count keys on (doc, n, xxhash64(gram)) — the gram STRING dies in the map stage (only count×length mass reaches the output), so the aggregation hash map and the exchange carry 8-byte hashes instead of ~50-byte strings (the 10× probe measured ~2.3 GB peak-RSS savings); within-doc repeats still collapse map-side, and the per-(doc, n) rollup is a second small aggregation. Both exchanges are keyed by doc-scoped composites — state is bounded by per-document vocabulary, never corpus-global.",
     "gopher_repetition_lines" ->
       "Same doc-scoped shape as the n-gram family at line granularity: lines explode from the text in the map stage, the (doc, trimmed-line) count collapses repeats via partial aggregation, and the per-doc rollup keys on doc_id — both exchanges lead with doc_id, bounded by per-document line counts.",
     "bloom_semi_join_pruned" ->
@@ -89,7 +89,7 @@ object Plans {
     "setsim_jaccard_join" ->
       "Lossless prefix-filtered similarity join: the df join shuffles the token stream once; the prefix rank is a doc_id-PARTITIONED window (never a global sort — the global token order is the (df, tok) value itself); the candidate equi-join carries only each doc's rarest ~(1−t) tokens AND the PPJoin positional filter (min(rank_a, rank_b) + min(sz−rank) upper-bounds the overlap for every shared-token row, so rows that cannot reach α = ceil(t/(1+t)·(sz_a+sz_b)) drop before the distinct — lossless because a qualifying pair passes on ALL its rows); verification is a candidate-bounded `array_intersect` projection behind two joins to per-doc token arrays. Nothing quadratic in the corpus — only in the true near-dup cliques of the OUTPUT.",
     "countmin_token_freq" ->
-      "Count-Min build: the ×4 cell explode collapses to ≤ d·w=16384 rows per partition via partial aggregation BEFORE the one exchange — shuffle volume is the grid, not the token stream. The finished sketch is a single row crossed in by broadcast; point estimates are four `element_at` bit of scalar projection per key. The exact top-k side exists only because the gate cross-checks estimates against true counts.",
+      "Count-Min build: the ×4 cell explode collapses to ≤ d·w=16384 rows per partition via partial aggregation BEFORE the one exchange — shuffle volume is the grid, not the token stream. The gate query builds the grid WEIGHTED from the exact per-token counts it needs anyway (cell accumulates sum(cnt) — identical grid by associativity, but md5 per DISTINCT token instead of per occurrence, and the token-count aggregate subplan is shared with the top-k branch). The finished sketch is a single row crossed in by broadcast; point estimates are four `element_at` scalar projections per key.",
     "hashed_linear_score" ->
       "fastText-style scoring is a pure map stage: tokenize → bigram → hash → integer weight-sum all inside one array-lambda projection; the plan has NO hash exchange (the only exchange is the gate's output ORDER BY). At 100 TB this is scan-bound — the ideal shape for corpus-wide classifier sweeps.",
     "profile_lineitem" ->

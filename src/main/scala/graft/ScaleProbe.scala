@@ -33,7 +33,13 @@ object ScaleProbe {
     "neardup_components", "dedup_exact", "decontaminate_overlap", "curated_corpus",
     "substring_dup_stats", "heavy_hitters", "line_dedup_corpus",
     "gopher_repetition_ngrams", "gopher_repetition_lines",
-    "setsim_jaccard_join", "countmin_token_freq", "hashed_linear_score",
+    // setsim_jaccard_join is deliberately NOT probed: it is the
+    // gate-only exact join whose candidate mass is inherently
+    // quadratic on a near-dup-dense corpus (r6 probe: 21.8× but
+    // work-ratio-justified, ~270s/pass at probe scale — the cost that
+    // starved the rest of the r7 probe). Its 100 TB route is the
+    // capped MinHash path, which IS probed above.
+    "countmin_token_freq", "hashed_linear_score",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")
 
@@ -91,6 +97,12 @@ object ScaleProbe {
 
     materialize(spark, srcDir, outDir, copies = 10)
 
+    // Optional name filter (comma-separated) for ad-hoc re-probes of
+    // single queries after a fix — the full probe is minutes.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val probeQueries = ProbeQueries.filter(q => only.forall(_.contains(q)))
+
     val byName = Registry.all.map(q => q.name -> q).toMap
     // Row counts ride on the TIMED pass via Dataset.observe (a
     // CollectMetrics node computed during the same execution) — the
@@ -121,11 +133,15 @@ object ScaleProbe {
       observed.get(cntKey(name, dir)).map(_.getLong(0).toDouble)
         .getOrElse(byName(name).fn(spark, dir).count().toDouble)
 
-    val rows = ProbeQueries.map { n =>
+    val rows = probeQueries.map { n =>
       val base = time(n, srcDir)
       val probe = time(n, outDir)
       val ratio = if (base > 0 && probe > 0) probe / base else -1.0
-      println(f"""{"query":"$n","sf01_sec":$base%.2f,"probe_sec":$probe%.2f,"ratio":$ratio%.1f}""")
+      // peak_rss_mb is VmHWM (monotonic): the first query whose probe
+      // pass jumps it is the one that crossed a memory cliff — the 10×
+      // run is exactly where peak memory says something sf0.1 cannot.
+      val peakRss = ProcStatus.rssMb("VmHWM")
+      println(f"""{"query":"$n","sf01_sec":$base%.2f,"probe_sec":$probe%.2f,"ratio":$ratio%.1f,"peak_rss_mb":$peakRss}""")
       (n, base, probe, ratio)
     }
     // A time ratio must be judged against the operator's WORK growth
@@ -163,7 +179,7 @@ object ScaleProbe {
       println(f"""{"query":"$n","rows_sf01":${cntBase.toLong},"rows_probe":${cntProbe.toLong},"rows_ratio":$rowsRatio%.1f,"time_ratio":$tRatio%.1f}""")
       tRatio > math.max(25.0, 2.5 * math.max(rowsRatio, workRatio))
     }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"scale_probe","copies":10,"flagged_superlinear":$flagged}""")
+    println(s"""{"metric":"scale_probe","copies":10,"flagged_superlinear":$flagged,"proc":{"rss_mb":${ProcStatus.rssMb("VmRSS")},"peak_rss_mb":${ProcStatus.rssMb("VmHWM")}}}""")
     spark.stop()
   }
 }

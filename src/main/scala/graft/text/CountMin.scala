@@ -56,14 +56,26 @@ object CountMin {
 
   /** The sketch as ONE row `cms: array<bigint>` of length Depth·Width
     * (row-major: cell (i, p) at index i·Width + p). */
-  def sketch(items: DataFrame, keyCol: String): DataFrame = {
+  def sketch(items: DataFrame, keyCol: String): DataFrame =
+    sketchWeighted(items.select(col(keyCol), lit(1L).as("__w")), keyCol, "__w")
+
+  /** The same grid built from pre-aggregated (key, weight) rows —
+    * cell (i, h_i(key)) accumulates sum(weight) instead of count(1).
+    * Feeding exact per-key counts here yields the IDENTICAL sketch as
+    * streaming raw occurrences (addition is associative), but hashes
+    * each DISTINCT key once instead of once per occurrence — when an
+    * exact key count already exists upstream (as in
+    * [[countMinTopTokens]]), the md5 work drops from corpus-linear to
+    * vocabulary-linear.
+    */
+  def sketchWeighted(keyed: DataFrame, keyCol: String, weightCol: String): DataFrame = {
     val d = md5(col(keyCol).cast("string"))
-    val cells = items
-      .select(d.as("__d"))
+    val cells = keyed
+      .select(d.as("__d"), col(weightCol).as("__w"))
       .select(explode(array((0 until Depth).map(i =>
-        lit(i.toLong) * Width + pos(col("__d"), i)): _*)).as("cell"))
+        lit(i.toLong) * Width + pos(col("__d"), i)): _*)).as("cell"), col("__w"))
       .groupBy("cell")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__w")).as("cnt"))
     cells
       .groupBy()
       .agg(map_from_entries(collect_list(struct(col("cell"), col("cnt")))).as("__m"))
@@ -84,11 +96,13 @@ object CountMin {
     * overestimate — cross-engine exact via the rebuilt grid; the
     * `over_est >= 0` invariant is the sketch's defining guarantee. */
   def countMinTopTokens(docs: DataFrame, k: Int = 50): DataFrame = {
-    val toks = tokens(docs)
-    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("tok")).limit(k)
+    // ONE corpus tokenization: the exact per-token counts feed both
+    // the top-k and the weighted sketch; the two branches share the
+    // identical groupBy subplan, which ReuseExchange computes once.
+    val counts = tokens(docs).groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    val top = counts.orderBy(col("exact_cnt").desc, col("tok")).limit(k)
     top
-      .crossJoin(broadcast(sketch(toks, "tok")))
+      .crossJoin(broadcast(sketchWeighted(counts, "tok", "exact_cnt")))
       .select(
         col("tok"), col("exact_cnt"),
         estimate(md5(col("tok"))).as("cms_est"))

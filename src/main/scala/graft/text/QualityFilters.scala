@@ -136,6 +136,16 @@ object QualityFilters {
     Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
 
   def repetitionNgrams(docs: DataFrame, ns: Seq[Int] = 2 to 10): DataFrame = {
+    // Group by the gram's 64-bit hash + length, NOT the gram string:
+    // the n-gram text never appears in the output (only count×length
+    // mass does), so carrying ~50-byte strings through the aggregation
+    // hash map and the (doc, n, gram) exchange is pure overhead — the
+    // 10× probe showed this query alone spiking peak RSS by ~3 GB.
+    // (doc_id, n, hash, len) keys shrink shuffle bytes and agg state
+    // ~5×; two DISTINCT grams of one doc colliding in 64-bit space
+    // (needed to change a count) has probability ~n_grams²/2⁶⁵ per
+    // doc — vanishing, and the DuckDB oracle (which still aggregates
+    // real strings) would catch it.
     val perGram = graft.Partitioning.fanOut(docs)
       .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("__toks"))
       .select(col("doc_id"), explode(array(ns.map(lit): _*)).as("n"), col("__toks"))
@@ -144,9 +154,11 @@ object QualityFilters {
         explode(transform(
           sequence(lit(1), size(col("__toks")) - col("n") + 1),
           i => array_join(slice(col("__toks"), i, col("n")), " "))).as("gram"))
-      .groupBy("doc_id", "n", "gram")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("chars", col("cnt") * length(col("gram")).cast("long"))
+      .select(col("doc_id"), col("n"),
+        xxhash64(col("gram")).as("__gh"), length(col("gram")).cast("long").as("__glen"))
+      .groupBy("doc_id", "n", "__gh")
+      .agg(count(lit(1)).as("cnt"), max(col("__glen")).as("__glen"))
+      .withColumn("chars", col("cnt") * col("__glen"))
     val topThr = TopGramThresholds.foldLeft(lit(Double.MaxValue)) {
       case (acc, (n, t)) => when(col("n") === n, t).otherwise(acc)
     }

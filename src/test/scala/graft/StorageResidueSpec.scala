@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the checkpoint-release invariant of the iterative driver loops
+  * (connected components, Lloyd): every intermediate iteration's
+  * eager-local-checkpoint blocks must be freed as the loop advances —
+  * only the RESULT may stay pinned when the loop returns. The leak
+  * class this guards against: one label-table/centroid checkpoint left
+  * behind per iteration crowds the storage pool for the rest of the
+  * session and degrades every query that runs after (the regression
+  * cluster BenchTrendSpec catches by symptom; this spec pins the
+  * cause at its source, [[Checkpoints.localEager]]'s release handle).
+  */
+class StorageResidueSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cachedRdds(): Int =
+    spark.sparkContext.getRDDStorageInfo.count(_.numCachedPartitions > 0)
+
+  /** Block removal is asynchronous (`unpersist(blocking = false)`), so
+    * give stragglers a bounded grace period before reading the residue.
+    */
+  private def settledResidue(atMost: Int): Int = {
+    var waits = 50
+    while (cachedRdds() > atMost && waits > 0) { Thread.sleep(100); waits -= 1 }
+    cachedRdds()
+  }
+
+  private def benchStyleCleanup(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
+  test("connectedComponents: a 12-iteration chain leaves at most the result's own blocks") {
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+    // 0-1-...-12 chain: min-label propagation crosses one hop per
+    // iteration, so this runs >= 12 checkpointed iterations — without
+    // the per-iteration release, >= 12 label tables would stay pinned.
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.dedup.Dedup.connectedComponents(chain, maxIter = 20)
+    labels.collect().length shouldBe 13
+    settledResidue(1) should be <= 1
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+  }
+
+  test("kmeansConverged: multi-iteration Lloyd leaves at most the result matrix's blocks") {
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+    val clusterA = Seq(0L, 2L, 4L, 6L).map(id => (id, Array(1.0f, 0.9f, 0.05f, 0.0f + id * 0.001f)))
+    val clusterB = Seq(1L, 3L, 5L, 7L).map(id => (id, Array(0.0f, 0.05f, 0.9f, 1.0f + id * 0.001f)))
+    val embeddings = (clusterA ++ clusterB).toDF("vec_id", "embedding")
+    val matrix = graft.similarity.Ann.kmeansConverged(embeddings, m = 2, maxIter = 5)
+    matrix.collect().length should be > 0
+    settledResidue(1) should be <= 1
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+  }
+}
