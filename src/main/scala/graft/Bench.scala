@@ -35,17 +35,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     // Optional name filter (comma-separated) for ad-hoc single-query runs.
+    // Computed BEFORE the SparkSession (Registry holds lambdas only) so
+    // the baseline artifact line below prints even if session startup
+    // itself wedges on a hostile host.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val headline = Registry.all.filter(_.headline)
@@ -86,16 +80,33 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$runsJson,"failed":$failed$partialJson,"sf":"$sfDir"}"""
     }
     val printedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sparkRef = new java.util.concurrent.atomic.AtomicReference[SparkSession](null)
     def emitFinal(): Unit = if (printedFinal.compareAndSet(false, true)) {
       // Silence Spark first: the driver parses the last JSON-looking
       // line of a bounded tail, and a burst of TaskKilled WARNs after
       // our line could push it out of the capture window.
-      try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+      Option(sparkRef.get).foreach(s =>
+        try s.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () })
       println(artifactLine(partial = false))
       System.out.flush()
     }
     val finalHook = new Thread(new Runnable { def run(): Unit = emitFinal() }, "bench-final-json")
     Runtime.getRuntime.addShutdownHook(finalHook)
+    // Baseline snapshot before ANY Spark work — from here on the stdout
+    // tail always contains at least one parsable artifact line, even if
+    // session startup never returns.
+    println(artifactLine(partial = true)); System.out.flush()
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    sparkRef.set(spark)
+    spark.sparkContext.setLogLevel("WARN")
 
     // Per-query wall budget: one pathological query must never zero the
     // whole artifact. A pass that exceeds the budget has its Spark jobs
@@ -177,9 +188,6 @@ object Bench {
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     def pastDeadline: Boolean = elapsedSec > deadlineSec
-    // Baseline snapshot before any work: from here on the stdout tail
-    // always contains at least one parsable artifact line.
-    println(artifactLine(partial = true)); System.out.flush()
     // Warm-up is a luxury: on a slow host it must never eat the time
     // the MEASURED passes need, so it stops at 40% of the deadline.
     headline.foreach(q =>
