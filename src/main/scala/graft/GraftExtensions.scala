@@ -24,6 +24,12 @@ object GraftFunctions {
       kmer.KmerGenerator(
         exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue(), withPos = true)
     },
+    "ngram_hashes" -> { exprs =>
+      text.NgramHashGenerator(
+        exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue())
+    },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
     "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
     // Spark ships these sketch expressions for its own runtime join

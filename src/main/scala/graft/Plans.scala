@@ -81,7 +81,7 @@ object Plans {
     "line_dedup_corpus" ->
       "Corpus-level boilerplate removal: lines cross the wire only as md5 hashes (the frequency aggregation is partial+final on the 16-byte hash), the common-line membership join back is declarative (AQE broadcasts the small common set at this SF; same plan hash-joins at scale), and the order-preserving document rebuild is a per-doc `collect_list` bounded by the document's own row size. No all-pairs, nothing driver-side.",
     "gopher_repetition_ngrams" ->
-      "One corpus scan fans out ×9 n-gram sizes via `Generate explode` of a literal array (no re-reads); the count keys on (doc, n, xxhash64(gram)) — the gram STRING dies in the map stage (only count×length mass reaches the output), so the aggregation hash map and the exchange carry 8-byte hashes instead of ~50-byte strings (the 10× probe measured ~2.3 GB peak-RSS savings); within-doc repeats still collapse map-side, and the per-(doc, n) rollup is a second small aggregation. Both exchanges are keyed by doc-scoped composites — state is bounded by per-document vocabulary, never corpus-global.",
+      "ONE `Generate ngramhashgenerator` pass (custom lazy CollectionGenerator, inside WholeStageCodegen) emits (n, rolling-hash, joined-length) for ALL 9 n-sizes — one xxh64 per token plus O(1) prefix arithmetic per window; the n-gram STRING never exists (only count×length mass reaches the output), so the aggregation hash map and the exchange carry 8-byte hashes instead of ~50-byte strings. The 10× probe moved from 8.7× time ratio / +3 GB peak RSS (string formulation) to ~1.3× / no spike. Within-doc repeats collapse map-side; the per-(doc, n) rollup is a second small aggregation. Both exchanges are keyed by doc-scoped composites — state is bounded by per-document vocabulary, never corpus-global.",
     "gopher_repetition_lines" ->
       "Same doc-scoped shape as the n-gram family at line granularity: lines explode from the text in the map stage, the (doc, trimmed-line) count collapses repeats via partial aggregation, and the per-doc rollup keys on doc_id — both exchanges lead with doc_id, bounded by per-document line counts.",
     "bloom_semi_join_pruned" ->

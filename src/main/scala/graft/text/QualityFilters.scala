@@ -136,28 +136,26 @@ object QualityFilters {
     Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
 
   def repetitionNgrams(docs: DataFrame, ns: Seq[Int] = 2 to 10): DataFrame = {
-    // Group by the gram's 64-bit hash + length, NOT the gram string:
-    // the n-gram text never appears in the output (only count×length
-    // mass does), so carrying ~50-byte strings through the aggregation
-    // hash map and the (doc, n, gram) exchange is pure overhead — the
-    // 10× probe showed this query alone spiking peak RSS by ~3 GB.
-    // (doc_id, n, hash, len) keys shrink shuffle bytes and agg state
-    // ~5×; two DISTINCT grams of one doc colliding in 64-bit space
+    // Group by the gram's 64-bit rolling hash + length, NOT the gram
+    // string: the n-gram text never appears in the output (only
+    // count×length mass does), so building and carrying ~50-byte gram
+    // strings through the explode, the aggregation hash map and the
+    // (doc, n, gram) exchange is pure overhead — the 10× probe showed
+    // this query alone spiking peak RSS by ~3 GB. The custom
+    // [[NgramHashGenerator]] emits (n, hash, joined-length) for ALL
+    // n-sizes in ONE lazy pass (one xxh64 per token + O(1) prefix
+    // arithmetic per window — no 9× token-array re-walk, no string
+    // allocation at all). Two DISTINCT grams of one doc colliding
     // (needed to change a count) has probability ~n_grams²/2⁶⁵ per
-    // doc — vanishing, and the DuckDB oracle (which still aggregates
-    // real strings) would catch it.
+    // doc — vanishing, and the DuckDB oracle (which aggregates real
+    // strings) would catch it.
+    require(ns == (ns.min to ns.max), s"ngram_hashes needs a contiguous n range, got $ns")
+    graft.GraftFunctions.register(docs.sparkSession)
     val perGram = graft.Partitioning.fanOut(docs)
       .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("__toks"))
-      .select(col("doc_id"), explode(array(ns.map(lit): _*)).as("n"), col("__toks"))
-      .where(size(col("__toks")) >= col("n"))
-      .select(col("doc_id"), col("n"),
-        explode(transform(
-          sequence(lit(1), size(col("__toks")) - col("n") + 1),
-          i => array_join(slice(col("__toks"), i, col("n")), " "))).as("gram"))
-      .select(col("doc_id"), col("n"),
-        xxhash64(col("gram")).as("__gh"), length(col("gram")).cast("long").as("__glen"))
-      .groupBy("doc_id", "n", "__gh")
-      .agg(count(lit(1)).as("cnt"), max(col("__glen")).as("__glen"))
+      .select(col("doc_id"), expr(s"ngram_hashes(__toks, ${ns.min}, ${ns.max})"))
+      .groupBy("doc_id", "n", "gh")
+      .agg(count(lit(1)).as("cnt"), max(col("glen")).as("__glen"))
       .withColumn("chars", col("cnt") * col("__glen"))
     val topThr = TopGramThresholds.foldLeft(lit(Double.MaxValue)) {
       case (acc, (n, t)) => when(col("n") === n, t).otherwise(acc)
