@@ -378,6 +378,10 @@ object QualityFilters {
       "gopher_repetition_ngrams",
       (s, dir) => repetitionNgrams(Tables.documents(s, dir)).orderBy("doc_id", "n"),
       Some(duckRepNgrams),
+      // headline: exercises the custom NgramHashGenerator (lazy
+      // codegen'd rolling-hash windows) — the engine's answer to the
+      // repetition family's 9×-explode cost
+      headline = true,
     ),
     EngineQuery(
       "gopher_repetition_lines",
