@@ -177,8 +177,16 @@ object Dedup {
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .cache()
-    var cur = und.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // Initial labels = min(node, min neighbor): this IS iteration 1's
+    // result, computed as ONE aggregation over the cached edges — the
+    // loop's join against a trivial identity labeling would produce
+    // exactly this at the cost of a full join+checkpoint cycle. On the
+    // quasi-clique components the dedup pipeline emits, these labels
+    // are already the fixed point, so the loop's first pass usually
+    // just confirms convergence.
+    var cur = und.groupBy(col("a"))
+      .agg(min(col("b")).as("__mn"))
+      .select(col("a").as("node"), least(col("a"), col("__mn")).as("component"))
       .cache()
     var converged = false
     var i = 0
