@@ -29,8 +29,8 @@ class NgramHashGeneratorSpec extends AnyFunSuite with Matchers {
   ).toDF("doc_id", "text")
 
   /** The replaced formulation, kept here as the reference semantics. */
-  private def viaStrings(ns: Seq[Int]) = {
-    val toksed = docs
+  private def viaStrings(ns: Seq[Int], corpus: org.apache.spark.sql.DataFrame = docs) = {
+    val toksed = corpus
       .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("__toks"))
       .select(col("doc_id"), explode(array(ns.map(lit): _*)).as("n"), col("__toks"))
       .where(org.apache.spark.sql.functions.size(col("__toks")) >= col("n"))
@@ -50,9 +50,9 @@ class NgramHashGeneratorSpec extends AnyFunSuite with Matchers {
         sum(col("cnt") * col("cnt")).as("cnt_sq")) // distinguishes count multisets
   }
 
-  private def viaGenerator(ns: Seq[Int]) = {
+  private def viaGenerator(ns: Seq[Int], corpus: org.apache.spark.sql.DataFrame = docs) = {
     graft.GraftFunctions.register(spark)
-    docs
+    corpus
       .select(col("doc_id"), TextAnalysis.wsTokens(lower(col("text"))).as("__toks"))
       .select(col("doc_id"), expr(s"ngram_hashes(__toks, ${ns.min}, ${ns.max})"))
       .groupBy("doc_id", "n", "gh")
@@ -70,6 +70,28 @@ class NgramHashGeneratorSpec extends AnyFunSuite with Matchers {
     val ns = 2 to 10
     val a = viaStrings(ns).orderBy("doc_id", "n").collect().map(_.toSeq)
     val b = viaGenerator(ns).orderBy("doc_id", "n").collect().map(_.toSeq)
+    b should contain theSameElementsInOrderAs a
+  }
+
+  test("randomized corpus: 60 LCG-generated docs match the string formulation") {
+    // Deterministic pseudo-random docs over a small vocabulary (forces
+    // heavy window collisions) mixing ASCII, multibyte, and single-char
+    // tokens, with lengths 0..24 — the regime where an off-by-one in
+    // the prefix tables or block layout would misgroup windows.
+    val vocab = Vector("a", "bb", "ccc", "Ω", "héllo", "x", "яя", "the", "of", "零一二")
+    var seed = 0xDEADBEEFL
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val rand = (1L to 60L).map { id =>
+      val len = next(25)
+      (id, Seq.fill(len)(vocab(next(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val ns = 2 to 10
+    val a = viaStrings(ns, rand).orderBy("doc_id", "n").collect().map(_.toSeq)
+    val b = viaGenerator(ns, rand).orderBy("doc_id", "n").collect().map(_.toSeq)
+    a should not be empty
     b should contain theSameElementsInOrderAs a
   }
 
