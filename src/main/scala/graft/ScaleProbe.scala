@@ -179,7 +179,10 @@ object ScaleProbe {
       println(f"""{"query":"$n","rows_sf01":${cntBase.toLong},"rows_probe":${cntProbe.toLong},"rows_ratio":$rowsRatio%.1f,"time_ratio":$tRatio%.1f}""")
       tRatio > math.max(25.0, 2.5 * math.max(rowsRatio, workRatio))
     }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"scale_probe","copies":10,"flagged_superlinear":$flagged,"proc":{"rss_mb":${ProcStatus.rssMb("VmRSS")},"peak_rss_mb":${ProcStatus.rssMb("VmHWM")}}}""")
+    // flag_rule states the criterion IN the artifact: an empty flag
+    // list means "no query's time ratio exceeded max(25, 2.5x its
+    // rows/work growth)" — not "all ratios ~1x".
+    println(s"""{"metric":"scale_probe","copies":10,"flag_rule":"time_ratio>max(25,2.5*max(rows_ratio,work_ratio))","flagged_superlinear":$flagged,"proc":{"rss_mb":${ProcStatus.rssMb("VmRSS")},"peak_rss_mb":${ProcStatus.rssMb("VmHWM")}}}""")
     spark.stop()
   }
 }

@@ -10,8 +10,12 @@ TAG="${1:?usage: probe10x.sh <tag, e.g. r08>}"
 OUT="BENCH_probe10x_${TAG}.json"
 TMP="$(mktemp)"
 trap 'rm -f "$TMP"' EXIT
+# `|| true`: under set -eo pipefail an sbt failure (or zero JSON lines,
+# grep rc=1) would exit the script HERE and skip the guard below — the
+# artifact would still be withheld, but silently. Let control reach the
+# test -s so the failure prints its diagnostic.
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch 'runMain graft.ScaleProbe' 2>/dev/null | grep -E '^\{' > "$TMP"
+  sbt -batch 'runMain graft.ScaleProbe' 2>/dev/null | grep -E '^\{' > "$TMP" || true
 test -s "$TMP" || { echo "probe produced no output; NOT writing $OUT" >&2; exit 1; }
 mv "$TMP" "$OUT"
 trap - EXIT
