@@ -195,6 +195,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("least")
   }
 
+  test("count-min: tokenize+groupBy exchange is REUSED across the broadcast boundary") {
+    // The top-k branch and the weighted-sketch branch both root in the
+    // identical groupBy(tok) subplan; the pre-execution dump shows the
+    // subtree twice, but AQE's stage reuse must execute it ONCE — this
+    // is the claim behind the sketch build being vocabulary-linear
+    // (CountMin.countMinTopTokens), so pin it on the EXECUTED adaptive
+    // plan, not the pre-execution string.
+    val df = Registry.all.find(_.name == "countmin_token_freq").get.fn(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString should include("ReusedExchange")
+  }
+
   test("hashed linear scoring is a pure map stage (no hash exchange)") {
     val p = plan("hashed_linear_score")
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
