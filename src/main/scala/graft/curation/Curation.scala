@@ -276,34 +276,39 @@ object Curation {
   def decontaminate(
       docs: DataFrame, holdout: DataFrame, n: Int,
       broadcastBudgetBytes: Long = DefaultHoldoutBroadcastBudget): DataFrame = {
+    // Both sides travel as 64-bit rolling gram HASHES (r9): overlap
+    // only needs gram equality, so neither the broadcast table nor the
+    // fallback shuffle ever carries a gram string — the holdout
+    // footprint drops from string bytes to 8 bytes/gram and the corpus
+    // stream never materializes joined grams at all. Collision
+    // tolerance ~2⁻⁶⁴ per pair (graft.dedup.Dedup.wordNgramHashesRaw);
+    // the DuckDB oracle still aggregates the actual strings.
     // Corpus side stays RAW (no distinct — that would shuffle the whole
-    // gram stream); the holdout join filters it to only shared grams,
-    // and the per-doc dedup + count shuffle only that typically tiny
-    // remainder.
-    val corpusGrams = graft.dedup.Dedup.wordNgramsRaw(docs, n)
+    // gram-hash stream); the holdout join filters it to only shared
+    // grams, and the per-doc dedup + count shuffle only that typically
+    // tiny remainder.
+    val corpusGrams = graft.dedup.Dedup.wordNgramHashesRaw(docs, n)
     // Materialized once (localCheckpoint): both the estimate job and the
     // join read the same computed gram set instead of re-running the
     // holdout scan+shuffle twice.
-    val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n)
-      .select("gram").distinct().localCheckpoint(true)
-    // Size gate: one tiny agg over the (small-side) holdout estimates
-    // its broadcast footprint (string BYTES — octet_length, a CJK gram
-    // is ~3 bytes per char — + per-row object overhead): a driver-side
-    // scalar, like connectedComponents' convergence check.
-    // Under budget → broadcast hash join: the corpus gram stream filters
-    // map-side and never shuffles. Over budget → shuffle hash join:
-    // both gram streams exchange once on gram, no driver collect of an
-    // unbounded set. Same output either way (pinned in CurationSpec).
-    val estBytes = holdoutGrams
-      .agg(coalesce(sum(octet_length(col("gram")).cast("long") + lit(48L)), lit(0L)).as("b"))
-      .head.getLong(0)
+    val holdoutGrams = graft.dedup.Dedup.wordNgramHashesRaw(holdout, n)
+      .select("gh").distinct().localCheckpoint(true)
+    // Size gate: one tiny count over the (small-side) holdout estimates
+    // its broadcast footprint (8-byte hash + per-row object overhead):
+    // a driver-side scalar, like connectedComponents' convergence check.
+    // Under budget → broadcast hash join: the corpus gram-hash stream
+    // filters map-side and never shuffles. Over budget → shuffle hash
+    // join: both streams exchange once on gh, no driver collect of an
+    // unbounded set. Same output either way (pinned in
+    // DecontaminateFallbackSpec).
+    val estBytes = holdoutGrams.count() * 56L
     val joined =
       if (estBytes <= broadcastBudgetBytes)
-        corpusGrams.join(broadcast(holdoutGrams), Seq("gram"))
+        corpusGrams.join(broadcast(holdoutGrams), Seq("gh"))
       else
-        corpusGrams.join(holdoutGrams.hint("shuffle_hash"), Seq("gram"))
+        corpusGrams.join(holdoutGrams.hint("shuffle_hash"), Seq("gh"))
     joined
-      .dropDuplicates("doc_id", "gram")
+      .dropDuplicates("doc_id", "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 
@@ -323,21 +328,25 @@ object Curation {
       docs: DataFrame, holdout: DataFrame, n: Int,
       expectedItems: Long = 4L << 20, numBits: Long = 32L << 20): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
-    val corpusGrams = graft.dedup.Dedup.wordNgramsRaw(docs, n)
+    // Gram hashes end-to-end, like [[decontaminate]]: the bloom sketch
+    // is built over the 64-bit gram hash directly (no per-gram string
+    // exists to xxhash64), and the exact FP-removal join exchanges
+    // 8-byte keys.
+    val corpusGrams = graft.dedup.Dedup.wordNgramHashesRaw(docs, n)
     // Materialized once — the sketch job and the exact FP-removal join
     // share the computed gram set.
-    val holdoutGrams = graft.dedup.Dedup.wordNgrams(holdout, n)
-      .select("gram").distinct().localCheckpoint(true)
+    val holdoutGrams = graft.dedup.Dedup.wordNgramHashesRaw(holdout, n)
+      .select("gh").distinct().localCheckpoint(true)
     // One driver-held sketch of bounded size (numBits/8 bytes) — the
     // analog of the size estimate in [[decontaminate]], but the bound
     // holds no matter how many grams the holdout has.
     val bf = holdoutGrams
-      .agg(expr(s"bloom_filter_agg(xxhash64(gram), ${expectedItems}L, ${numBits}L)").as("bf"))
+      .agg(expr(s"bloom_filter_agg(gh, ${expectedItems}L, ${numBits}L)").as("bf"))
       .head.getAs[Array[Byte]](0)
     corpusGrams
-      .where(call_function("might_contain", lit(bf), xxhash64(col("gram"))))
-      .join(holdoutGrams.hint("shuffle_hash"), Seq("gram"))
-      .dropDuplicates("doc_id", "gram")
+      .where(call_function("might_contain", lit(bf), col("gh")))
+      .join(holdoutGrams.hint("shuffle_hash"), Seq("gh"))
+      .dropDuplicates("doc_id", "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 

@@ -443,15 +443,36 @@ object Dedup {
   def wordNgrams(docs: DataFrame, n: Int): DataFrame =
     wordNgramsRaw(docs, n).distinct()
 
-  /** Near-dup pairs by n-gram Jaccard with a shingle df cap. */
+  /** Word-n-gram 64-bit rolling hashes per doc, with multiplicity (no
+    * shuffle, no gram STRINGS): [[graft.text.NgramHashGenerator]] does
+    * one xxh64 per token plus O(1) prefix arithmetic per window, and
+    * downstream operators carry 8-byte `gh` keys instead of joined gram
+    * strings. Hash equality is token-sequence equality up to ~2⁻⁶⁴-per-
+    * pair collisions — the same tolerance argument as the repetition
+    * family ([[graft.text.QualityFilters]]), with the same safety net:
+    * every consumer is gate-checked against a DuckDB oracle that
+    * aggregates the actual gram strings. Use wherever only gram
+    * EQUALITY matters (joins, dedup, counting); use [[wordNgramsRaw]]
+    * when the gram text itself must survive.
+    */
+  def wordNgramHashesRaw(docs: DataFrame, n: Int): DataFrame =
+    graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .select(col("doc_id"), expr(s"ngram_hashes(__toks, $n, $n)"))
+      .select("doc_id", "gh")
+
+  /** Near-dup pairs by n-gram Jaccard with a shingle df cap. Shingles
+    * travel as [[wordNgramHashesRaw]] 64-bit hashes end-to-end — the
+    * intersect/df/size counts only need gram equality, never the text.
+    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, maxDf: Int = 50, minJaccard: Double = 0.05): DataFrame = {
-    val grams = wordNgrams(docs, n)
-    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
-    val g = grams.join(rare.select("gram"), Seq("gram"))
+    val grams = wordNgramHashesRaw(docs, n).distinct()
+    val rare = grams.groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+    val g = grams.join(rare.select("gh"), Seq("gh"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = g.select(col("doc_id").as("doc_a"), col("gram"))
-    val b = g.select(col("doc_id").as("doc_b"), col("gram"))
-    a.join(b, Seq("gram")).where(col("doc_a") < col("doc_b"))
+    val a = g.select(col("doc_id").as("doc_a"), col("gh"))
+    val b = g.select(col("doc_id").as("doc_b"), col("gh"))
+    a.join(b, Seq("gh")).where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), Seq("doc_b"))

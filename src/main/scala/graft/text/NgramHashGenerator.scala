@@ -114,6 +114,18 @@ object NgramHashArrayData {
   * [[CollectionGenerator]] with `inline = true` so `GenerateExec`
   * consumes the LAZY [[NgramHashArrayData]] inside WholeStageCodegen
   * (same contract as [[graft.kmer.KmerGenerator]]).
+  *
+  * Null-token semantics (documented divergence): a NULL array element
+  * hashes as an empty-length token (hash 0, 0 chars) but still
+  * occupies a window position and contributes a separator to `glen`,
+  * whereas the `array_join`/`concat_ws` string formulation (and the
+  * DuckDB oracle) silently DROPS null elements and their delimiters.
+  * Every engine caller tokenizes via `split(...)`, which can never
+  * produce null elements, so the divergence is unreachable in the
+  * gate; callers feeding hand-built arrays must not rely on
+  * array_join's null-dropping. Treating null as a positional
+  * empty token is the deliberate choice — dropping positions would
+  * make window count depend on data the generator streams past.
   */
 case class NgramHashGenerator(child: Expression, minN: Int, maxN: Int)
     extends UnaryExpression with CollectionGenerator {

@@ -51,8 +51,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("WindowGroupLimit")        // rank cut below the window sort
   }
 
-  test("decontamination broadcasts the holdout gram set") {
-    plan("decontaminate_overlap") should include("BroadcastHashJoin")
+  test("decontamination broadcasts the holdout gram set, as 64-bit hashes") {
+    val p = plan("decontaminate_overlap")
+    p should include("BroadcastHashJoin")
+    // grams travel as NgramHashGenerator 8-byte hashes — no concat_ws
+    // gram string is ever built on either side
+    p.toLowerCase should include("ngramhashgenerator")
+    p should not include "concat_ws"
+  }
+
+  test("ngram jaccard: shingles travel as generator hashes, never strings") {
+    val p = plan("ngram_jaccard_pairs")
+    p.toLowerCase should include("ngramhashgenerator")
+    p should not include "concat_ws"
   }
 
   test("shuffle order's row-ranking window is partitioned (not global)") {
