@@ -51,7 +51,7 @@ object Plans {
     "shuffle_order" ->
       "Global deterministic order WITHOUT a single-partition window: per-bucket counts aggregate small, offsets broadcast back (`BroadcastHashJoin`), and the `Window` that ranks rows is `partitionBy(b)` — every window partition is a hash bucket, all of them in parallel.",
     "decontaminate_overlap" ->
-      "The holdout gram set is the build side of a `BroadcastHashJoin`: the corpus gram stream is filtered map-side and never shuffles; the only exchange is the final per-doc count aggregate. The broadcast is SIZE-GATED: `Curation.decontaminate` estimates the distinct-gram footprint first and falls back to a shuffle hash join past `DefaultHoldoutBroadcastBudget` (64 MB) — same relation either way (pinned in `DecontaminateFallbackSpec`), so an eval-suite holdout too big for the driver can't kill the job at 100 TB.",
+      "Grams travel as 64-bit `NgramHashGenerator` rolling hashes on BOTH sides (r9 — no `concat_ws` gram string is ever built; pinned in `PlanAuditSpec`): the holdout hash set is the build side of a `BroadcastHashJoin` at 8 bytes/gram, the corpus gram-hash stream is filtered map-side and never shuffles; the only exchange is the final per-doc count aggregate. The broadcast is SIZE-GATED: `Curation.decontaminate` counts the distinct holdout hashes first and falls back to a shuffle hash join past `DefaultHoldoutBroadcastBudget` (64 MB) — same relation either way (pinned in `DecontaminateFallbackSpec`), so an eval-suite holdout too big for the driver can't kill the job at 100 TB. Probe-scale (min-of-3): 2.64s→1.64s vs the string formulation, identical shuffle records.",
     "skew_join_hot_key" ->
       "Join-key skew surface: 1% of both fact sides collapse onto one hot key and the `merge` hint pins the shuffle sort-merge path. This pre-execution dump shows plain `SortMergeJoin`; at runtime AQE's OptimizeSkewedJoin splits the oversized partition into advisory-sized mapper-range chunks — `SortMergeJoin(skew=true)` in the final adaptive plan, asserted live in `SkewJoinSpec` with thresholds scaled to test data. Salting covers aggregation skew (`salted_group_count`); this covers join skew, where the runtime split is the idiomatic fix.",
     "kmeans_step" ->
