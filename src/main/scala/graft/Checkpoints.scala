@@ -30,11 +30,17 @@ object Checkpoints {
     */
   def localEager(df: DataFrame): (DataFrame, () => Unit) = {
     val out = df.localCheckpoint(eager = true)
-    val free = () =>
-      out.queryExecution.logical match {
-        case l: LogicalRDD => l.rdd.unpersist(blocking = false); ()
-        case _ => ()
-      }
-    (out, free)
+    (out, () => release(out))
   }
+
+  /** Free the blocks behind an ALREADY-checkpointed frame (e.g. one
+    * returned by a loop that pins its result for the caller, like
+    * [[graft.similarity.Ann.kmeansConverged]]) once no downstream
+    * consumer will re-scan it. No-op on a non-checkpointed frame.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

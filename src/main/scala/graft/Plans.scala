@@ -100,6 +100,8 @@ object Plans {
       "Both layouts' file ids are per-row integer bit expressions over keys scaled to the 16-bit domain by the table's maxima — ONE one-row aggregate crossed in by broadcast, then projection + a 64-group partial+final aggregate per layout (map-side combine; no window, no shuffle join, no global sort). At 100 TB the SAME scaled zValue expression feeds repartitionByRange before the writer; this query is the read-side effect, quantified.",
     "ann_pq_adc_topk" ->
       "PQ at scan scale: the S·C-row codebook broadcasts into the corpus code-assignment join (corpus never shuffles to be coded; the only wide op is the (vec, subspace)-keyed argmin, S rows per vector); the query ADC table broadcasts back, and the per-(query, vector) distance is a sum of S integers. The rank cut runs under WindowGroupLimit. Composing with IVF's inverted lists restricts WHICH codes are scanned — classic IVF-PQ.",
+    "semdedup_prune" ->
+      "Semantic dedup (SemDeDup): kmeansConverged's broadcast Lloyd loop trains the centroids driver-orchestrated (corpus never shuffles for assignment), the per-vector assignment is ONE broadcast join + per-vector row_number materialized once as a localCheckpoint (the real-pipeline analog is a written assignment table — its three consumers, both self-join sides and the verdict spine, scan the checkpoint instead of re-running the train loop), and the pairwise cosine step shuffles the corpus ONCE, keyed by cluster id — quadratic only WITHIN a cluster, with `m` the knob that pins cluster size as N grows (m ≈ N/targetClusterSize in production; the m=16 here is gate-scale). The keep rule is the same smaller-id-wins greedy as dedup_apply_keep, so the verdict is an EXISTS-shaped max-aggregate + left join, no global sort.",
     "bm25_top_docs" ->
       "Inverted-index probe: query terms broadcast into the token-stream semi-join, so the tf aggregation shuffles ONLY query-term occurrences, never the vocabulary; dl is a doc-keyed aggregate; N/avgdl reduce to one broadcast row; the per-term top-k cut sits under WindowGroupLimit. The full-vocab df aggregate exists only because the gate derives its query terms from the corpus.",
     "bigram_lm_fluency" ->

@@ -53,6 +53,7 @@ object Registry {
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       similarity.Pq.engineQueries ++
+      similarity.SemDedup.engineQueries ++
       streaming.EventAnalytics.engineQueries ++
       streaming.StatefulSessions.engineQueries ++
       multimodal.Multimodal.engineQueries ++

@@ -193,7 +193,7 @@ object Ann {
     * cluster drop). Tiny relation (m × Dim rows) — the per-iteration
     * driver cost is one collect-free localCheckpoint.
     */
-  private def rebuildCentroids(matrix: DataFrame): DataFrame =
+  private[similarity] def rebuildCentroids(matrix: DataFrame): DataFrame =
     matrix
       .withColumn("cv",
         floor(col("sum_q").cast("double") / col("n_members").cast("double")).cast("long"))
@@ -271,11 +271,11 @@ object Ann {
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
       |FROM embeddings""".stripMargin
 
-  private val duckNorm =
+  private[similarity] val duckNorm =
     s"""SELECT vec_id, q, CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nrm
        |FROM ($duckQuantized)""".stripMargin
 
-  private val duckSimExpr =
+  private[similarity] val duckSimExpr =
     """CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
       |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))""".stripMargin
 
@@ -291,7 +291,7 @@ object Ann {
     * kmeans_converged oracle and the trained-IVF oracle, which appends
     * a search over `centv<iters>`.
     */
-  private def duckKmeansCtes(iters: Int, m: Int): String = {
+  private[similarity] def duckKmeansCtes(iters: Int, m: Int): String = {
     val sb = new StringBuilder
     sb ++= s"n AS ($duckNorm),\n"
     sb ++= s"centv0 AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM n WHERE vec_id < $m)"

@@ -263,4 +263,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "FullOuter".r.findAllIn(p).size shouldBe 1
     p should include("SortMergeJoin")
   }
+
+  test("semdedup: consumers scan the materialized assignment; pairwise keyed by cluster id") {
+    val p = plan("semdedup_prune")
+    // the Lloyd train loop ran ONCE inside assignments() — the verdict
+    // plan's leaves are the checkpointed assignment table, not the
+    // embeddings scan + training pipeline re-planned per consumer
+    p should include("Scan ExistingRDD")
+    p should not include "kmeans"
+    p should not include "BroadcastNestedLoopJoin" // no all-pairs cross
+    // every hash exchange is the cid-keyed pairwise shuffle or the
+    // vec_id-keyed verdict aggregation/join — nothing corpus-global
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should (be(Set("cid", "b_cid", "vec_id"))
+      or be(Set("cid", "vec_id")))
+  }
 }
