@@ -106,6 +106,10 @@ object Plans {
       "Inverted-index probe: query terms broadcast into the token-stream semi-join, so the tf aggregation shuffles ONLY query-term occurrences, never the vocabulary; dl is a doc-keyed aggregate; N/avgdl reduce to one broadcast row; the per-term top-k cut sits under WindowGroupLimit. The full-vocab df aggregate exists only because the gate derives its query terms from the corpus.",
     "bigram_lm_fluency" ->
       "Self-trained bigram LM scoring in exact integers: the model is two partial+final count aggregations (unigram ~vocab, bigram corpus-supported), cnt1 rides inside the model row (ONE scoring join on (w1, w2), not two), and the per-doc rollup keys on doc_id. No float log anywhere — a 10^5-term ln() sum would drift a ulp per term across engines; scaled integer division cannot.",
+    "token_budget_select" ->
+      "Budget-bounded best-first selection — shuffleOrder's prefix decomposition generalized to a quality-ordered running TOKEN total. A naive `sum(n_tokens) OVER (ORDER BY score DESC)` is one window partition holding the corpus; here the score quantizes into ≤50 buckets (score is monotone in its bucket, so bucketed order = global order), per-bucket token totals aggregate tiny (the offsets prefix window runs over that ≤50-row relation — the plan's one `Exchange SinglePartition` is driver-sized by construction), offsets broadcast back (`BroadcastHashJoin`), and the corpus-sized cumulative sum is `Window partitionBy(qb)` — all buckets in parallel. The budget cut is a single-row broadcast cross + exact integer comparison `(tt*2) div 5`, so both engines cut at the same row. The quality subexpression is computed twice (once per branch) — two map-only corpus passes, the standard trade against materializing the scored corpus; identical to shuffle_order/pack_sequences_scalable's offsets shape.",
+    "bpe_pair_counts" ->
+      "BPE candidate table: ONE corpus-linear pass (word explode → partial+final count on the word — the plan's first hash exchange), then everything downstream is VOCABULARY-scale: the adjacent-pair `Generate` consumes the aggregated (w, c) relation, and the pair-count aggregation (second hash exchange) shuffles distinct-pair rows weighted by word counts — the occurrences-to-weights trick (`CountMin.sketchWeighted` precedent), so a 100 TB corpus pays its vocabulary, not its token stream, for every BPE statistic. `bpe_learn_merges` iterates exactly this plan over the evolving symbol table (localCheckpoint per step, previous step's blocks released, ONE argmax row to the driver per merge — the Lloyd-loop discipline), so its per-iteration plan is this one and its final frame is a driver-local ≤numMerges-row relation, which is why the dump audits the pair-count plan rather than the loop's LocalTableScan.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -45,6 +45,7 @@ object Registry {
       text.HeavyHitters.engineQueries ++
       text.CountMin.engineQueries ++
       text.Bm25.engineQueries ++
+      text.Bpe.engineQueries ++
       text.BigramLm.engineQueries ++
       text.Mojibake.engineQueries ++
       dedup.SubstringDup.engineQueries ++

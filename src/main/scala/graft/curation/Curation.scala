@@ -126,6 +126,52 @@ object Curation {
       .where(col("rk") <= cap)
   }
 
+  /** Data selection under a token budget: keep the best-quality
+    * documents whose running token total stays within `num/den` of the
+    * corpus's total tokens — the "fill the training budget with the
+    * best data first" selection every pretraining mix performs, made
+    * deterministic (quality score + doc_id tie-break, no sampling).
+    *
+    * A naive `sum(n_tokens) OVER (ORDER BY score DESC)` is a global
+    * window — one partition holds the corpus. Like [[shuffleOrder]],
+    * the running sum decomposes exactly: quantize the score into
+    * `buckets` ranges (score is monotone in its bucket, so global
+    * (score DESC, doc_id) order = (bucket DESC, score DESC, doc_id)),
+    * take per-bucket token totals (tiny relation → driver-free window
+    * for prefix offsets, broadcast back), and run the within-bucket
+    * cumulative sum partitioned by bucket — all buckets in parallel,
+    * no global window, identical output. The budget threshold is exact
+    * integer arithmetic (`(total * num) div den`), so both engines cut
+    * at the same row.
+    */
+  def tokenBudgetSelect(
+      docs: DataFrame, num: Int = 2, den: Int = 5, buckets: Int = 50): DataFrame = {
+    val q = graft.text.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val keyed = q.withColumn(
+      "qb", least(floor(col("score") * buckets), lit((buckets - 1).toLong)).cast("long"))
+    val perBucket = keyed.groupBy("qb").agg(sum("n_tokens").as("bt"))
+    val off = perBucket
+      .withColumn(
+        "offset",
+        coalesce(
+          sum(col("bt")).over(
+            Window.orderBy(col("qb").desc).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("qb", "offset")
+    val total = perBucket.groupBy().agg(sum("bt").as("tt"))
+    keyed
+      .join(broadcast(off), Seq("qb"))
+      .withColumn(
+        "cum_tokens",
+        col("offset") + sum(col("n_tokens")).over(
+          Window.partitionBy("qb").orderBy(col("score").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .where(expr(s"cum_tokens <= (tt * $num) div $den"))
+      .select("doc_id", "n_tokens", "score", "cum_tokens")
+  }
+
   /** Corpus snapshot diff: classify every doc_id across two table
     * versions as added / removed / changed / same (content compared by
     * md5). One full-outer join on the key — the reproducibility audit
@@ -488,6 +534,21 @@ object Curation {
       Some(s"""SELECT doc_id,
              |  row_number() OVER (ORDER BY ${duckMd5Bucket("doc_id", 64)}, md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
              |FROM documents ORDER BY doc_id""".stripMargin),
+      headline = true,
+    ),
+    // Budget-bounded best-first selection (decomposed running sum).
+    EngineQuery(
+      "token_budget_select",
+      (s, dir) => tokenBudgetSelect(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH q AS (${graft.text.TextAnalysis.duckQuality}),
+             |c AS (SELECT doc_id, n_tokens, score,
+             |  CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM q),
+             |tot AS (SELECT sum(n_tokens) AS tt FROM q)
+             |SELECT doc_id, n_tokens, score, cum_tokens
+             |FROM c CROSS JOIN tot WHERE cum_tokens <= (tt * 2) // 5
+             |ORDER BY doc_id""".stripMargin),
       headline = true,
     ),
     EngineQuery(

@@ -261,6 +261,33 @@ object Dedup {
       .unionByName(keepClustered)
   }
 
+  /** Leakage-safe train/val/test split: the unit of assignment is the
+    * near-dup COMPONENT, not the document. A hash split over doc_ids
+    * (`Curation.splitAssign`) puts ~10% of each near-dup cluster's
+    * members in the test split while their ~80% siblings train — the
+    * classic contamination path that inflates eval numbers. Here every
+    * document hashes on its component label (its own id when it has no
+    * near-dup), so a duplicate group lands in exactly one split and
+    * train/test overlap at the near-dup level is zero by construction.
+    *
+    * 100 TB shape: the component labels are the already-bucketed LSH
+    * pipeline (bands → capped pairs → label propagation); the split
+    * itself adds ONE equi-join of the corpus against the (much smaller,
+    * clustered-docs-only) label table plus a stateless md5 projection —
+    * no new shuffle beyond the join, and the same 80/10/10 rule as
+    * `split_assign` (shared `splitCol`, so changing the ratio changes
+    * both queries together).
+    */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    import graft.curation.Curation.{md5Bucket, splitCol}
+    val comp = connectedComponents(minhashCandidatePairs(docs))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("grp"))
+      .withColumn("bucket", md5Bucket(col("grp"), 100))
+      .withColumn("split", splitCol(col("bucket")))
+  }
+
   /** 16-bit SimHash over lowercase whitespace tokens (with multiplicity). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = graft.Partitioning.fanOut(docs)
@@ -766,6 +793,28 @@ object Dedup {
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> component)
            |ORDER BY doc_id""".stripMargin),
+    ),
+    // Component-aware split: near-dup groups never straddle splits.
+    EngineQuery(
+      "leakage_safe_split",
+      (s, dir) => leakageSafeSplit(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some {
+        import graft.curation.Curation.{duckMd5Bucket, duckSplitCase}
+        val g = "coalesce(l.component, d.doc_id)"
+        s"""WITH RECURSIVE sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |pairs AS ($duckPairs),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM und
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+           |SELECT d.doc_id, $g AS grp, ${duckMd5Bucket(g, 100)} AS bucket,
+           |  ${duckSplitCase(duckMd5Bucket(g, 100))} AS split
+           |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
     ),
     // Incremental dedup of a simulated new batch (every 3rd doc)
     // against the rest of the corpus as the existing index.

@@ -1,0 +1,206 @@
+package graft.text
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Checkpoints, EngineQuery, Tables}
+
+/** Byte-pair-encoding tokenizer training as a distributed pipeline —
+  * the vocabulary-induction step that precedes every LLM pretraining
+  * run (Sennrich et al. 2016). The reference engine has nothing like
+  * it (`/root/reference/src/main.cpp:55-92` is a fixed-k k-mer
+  * counter); this family is part of the training-data surface the
+  * engine adds on top.
+  *
+  * The classic formulation is a single-machine loop over a word
+  * histogram. The distributed shape keeps exactly that structure but
+  * makes every step corpus-scale-free:
+  *
+  *  - the corpus is tokenized ONCE into a (word, count) vocabulary —
+  *    the only corpus-linear pass (one shuffle on the word);
+  *  - every merge iteration runs on the VOCABULARY (distinct words,
+  *    weighted by count), not the corpus — the same
+  *    occurrences-to-weights trick as `CountMin.sketchWeighted`, so a
+  *    100 TB corpus with a 10 M-word vocabulary pays 10 M rows per
+  *    iteration, not 10 T;
+  *  - per-iteration driver state is ONE row (the argmax pair), like
+  *    the Lloyd loop's convergence scalar — the vocabulary itself
+  *    never leaves the executors (localCheckpoint per iteration, the
+  *    previous iteration's blocks released once the next is
+  *    materialized).
+  *
+  * Merge application is greedy leftmost within each word — the
+  * standard BPE pass — expressed as an `aggregate()` fold over the
+  * symbol array: append the next symbol, or fuse it into the last
+  * element when (last, next) equals the merge pair. The DuckDB oracle
+  * replays the SAME fold with `list_reduce` over an unrolled
+  * `numMerges`-step SQL, so the whole iterative algorithm —
+  * tie-breaks, saturation, greedy semantics — is hash-checked
+  * end-to-end, not just the first pair count.
+  */
+object Bpe {
+
+  /** Merges learned by the gate query — small enough that the unrolled
+    * oracle SQL stays readable, large enough to exercise multi-char
+    * symbol merges (the sf0.01 corpus reaches 2-char symbols by step
+    * 6).
+    */
+  val DefaultMerges = 8
+
+  /** Lowercased whitespace words of the corpus, one row per occurrence. */
+  private def words(docs: DataFrame): DataFrame =
+    graft.Partitioning.fanOut(docs)
+      .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
+      .where(col("w") =!= "")
+
+  /** (word, count) vocabulary — the corpus's only full pass. */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    words(docs).groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Adjacent-symbol pairs of a symbol-array column as (a, b) structs;
+    * callers guard `size >= 2` (Spark's `sequence` would run BACKWARD
+    * on a start > stop range, not empty).
+    */
+  private def adjacentPairs(syms: Column): Column =
+    transform(
+      sequence(lit(0), size(syms) - 2),
+      i =>
+        struct(
+          element_at(syms, i + 1).as("a"),
+          element_at(syms, i + 2).as("b")))
+
+  /** Character-pair frequencies over the corpus (BPE iteration 0's
+    * candidate table): (a, b, cnt), most-frequent first with a total
+    * (cnt DESC, a, b) tie-break. Pairs are counted per DISTINCT word
+    * and weighted by the word's corpus count.
+    */
+  def bpePairCounts(docs: DataFrame): DataFrame =
+    wordCounts(docs)
+      .where(length(col("w")) >= 2)
+      .select(explode(adjacentPairs(split(col("w"), ""))).as("pr"), col("c"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+
+  /** One greedy-leftmost merge pass over a symbol array: fuse every
+    * non-overlapping (a, b) adjacency, scanning left to right (the
+    * fold's accumulator ends with the merged symbol, so an `aaa` word
+    * under merge (a,a) becomes [aa, a], not [a, aa]).
+    */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Learn `numMerges` BPE merges: (step, a, b, cnt), step 1-based in
+    * learned order. Stops early when the vocabulary has no adjacent
+    * pair left (every word fused to one symbol). Driver state per
+    * iteration is the single argmax row; the evolving vocabulary is
+    * checkpointed executor-side each step and the previous step's
+    * blocks are released, exactly the Lloyd-loop discipline.
+    */
+  def bpeLearnMerges(docs: DataFrame, numMerges: Int = DefaultMerges): DataFrame = {
+    val spark = docs.sparkSession
+    var (vocab, freePrev) = Checkpoints.localEager(
+      wordCounts(docs).select(split(col("w"), "").as("syms"), col("c")))
+    val merges = ListBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val top = vocab
+        .where(size(col("syms")) >= 2)
+        .select(explode(adjacentPairs(col("syms"))).as("pr"), col("c"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, a, b, cnt))
+        val (next, freeNext) = Checkpoints.localEager(
+          vocab.select(applyMerge(col("syms"), a, b).as("syms"), col("c")))
+        freePrev()
+        freePrev = freeNext
+        vocab = next
+        step += 1
+      }
+    }
+    freePrev()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "a", "b", "cnt")
+  }
+
+  // ---- oracles ------------------------------------------------------
+
+  /** DuckDB vocabulary CTE body: (w, c) distinct lowercased words. */
+  private val duckWc =
+    """SELECT w, count(*) AS c FROM (
+      |  SELECT unnest(CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+      |                ELSE string_split_regex(trim(lower(text)), '\s+') END) AS w
+      |  FROM documents) WHERE w <> '' GROUP BY w""".stripMargin
+
+  /** The unrolled learn-merges oracle: `n` chained CTE steps, each
+    * recomputing pair counts from the current vocabulary, picking the
+    * (cnt DESC, a, b) argmax, and replaying the greedy-leftmost merge
+    * with `list_reduce` (the symbol list travels as a chr(31)-joined
+    * string — the corpus contains no 0x1F, and the fold splits on it
+    * exactly as the Spark side folds the array). A saturated step
+    * (no pairs left) yields an empty `t{k}` CTE: the LEFT JOIN leaves
+    * the vocabulary untouched and the final UNION contributes no row —
+    * matching the engine's early stop.
+    */
+  private def duckLearnMerges(n: Int): String = {
+    val sep = "chr(31)"
+    def stepCte(k: Int): String =
+      s"""p$k AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, CAST(length(string_split(vs, $sep)) AS BIGINT)),
+         |      i -> {'a': string_split(vs, $sep)[CAST(i AS INT)], 'b': string_split(vs, $sep)[CAST(i AS INT)+1]})) AS pr, c
+         |    FROM v$k) GROUP BY pr.a, pr.b),
+         |t$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |v${k + 1} AS (
+         |  SELECT CASE WHEN t.a IS NULL THEN v.vs ELSE
+         |    list_reduce(string_split(v.vs, $sep), (acc, x) ->
+         |      CASE WHEN list_extract(string_split(acc, $sep), -1) = t.a AND x = t.b
+         |           THEN acc || x
+         |           ELSE acc || $sep || x END) END AS vs, v.c AS c
+         |  FROM v$k v LEFT JOIN t$k t ON true)""".stripMargin
+    val steps = (0 until n).map(stepCte).mkString(",\n")
+    val union = (0 until n)
+      .map(k => s"SELECT CAST(${k + 1} AS BIGINT) AS step, a, b, cnt FROM t$k")
+      .mkString(" UNION ALL ")
+    s"""WITH wc AS ($duckWc),
+       |v0 AS (SELECT list_reduce(string_split(w, ''), (a, x) -> a || $sep || x) AS vs, c FROM wc),
+       |$steps
+       |SELECT * FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  val engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "bpe_pair_counts",
+      (s, dir) => bpePairCounts(Tables.documents(s, dir)),
+      Some(s"""WITH wc AS ($duckWc),
+             |ch AS (SELECT string_split(w, '') AS cs, c FROM wc WHERE length(w) >= 2),
+             |p AS (SELECT unnest(list_transform(range(1, CAST(length(cs) AS BIGINT)),
+             |  i -> {'a': cs[CAST(i AS INT)], 'b': cs[CAST(i AS INT)+1]})) AS pr, c FROM ch)
+             |SELECT pr.a AS a, pr.b AS b, CAST(sum(c) AS BIGINT) AS cnt
+             |FROM p GROUP BY pr.a, pr.b ORDER BY cnt DESC, a, b""".stripMargin),
+    ),
+    EngineQuery(
+      "bpe_learn_merges",
+      (s, dir) => bpeLearnMerges(Tables.documents(s, dir)),
+      Some(duckLearnMerges(DefaultMerges)),
+      headline = true,
+    ),
+  )
+}

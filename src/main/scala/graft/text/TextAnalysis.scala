@@ -34,6 +34,26 @@ object TextAnalysis {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB twin of [[qualityScore]] as a nestable subquery (no WITH):
+    * (doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio, score).
+    * Shared by the `text_quality` oracle and downstream oracles that
+    * rank on the score (`token_budget_select`), so the two engines'
+    * quality definitions can't drift apart.
+    */
+  private[graft] def duckQuality: String =
+    s"""SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio,
+       |  0.6 * alpha_ratio + 0.4 * stop_ratio AS score FROM (
+       |  SELECT doc_id, n_chars, length(toks) AS n_tokens,
+       |    CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+       |    CAST(length(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS DOUBLE)
+       |      / CAST(greatest(length(toks), 1) AS DOUBLE) AS stop_ratio
+       |  FROM (SELECT doc_id,
+       |    length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+       |    FROM documents))""".stripMargin
+
   /** Whitespace tokens of a text column (empty text → empty array). */
   def wsTokens(c: Column): Column =
     when(length(trim(c)) === 0, array().cast("array<string>"))
@@ -258,20 +278,8 @@ object TextAnalysis {
     EngineQuery(
       "text_quality",
       (s, dir) => qualityScore(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some(s"""WITH t AS (SELECT doc_id, text,
-              |  length(text) AS n_chars,
-              |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
-              |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-              |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
-              |  FROM documents),
-              |u AS (SELECT doc_id, n_chars, length(toks) AS n_tokens,
-              |  CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio,
-              |  CAST(length(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS DOUBLE)
-              |    / CAST(greatest(length(toks), 1) AS DOUBLE) AS stop_ratio
-              |  FROM t)
-              |SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio,
-              |  0.6 * alpha_ratio + 0.4 * stop_ratio AS score
-              |FROM u ORDER BY doc_id""".stripMargin),
+      Some(s"""SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio, score
+              |FROM ($duckQuality) ORDER BY doc_id""".stripMargin),
     ),
     EngineQuery(
       "text_lang_guess",

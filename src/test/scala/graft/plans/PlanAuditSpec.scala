@@ -278,4 +278,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet should (be(Set("cid", "b_cid", "vec_id"))
       or be(Set("cid", "vec_id")))
   }
+
+  test("token budget: running-sum window is bucket-partitioned, offsets broadcast") {
+    val p = plan("token_budget_select")
+    // the corpus-sized cumulative sum partitions on the quality bucket
+    p should include regex """windowspecdefinition\(qb#\d+L, score#"""
+    p should include("BroadcastHashJoin") // ≤buckets-row offset table
+    // the only unpartitioned window is the offsets prefix over the
+    // tiny per-bucket aggregate (its input exchange is SinglePartition
+    // over ≤50 rows), never the document stream
+    p should not include regex ("""sum\(n_tokens#\d+L\) windowspecdefinition\(score#""")
+  }
+
+  test("bpe pair counts: pairs explode from the VOCABULARY, not the token stream") {
+    val p = plan("bpe_pair_counts")
+    // exactly two hash exchanges: the word-count aggregation (corpus
+    // pass) and the pair-count aggregation (vocabulary pass); the
+    // pair Generate consumes the aggregated (w, c) relation
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+    p should include regex """Exchange hashpartitioning\(w#"""
+  }
 }

@@ -1,0 +1,119 @@
+package graft.text
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+/** [[Bpe]] must reproduce the textbook single-machine BPE exactly:
+  * the reference implementation below is the classic word-histogram
+  * loop (count adjacent symbol pairs weighted by word frequency, take
+  * the (cnt DESC, a, b) argmax, fuse greedily leftmost, repeat). The
+  * distributed learner is differential-tested against it on corpora
+  * chosen to stress the edges — repeated-char words where greedy
+  * leftmost and rightmost diverge, merged symbols that chain into
+  * later merges, tie-broken pair counts, and saturation (fewer pairs
+  * than requested merges).
+  */
+class BpeSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Classic in-memory BPE over lowercased whitespace words. */
+  private def referenceBpe(
+      texts: Seq[String], numMerges: Int): Seq[(Long, String, String, Long)] = {
+    val wc = mutable.Map.empty[String, Long]
+    texts.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
+    var vocab: Map[Vector[String], Long] =
+      wc.map { case (w, c) => w.split("").toVector -> c }.toMap
+    val out = mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val pc = mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1)); pc(k) = pc.getOrElse(k, 0L) + c
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), cnt) =
+          pc.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((step.toLong, a, b, cnt))
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          val acc = mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (acc.nonEmpty && acc.last == a && s == b) acc(acc.size - 1) = a + b
+            else acc += s
+          }
+          acc.toVector -> c
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        step += 1
+      }
+    }
+    out.toList
+  }
+
+  private def learned(texts: Seq[String], n: Int): Seq[(Long, String, String, Long)] = {
+    val df: DataFrame = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Bpe.bpeLearnMerges(df, n).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+  }
+
+  test("greedy leftmost: 'aaaa' under merge (a,a) yields [aa,aa], so step 2 merges aa+aa") {
+    // If the fold merged rightmost (or allowed overlap), step 2's top
+    // pair would differ — this pins the exact reference semantics.
+    val m = learned(Seq("aaaa aaaa aaaa"), 2)
+    m(0) shouldBe ((1L, "a", "a", 9L))   // 3 non-overlapping (a,a) per word... sliding pairs: [aa][aa] -> 3 pairs pre-merge, weighted by 3 words
+    m(1) shouldBe ((2L, "aa", "aa", 3L)) // each word is now [aa, aa]
+  }
+
+  test("merged symbols chain into later merges") {
+    val texts = Seq("abab abab", "ab cd", "abcd")
+    learned(texts, 4) shouldBe referenceBpe(texts, 4)
+  }
+
+  test("tie-breaks are (cnt DESC, a, b) — lexicographic on equal counts") {
+    val texts = Seq("xy zw", "xy zw") // (x,y) and (z,w) both count 2
+    val m = learned(texts, 1)
+    m.head shouldBe ((1L, "x", "y", 2L))
+  }
+
+  test("saturation: fewer possible merges than requested stops early") {
+    val texts = Seq("ab ab ab")
+    val m = learned(texts, 8)
+    m shouldBe referenceBpe(texts, 8)
+    m.size should be < 8
+    // the final vocabulary is one symbol per word — nothing left to fuse
+  }
+
+  test("differential vs reference on the sf0.001 documents corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val texts = docs.select("text").as[String].collect().toSeq
+    val got = Bpe.bpeLearnMerges(docs, 6).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    got shouldBe referenceBpe(texts, 6)
+  }
+
+  test("pair counts match a brute-force occurrence count") {
+    val texts = Seq("hello world", "hello hello", "naïve café", "a")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.bpePairCounts(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exp = mutable.Map.empty[(String, String), Long]
+    texts.flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty).foreach { w =>
+      w.split("").toSeq.sliding(2).filter(_.size == 2)
+        .foreach(p => exp((p(0), p(1))) = exp.getOrElse((p(0), p(1)), 0L) + 1)
+    }
+    // single-char words ("a") contribute no pair on either side — the
+    // reference's sliding(2) filter drops them just as the engine's
+    // length >= 2 guard does, so plain map equality covers that edge
+    got shouldBe exp.toMap
+  }
+}
