@@ -40,6 +40,7 @@ object ScaleProbe {
     // starved the rest of the r7 probe). Its 100 TB route is the
     // capped MinHash path, which IS probed above.
     "countmin_token_freq", "hashed_linear_score",
+    "token_budget_select", "bpe_pair_counts", "bpe_learn_merges",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")
 

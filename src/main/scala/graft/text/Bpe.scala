@@ -49,15 +49,19 @@ object Bpe {
     */
   val DefaultMerges = 8
 
-  /** Lowercased whitespace words of the corpus, one row per occurrence. */
-  private def words(docs: DataFrame): DataFrame =
+  /** Lowercased whitespace words of the corpus, one row per occurrence,
+    * keyed by document.
+    */
+  private def docWords(docs: DataFrame): DataFrame =
     graft.Partitioning.fanOut(docs)
-      .select(explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
+      .select(
+        col("doc_id"),
+        explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
       .where(col("w") =!= "")
 
   /** (word, count) vocabulary — the corpus's only full pass. */
   private def wordCounts(docs: DataFrame): DataFrame =
-    words(docs).groupBy("w").agg(count(lit(1)).as("c"))
+    docWords(docs).groupBy("w").agg(count(lit(1)).as("c"))
 
   /** Adjacent-symbol pairs of a symbol-array column as (a, b) structs;
     * callers guard `size >= 2` (Spark's `sequence` would run BACKWARD
@@ -108,6 +112,20 @@ object Bpe {
     */
   def bpeLearnMerges(docs: DataFrame, numMerges: Int = DefaultMerges): DataFrame = {
     val spark = docs.sparkSession
+    val (merges, _, free) = learn(docs, numMerges)
+    free()
+    import spark.implicits._
+    merges.toDF("step", "a", "b", "cnt")
+  }
+
+  /** The shared learner loop: (merges, final vocabulary as (syms, c)
+    * checkpointed — still PINNED; the release handle is the caller's,
+    * the `SemDedup.assignments` discipline). Intermediate iterations'
+    * checkpoint blocks are freed as the loop advances.
+    */
+  private def learn(
+      docs: DataFrame,
+      numMerges: Int): (Seq[(Long, String, String, Long)], DataFrame, () => Unit) = {
     var (vocab, freePrev) = Checkpoints.localEager(
       wordCounts(docs).select(split(col("w"), "").as("syms"), col("c")))
     val merges = ListBuffer.empty[(Long, String, String, Long)]
@@ -135,19 +153,42 @@ object Bpe {
         step += 1
       }
     }
-    freePrev()
-    import spark.implicits._
-    merges.toSeq.toDF("step", "a", "b", "cnt")
+    (merges.toList, vocab, freePrev)
+  }
+
+  /** Tokenize the corpus with the learned merges: (doc_id,
+    * n_bpe_tokens, n_words) — the APPLICATION half of the tokenizer
+    * (the learner only ever touches the vocabulary; this is the step
+    * that pays the corpus). Per-word symbol counts come from the
+    * trained vocabulary — a vocabulary-scale projection (the word
+    * reconstructs as the concatenation of its symbols, so no second
+    * merge replay) — and the corpus word stream equi-joins against it
+    * by word: at 100 TB that join hash-partitions on the word (or
+    * broadcasts when the trained vocab fits), and the per-doc rollup
+    * is one partial+final aggregate on doc_id.
+    */
+  def bpeTokenizeStats(docs: DataFrame, numMerges: Int = DefaultMerges): DataFrame = {
+    val (_, vocab, _) = learn(docs, numMerges)
+    val symCount = vocab.select(
+      concat_ws("", col("syms")).as("w"),
+      size(col("syms")).cast("long").as("n_sym"))
+    docWords(docs)
+      .join(symCount, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_sym")).as("n_bpe_tokens"), count(lit(1)).as("n_words"))
   }
 
   // ---- oracles ------------------------------------------------------
 
+  /** DuckDB per-occurrence word CTE body: (doc_id, w). */
+  private val duckWords =
+    """SELECT doc_id, unnest(CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(trim(lower(text)), '\s+') END) AS w
+      |FROM documents""".stripMargin
+
   /** DuckDB vocabulary CTE body: (w, c) distinct lowercased words. */
   private val duckWc =
-    """SELECT w, count(*) AS c FROM (
-      |  SELECT unnest(CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
-      |                ELSE string_split_regex(trim(lower(text)), '\s+') END) AS w
-      |  FROM documents) WHERE w <> '' GROUP BY w""".stripMargin
+    s"""SELECT w, count(*) AS c FROM ($duckWords) WHERE w <> '' GROUP BY w"""
 
   /** The unrolled learn-merges oracle: `n` chained CTE steps, each
     * recomputing pair counts from the current vocabulary, picking the
@@ -160,6 +201,42 @@ object Bpe {
     * matching the engine's early stop.
     */
   private def duckLearnMerges(n: Int): String = {
+    val (steps, _) = duckSteps(n)
+    val union = (0 until n)
+      .map(k => s"SELECT CAST(${k + 1} AS BIGINT) AS step, a, b, cnt FROM t$k")
+      .mkString(" UNION ALL ")
+    s"""WITH wc AS ($duckWc),
+       |v0 AS (SELECT list_reduce(string_split(w, ''), (a, x) -> a || chr(31) || x) AS vs, c FROM wc),
+       |$steps
+       |SELECT * FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** The application oracle: run the same unrolled learner, then
+    * tokenize — each final-vocabulary row's word reconstructs as its
+    * separator-stripped symbol string, its BPE token count is the
+    * symbol-list length, and the per-occurrence word stream joins back
+    * and rolls up per document.
+    */
+  private def duckTokenizeStats(n: Int): String = {
+    val (steps, _) = duckSteps(n)
+    s"""WITH words AS ($duckWords),
+       |wc AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+       |v0 AS (SELECT list_reduce(string_split(w, ''), (a, x) -> a || chr(31) || x) AS vs, c FROM wc),
+       |$steps,
+       |toklen AS (SELECT replace(vs, chr(31), '') AS w,
+       |  CAST(length(string_split(vs, chr(31))) AS BIGINT) AS n_sym FROM v$n)
+       |SELECT d.doc_id, CAST(sum(t.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_words
+       |FROM words d JOIN toklen t ON d.w = t.w
+       |WHERE d.w <> ''
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The shared unrolled step CTEs `p0,t0,v1 … p{n-1},t{n-1},v{n}`
+    * (assumes a `v0` CTE is already in scope); returns (cte text,
+    * final vocab CTE name).
+    */
+  private def duckSteps(n: Int): (String, String) = {
     val sep = "chr(31)"
     def stepCte(k: Int): String =
       s"""p$k AS (
@@ -175,14 +252,7 @@ object Bpe {
          |           THEN acc || x
          |           ELSE acc || $sep || x END) END AS vs, v.c AS c
          |  FROM v$k v LEFT JOIN t$k t ON true)""".stripMargin
-    val steps = (0 until n).map(stepCte).mkString(",\n")
-    val union = (0 until n)
-      .map(k => s"SELECT CAST(${k + 1} AS BIGINT) AS step, a, b, cnt FROM t$k")
-      .mkString(" UNION ALL ")
-    s"""WITH wc AS ($duckWc),
-       |v0 AS (SELECT list_reduce(string_split(w, ''), (a, x) -> a || $sep || x) AS vs, c FROM wc),
-       |$steps
-       |SELECT * FROM ($union) ORDER BY step""".stripMargin
+    ((0 until n).map(stepCte).mkString(",\n"), s"v$n")
   }
 
   val engineQueries: Seq[EngineQuery] = Seq(
@@ -201,6 +271,11 @@ object Bpe {
       (s, dir) => bpeLearnMerges(Tables.documents(s, dir)),
       Some(duckLearnMerges(DefaultMerges)),
       headline = true,
+    ),
+    EngineQuery(
+      "bpe_tokenize_stats",
+      (s, dir) => bpeTokenizeStats(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(duckTokenizeStats(DefaultMerges)),
     ),
   )
 }

@@ -101,6 +101,48 @@ class BpeSpec extends AnyFunSuite with Matchers {
     got shouldBe referenceBpe(texts, 6)
   }
 
+  test("tokenize stats: per-doc BPE token counts match the reference tokenizer") {
+    val texts = Seq("abab abab cd", "ab ab ab", "x", "  ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val n = 3
+    val got = Bpe.bpeTokenizeStats(df, n).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // replay the reference learner, then tokenize each doc's words
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
+    var vocab: Map[Vector[String], Long] =
+      wc.map { case (w, c) => w.split("").toVector -> c }.toMap
+    (1 to n).foreach { _ =>
+      val pc = mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2)
+          .foreach(p => pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c)
+      }
+      if (pc.nonEmpty) {
+        val ((a, b), _) = pc.minBy { case ((x, y), m) => (-m, x, y) }
+        vocab = vocab.map { case (syms, c) =>
+          val acc = mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (acc.nonEmpty && acc.last == a && s == b) acc(acc.size - 1) = a + b
+            else acc += s
+          }
+          acc.toVector -> c
+        }
+      }
+    }
+    val symlen = vocab.keys.map(k => k.mkString -> k.size.toLong).toMap
+    val exp = texts.zipWithIndex.flatMap { case (t, i) =>
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ws.isEmpty) None
+      else Some((i.toLong, ws.map(symlen).sum, ws.size.toLong))
+    }
+    got shouldBe exp
+    // the empty doc (id 3) produced no row; doc "x" is 1 word, 1 symbol
+    got.map(_._1) should not contain 3L
+  }
+
   test("pair counts match a brute-force occurrence count") {
     val texts = Seq("hello world", "hello hello", "naïve café", "a")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
