@@ -172,6 +172,44 @@ object Curation {
       .select("doc_id", "n_tokens", "score", "cum_tokens")
   }
 
+  /** Per-stratum [[tokenBudgetSelect]]: each language fills `num/den`
+    * of ITS OWN token total with its best documents — how a
+    * pretraining mix allocates per-language token budgets (a global
+    * budget would let one quality-skewed language starve the others).
+    * Same decomposition, one level deeper: the running sum partitions
+    * by (lang, qb), the offsets/totals relation is ≤ langs×buckets
+    * rows, and the per-lang offsets window runs over that tiny
+    * aggregate partitioned by lang.
+    */
+  def tokenBudgetByLang(
+      docs: DataFrame, num: Int = 2, den: Int = 5, buckets: Int = 50): DataFrame = {
+    val q = graft.text.TextAnalysis.qualityScored(docs, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
+    val keyed = q.withColumn(
+      "qb", least(floor(col("score") * buckets), lit((buckets - 1).toLong)).cast("long"))
+    val perBucket = keyed.groupBy("lang", "qb").agg(sum("n_tokens").as("bt"))
+    val off = perBucket
+      .withColumn(
+        "offset",
+        coalesce(
+          sum(col("bt")).over(
+            Window.partitionBy("lang").orderBy(col("qb").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("lang", "qb", "offset")
+    val total = perBucket.groupBy("lang").agg(sum("bt").as("tt"))
+    keyed
+      .join(broadcast(off), Seq("lang", "qb"))
+      .withColumn(
+        "cum_tokens",
+        col("offset") + sum(col("n_tokens")).over(
+          Window.partitionBy("lang", "qb").orderBy(col("score").desc, col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(total), Seq("lang"))
+      .where(expr(s"cum_tokens <= (tt * $num) div $den"))
+      .select("doc_id", "lang", "n_tokens", "score", "cum_tokens")
+  }
+
   /** Corpus snapshot diff: classify every doc_id across two table
     * versions as added / removed / changed / same (content compared by
     * md5). One full-outer join on the key — the reproducibility audit
@@ -550,6 +588,20 @@ object Curation {
              |FROM c CROSS JOIN tot WHERE cum_tokens <= (tt * 2) // 5
              |ORDER BY doc_id""".stripMargin),
       headline = true,
+    ),
+    // Per-language budget: each lang fills 40% of its own tokens.
+    EngineQuery(
+      "token_budget_by_lang",
+      (s, dir) => tokenBudgetByLang(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH q AS (${graft.text.TextAnalysis.duckQualityCarry(Seq("lang"))}),
+             |c AS (SELECT doc_id, lang, n_tokens, score,
+             |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM q),
+             |tot AS (SELECT lang, sum(n_tokens) AS tt FROM q GROUP BY lang)
+             |SELECT c.doc_id, c.lang, c.n_tokens, c.score, c.cum_tokens
+             |FROM c JOIN tot USING (lang) WHERE cum_tokens <= (tt * 2) // 5
+             |ORDER BY c.doc_id""".stripMargin),
     ),
     EngineQuery(
       "mixture_report",

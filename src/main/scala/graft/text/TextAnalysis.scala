@@ -40,19 +40,26 @@ object TextAnalysis {
     * rank on the score (`token_budget_select`), so the two engines'
     * quality definitions can't drift apart.
     */
-  private[graft] def duckQuality: String =
-    s"""SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio,
+  private[graft] def duckQuality: String = duckQualityCarry(Nil)
+
+  /** [[duckQuality]] with pass-through columns threaded through every
+    * nesting level (the oracle twin of [[qualityScored]]).
+    */
+  private[graft] def duckQualityCarry(carry: Seq[String]): String = {
+    val cy = carry.map(c => s"$c, ").mkString
+    s"""SELECT doc_id, ${cy}n_chars, n_tokens, alpha_ratio, stop_ratio,
        |  0.6 * alpha_ratio + 0.4 * stop_ratio AS score FROM (
-       |  SELECT doc_id, n_chars, length(toks) AS n_tokens,
+       |  SELECT doc_id, ${cy}n_chars, length(toks) AS n_tokens,
        |    CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS alpha_ratio,
        |    CAST(length(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS DOUBLE)
        |      / CAST(greatest(length(toks), 1) AS DOUBLE) AS stop_ratio
-       |  FROM (SELECT doc_id,
+       |  FROM (SELECT doc_id, $cy
        |    length(text) AS n_chars,
        |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
        |    FROM documents))""".stripMargin
+  }
 
   /** Whitespace tokens of a text column (empty text → empty array). */
   def wsTokens(c: Column): Column =
@@ -126,18 +133,23 @@ object TextAnalysis {
   /** Quality scoring: character-class ratios + stopword density folded
     * into one score. All counts exact ints; ratios IEEE divisions.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame = qualityScored(docs, Nil)
+
+  /** [[qualityScore]] with pass-through columns (e.g. `lang` for
+    * per-stratum selection) — same score expressions, one map pass.
+    */
+  private[graft] def qualityScored(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val len = length(col("text")).cast("long")
     val nAlpha = (len - length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("long")
     val toks = wsTokens(col("text"))
     val nTok = size(toks).cast("long")
     val nStop = stopHits(toks, stopEn)
     graft.Partitioning.fanOut(docs).select(
-      col("doc_id"),
-      len.as("n_chars"),
-      nTok.as("n_tokens"),
-      (nAlpha.cast("double") / greatest(len, lit(1L)).cast("double")).as("alpha_ratio"),
-      (nStop.cast("double") / greatest(nTok, lit(1L)).cast("double")).as("stop_ratio"))
+      col("doc_id") +: carry.map(col) ++: Seq(
+        len.as("n_chars"),
+        nTok.as("n_tokens"),
+        (nAlpha.cast("double") / greatest(len, lit(1L)).cast("double")).as("alpha_ratio"),
+        (nStop.cast("double") / greatest(nTok, lit(1L)).cast("double")).as("stop_ratio")): _*)
       .withColumn("score", lit(0.6) * col("alpha_ratio") + lit(0.4) * col("stop_ratio"))
   }
 

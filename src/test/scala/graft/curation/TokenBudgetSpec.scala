@@ -36,6 +36,31 @@ class TokenBudgetSpec extends AnyFunSuite with Matchers {
     naive.exceptAll(got).count() shouldBe 0L
   }
 
+  test("per-lang budgets: each language's selection respects ITS OWN 40% token total") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sel = Curation.tokenBudgetByLang(docs).cache()
+    val q = graft.text.TextAnalysis.qualityScored(docs, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
+
+    // equality with the naive per-lang global window
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = q.groupBy("lang").agg(sum("n_tokens").as("tt"))
+    val naive = q.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(tot, Seq("lang"))
+      .where(expr("cum_tokens <= (tt * 2) div 5"))
+      .select("doc_id", "lang", "n_tokens", "score", "cum_tokens")
+    sel.exceptAll(naive).count() shouldBe 0L
+    naive.exceptAll(sel).count() shouldBe 0L
+
+    // every language stays under its own budget
+    val over = sel.groupBy("lang").agg(sum("n_tokens").as("used"))
+      .join(tot, Seq("lang"))
+      .where(expr("used > (tt * 2) div 5"))
+    over.count() shouldBe 0L
+    sel.unpersist()
+  }
+
   test("selection is the maximal quality-first prefix under the budget") {
     val docs = graft.Tables.documents(spark, sfDir)
     val q = graft.text.TextAnalysis.qualityScore(docs)
