@@ -41,4 +41,17 @@ class BenchTrendSpec extends AnyFunSuite with Matchers {
     val p1 = run("stateful_sessionize")
     withClue(s"pass=${p1}s: ") { p1 should be < 20.0 }
   }
+
+  test("bpe_learn_merges stays within its wall budget, both passes") {
+    // the new iterative driver loop: pass 2 guards the leak class
+    // (an unreleased per-iteration vocabulary checkpoint would slow
+    // every later run), pass 1 the 8-iteration wall itself
+    run("bpe_learn_merges")
+    val p1 = run("bpe_learn_merges")
+    val p2 = run("bpe_learn_merges")
+    withClue(s"pass1=${p1}s pass2=${p2}s: ") {
+      p1 should be < 30.0
+      p2 should be < 30.0
+    }
+  }
 }

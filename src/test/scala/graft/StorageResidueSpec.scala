@@ -61,4 +61,28 @@ class StorageResidueSpec extends AnyFunSuite with Matchers {
     benchStyleCleanup()
     settledResidue(0) shouldBe 0
   }
+
+  test("bpeLearnMerges: the 8-step merge loop frees every iteration's vocabulary") {
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+    // distinct multi-char words guarantee all 8 merges exist → 8
+    // checkpointed iterations + the initial vocabulary; the learner
+    // frees them ALL (its result is a driver-local merge list)
+    val docs = Seq((1L, "abcdefghij abcdefghij klmnopqrst klmnopqrst uvwxyz"))
+      .toDF("doc_id", "text")
+    graft.text.Bpe.bpeLearnMerges(docs, 8).collect().length shouldBe 8
+    settledResidue(0) shouldBe 0
+  }
+
+  test("bpeTokenizeStats: only the final trained vocabulary stays pinned") {
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+    val docs = Seq((1L, "abcdefghij abcdefghij klmnopqrst klmnopqrst uvwxyz"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Bpe.bpeTokenizeStats(docs, 8)
+    out.collect().length shouldBe 1
+    settledResidue(1) should be <= 1 // the consumer-owned vocab checkpoint
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+  }
 }
