@@ -110,6 +110,8 @@ object Plans {
       "Budget-bounded best-first selection — shuffleOrder's prefix decomposition generalized to a quality-ordered running TOKEN total. A naive `sum(n_tokens) OVER (ORDER BY score DESC)` is one window partition holding the corpus; here the score quantizes into ≤50 buckets (score is monotone in its bucket, so bucketed order = global order), per-bucket token totals aggregate tiny (the offsets prefix window runs over that ≤50-row relation — the plan's one `Exchange SinglePartition` is driver-sized by construction), offsets broadcast back (`BroadcastHashJoin`), and the corpus-sized cumulative sum is `Window partitionBy(qb)` — all buckets in parallel. The budget cut is a single-row broadcast cross + exact integer comparison `(tt*2) div 5`, so both engines cut at the same row. The quality subexpression is computed twice (once per branch) — two map-only corpus passes, the standard trade against materializing the scored corpus; identical to shuffle_order/pack_sequences_scalable's offsets shape.",
     "bpe_pair_counts" ->
       "BPE candidate table: ONE corpus-linear pass (word explode → partial+final count on the word — the plan's first hash exchange), then everything downstream is VOCABULARY-scale: the adjacent-pair `Generate` consumes the aggregated (w, c) relation, and the pair-count aggregation (second hash exchange) shuffles distinct-pair rows weighted by word counts — the occurrences-to-weights trick (`CountMin.sketchWeighted` precedent), so a 100 TB corpus pays its vocabulary, not its token stream, for every BPE statistic. `bpe_learn_merges` iterates exactly this plan over the evolving symbol table (localCheckpoint per step, previous step's blocks released, ONE argmax row to the driver per merge — the Lloyd-loop discipline), so its per-iteration plan is this one and its final frame is a driver-local ≤numMerges-row relation, which is why the dump audits the pair-count plan rather than the loop's LocalTableScan.",
+    "bpe_tokenize_stats" ->
+      "The tokenizer's APPLICATION half — the step that pays the corpus. By dump time the 8-iteration learner already ran (driver-orchestrated, vocabulary-scale), so the plan's trained-vocabulary leaf is a localCheckpoint `Scan ExistingRDD` (the SemDedup-assignments discipline: train once, consumers scan the materialization); each vocabulary row projects to (word = concat of symbols, n_sym = symbol count) — no second merge replay — and the corpus word stream equi-joins it BY WORD (AQE broadcasts the vocab at gate scale; hash-partitions on the word when a 100 TB corpus's vocabulary outgrows the driver), with the per-doc rollup one doc_id-keyed partial+final aggregate.",
   )
 
   def main(args: Array[String]): Unit = {

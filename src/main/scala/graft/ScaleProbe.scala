@@ -40,7 +40,11 @@ object ScaleProbe {
     // starved the rest of the r7 probe). Its 100 TB route is the
     // capped MinHash path, which IS probed above.
     "countmin_token_freq", "hashed_linear_score",
+    // bpe_tokenize_stats is the BPE family member whose plan pays the
+    // corpus (word-stream join + per-doc rollup); the other two are
+    // vocabulary-scale and probe the learner loop itself.
     "token_budget_select", "bpe_pair_counts", "bpe_learn_merges",
+    "bpe_tokenize_stats",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")
 

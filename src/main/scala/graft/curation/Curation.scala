@@ -145,31 +145,55 @@ object Curation {
     * at the same row.
     */
   def tokenBudgetSelect(
-      docs: DataFrame, num: Int = 2, den: Int = 5, buckets: Int = 50): DataFrame = {
-    val q = graft.text.TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("n_tokens"), col("score"))
-    val keyed = q.withColumn(
-      "qb", least(floor(col("score") * buckets), lit((buckets - 1).toLong)).cast("long"))
-    val perBucket = keyed.groupBy("qb").agg(sum("n_tokens").as("bt"))
+      docs: DataFrame, num: Int = BudgetNum, den: Int = BudgetDen,
+      buckets: Int = 50): DataFrame =
+    tokenBudgetCore(docs, Nil, num, den, buckets)
+
+  /** The one bucket-decomposed budget implementation behind both
+    * [[tokenBudgetSelect]] (no strata) and [[tokenBudgetByLang]]
+    * (`strata = Seq("lang")`): quantize the score, aggregate
+    * per-(strata, bucket) token totals small, broadcast prefix offsets
+    * back, run the corpus-sized cumulative sum partitioned by
+    * (strata, bucket), and cut at `num/den` of each stratum's total
+    * with exact integer arithmetic.
+    */
+  private def tokenBudgetCore(
+      docs: DataFrame, strata: Seq[String], num: Int, den: Int,
+      buckets: Int): DataFrame = {
+    val sc = strata.map(col)
+    val keyed = graft.text.TextAnalysis.qualityScored(docs, strata)
+      .select(col("doc_id") +: sc ++: Seq(col("n_tokens"), col("score")): _*)
+      .withColumn(
+        "qb", least(floor(col("score") * buckets), lit((buckets - 1).toLong)).cast("long"))
+    val gCols = strata :+ "qb"
+    val perBucket = keyed.groupBy(gCols.map(col): _*).agg(sum("n_tokens").as("bt"))
+    val offBase =
+      if (strata.isEmpty) Window.orderBy(col("qb").desc)
+      else Window.partitionBy(sc: _*).orderBy(col("qb").desc)
     val off = perBucket
       .withColumn(
         "offset",
         coalesce(
-          sum(col("bt")).over(
-            Window.orderBy(col("qb").desc).rowsBetween(Window.unboundedPreceding, -1)),
+          sum(col("bt")).over(offBase.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select("qb", "offset")
-    val total = perBucket.groupBy().agg(sum("bt").as("tt"))
-    keyed
-      .join(broadcast(off), Seq("qb"))
+      .select((gCols :+ "offset").map(col): _*)
+    val total =
+      if (strata.isEmpty) perBucket.groupBy().agg(sum("bt").as("tt"))
+      else perBucket.groupBy(sc: _*).agg(sum("bt").as("tt"))
+    val withCum = keyed
+      .join(broadcast(off), gCols)
       .withColumn(
         "cum_tokens",
         col("offset") + sum(col("n_tokens")).over(
-          Window.partitionBy("qb").orderBy(col("score").desc, col("doc_id"))
+          Window.partitionBy(gCols.map(col): _*)
+            .orderBy(col("score").desc, col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(total))
+    val withTotal =
+      if (strata.isEmpty) withCum.crossJoin(broadcast(total))
+      else withCum.join(broadcast(total), strata)
+    withTotal
       .where(expr(s"cum_tokens <= (tt * $num) div $den"))
-      .select("doc_id", "n_tokens", "score", "cum_tokens")
+      .select((Seq("doc_id") ++ strata ++ Seq("n_tokens", "score", "cum_tokens")).map(col): _*)
   }
 
   /** Per-stratum [[tokenBudgetSelect]]: each language fills `num/den`
@@ -182,32 +206,36 @@ object Curation {
     * aggregate partitioned by lang.
     */
   def tokenBudgetByLang(
-      docs: DataFrame, num: Int = 2, den: Int = 5, buckets: Int = 50): DataFrame = {
-    val q = graft.text.TextAnalysis.qualityScored(docs, Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
-    val keyed = q.withColumn(
-      "qb", least(floor(col("score") * buckets), lit((buckets - 1).toLong)).cast("long"))
-    val perBucket = keyed.groupBy("lang", "qb").agg(sum("n_tokens").as("bt"))
-    val off = perBucket
-      .withColumn(
-        "offset",
-        coalesce(
-          sum(col("bt")).over(
-            Window.partitionBy("lang").orderBy(col("qb").desc)
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("lang", "qb", "offset")
-    val total = perBucket.groupBy("lang").agg(sum("bt").as("tt"))
-    keyed
-      .join(broadcast(off), Seq("lang", "qb"))
-      .withColumn(
-        "cum_tokens",
-        col("offset") + sum(col("n_tokens")).over(
-          Window.partitionBy("lang", "qb").orderBy(col("score").desc, col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, 0)))
-      .join(broadcast(total), Seq("lang"))
-      .where(expr(s"cum_tokens <= (tt * $num) div $den"))
-      .select("doc_id", "lang", "n_tokens", "score", "cum_tokens")
+      docs: DataFrame, num: Int = BudgetNum, den: Int = BudgetDen,
+      buckets: Int = 50): DataFrame =
+    tokenBudgetCore(docs, Seq("lang"), num, den, buckets)
+
+  /** Gate-query budget ratio (40%), shared by the Spark defaults and
+    * the DuckDB oracle twins so the two sides cannot drift.
+    */
+  val BudgetNum = 2
+  val BudgetDen = 5
+
+  /** DuckDB twin of [[tokenBudgetCore]] for the gate ratio — the
+    * naive per-stratum global window the decomposition must equal.
+    */
+  private def duckTokenBudget(strata: Seq[String]): String = {
+    val cy = strata.map(s => s"$s, ").mkString
+    val cCy = strata.map(s => s"c.$s, ").mkString
+    val part = if (strata.isEmpty) "" else s"PARTITION BY ${strata.mkString(", ")} "
+    val grp = if (strata.isEmpty) "" else s"GROUP BY ${strata.mkString(", ")}"
+    val joinTot =
+      if (strata.isEmpty) "CROSS JOIN tot"
+      else s"JOIN tot USING (${strata.mkString(", ")})"
+    s"""WITH q AS (${graft.text.TextAnalysis.duckQualityCarry(strata)}),
+       |c AS (SELECT doc_id, ${cy}n_tokens, score,
+       |  CAST(sum(n_tokens) OVER (${part}ORDER BY score DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM q),
+       |tot AS (SELECT ${cy}sum(n_tokens) AS tt FROM q $grp)
+       |SELECT c.doc_id, ${cCy}c.n_tokens, c.score, c.cum_tokens
+       |FROM c $joinTot WHERE cum_tokens <= (tt * $BudgetNum) // $BudgetDen
+       |ORDER BY c.doc_id""".stripMargin
   }
 
   /** Corpus snapshot diff: classify every doc_id across two table
@@ -578,30 +606,14 @@ object Curation {
     EngineQuery(
       "token_budget_select",
       (s, dir) => tokenBudgetSelect(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some(s"""WITH q AS (${graft.text.TextAnalysis.duckQuality}),
-             |c AS (SELECT doc_id, n_tokens, score,
-             |  CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-             |  FROM q),
-             |tot AS (SELECT sum(n_tokens) AS tt FROM q)
-             |SELECT doc_id, n_tokens, score, cum_tokens
-             |FROM c CROSS JOIN tot WHERE cum_tokens <= (tt * 2) // 5
-             |ORDER BY doc_id""".stripMargin),
+      Some(duckTokenBudget(Nil)),
       headline = true,
     ),
     // Per-language budget: each lang fills 40% of its own tokens.
     EngineQuery(
       "token_budget_by_lang",
       (s, dir) => tokenBudgetByLang(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some(s"""WITH q AS (${graft.text.TextAnalysis.duckQualityCarry(Seq("lang"))}),
-             |c AS (SELECT doc_id, lang, n_tokens, score,
-             |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-             |  FROM q),
-             |tot AS (SELECT lang, sum(n_tokens) AS tt FROM q GROUP BY lang)
-             |SELECT c.doc_id, c.lang, c.n_tokens, c.score, c.cum_tokens
-             |FROM c JOIN tot USING (lang) WHERE cum_tokens <= (tt * 2) // 5
-             |ORDER BY c.doc_id""".stripMargin),
+      Some(duckTokenBudget(Seq("lang"))),
     ),
     EngineQuery(
       "mixture_report",

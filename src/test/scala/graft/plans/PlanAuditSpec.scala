@@ -298,4 +298,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
     p should include regex """Exchange hashpartitioning\(w#"""
   }
+
+  test("bpe tokenize: consumers scan the trained vocabulary, join by word, roll up by doc") {
+    val p = plan("bpe_tokenize_stats")
+    // the learner ran before plan time; its result is a checkpoint scan
+    p should include("Scan ExistingRDD")
+    // wide ops key only on the word (join) and doc_id (rollup)
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should (be(Set("w", "doc_id")) or be(Set("doc_id")))
+  }
 }

@@ -22,9 +22,14 @@ class BpeSpec extends AnyFunSuite with Matchers {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Classic in-memory BPE over lowercased whitespace words. */
-  private def referenceBpe(
-      texts: Seq[String], numMerges: Int): Seq[(Long, String, String, Long)] = {
+  /** Classic in-memory BPE over lowercased whitespace words: the
+    * learned merges AND the final vocabulary (one reference for both
+    * the learner and the tokenize-stats differential — two inline
+    * copies of the merge semantics could drift).
+    */
+  private def referenceBpeFull(
+      texts: Seq[String],
+      numMerges: Int): (Seq[(Long, String, String, Long)], Map[Vector[String], Long]) = {
     val wc = mutable.Map.empty[String, Long]
     texts.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
@@ -56,8 +61,12 @@ class BpeSpec extends AnyFunSuite with Matchers {
         step += 1
       }
     }
-    out.toList
+    (out.toList, vocab)
   }
+
+  private def referenceBpe(
+      texts: Seq[String], numMerges: Int): Seq[(Long, String, String, Long)] =
+    referenceBpeFull(texts, numMerges)._1
 
   private def learned(texts: Seq[String], n: Int): Seq[(Long, String, String, Long)] = {
     val df: DataFrame = texts.zipWithIndex
@@ -108,30 +117,7 @@ class BpeSpec extends AnyFunSuite with Matchers {
     val got = Bpe.bpeTokenizeStats(df, n).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
 
-    // replay the reference learner, then tokenize each doc's words
-    val wc = scala.collection.mutable.Map.empty[String, Long]
-    texts.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
-    var vocab: Map[Vector[String], Long] =
-      wc.map { case (w, c) => w.split("").toVector -> c }.toMap
-    (1 to n).foreach { _ =>
-      val pc = mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
-        syms.sliding(2).filter(_.size == 2)
-          .foreach(p => pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c)
-      }
-      if (pc.nonEmpty) {
-        val ((a, b), _) = pc.minBy { case ((x, y), m) => (-m, x, y) }
-        vocab = vocab.map { case (syms, c) =>
-          val acc = mutable.ArrayBuffer.empty[String]
-          syms.foreach { s =>
-            if (acc.nonEmpty && acc.last == a && s == b) acc(acc.size - 1) = a + b
-            else acc += s
-          }
-          acc.toVector -> c
-        }
-      }
-    }
+    val (_, vocab) = referenceBpeFull(texts, n)
     val symlen = vocab.keys.map(k => k.mkString -> k.size.toLong).toMap
     val exp = texts.zipWithIndex.flatMap { case (t, i) =>
       val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
