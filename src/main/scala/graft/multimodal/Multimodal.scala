@@ -66,6 +66,40 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resized media metadata: decoded dims + fit-within-target output
+    * dims + the resized (fake RGB) buffer size. */
+  final case class ResizedMedia(
+      doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, out_bytes: Long)
+
+  /** Partition-wise resize: fit each decoded frame inside
+    * `target`×`target` preserving aspect ratio — integer arithmetic,
+    * no upscaling (dims already inside the box pass through). The
+    * pixel work is stubbed like the decode; a real deployment swaps
+    * the arithmetic for the codec's resample inside the SAME
+    * mapPartitions batch — schema, per-partition batching, and the
+    * downstream contract are what this query pins. `out_bytes` is the
+    * RGB buffer the resized frame would occupy, the number a 100 TB
+    * preprocessing job uses to budget its output shards.
+    */
+  def resizeFeatures(media: DataFrame, target: Int = 224): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "data", "source").as[MediaRow]
+      .mapPartitions { rows =>
+        // resampler handle would be opened here, once per partition
+        rows.map { r =>
+          val f = FakeDecoder.decode(r.doc_id, r.data)
+          val m = math.max(f.width, f.height)
+          val (ow, oh) =
+            if (m <= target) (f.width, f.height)
+            else (math.max(1L, f.width * target / m), math.max(1L, f.height * target / m))
+          ResizedMedia(r.doc_id, f.width, f.height, ow, oh, ow * oh * 3L)
+        }
+      }
+      .toDF()
+  }
+
   /** Frame sampling: split a binary payload into fixed-size frames with
     * index metadata — the video-frame / audio-chunk shape, as a pure
     * expression pipeline (binary substring), so it stays inside
@@ -128,6 +162,26 @@ object Multimodal {
              |  64 + (octet_length(encode(text)) * 7) % 448 AS height,
              |  1 + octet_length(encode(text)) % 30 AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    // The mapPartitions resize path: decode → fit-within-224 integer
+    // resample, both stub arithmetics replicated exactly in SQL.
+    EngineQuery(
+      "media_resize_stats",
+      (s, dir) =>
+        resizeFeatures(asMediaTable(Tables.documents(s, dir))).orderBy("doc_id"),
+      Some("""WITH f AS (SELECT doc_id,
+             |  64 + octet_length(encode(text)) % 576 AS width,
+             |  64 + (octet_length(encode(text)) * 7) % 448 AS height
+             |  FROM documents),
+             |r AS (SELECT doc_id, width, height,
+             |  CASE WHEN greatest(width, height) <= 224 THEN width
+             |       ELSE greatest(1, width * 224 // greatest(width, height)) END AS out_w,
+             |  CASE WHEN greatest(width, height) <= 224 THEN height
+             |       ELSE greatest(1, height * 224 // greatest(width, height)) END AS out_h
+             |  FROM f)
+             |SELECT doc_id, width, height, out_w, out_h,
+             |  out_w * out_h * 3 AS out_bytes
+             |FROM r ORDER BY doc_id""".stripMargin),
     ),
   )
 }
