@@ -215,33 +215,48 @@ object Bench {
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     def pastDeadline: Boolean = elapsedSec > deadlineSec
-    // Warm-up is a luxury: on a slow host it must never eat the time
-    // the MEASURED passes need, so it stops at 40% of the deadline.
-    headline.foreach(q =>
-      if (elapsedSec < deadlineSec * 0.4) try runOnce(q) catch { case _: Throwable => () })
+    // Every measured pass (mandatory sweep AND opportunistic re-runs)
+    // lands here with its stage-metric snapshot, keyed by query in pass
+    // order — the per-pass record that makes a driver-side first-pass
+    // blow-up (the r9 q1 anomaly) diagnosable from the artifact alone.
+    val passMetrics =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[(Double, Seq[(String, Long)])]]()
+    def measuredPass(q: EngineQuery): Double = {
+      profiler.reset(sc)
+      // A failed query records sentinel -1, never a bogus partial time.
+      val sec =
+        if (pastDeadline) {
+          System.err.println(s"[bench] ${q.name} skipped: past ${deadlineSec}s bench deadline")
+          -1.0
+        } else
+          try runOnce(q)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+              -1.0
+          }
+      passMetrics.merge(q.name, Seq((sec, profiler.snapshot(sc))),
+        (olds: Seq[(Double, Seq[(String, Long)])], news: Seq[(Double, Seq[(String, Long)])]) => olds ++ news)
+      sec
+    }
+    // INTERLEAVED warm-up (r9 item 4): warm → measure → snapshot per
+    // query, never a warm-all-queries-first sweep. On the contended r9
+    // driver the old sweep burned up to 40% of the deadline warming
+    // queries whose measured pass then never ran; interleaved, a
+    // deadline kill costs only the tail queries, and every query that
+    // DID run has a measured number. Warm-up stays a luxury: once 60%
+    // of the deadline is gone the remaining queries run cold — a cold
+    // measured pass beats no measured pass.
     val stageMetrics = headline.map { q =>
-      val runs = (1 to passes).map { _ =>
-        profiler.reset(sc)
-        // A failed query records sentinel -1, never a bogus partial time.
-        val sec =
-          if (pastDeadline) {
-            System.err.println(s"[bench] ${q.name} skipped: past ${deadlineSec}s bench deadline")
-            -1.0
-          } else
-            try runOnce(q)
-            catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-                -1.0
-            }
-        (sec, profiler.snapshot(sc))
-      }
-      val ok = runs.filter(_._1 >= 0)
-      val best = if (ok.nonEmpty) ok.minBy(_._1) else runs.head
+      if (elapsedSec < deadlineSec * 0.6 && !pastDeadline)
+        try runOnce(q) catch { case _: Throwable => () }
+      val runs = (1 to passes).map(_ => measuredPass(q))
+      val ok = runs.filter(_ >= 0)
+      val best = if (ok.nonEmpty) ok.min else runs.head
       // Publish as soon as this query finishes: a kill mid-bench still
       // reports every completed query via the shutdown hook.
-      bestSec.put(q.name, best._1)
-      allRuns.put(q.name, runs.map(_._1))
+      bestSec.put(q.name, best)
+      allRuns.put(q.name, runs)
       // Progressive snapshot: a compact but COMPLETE artifact line after
       // every query. The shutdown hook covers a direct SIGTERM, but the
       // sbt pipe between the forked JVM and the driver's tail capture
@@ -252,7 +267,7 @@ object Bench {
       // below) wins.
       println(artifactLine(partial = true))
       System.out.flush()
-      (q.name, best._2)
+      q.name
     }
 
     // ---- opportunistic min-of-N within the remaining deadline ----
@@ -286,11 +301,9 @@ object Bench {
         // reading (the documented host swing).
         val estSec = if (b > 0) b * 3 else budgetFor(q).toDouble
         if (elapsedSec + estSec + 5 < deadlineSec * 0.85) {
-          val sec = try runOnce(q) catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] ${q.name} re-run failed: ${e.getMessage}")
-              -1.0
-          }
+          // measuredPass, not bare runOnce: re-runs carry stage metrics
+          // too, so every entry of the runs map has a per-pass record.
+          val sec = measuredPass(q)
           allRuns.merge(q.name, Seq(sec),
             (olds: Seq[Double], news: Seq[Double]) => olds ++ news)
           if (sec >= 0) {
@@ -307,15 +320,36 @@ object Bench {
     // Stage metrics go on their OWN earlier line (and to a file): the
     // driver captures only a bounded stdout tail and parses the last
     // JSON-looking line, so the compact total+queries line must come
-    // LAST and stay small enough to fit the capture window whole.
-    val sm = stageMetrics.map { case (k, m) =>
-      "\"" + k + "\":" + m.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    // LAST and stay small enough to fit the capture window whole. Even
+    // if the (longer) stage-metrics line overflows the capture window,
+    // the tail keeps the END of stdout, so the final line survives.
+    def metricsJson(m: Seq[(String, Long)]): String =
+      m.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
+    val sm = stageMetrics.map { k =>
+      val runs = Option(passMetrics.get(k)).getOrElse(Seq.empty)
+      val okRuns = runs.filter(_._1 >= 0)
+      val best =
+        if (okRuns.nonEmpty) okRuns.minBy(_._1)._2
+        else runs.headOption.map(_._2).getOrElse(Seq.empty)
+      "\"" + k + "\":" + metricsJson(best)
+    }.mkString("{", ",", "}")
+    // Per-pass record (r9 item 7): EVERY pass of every query with its
+    // own stage-metric snapshot, in pass order (mandatory sweep first,
+    // then opportunistic re-runs — same order as the runs map). A
+    // first-pass blow-up like r9's q1 is now attributable from the
+    // artifact: same input_records but 18× the seconds ⇒ host/JIT;
+    // inflated records/spill ⇒ a real plan problem.
+    val smPasses = stageMetrics.map { k =>
+      val runs = Option(passMetrics.get(k)).getOrElse(Seq.empty)
+      "\"" + k + "\":" + runs.map { case (sec, m) =>
+        s"""{"sec":${fmt(sec)},"m":${metricsJson(m)}}"""
+      }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Process memory — the engine analog of the reference's CPU-mem
     // metric catalog entries (its /proc/meminfo sampler): current and
     // peak RSS of the whole local-mode JVM, read from /proc/self/status.
     val procJson = s"""{"rss_mb":${ProcStatus.rssMb("VmRSS")},"peak_rss_mb":${ProcStatus.rssMb("VmHWM")}}"""
-    val smLine = s"""{"metric":"stage_metrics","per_query":$sm,"proc":$procJson,"sf":"$sfDir"}"""
+    val smLine = s"""{"metric":"stage_metrics","per_query":$sm,"per_query_passes":$smPasses,"proc":$procJson,"sf":"$sfDir"}"""
     println(smLine)
     try {
       val out = java.nio.file.Paths.get(graft.OutDir.base, "bench_stage_metrics.json")

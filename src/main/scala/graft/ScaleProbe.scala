@@ -68,15 +68,16 @@ object ScaleProbe {
         col("n_chars"))
     }.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
-    // events.parquet is TIMESTAMP(NANOS); Tables.events reads ts as a
-    // long (nanosAsLong) and rebuilds micros — so the probe copy keeps
-    // ts as LONG NANOS (shifted by copy days) to stay read-compatible.
+    // events.ts arrives as INT64 nanos or a plain timestamp depending on
+    // harness data vintage (Tables.normalizeEventsTs doc). Normalize to
+    // TimestampType first, then shift each copy by i days; the probe copy
+    // lands as a plain timestamp, which Tables.events passes through.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    val events = Tables.normalizeEventsTs(spark.read.parquet(s"$srcDir/events.parquet"))
     union10(events) { (e, i) =>
       e.select(
         (col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
-        (col("ts") + lit(i.toLong * 86400L * 1000000000L)).as("ts"),
+        timestamp_micros(unix_micros(col("ts")) + lit(i.toLong * 86400L * 1000000L)).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     }.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 

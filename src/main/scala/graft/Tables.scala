@@ -19,16 +19,38 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects; read nanos as long and rebuild a
-    * microsecond timestamp (flooring — agrees with DuckDB's epoch_ms on
-    * the original nanos for every downstream ms-granularity use).
+  /** The harness has served the events table with different physical
+    * types for `ts` across data regenerations: TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader only accepts as a raw long via the
+    * legacy conf) and plain-micros TIMESTAMP / TIMESTAMP_NTZ. Branch on
+    * the type that actually arrived so a regeneration can never again
+    * break every events-dependent query at plan time (the r9 outage).
+    * All branches yield session-zone `TimestampType` micros; with the
+    * engine's fixed UTC session zone the micros value equals what
+    * DuckDB reads, so oracles hold across all three encodings.
     */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long: rebuild micros (flooring — agrees with DuckDB's
+        // epoch on the original nanos at every ms-granularity use)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // wall-clock micros: reinterpret in the (UTC) session zone
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other; " +
+            "expected INT64 (nanos), TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(table(spark, sfDir, "events"))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -19,6 +19,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Harness-schema tripwire (SchemaGuard doc): a silent test-data
+    // regeneration with a changed physical type must fail LOUD here, not
+    // as quietly-omitted gate rows. Print every drift line but keep
+    // running — queries off the drifted column should still give evidence.
+    val drift = SchemaGuard.check(spark, sfDir)
+    if (drift.nonEmpty) {
+      System.err.println(s"[verify] HARNESS SCHEMA DRIFT (${drift.size} field(s)) in $sfDir:")
+      drift.foreach(d => System.err.println(s"[verify]   $d"))
+    }
     new java.io.File(outDir).mkdirs()
     var written = 0
     SparkEntry.queries.filter(q => nameFilter(q._1)).foreach { case (name, fn) =>

@@ -54,18 +54,17 @@ object EventAnalytics {
     */
   def runStreamingHourlyRollup(spark: SparkSession, sfDir: String): DataFrame = {
     // The file source needs a *directory*; pathGlobFilter narrows it to the
-    // events file. The user schema must be the RAW on-disk schema (ts is
-    // TIMESTAMP(NANOS) read as long via the legacy conf — Tables.events
-    // doc), so the nanos→micros timestamp rebuild from Tables.events is
-    // re-applied inside the streaming path.
+    // events file. The user schema must be the RAW on-disk schema (ts may
+    // be INT64 nanos or a plain timestamp depending on harness data vintage
+    // — Tables.events doc), so Tables.normalizeEventsTs is re-applied
+    // inside the streaming path; it branches on the schema it was handed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream
+    val stream = Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema)
       .format("parquet")
       .option("pathGlobFilter", "events.parquet")
-      .load(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .load(sfDir))
     val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
     val q = hourlyRollup(stream).writeStream
       .outputMode("complete")
@@ -184,12 +183,11 @@ object EventAnalytics {
   def runStreamingIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = spark.readStream
+    def src = Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema)
       .format("parquet")
       .option("pathGlobFilter", "events.parquet")
-      .load(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .load(sfDir))
     val views = src.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
       .withWatermark("v_ts", "1 hour")
@@ -223,12 +221,11 @@ object EventAnalytics {
   def runStreamingDedupWatermarked(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = spark.readStream
+    def src = Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema)
       .format("parquet")
       .option("pathGlobFilter", "events.parquet")
-      .load(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .load(sfDir))
       .select("event_id", "event_type", "ts")
     val doubled = src.union(src)
     val agg = doubled
