@@ -118,5 +118,35 @@ object AsOf {
              |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.tms >= v.vms
              |ORDER BY p.user_id, p.event_id""".stripMargin),
     ),
+    // Events-free twin (r9 verdict item 8): the same operator gated on
+    // orders alone, so one drifted source table can never again empty
+    // the as-of family's correctness evidence (the r9 outage). Each
+    // order is enriched with the customer's latest same-or-earlier-day
+    // order key (a self as-of: at-tie the day's max order key wins,
+    // matching the right side's pre-aggregation discipline).
+    EngineQuery(
+      "asof_orders_prev_order",
+      (s, dir) => {
+        val l = Tables.orders(s, dir)
+          .select(
+            col("o_custkey").as("user_id"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("tms"),
+            col("o_orderkey"))
+        val r = Tables.orders(s, dir)
+          .groupBy(
+            col("o_custkey").as("user_id"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("tms"))
+          .agg(max(col("o_orderkey")).as("last_orderkey"))
+        asOfJoin(l, r, key = "user_id", time = "tms", payload = "last_orderkey")
+          .select("user_id", "o_orderkey", "tms", "last_orderkey")
+          .orderBy("user_id", "o_orderkey")
+      },
+      Some("""WITH l AS (SELECT o_custkey AS user_id, o_orderkey, epoch_ms(o_orderdate) AS tms FROM orders),
+             |r AS (SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS rms, max(o_orderkey) AS last_orderkey
+             |      FROM orders GROUP BY user_id, rms)
+             |SELECT l.user_id, l.o_orderkey, l.tms, r.last_orderkey
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tms >= r.rms
+             |ORDER BY l.user_id, l.o_orderkey""".stripMargin),
+    ),
   )
 }

@@ -65,5 +65,38 @@ object RangeJoin {
       },
       headline = true,
     ),
+    // Events-free twin (r9 verdict item 8): the same operator gated on
+    // the part table alone, so one drifted source table can never again
+    // empty the range-join family's correctness evidence (the r9
+    // outage). Retail prices live in [900, 1000) — bands sliced to
+    // populate all of them.
+    EngineQuery(
+      "range_join_price_bands",
+      (s, dir) => {
+        import s.implicits._
+        val b = priceBands.toDF("band", "lo", "hi")
+        rangeJoin(Tables.part(s, dir), "p_retailprice", b, "lo", "hi", bucketWidth = 20.0)
+          .groupBy("band")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("p_retailprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+              .cast("double").as("sum_price"))
+          .orderBy("band")
+      },
+      Some {
+        val values = priceBands.map { case (n, l, h) => s"('$n', $l, $h)" }.mkString(", ")
+        s"""SELECT band, count(*) AS cnt,
+           |  CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+           |FROM part p JOIN (VALUES $values) b(band, lo, hi)
+           |  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+           |GROUP BY band ORDER BY band""".stripMargin
+      },
+    ),
   )
+
+  private val priceBands: Seq[(String, Double, Double)] = Seq(
+    ("b0_budget", 900.0, 930.0),
+    ("b1_mid", 930.0, 955.0),
+    ("b2_premium", 955.0, 980.0),
+    ("b3_top", 980.0, 1000.0))
 }
