@@ -32,8 +32,10 @@ import org.apache.spark.sql.SparkSession
   *    block the MAIN loop (the r7 wedge: the process lived 49 min
   *    after a cancel producing nothing because cleanup blocked);
   *  - global deadline (default 540s, well under the host kill timer)
-  *    after which remaining work records -1 without running; the
-  *    warm-up sweep alone may consume at most 40% of it;
+  *    after which remaining work records -1 without running; warm-up
+  *    is INTERLEAVED per query (warm → measure → snapshot — never a
+  *    warm-all-queries-first sweep, the r9 waste), capped at 30s per
+  *    query, and skipped entirely once 60% of the deadline is gone;
   *  - exit path: print, attempt a 30s-bounded `spark.stop()`, then
   *    `halt(0)` — a hung executor thread must not turn a finished
   *    bench into rc=124.
@@ -178,7 +180,7 @@ object Bench {
     // closes at fut.get() success, BEFORE the finally's cleanup runs:
     // a slow post-query cleanup (up to its 15s bound) is session
     // housekeeping, not query time, and must not inflate the minimum.
-    def runOnce(q: EngineQuery): Double = {
+    def runOnce(q: EngineQuery, budgetCap: Option[Int] = None): Double = {
       val group = s"bench-${q.name}"
       val t0 = System.nanoTime()
       val fut = runPool.submit(new java.util.concurrent.Callable[Unit] {
@@ -188,7 +190,7 @@ object Bench {
           finally spark.sparkContext.clearJobGroup()
         }
       })
-      val budget = budgetFor(q)
+      val budget = budgetCap.fold(budgetFor(q))(math.min(_, budgetFor(q)))
       try { fut.get(budget, java.util.concurrent.TimeUnit.SECONDS); (System.nanoTime() - t0) / 1e9 }
       catch {
         case _: java.util.concurrent.TimeoutException =>
@@ -247,9 +249,14 @@ object Bench {
     // DID run has a measured number. Warm-up stays a luxury: once 60%
     // of the deadline is gone the remaining queries run cold — a cold
     // measured pass beats no measured pass.
+    // Warm-up gets a TIGHT budget cap: on a contended host a wedged
+    // warm-up must cost 30s, never the full per-query budget — the
+    // worst case per query drops from 2× budget to budget + 30s, and
+    // the measured pass (simply colder) still produces a number.
+    val warmupCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_CAP_SEC", "30").toInt
     val stageMetrics = headline.map { q =>
       if (elapsedSec < deadlineSec * 0.6 && !pastDeadline)
-        try runOnce(q) catch { case _: Throwable => () }
+        try runOnce(q, budgetCap = Some(warmupCapSec)) catch { case _: Throwable => () }
       val runs = (1 to passes).map(_ => measuredPass(q))
       val ok = runs.filter(_ >= 0)
       val best = if (ok.nonEmpty) ok.min else runs.head
