@@ -572,7 +572,53 @@ object Curation {
         concat(col("text"), lit(" contact: jane.doe@example.com or 555-123-4567")))
         .otherwise(col("text")))
 
+  /** Deterministic weighted sample (Duffield–Lund–Thorup priority
+    * sampling, "Priority sampling for estimation of arbitrary subset
+    * sums", JACM 2007): per group, keep the k rows with the largest
+    * priority w/u, u uniform in (0,1] derived from the first 8 md5 hex
+    * digits of the row key. Inclusion probability rises with weight,
+    * yet the draw is reproducible under reruns/retries/repartitioning
+    * (no RNG state) — the quality-weighted subsample shape for corpus
+    * curation. The arithmetic is only +,*,/ on IEEE doubles (no ln, as
+    * exponential-keys reservoir would need), so DuckDB replays the
+    * exact bits and the oracle hash-matches.
+    *
+    * Scale: one shuffle on the group key; the `row_number <= k` cut
+    * runs as WindowGroupLimit below the window sort, so each partition
+    * retains only k candidates — no group ever materializes whole.
+    */
+  def weightedPrioritySample(docs: DataFrame, k: Int, seed: String): DataFrame = {
+    // u = (v+1) / 2^32+1 ∈ (0,1]; priority = w/u = w * (2^32+1) / (v+1)
+    val v = conv(substring(md5(concat(lit(seed + ":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    val priority = col("n_chars").cast("double") * lit(4294967297.0) / (v + lit(1.0))
+    docs
+      .select(col("doc_id"), col("lang"), col("n_chars"), priority.as("priority"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("lang").orderBy(col("priority").desc, col("doc_id"))))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("rk").cast("long").as("rk"))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "sample_weighted_priority",
+      (s, dir) =>
+        weightedPrioritySample(Tables.documents(s, dir), k = 50, seed = "wps1")
+          .orderBy("lang", "rk"),
+      Some("""WITH p AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    CAST(n_chars AS DOUBLE) * 4294967297.0 /
+             |      (CAST(CAST('0x' || substr(md5('wps1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0)
+             |      AS priority
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, lang, n_chars,
+             |    row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rk
+             |  FROM p)
+             |SELECT doc_id, lang, n_chars, rk FROM r WHERE rk <= 50
+             |ORDER BY lang, rk""".stripMargin),
+    ),
     EngineQuery(
       "split_assign",
       (s, dir) => splitAssign(Tables.documents(s, dir)).orderBy("doc_id"),

@@ -20,6 +20,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
 
   test("range join plans as a hash equi-join, never a nested-loop product") {
     plan("range_join_value_bands") should not include "BroadcastNestedLoopJoin"
+    // the events-free twin keeps the same shape on the part table
+    plan("range_join_price_bands") should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("weighted priority sample: rank cut runs as WindowGroupLimit, lang is the only exchange key") {
+    val p = plan("sample_weighted_priority")
+    // each partition retains only k candidates before the window sort
+    p should include("WindowGroupLimit")
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("lang")
+  }
+
+  test("orders self as-of: one hash exchange on the key, one window pass") {
+    val p = plan("asof_orders_prev_order")
+    // the union'd stream partitions once on user_id for the window
+    // carry; no join operator appears at all (the as-of is a window).
+    // Every hash exchange keys on the as-of key — which surfaces as
+    // o_custkey on the right side's pre-aggregation (alias pushed
+    // below the exchange) and user_id on the union'd window input.
+    p should not include "Join"
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should (be(Set("user_id")) or be(Set("user_id", "o_custkey")))
   }
 
   test("broadcast revenue join never shuffles the fact table") {
