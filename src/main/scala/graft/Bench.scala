@@ -51,8 +51,33 @@ object Bench {
     // itself wedges on a hostile host.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Measured-coverage-first ordering: the global deadline truncates
+    // the TAIL of the run, so the historically cheapest queries go
+    // first — a contended host measures the most queries possible
+    // before any kill, and the expensive ones it skips are the ones a
+    // kill would have taken out anyway. Costs are idle local[32]
+    // min-of-5 best seconds (r10, BASELINE.md trend row); queries not
+    // listed (new since) run last in registry order (sortBy is stable)
+    // — they are also the ones with no prior round to compare against.
+    val expectedSec: Map[String, Double] = Map(
+      "salted_group_count" -> 0.43, "events_hourly_rollup" -> 0.44,
+      "range_join_value_bands" -> 0.46, "kmeans_step" -> 0.48,
+      "ann_brute_topk" -> 0.50, "join_broadcast_revenue" -> 0.59,
+      "text_token_stats" -> 0.60, "stateful_sessionize" -> 0.61,
+      "shuffle_order" -> 0.62, "kmer_count" -> 0.67,
+      "ann_lsh_multiprobe" -> 0.68, "join_shuffle_lineitem_orders" -> 0.90,
+      "heavy_hitters" -> 0.95, "asof_event_last_order" -> 1.09,
+      "token_budget_select" -> 1.17, "minhash_signatures" -> 1.19,
+      "q1_pricing_summary" -> 1.19, "decontaminate_overlap" -> 1.21,
+      "kmeans_converged" -> 1.54, "bpe_learn_merges" -> 1.76,
+      "simhash_neardup_pairs" -> 1.89, "gopher_repetition_ngrams" -> 1.96,
+      "line_dedup_corpus" -> 2.00, "substring_dup_stats" -> 2.56,
+      "semdedup_prune" -> 2.66, "neardup_components" -> 2.77,
+      "skew_join_hot_key" -> 2.81, "bloom_semi_join_pruned" -> 3.15,
+      "curated_corpus" -> 3.77)
     val headline = Registry.all.filter(_.headline)
       .filter(q => only.forall(_.contains(q.name)))
+      .sortBy(q => expectedSec.getOrElse(q.name, Double.MaxValue))
     val order = headline.map(_.name)
 
     // 4-decimal fixed-point keeps the final JSON line compact (the
