@@ -36,8 +36,14 @@ object Plans {
       "Tumbling-window rollup is a plain partial+final aggregate on (hour, type) — streaming twin shares the same shape with state instead of the final exchange.",
     "asof_event_last_order" ->
       "Point-in-time join as UNION + one window pass: both inputs exchange once on the key, a single sort per partition, `last(ignoreNulls)` carry — no |L|×|R|-per-key nested loop anywhere in the plan.",
+    "asof_orders_prev_order" ->
+      "Events-free twin gate (one drifted source table must never empty the family's evidence — the r9 outage): the same UNION+window as-of shape self-applied to orders. No Join operator at all; every hash exchange keys on the as-of key (o_custkey pre-alias on the right's pre-aggregation, user_id on the union'd window input).",
     "range_join_value_bands" ->
       "Range predicate turned into a hash equi-join: the tiny interval side explodes into overlap buckets (`Generate`), the event side maps to one bucket, and the join is `BroadcastHashJoin`/hash — no BroadcastNestedLoopJoin node, which is what a raw `BETWEEN` join plans.",
+    "range_join_price_bands" ->
+      "Events-free twin gate of the band join over part retail prices — same bucket-explode + hash equi-join shape, no BroadcastNestedLoopJoin.",
+    "sample_weighted_priority" ->
+      "Deterministic weighted sampling (priority sampling, Duffield–Lund–Thorup): priority w/u is a pure map expression (md5-derived u; only +,*,/ doubles, so DuckDB replays the exact bits), the per-language rank cut runs as `WindowGroupLimit` below the window sort — each partition retains only k candidates, no group materializes whole — and lang is the only hash-exchange key.",
     "ann_lsh_multiprobe" ->
       "Query side fans out ×(bits+1) probe buckets via `Generate explode`; the corpus side is scanned and bucketed once. Candidate dedup + `WindowGroupLimit` keep the rank cut per-partition.",
     "ann_ivf_topk" ->
