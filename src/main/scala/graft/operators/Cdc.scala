@@ -90,6 +90,49 @@ object Cdc {
     v1.unionByName(v2)
   }
 
+  /** The change feed as BEFORE/AFTER-image aggregate deltas: each change
+    * row contributes (status, ±1, ±price) terms — an update retracts its
+    * before-image from the old group and adds the after-image to the new
+    * one, a delete retracts, an insert adds. This is the input a
+    * delta-maintained materialized view consumes: note it derives from
+    * the change cohorts alone, never a scan of the maintained base.
+    */
+  def aggDelta(orders: DataFrame): DataFrame = {
+    val m = col("o_orderkey") % 10
+    def price = dec(col("o_totalprice")).cast(DecimalType(15, 3))
+    val updOld = orders.where(m === 3).select(
+      col("o_orderstatus").as("status"), lit(-1L).as("d_cnt"), (-price).as("d_sum"))
+    val updNew = orders.where(m === 3).select(
+      lit("U").as("status"), lit(1L).as("d_cnt"),
+      (dec(col("o_totalprice")) * lit("1.1").cast(DecimalType(2, 1)))
+        .cast(DecimalType(15, 3)).as("d_sum"))
+    val delOld = orders.where(m === 7).select(
+      col("o_orderstatus").as("status"), lit(-1L).as("d_cnt"), (-price).as("d_sum"))
+    val insNew = orders.where(m === 1).select(
+      col("o_orderstatus").as("status"), lit(1L).as("d_cnt"), price.as("d_sum"))
+    updOld.unionByName(updNew).unionByName(delOld).unionByName(insNew)
+  }
+
+  /** Incremental aggregate maintenance (materialized-view delta — the
+    * streaming-warehouse pattern for keeping a 100 TB table's rollup
+    * fresh): the stored per-status aggregate merges with the change
+    * feed's ±delta terms; the refresh pays |changes|, never a base
+    * rescan. The oracle RECOMPUTES the aggregate from the fully merged
+    * table, so the gate proves maintenance ≡ recompute, including
+    * cross-group moves (updates re-status rows into 'U').
+    */
+  def aggMaintain(base: DataFrame, delta: DataFrame): DataFrame = {
+    val mv = base.groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("d_cnt"),
+        sum(dec(col("o_totalprice")).cast(DecimalType(15, 3)))
+          .cast(DecimalType(25, 3)).as("d_sum"))
+    mv.unionByName(delta.withColumn("d_sum", col("d_sum").cast(DecimalType(25, 3))))
+      .groupBy("status")
+      .agg(sum(col("d_cnt")).as("cnt"), sum(col("d_sum")).cast("double").as("sum_price"))
+      .where(col("cnt") > 0)
+  }
+
   /** Streaming twin of [[mergeUpsert]] — continuous CDC ingestion, the
     * same shape as [[graft.dedup.Dedup.runStreamingIncrementalDedup]]:
     * the change source arrives as a file stream, each microbatch
@@ -171,6 +214,22 @@ object Cdc {
              |    AS o_totalprice
              |FROM j WHERE op IS NULL OR op <> 'D'
              |ORDER BY o_orderkey""".stripMargin),
+    ),
+    EngineQuery(
+      "cdc_agg_maintain",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        aggMaintain(orders, aggDelta(orders)).orderBy("status")
+      },
+      Some(s"""WITH $duckChanges,
+             |m AS (
+             |  SELECT
+             |    CASE WHEN op IN ('U','I') THEN new_status ELSE o_orderstatus END AS status,
+             |    CASE WHEN op IN ('U','I') THEN new_totalprice ELSE o_totalprice END AS price
+             |  FROM j WHERE op IS NULL OR op <> 'D')
+             |SELECT status, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS sum_price
+             |FROM m GROUP BY status HAVING count(*) > 0
+             |ORDER BY status""".stripMargin),
     ),
     EngineQuery(
       "cdc_scd2_history",

@@ -49,6 +49,22 @@ class CdcSpec extends AnyFunSuite with Matchers {
     streamed shouldBe batch
   }
 
+  test("aggMaintain equals a recompute over the merged table, across group moves") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("o_orderstatus").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum("o_totalprice").as("sum_price"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val maintained = Cdc.aggMaintain(base, Cdc.aggDelta(base)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val recomputed = agg(Cdc.mergeUpsert(base, Cdc.changeFeed(base)))
+    maintained shouldBe recomputed
+    // the update MOVED key 13 out of 'O' into 'U': retraction visible
+    maintained("O") shouldBe ((1L, 400.00)) // only untouched key 20 (17 deleted, 13 moved)
+    maintained("U") shouldBe ((1L, 110.00)) // after-image landed in the new group
+    maintained("F") shouldBe ((2L, 600.00)) // insert source + clone
+  }
+
   test("merge then re-merge is idempotent for U/D cohorts on unchanged keys") {
     // merging an EMPTY change feed returns the base unchanged
     val empty = Cdc.changeFeed(base.where($"o_orderkey" < 0))
