@@ -600,7 +600,50 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("rk").cast("long").as("rk"))
   }
 
+  /** Per-language adaptive quality threshold (the per-language
+    * calibration cut real pipelines need — one global threshold
+    * over-prunes low-resource languages): keep each doc at or above its
+    * OWN language's percentile_disc(pPct/100) of the score. Exact
+    * integer selection — the threshold is an actual data value, no
+    * interpolation — so both engines agree without float discipline.
+    *
+    * Scale shape: a naive `cume_dist() OVER (PARTITION BY lang ORDER BY
+    * score)` sorts each language's ENTIRE corpus slice in one task —
+    * the 'en' partition is a skew bomb at 100 TB. Instead the corpus
+    * pays one (lang, score) histogram aggregation (map-side combine);
+    * the running/total windows and the percentile pick run over that
+    * histogram — value-cardinality scale — and the ≤|langs|-row
+    * threshold table broadcasts back into the filter.
+    */
+  def langAdaptiveCut(docs: DataFrame, pPct: Int): DataFrame = {
+    val hist = docs.groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+    val run = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thresholds = hist
+      .withColumn("run", sum("c").over(run))
+      .withColumn("tot", sum("c").over(Window.partitionBy("lang")))
+      // percentile_disc: smallest value whose cume_dist = run/tot ≥ p,
+      // tested in exact integers (run*100 ≥ pPct*tot)
+      .where(col("run") * 100 >= lit(pPct) * col("tot"))
+      .groupBy("lang").agg(min("n_chars").as("thr"))
+    docs.join(broadcast(thresholds), Seq("lang"))
+      .where(col("n_chars") >= col("thr"))
+      .select("doc_id", "lang", "n_chars", "thr")
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "lang_adaptive_cut",
+      (s, dir) =>
+        langAdaptiveCut(Tables.documents(s, dir), pPct = 25).orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT lang, percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS thr
+             |  FROM documents GROUP BY lang)
+             |SELECT d.doc_id, d.lang, d.n_chars, t.thr
+             |FROM documents d JOIN t USING (lang)
+             |WHERE d.n_chars >= t.thr
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
     EngineQuery(
       "sample_weighted_priority",
       (s, dir) =>

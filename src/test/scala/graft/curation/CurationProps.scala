@@ -60,4 +60,24 @@ object CurationProps extends Properties("Curation") {
         // coverage: the last chunk reaches the final token
         (nChunks - 1) * stride + sizes.last == nTok
     }
+
+  property("langAdaptiveCut equals the percentile_disc model for any scores and p") =
+    forAll(
+      Gen.listOfN(45, Gen.zip(Gen.chooseNum(1L, 100000L), Gen.oneOf("en", "de", "zh"), Gen.chooseNum(1L, 30L))),
+      Gen.chooseNum(1, 100),
+    ) { (rowsRaw, pPct) =>
+      import spark.implicits._
+      val rows = rowsRaw.distinctBy(_._1)
+      val docs = rows.toDF("doc_id", "lang", "n_chars")
+      val got = Curation.langAdaptiveCut(docs, pPct)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      // model: thr = smallest value whose rank fraction reaches p
+      val thr = rows.groupBy(_._2).map { case (lang, ds) =>
+        val sorted = ds.map(_._3).sorted
+        lang -> sorted(math.ceil(sorted.size * pPct / 100.0).toInt.max(1) - 1)
+      }
+      val want = rows.filter { case (_, lang, n) => n >= thr(lang) }
+        .map { case (id, lang, _) => id -> thr(lang) }.toMap
+      got == want
+    }
 }
