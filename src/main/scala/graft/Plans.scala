@@ -42,6 +42,10 @@ object Plans {
       "Range predicate turned into a hash equi-join: the tiny interval side explodes into overlap buckets (`Generate`), the event side maps to one bucket, and the join is `BroadcastHashJoin`/hash — no BroadcastNestedLoopJoin node, which is what a raw `BETWEEN` join plans.",
     "range_join_price_bands" ->
       "Events-free twin gate of the band join over part retail prices — same bucket-explode + hash equi-join shape, no BroadcastNestedLoopJoin.",
+    "lang_adaptive_cut" ->
+      "Per-language percentile_disc threshold, skew-safe: the corpus pays ONE (lang, score) histogram aggregation (map-side combine); the running/total windows and the percentile pick run over that histogram at value cardinality — a naive cume_dist over `partitionBy(lang)` would sort a whole language's corpus slice in one task — and the ≤|langs|-row threshold table returns by broadcast. Every hash exchange leads with lang; the threshold test is exact integer rank arithmetic (run*100 ≥ p*tot), so DuckDB's percentile_disc agrees bit-for-bit.",
+    "cdc_agg_maintain" ->
+      "Materialized-view delta maintenance: the stored per-group aggregate unions with ±(before/after-image) retraction terms derived from the change cohorts ALONE and re-aggregates — no Join node anywhere, so the refresh pays |changes|, never a rescan of the maintained base. The oracle recomputes from the fully merged table, proving maintenance ≡ recompute across cross-group moves.",
     "sample_weighted_priority" ->
       "Deterministic weighted sampling (priority sampling, Duffield–Lund–Thorup): priority w/u is a pure map expression (md5-derived u; only +,*,/ doubles, so DuckDB replays the exact bits), the per-language rank cut runs as `WindowGroupLimit` below the window sort — each partition retains only k candidates, no group materializes whole — and lang is the only hash-exchange key.",
     "ann_lsh_multiprobe" ->

@@ -32,6 +32,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("lang")
   }
 
+  test("lang adaptive cut: windows run over the histogram; thresholds broadcast back") {
+    val p = plan("lang_adaptive_cut")
+    p should include("BroadcastHashJoin")
+    // every hash exchange leads with lang — the (lang, score) histogram
+    // aggregation and the lang-keyed window over it; the corpus never
+    // partitions by doc, and no corpus-slice-wide sort task exists
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("lang")
+  }
+
+  test("cdc agg maintain: aggregates only — no join with the maintained base") {
+    val p = plan("cdc_agg_maintain")
+    // the delta terms derive from the change cohorts alone; the merge
+    // of stored aggregate + deltas is a union + re-aggregation
+    p should not include "Join"
+    p should include("Union")
+  }
+
   test("orders self as-of: one hash exchange on the key, one window pass") {
     val p = plan("asof_orders_prev_order")
     // the union'd stream partitions once on user_id for the window
