@@ -351,7 +351,41 @@ object Ann {
        |  FROM scored)
        |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Per-dimension corpus statistics over the quantized embeddings —
+    * the whitening/normalization pre-pass (mean-center, variance-scale)
+    * an ANN index build runs first at 100 TB. posexplode fans each
+    * vector into (dim, value) pairs, but partial aggregation combines
+    * map-side, so the exchange carries |dims| rows per task, never the
+    * corpus. Exact integer sums over the floor(x*1000) quantization →
+    * bit-identical in DuckDB.
+    */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    Dedup.quantized(embeddings)
+      .select(posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("v")).as("sum_q"),
+        sum(col("v") * col("v")).as("sum_q2"),
+        min(col("v")).as("min_q"),
+        max(col("v")).as("max_q"))
+      .select(
+        col("dim").cast("long").as("dim"), col("cnt"),
+        col("sum_q"), col("sum_q2"), col("min_q"), col("max_q"))
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "embedding_dim_stats",
+      (s, dir) => dimStats(Tables.embeddings(s, dir)).orderBy("dim"),
+      Some("""WITH e AS (
+             |  SELECT t.i AS dim,
+             |    CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+             |  FROM embeddings, range(64) t(i))
+             |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS cnt,
+             |  CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(q*q) AS BIGINT) AS sum_q2,
+             |  min(q) AS min_q, max(q) AS max_q
+             |FROM e GROUP BY dim ORDER BY dim""".stripMargin),
+    ),
     EngineQuery(
       "ann_brute_topk",
       (s, dir) => {

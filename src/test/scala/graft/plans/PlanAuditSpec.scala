@@ -32,6 +32,16 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("lang")
   }
 
+  test("embedding dim stats: one generate + dim-keyed partial/final aggregate") {
+    val p = plan("embedding_dim_stats")
+    p should include("Generate posexplode")
+    // the exchange carries |dims| rows per task (map-side combine):
+    // partial aggregation sits below the single dim-keyed exchange
+    p should include("partial_sum")
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("dim")
+  }
+
   test("lang adaptive cut: windows run over the histogram; thresholds broadcast back") {
     val p = plan("lang_adaptive_cut")
     p should include("BroadcastHashJoin")
