@@ -42,6 +42,8 @@ object Plans {
       "Range predicate turned into a hash equi-join: the tiny interval side explodes into overlap buckets (`Generate`), the event side maps to one bucket, and the join is `BroadcastHashJoin`/hash — no BroadcastNestedLoopJoin node, which is what a raw `BETWEEN` join plans.",
     "range_join_price_bands" ->
       "Events-free twin gate of the band join over part retail prices — same bucket-explode + hash equi-join shape, no BroadcastNestedLoopJoin.",
+    "embedding_dim_stats" ->
+      "ANN whitening pre-pass: posexplode fans each quantized vector into (dim, value) pairs, and the ONE dim-keyed exchange carries |dims| rows per task — partial_sum/partial_min/partial_max combine map-side below it, so a 100 TB embedding corpus ships 64 rows per task to the reducers. Exact integer sums over the floor(x*1000) quantization, bit-identical in DuckDB.",
     "lang_adaptive_cut" ->
       "Per-language percentile_disc threshold, skew-safe: the corpus pays ONE (lang, score) histogram aggregation (map-side combine); the running/total windows and the percentile pick run over that histogram at value cardinality — a naive cume_dist over `partitionBy(lang)` would sort a whole language's corpus slice in one task — and the ≤|langs|-row threshold table returns by broadcast. Every hash exchange leads with lang; the threshold test is exact integer rank arithmetic (run*100 ≥ p*tot), so DuckDB's percentile_disc agrees bit-for-bit.",
     "cdc_agg_maintain" ->
