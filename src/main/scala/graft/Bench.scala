@@ -317,6 +317,16 @@ object Bench {
     // whose single reading is least trustworthy.
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "5").toInt
     val lastSec = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // Retry damping: a query that keeps failing (budget blow or plan
+    // error) is retried at most twice in total across extra passes — a
+    // 90s budget-blower must never burn 90s on EVERY extra pass while
+    // healthy queries wait (worst case per broken query: 2× budget).
+    val failCount = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    headline.foreach { q =>
+      val runs = Option(allRuns.get(q.name)).getOrElse(Seq.empty)
+      val fails = runs.count(_ < 0)
+      if (fails > 0) failCount.put(q.name, fails)
+    }
     var extraPass = passes
     var progressed = true
     while (extraPass < maxPasses && progressed && !pastDeadline) {
@@ -332,7 +342,8 @@ object Bench {
         // emit + stop, and assume the re-run may take 3x the best
         // reading (the documented host swing).
         val estSec = if (b > 0) b * 3 else budgetFor(q).toDouble
-        if (elapsedSec + estSec + 5 < deadlineSec * 0.85) {
+        val fails = failCount.getOrDefault(q.name, 0)
+        if ((b >= 0 || fails < 3) && elapsedSec + estSec + 5 < deadlineSec * 0.85) {
           // measuredPass, not bare runOnce: re-runs carry stage metrics
           // too, so every entry of the runs map has a per-pass record.
           val sec = measuredPass(q)
@@ -341,7 +352,7 @@ object Bench {
           if (sec >= 0) {
             lastSec.put(q.name, sec)
             if (b < 0 || sec < b) bestSec.put(q.name, sec)
-          }
+          } else failCount.merge(q.name, 1, _ + _)
           progressed = true
         }
       }

@@ -45,6 +45,10 @@ object ScaleProbe {
     // vocabulary-scale and probe the learner loop itself.
     "token_budget_select", "bpe_pair_counts", "bpe_learn_merges",
     "bpe_tokenize_stats",
+    // r10 additions over the (10×-scaled) documents table: the
+    // histogram-decomposed per-lang percentile cut and the priority-
+    // sampling rank cut — both claim value-cardinality wide work.
+    "lang_adaptive_cut", "sample_weighted_priority",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")
 
