@@ -279,7 +279,7 @@ object Bench {
     // worst case per query drops from 2× budget to budget + 30s, and
     // the measured pass (simply colder) still produces a number.
     val warmupCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP_CAP_SEC", "30").toInt
-    val stageMetrics = headline.map { q =>
+    headline.foreach { q =>
       if (elapsedSec < deadlineSec * 0.6 && !pastDeadline)
         try runOnce(q, budgetCap = Some(warmupCapSec)) catch { case _: Throwable => () }
       val runs = (1 to passes).map(_ => measuredPass(q))
@@ -299,7 +299,6 @@ object Bench {
       // below) wins.
       println(artifactLine(partial = true))
       System.out.flush()
-      q.name
     }
 
     // ---- opportunistic min-of-N within the remaining deadline ----
@@ -342,8 +341,11 @@ object Bench {
         // emit + stop, and assume the re-run may take 3x the best
         // reading (the documented host swing).
         val estSec = if (b > 0) b * 3 else budgetFor(q).toDouble
+        // The cap applies regardless of an earlier success: a query
+        // that measured once and then wedges on a contended host must
+        // not burn its full budget on every remaining pass either.
         val fails = failCount.getOrDefault(q.name, 0)
-        if ((b >= 0 || fails < 3) && elapsedSec + estSec + 5 < deadlineSec * 0.85) {
+        if (fails < 3 && elapsedSec + estSec + 5 < deadlineSec * 0.85) {
           // measuredPass, not bare runOnce: re-runs carry stage metrics
           // too, so every entry of the runs map has a per-pass record.
           val sec = measuredPass(q)
@@ -368,7 +370,7 @@ object Bench {
     // the tail keeps the END of stdout, so the final line survives.
     def metricsJson(m: Seq[(String, Long)]): String =
       m.map { case (n, v) => "\"" + n + "\":" + v }.mkString("{", ",", "}")
-    val sm = stageMetrics.map { k =>
+    val sm = order.map { k =>
       val runs = Option(passMetrics.get(k)).getOrElse(Seq.empty)
       val okRuns = runs.filter(_._1 >= 0)
       val best =
@@ -382,7 +384,7 @@ object Bench {
     // first-pass blow-up like r9's q1 is now attributable from the
     // artifact: same input_records but 18× the seconds ⇒ host/JIT;
     // inflated records/spill ⇒ a real plan problem.
-    val smPasses = stageMetrics.map { k =>
+    val smPasses = order.map { k =>
       val runs = Option(passMetrics.get(k)).getOrElse(Seq.empty)
       "\"" + k + "\":" + runs.map { case (sec, m) =>
         s"""{"sec":${fmt(sec)},"m":${metricsJson(m)}}"""

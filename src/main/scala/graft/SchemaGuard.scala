@@ -20,11 +20,14 @@ import org.apache.spark.sql.types.StructType
 object SchemaGuard {
 
   /** Expected fields per table, in order: name → acceptable
-    * `DataType.simpleString` values. Timestamp-bearing columns accept all
-    * encodings the harness has ever served ('bigint' = the legacy
-    * nanos-as-long read of TIMESTAMP(NANOS)).
+    * `DataType.simpleString` values. Timestamp-bearing columns accept
+    * exactly the encodings `Tables.normalizeTs` handles ('bigint' = the
+    * legacy nanos-as-long read of TIMESTAMP(NANOS)). events.ts excludes
+    * DATE — time-of-day is load-bearing there, and a date-encoded ts
+    * would silently zero it.
     */
   private val ts: Set[String] = Set("bigint", "timestamp", "timestamp_ntz", "date")
+  private val tsNoDate: Set[String] = ts - "date"
 
   val expected: Map[String, Seq[(String, Set[String])]] = Map(
     "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
@@ -51,7 +54,7 @@ object SchemaGuard {
       "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
       "l_shipdate" -> ts),
     "events" -> Seq(
-      "event_id" -> Set("bigint"), "ts" -> ts, "user_id" -> Set("bigint"),
+      "event_id" -> Set("bigint"), "ts" -> tsNoDate, "user_id" -> Set("bigint"),
       "event_type" -> Set("string"), "value" -> Set("double"), "props" -> Set("string")),
     "documents" -> Seq(
       "doc_id" -> Set("bigint"), "text" -> Set("string"), "lang" -> Set("string"),
@@ -94,7 +97,10 @@ object SchemaGuard {
     expected.keys.toSeq.sorted.flatMap { t =>
       try diff(t, spark.read.parquet(s"$sfDir/$t.parquet").schema)
       catch {
-        case e: Exception => Seq(s"$t: unreadable (${e.getMessage.linesIterator.next()})")
+        case e: Exception =>
+          val msg = Option(e.getMessage).filter(_.nonEmpty)
+            .map(_.linesIterator.next()).getOrElse(e.getClass.getName)
+          Seq(s"$t: unreadable ($msg)")
       }
     }
   }

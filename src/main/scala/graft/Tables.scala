@@ -9,44 +9,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicate pushdown for free.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // A TIMESTAMP(NANOS) column (one of the harness's historical
+    // encodings) is unreadable by the vectorized reader without this;
+    // with it, such columns surface as raw nanos longs, which
+    // [[normalizeTs]] rebuilds and SchemaGuard flags where unexpected.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** The harness has served the events table with different physical
-    * types for `ts` across data regenerations: TIMESTAMP(NANOS) (which
+
+  /** The harness has served timestamp-bearing columns with different
+    * physical types across data regenerations: TIMESTAMP(NANOS) (which
     * Spark's vectorized reader only accepts as a raw long via the
-    * legacy conf) and plain-micros TIMESTAMP / TIMESTAMP_NTZ. Branch on
+    * legacy conf), plain-micros TIMESTAMP, and TIMESTAMP_NTZ. Branch on
     * the type that actually arrived so a regeneration can never again
-    * break every events-dependent query at plan time (the r9 outage).
-    * All branches yield session-zone `TimestampType` micros; with the
-    * engine's fixed UTC session zone the micros value equals what
-    * DuckDB reads, so oracles hold across all three encodings.
+    * break whole query families at plan time (the r9 outage). The long
+    * and NTZ branches yield session-zone `TimestampType` micros; with
+    * the engine's fixed UTC session zone the micros value equals what
+    * DuckDB reads, so oracles hold across every encoding. `DateType`
+    * passes through (downstream casts handle it) — fine for date
+    * columns; `SchemaGuard` disallows it where time-of-day matters
+    * (events.ts).
     */
-  def normalizeEventsTs(df: DataFrame): DataFrame = {
+  def normalizeTs(df: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    df.schema("ts").dataType match {
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
       case LongType =>
         // nanos-as-long: rebuild micros (flooring — agrees with DuckDB's
         // epoch on the original nanos at every ms-granularity use)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
       case TimestampNTZType =>
         // wall-clock micros: reinterpret in the (UTC) session zone
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType => df
+        df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType | DateType => df
       case other =>
         throw new IllegalStateException(
-          s"events.ts arrived as unsupported type $other; " +
-            "expected INT64 (nanos), TIMESTAMP, or TIMESTAMP_NTZ")
+          s"$c arrived as unsupported type $other; " +
+            "expected INT64 (nanos), TIMESTAMP, TIMESTAMP_NTZ, or DATE")
     }
   }
+
+  /** [[normalizeTs]] for an events-shaped frame's `ts` — the streaming
+    * paths and the scale probe reuse this on their own reads. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = normalizeTs(df, "ts")
 
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

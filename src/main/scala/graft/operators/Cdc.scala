@@ -33,20 +33,29 @@ object Cdc {
 
   val InsertKeyOffset = 1000000000L
 
+  // The single source of truth for the derived change feed's cohort
+  // rule — changeFeed, aggDelta, and the duckChanges oracle SQL all
+  // read these, so the three stay in lockstep by construction.
+  private val UpdateCohort = 3
+  private val DeleteCohort = 7
+  private val InsertCohort = 1
+  private val UpliftLit = "1.1" // update multiplier, DECIMAL(2,1)
+
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+  private def uplift = lit(UpliftLit).cast(DecimalType(2, 1))
 
   /** The deterministic change feed: (o_orderkey, op, new_status,
     * new_totalprice) with op ∈ {'U','D','I'}. */
   def changeFeed(orders: DataFrame): DataFrame = {
     val m = col("o_orderkey") % 10
-    val upd = orders.where(m === 3).select(
+    val upd = orders.where(m === UpdateCohort).select(
       col("o_orderkey"), lit("U").as("op"), lit("U").as("new_status"),
-      (dec(col("o_totalprice")) * lit("1.1").cast(DecimalType(2, 1))).as("new_totalprice"))
-    val del = orders.where(m === 7).select(
+      (dec(col("o_totalprice")) * uplift).as("new_totalprice"))
+    val del = orders.where(m === DeleteCohort).select(
       col("o_orderkey"), lit("D").as("op"),
       lit(null).cast("string").as("new_status"),
       lit(null).cast(DecimalType(15, 3)).as("new_totalprice"))
-    val ins = orders.where(m === 1).select(
+    val ins = orders.where(m === InsertCohort).select(
       (col("o_orderkey") + InsertKeyOffset).as("o_orderkey"), lit("I").as("op"),
       col("o_orderstatus").as("new_status"),
       dec(col("o_totalprice")).cast(DecimalType(15, 3)).as("new_totalprice"))
@@ -100,15 +109,15 @@ object Cdc {
   def aggDelta(orders: DataFrame): DataFrame = {
     val m = col("o_orderkey") % 10
     def price = dec(col("o_totalprice")).cast(DecimalType(15, 3))
-    val updOld = orders.where(m === 3).select(
+    val updOld = orders.where(m === UpdateCohort).select(
       col("o_orderstatus").as("status"), lit(-1L).as("d_cnt"), (-price).as("d_sum"))
-    val updNew = orders.where(m === 3).select(
+    val updNew = orders.where(m === UpdateCohort).select(
       lit("U").as("status"), lit(1L).as("d_cnt"),
-      (dec(col("o_totalprice")) * lit("1.1").cast(DecimalType(2, 1)))
+      (dec(col("o_totalprice")) * uplift)
         .cast(DecimalType(15, 3)).as("d_sum"))
-    val delOld = orders.where(m === 7).select(
+    val delOld = orders.where(m === DeleteCohort).select(
       col("o_orderstatus").as("status"), lit(-1L).as("d_cnt"), (-price).as("d_sum"))
-    val insNew = orders.where(m === 1).select(
+    val insNew = orders.where(m === InsertCohort).select(
       col("o_orderstatus").as("status"), lit(1L).as("d_cnt"), price.as("d_sum"))
     updOld.unionByName(updNew).unionByName(delOld).unionByName(insNew)
   }
@@ -173,16 +182,16 @@ object Cdc {
     }
 
   private val duckChanges =
-    """ch AS (
+    s"""ch AS (
       |  SELECT o_orderkey, 'U' AS op, 'U' AS new_status,
-      |    CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1)) AS new_totalprice
-      |  FROM orders WHERE o_orderkey % 10 = 3
+      |    CAST(o_totalprice AS DECIMAL(12,2)) * CAST($UpliftLit AS DECIMAL(2,1)) AS new_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = $UpdateCohort
       |  UNION ALL
-      |  SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = 7
+      |  SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 10 = $DeleteCohort
       |  UNION ALL
-      |  SELECT o_orderkey + 1000000000, 'I', o_orderstatus,
+      |  SELECT o_orderkey + $InsertKeyOffset, 'I', o_orderstatus,
       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3))
-      |  FROM orders WHERE o_orderkey % 10 = 1),
+      |  FROM orders WHERE o_orderkey % 10 = $InsertCohort),
       |base AS (
       |  SELECT o_orderkey, o_orderstatus,
       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3)) AS o_totalprice
