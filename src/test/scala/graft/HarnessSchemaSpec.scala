@@ -62,4 +62,15 @@ class HarnessSchemaSpec extends AnyFunSuite {
     val nMicros = Tables.normalizeEventsTs(nanos).select(unix_micros($"ts")).as[Long].head()
     assert(nMicros == 1700000000123456L)
   }
+
+  test("normalizeTs passes DATE through and rejects unrelated types") {
+    import TestSpark.spark
+    import spark.implicits._
+    val dated = Seq((1L, "2024-01-02")).toDF("k", "d")
+      .select($"k", $"d".cast(DateType).as("d"))
+    assert(Tables.normalizeTs(dated, "d").schema("d").dataType == DateType)
+    val stringy = Seq((1L, "x")).toDF("k", "d")
+    val e = intercept[IllegalStateException](Tables.normalizeTs(stringy, "d"))
+    assert(e.getMessage.contains("unsupported type"))
+  }
 }
