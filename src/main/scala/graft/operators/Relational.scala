@@ -316,6 +316,87 @@ object Relational {
              |GROUP BY o_orderkey, o_orderpriority
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin),
     ),
+    // TPC-H Q4 analog: correlated EXISTS — Catalyst decorrelates into a
+    // LEFT SEMI join on l_orderkey (never a per-row subquery execution);
+    // the date band pushes to the orders scan. Late shipment stands in
+    // for Q4's commit<receipt (the harness lineitem has no commit date).
+    EngineQuery(
+      "sql_q4_late_shipment",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT o_orderpriority, count(*) AS order_count
+                |FROM orders_v o
+                |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+                |  AND EXISTS (SELECT 1 FROM lineitem_v l
+                |              WHERE l.l_orderkey = o.o_orderkey
+                |                AND l.l_shipdate > o.o_orderdate)
+                |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders o
+             |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_shipdate > o.o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+    // TPC-H Q13 analog: orders-per-customer distribution — the LEFT
+    // OUTER join keeps zero-order customers in the c_count=0 bucket,
+    // then a second (tiny) aggregation over counts.
+    EngineQuery(
+      "sql_q13_custdist",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c_count, count(*) AS custdist
+                |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                |      FROM customer_v c LEFT OUTER JOIN orders_v o
+                |        ON c.c_custkey = o.o_custkey
+                |      GROUP BY c.c_custkey) t
+                |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+             |      FROM customer c LEFT OUTER JOIN orders o
+             |        ON c.c_custkey = o.o_custkey
+             |      GROUP BY c.c_custkey) t
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    ),
+    // TPC-H Q22 analog: scalar subquery threshold + correlated EXISTS.
+    // The above-average test cross-multiplies by the count instead of
+    // comparing against avg(): Spark types avg(DECIMAL) as DECIMAL and
+    // DuckDB as DOUBLE, so the avg form would hinge on float rounding at
+    // the boundary — sum/count cross-multiplication stays exact decimal
+    // × integer in both engines. (EXISTS, not Q22's NOT EXISTS: every
+    // harness customer has orders, so the anti form is vacuously empty.)
+    EngineQuery(
+      "sql_q22_balance_segments",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c_mktsegment, count(*) AS numcust,
+                |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+                |FROM customer_v c
+                |WHERE CAST(c_acctbal AS DECIMAL(12,2))
+                |      * (SELECT count(*) FROM customer_v WHERE c_acctbal > 0.0)
+                |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2)))
+                |       FROM customer_v WHERE c_acctbal > 0.0)
+                |  AND EXISTS (SELECT 1 FROM orders_v o WHERE o.o_custkey = c.c_custkey)
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS numcust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+             |FROM customer c
+             |WHERE CAST(c_acctbal AS DECIMAL(12,2))
+             |      * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+             |    > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2)))
+             |       FROM customer WHERE c_acctbal > 0.0)
+             |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
     // Array scalar functions over tokenized text: distinct, sort,
     // slice, size — all codegen'd builtins (no UDFs).
     EngineQuery(

@@ -32,6 +32,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("lang")
   }
 
+  test("correlated EXISTS decorrelates to a semi join; date band pushes to the orders scan") {
+    val p = plan("sql_q4_late_shipment")
+    p should include("LeftSemi")
+    // the orders scan receives the date-band filter as pushed predicates
+    p should include regex "PushedFilters: \\[.*GreaterThanOrEqual\\(o_orderdate"
+  }
+
+  test("scalar subqueries evaluate once (broadcast), EXISTS decorrelates — no per-row subquery") {
+    val p = plan("sql_q22_balance_segments")
+    p should include("Subquery")     // the two scalar aggregates
+    p should include("LeftSemi")     // the EXISTS
+    p should not include "CartesianProduct"
+  }
+
   test("embedding dim stats: one generate + dim-keyed partial/final aggregate") {
     val p = plan("embedding_dim_stats")
     p should include("Generate posexplode")
