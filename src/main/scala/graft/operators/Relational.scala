@@ -397,6 +397,29 @@ object Relational {
              |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
     ),
+    // TPC-H Q2's decorrelation class — a correlated SCALAR AGGREGATE
+    // subquery (each row compared against its own group's max), which
+    // Catalyst rewrites into a grouped aggregate + equi-join rather
+    // than a per-row execution. The equality compares the stored double
+    // against itself (same bits both engines), never arithmetic.
+    EngineQuery(
+      "sql_correlated_max_order",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM orders_v o
+                |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                |                      FROM orders_v o2
+                |                      WHERE o2.o_custkey = o.o_custkey)
+                |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders o
+             |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+             |                      FROM orders o2
+             |                      WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    ),
     // Array scalar functions over tokenized text: distinct, sort,
     // slice, size — all codegen'd builtins (no UDFs).
     EngineQuery(

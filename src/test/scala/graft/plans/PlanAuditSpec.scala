@@ -46,6 +46,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("correlated scalar aggregate decorrelates to a grouped aggregate + join") {
+    val p = plan("sql_correlated_max_order")
+    // the per-group max computes ONCE as an aggregate joined back —
+    // never a per-row subquery, never a cartesian
+    p should include("HashAggregate")
+    p should (include("BroadcastHashJoin") or include("SortMergeJoin") or include("ShuffledHashJoin"))
+    p should not include "CartesianProduct"
+  }
+
   test("embedding dim stats: one generate + dim-keyed partial/final aggregate") {
     val p = plan("embedding_dim_stats")
     p should include("Generate posexplode")
