@@ -98,8 +98,9 @@ object SchemaGuard {
       try diff(t, spark.read.parquet(s"$sfDir/$t.parquet").schema)
       catch {
         case e: Exception =>
-          val msg = Option(e.getMessage).filter(_.nonEmpty)
-            .map(_.linesIterator.next()).getOrElse(e.getClass.getName)
+          val msg = Option(e.getMessage)
+            .flatMap(_.linesIterator.find(_.nonEmpty))
+            .getOrElse(e.getClass.getName)
           Seq(s"$t: unreadable ($msg)")
       }
     }

@@ -61,13 +61,24 @@ object Tables {
   }
 
   /** [[normalizeTs]] for an events-shaped frame's `ts` — the streaming
-    * paths and the scale probe reuse this on their own reads. */
-  def normalizeEventsTs(df: DataFrame): DataFrame = normalizeTs(df, "ts")
+    * paths and the scale probe reuse this on their own reads. Unlike
+    * the generic normalizer, a DATE-encoded `ts` is REFUSED loudly:
+    * time-of-day is load-bearing for every events consumer
+    * (sessionization, windows, as-of), and passing a date through
+    * would silently zero it while the oracles agree on the degenerate
+    * data — green gates over meaningless results.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        throw new IllegalStateException(
+          "events.ts arrived as DATE — time-of-day is load-bearing for the " +
+            "events family; refusing to silently zero it")
+      case _ => normalizeTs(df, "ts")
+    }
 
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     normalizeEventsTs(table(spark, sfDir, "events"))
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -153,6 +153,10 @@ object Cdc {
     * Delta/Iceberg `MERGE` per microbatch.)
     */
   def runStreamingCdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    // Conf before the raw schema read: a TIMESTAMP(NANOS)-vintage
+    // orders file is unreadable without it in a fresh session (the
+    // Tables.table reads set it, but this query may run first).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
     val base = Tables.orders(spark, sfDir)
     val outDir =

@@ -72,5 +72,11 @@ class HarnessSchemaSpec extends AnyFunSuite {
     val stringy = Seq((1L, "x")).toDF("k", "d")
     val e = intercept[IllegalStateException](Tables.normalizeTs(stringy, "d"))
     assert(e.getMessage.contains("unsupported type"))
+    // the events-specific wrapper refuses DATE loudly — time-of-day is
+    // load-bearing there, and a silent midnight-zeroing would keep the
+    // gate green over degenerate data
+    val datedTs = dated.withColumnRenamed("d", "ts")
+    val e2 = intercept[IllegalStateException](Tables.normalizeEventsTs(datedTs))
+    assert(e2.getMessage.contains("DATE"))
   }
 }
