@@ -420,6 +420,34 @@ object Relational {
              |                      WHERE o2.o_custkey = o.o_custkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin),
     ),
+    // Recursive CTE (Spark 4's WITH RECURSIVE → iterative UnionLoop
+    // execution): ancestor-chain reachability over a deterministic
+    // binary-tree parent edge (key DIV 2), the transitive-closure shape
+    // the DataFrame CC loop (neardup_components) hand-rolls. All-integer
+    // arithmetic; the only dialect split is integer division (Spark
+    // `DIV`, DuckDB `//`).
+    EngineQuery(
+      "sql_recursive_reachability",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        s.sql("""WITH RECURSIVE anc(c_custkey, anc_key, depth) AS (
+                |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer_v
+                |  UNION ALL
+                |  SELECT a.c_custkey, a.anc_key DIV 2, a.depth + 1
+                |  FROM anc a WHERE a.anc_key > 1
+                |)
+                |SELECT c_custkey, max(depth) AS depth, count(*) AS chain_len
+                |FROM anc GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""WITH RECURSIVE anc(c_custkey, anc_key, depth) AS (
+             |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer
+             |  UNION ALL
+             |  SELECT a.c_custkey, a.anc_key // 2, a.depth + 1
+             |  FROM anc a WHERE a.anc_key > 1
+             |)
+             |SELECT c_custkey, max(depth) AS depth, count(*) AS chain_len
+             |FROM anc GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+    ),
     // Array scalar functions over tokenized text: distinct, sort,
     // slice, size — all codegen'd builtins (no UDFs).
     EngineQuery(
