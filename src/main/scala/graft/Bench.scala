@@ -79,6 +79,17 @@ object Bench {
       .filter(q => only.forall(_.contains(q.name)))
       .sortBy(q => expectedSec.getOrElse(q.name, Double.MaxValue))
     val order = headline.map(_.name)
+    // Staleness tripwire: the cheapest-first map is hand-maintained, so
+    // a renamed headline query (or a stale entry) would silently fall to
+    // the back of the order with no signal. Surface both directions in
+    // stderr — the bench still runs, but the drift is visible.
+    val unmapped = headline.filter(q => !expectedSec.contains(q.name)).map(_.name)
+    if (unmapped.nonEmpty)
+      System.err.println(s"[bench] headline queries missing from expectedSec (run last, in registry order): ${unmapped.mkString(", ")}")
+    val registered = Registry.all.map(_.name).toSet
+    val stale = expectedSec.keys.filterNot(registered.contains).toSeq.sorted
+    if (stale.nonEmpty)
+      System.err.println(s"[bench] expectedSec entries matching no registered query (stale): ${stale.mkString(", ")}")
 
     // 4-decimal fixed-point keeps the final JSON line compact (the
     // driver's stdout tail capture is bounded); 0.1 ms resolution is
@@ -123,6 +134,31 @@ object Bench {
       val truncatedJson = if (truncated) ",\"truncated\":true" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$runsJson,"failed":$failed$partialJson$truncatedJson,"sf":"$sfDir"}"""
     }
+    // Artifact-to-file mirror (r10 verdict #1): the driver's bounded
+    // stdout-tail capture clipped the r10 final line mid-object
+    // (BENCH_r10.json parsed:null despite rc=0). Every artifact emit —
+    // baseline snapshot, per-query progressive snapshots, and the final
+    // authoritative line — also lands in ${OutDir.base}/bench_result.json
+    // (overwrite: the file always holds the newest, most complete line),
+    // exactly as the stage-metrics line already does. Write-to-temp +
+    // atomic move so a kill mid-write can never leave a half-line where
+    // the driver expects JSON.
+    def writeArtifactFile(line: String): Unit =
+      try {
+        val out = java.nio.file.Paths.get(graft.OutDir.base, "bench_result.json")
+        java.nio.file.Files.createDirectories(out.getParent)
+        val tmp = out.resolveSibling("bench_result.json.tmp")
+        java.nio.file.Files.writeString(tmp, line + "\n")
+        java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write bench_result.json: ${e.getMessage}")
+      }
+    def emitArtifact(line: String): Unit = {
+      println(line); System.out.flush(); writeArtifactFile(line)
+    }
     val printedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
     val sparkRef = new java.util.concurrent.atomic.AtomicReference[SparkSession](null)
     // Set just before the normal-path emitFinal(): the shutdown hook
@@ -134,15 +170,14 @@ object Bench {
       // our line could push it out of the capture window.
       Option(sparkRef.get).foreach(s =>
         try s.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () })
-      println(artifactLine(partial = false, truncated = !runCompleted.get))
-      System.out.flush()
+      emitArtifact(artifactLine(partial = false, truncated = !runCompleted.get))
     }
     val finalHook = new Thread(new Runnable { def run(): Unit = emitFinal() }, "bench-final-json")
     Runtime.getRuntime.addShutdownHook(finalHook)
     // Baseline snapshot before ANY Spark work — from here on the stdout
     // tail always contains at least one parsable artifact line, even if
     // session startup never returns.
-    println(artifactLine(partial = true)); System.out.flush()
+    emitArtifact(artifactLine(partial = true))
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -150,6 +185,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     sparkRef.set(spark)
@@ -297,8 +333,7 @@ object Bench {
       // kill (even SIGKILL). The driver parses the LAST JSON-looking
       // line, so the newest snapshot (or the final authoritative line
       // below) wins.
-      println(artifactLine(partial = true))
-      System.out.flush()
+      emitArtifact(artifactLine(partial = true))
     }
 
     // ---- opportunistic min-of-N within the remaining deadline ----
@@ -358,7 +393,7 @@ object Bench {
           progressed = true
         }
       }
-      if (progressed) { println(artifactLine(partial = true)); System.out.flush() }
+      if (progressed) emitArtifact(artifactLine(partial = true))
       extraPass += 1
     }
 

@@ -64,6 +64,7 @@ object Main {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", par)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

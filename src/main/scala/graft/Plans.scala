@@ -36,7 +36,7 @@ object Plans {
       "Tumbling-window rollup is a plain partial+final aggregate on (hour, type) — streaming twin shares the same shape with state instead of the final exchange.",
     "asof_event_last_order" ->
       "Point-in-time join as UNION + one window pass: both inputs exchange once on the key, a single sort per partition, `last(ignoreNulls)` carry — no |L|×|R|-per-key nested loop anywhere in the plan.",
-    "asof_orders_prev_order" ->
+    "asof_orders_same_day_max" ->
       "Events-free twin gate (one drifted source table must never empty the family's evidence — the r9 outage): the same UNION+window as-of shape self-applied to orders. No Join operator at all; every hash exchange keys on the as-of key (o_custkey pre-alias on the right's pre-aggregation, user_id on the union'd window input).",
     "range_join_value_bands" ->
       "Range predicate turned into a hash equi-join: the tiny interval side explodes into overlap buckets (`Generate`), the event side maps to one bucket, and the join is `BroadcastHashJoin`/hash — no BroadcastNestedLoopJoin node, which is what a raw `BETWEEN` join plans.",
@@ -122,6 +122,10 @@ object Plans {
       "Budget-bounded best-first selection — shuffleOrder's prefix decomposition generalized to a quality-ordered running TOKEN total. A naive `sum(n_tokens) OVER (ORDER BY score DESC)` is one window partition holding the corpus; here the score quantizes into ≤50 buckets (score is monotone in its bucket, so bucketed order = global order), per-bucket token totals aggregate tiny (the offsets prefix window runs over that ≤50-row relation — the plan's one `Exchange SinglePartition` is driver-sized by construction), offsets broadcast back (`BroadcastHashJoin`), and the corpus-sized cumulative sum is `Window partitionBy(qb)` — all buckets in parallel. The budget cut is a single-row broadcast cross + exact integer comparison `(tt*2) div 5`, so both engines cut at the same row. The quality subexpression is computed twice (once per branch) — two map-only corpus passes, the standard trade against materializing the scored corpus; identical to shuffle_order/pack_sequences_scalable's offsets shape.",
     "bpe_pair_counts" ->
       "BPE candidate table: ONE corpus-linear pass (word explode → partial+final count on the word — the plan's first hash exchange), then everything downstream is VOCABULARY-scale: the adjacent-pair `Generate` consumes the aggregated (w, c) relation, and the pair-count aggregation (second hash exchange) shuffles distinct-pair rows weighted by word counts — the occurrences-to-weights trick (`CountMin.sketchWeighted` precedent), so a 100 TB corpus pays its vocabulary, not its token stream, for every BPE statistic. `bpe_learn_merges` iterates exactly this plan over the evolving symbol table (localCheckpoint per step, previous step's blocks released, ONE argmax row to the driver per merge — the Lloyd-loop discipline), so its per-iteration plan is this one and its final frame is a driver-local ≤numMerges-row relation, which is why the dump audits the pair-count plan rather than the loop's LocalTableScan.",
+    "neardup_cc_step" ->
+      "The connected-components loop's per-iteration plan, standalone (the loop's own returned frame is a post-loop checkpoint scan — the kmeans_step discipline): neighbor labels arrive via a hash EQUI-join on the edge endpoint (never a nested-loop product), merge with the self-carry union, and collapse in a node-keyed partial+final min aggregate — per iteration the wire carries one |edges|-keyed join plus |nodes| label rows, nothing quadratic. In the real loop the label side is a localCheckpoint scan (blocks released per generation — `Checkpoints.localEager`), convergence reads off the same aggregate via the carried `old` column (no extra comparison join), and iterations-to-convergence is pinned: quasi-cliques (the dedup shape) converge in 1 confirming pass, chains in diameter hops (`ConnectedComponentsSpec`), with the probe artifact recording the count at probe scale (`cc_iterations`).",
+    "curated_corpus" ->
+      "The composed curation pipeline — quality gate ∧ near-dup keep-set ∧ split — and the most expensive headline. Composition is by LEFT SEMI id-set intersection: the documents fact stream is FILTERED, never widened (no column from either gate survives the join), and the dedup keep-set attaches as a LeftAnti against the drop list. By dump time the MinHash→LSH→CC sub-pipeline already ran (driver-orchestrated loop), so its leaf here is the one materialized localCheckpoint label table — train-once/scan-many (the SemDedup-assignments discipline); the band-join + per-band cap that bound its candidate generation are audited live in `minhash_lsh_pairs` (ReusedExchange) and the per-iteration shape in `neardup_cc_step`. The final per-(lang, split) rollup is one partial+final aggregate. Each composed stage scans documents once; the stages meet only on doc_id sets.",
     "bpe_tokenize_stats" ->
       "The tokenizer's APPLICATION half — the step that pays the corpus. By dump time the 8-iteration learner already ran (driver-orchestrated, vocabulary-scale), so the plan's trained-vocabulary leaf is a localCheckpoint `Scan ExistingRDD` (the SemDedup-assignments discipline: train once, consumers scan the materialization); each vocabulary row projects to (word = concat of symbols, n_sym = symbol count) — no second merge replay — and the corpus word stream equi-joins it BY WORD (AQE broadcasts the vocab at gate scale; hash-partitions on the word when a 100 TB corpus's vocabulary outgrows the driver), with the per-doc rollup one doc_id-keyed partial+final aggregate.",
   )
@@ -133,6 +137,7 @@ object Plans {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

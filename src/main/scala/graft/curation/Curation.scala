@@ -643,6 +643,7 @@ object Curation {
              |FROM documents d JOIN t USING (lang)
              |WHERE d.n_chars >= t.thr
              |ORDER BY d.doc_id""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "sample_weighted_priority",
@@ -661,6 +662,7 @@ object Curation {
              |  FROM p)
              |SELECT doc_id, lang, n_chars, rk FROM r WHERE rk <= 50
              |ORDER BY lang, rk""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "split_assign",

@@ -168,6 +168,42 @@ object Dedup {
     * long-job setting, where losing iteration N-1 to one executor
     * failure would otherwise replay the whole loop.
     */
+  /** Iterations the most recent [[connectedComponents]] call took to
+    * converge (the count INCLUDING the confirming pass; the min-label
+    * seeding means a quasi-clique graph converges at 1). Diagnostics
+    * only — ScaleProbe records it in the probe artifact so a probe-scale
+    * graph quietly approaching maxIter is visible before it becomes a
+    * loud convergence failure, and ConnectedComponentsSpec pins the
+    * expected counts on known shapes. Volatile, last-call-wins: the
+    * probe reads it right after the query it timed, single-threaded.
+    */
+  @volatile var lastCcIterations: Int = -1
+
+  /** ONE label-propagation step as a declarative relation — the plan
+    * shape the [[connectedComponents]] loop re-executes every
+    * iteration (with the seeding labels standing in for the loop's
+    * checkpointed previous generation): neighbor labels arrive via an
+    * equi-join on the edge endpoint, merge with the self-carry by
+    * union, and collapse with a node-keyed min aggregate. This exists
+    * because the loop itself cannot be plan-audited — its returned
+    * frame is a post-loop checkpoint scan — so the per-iteration
+    * join+aggregate shape gets its own gate query (`neardup_cc_step`)
+    * and PLANS.md section, like `kmeans_step` does for the Lloyd loop.
+    */
+  def ccPropagationStep(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val und = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val seed = und.groupBy(col("a"))
+      .agg(min(col("b")).as("__mn"))
+      .select(col("a").as("node"), least(col("a"), col("__mn")).as("component"))
+    val neigh = und
+      .join(seed.withColumnRenamed("node", "b_node"), und("b") === col("b_node"))
+      .select(col("a").as("node"), col("component"))
+    seed.select("node", "component").union(neigh)
+      .groupBy("node").agg(min("component").as("component"))
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
   def connectedComponents(
       pairs: DataFrame, maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
     def checkpointed(df: DataFrame): (DataFrame, () => Unit) =
@@ -216,6 +252,7 @@ object Dedup {
     // the wrong docs with no signal). Near-dup clusters are quasi-cliques
     // with tiny diameter, so hitting maxIter means the input isn't the
     // expected shape — fail loudly rather than return silently-bad data.
+    lastCcIterations = i
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter iterations; " +
@@ -775,6 +812,26 @@ object Dedup {
            |SELECT a AS doc_id, least(a, min(b)) AS component
            |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
       headline = true,
+    ),
+    // The CC loop's per-iteration join+aggregate, standalone (see
+    // ccPropagationStep doc): one propagation step over the seeded
+    // labels, oracle-checked non-recursively.
+    EngineQuery(
+      "neardup_cc_step",
+      (s, dir) =>
+        ccPropagationStep(minhashCandidatePairs(Tables.documents(s, dir)))
+          .orderBy("doc_id"),
+      Some(
+        s"""WITH sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |pairs AS ($duckPairs),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |seed AS (SELECT a AS node, least(a, min(b)) AS component FROM und GROUP BY a),
+           |prop AS (SELECT node, component FROM seed
+           |         UNION ALL
+           |         SELECT u.a AS node, s.component FROM und u JOIN seed s ON u.b = s.node)
+           |SELECT node AS doc_id, min(component) AS component
+           |FROM prop GROUP BY node ORDER BY doc_id""".stripMargin),
     ),
     // The applied dedup: corpus minus non-representative members.
     EngineQuery(

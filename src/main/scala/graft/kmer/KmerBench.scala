@@ -31,6 +31,7 @@ object KmerBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.shuffle.sort.bypassMergeThreshold", bypass)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

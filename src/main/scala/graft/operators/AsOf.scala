@@ -121,11 +121,15 @@ object AsOf {
     // Events-free twin (r9 verdict item 8): the same operator gated on
     // orders alone, so one drifted source table can never again empty
     // the as-of family's correctness evidence (the r9 outage). Each
-    // order is enriched with the customer's latest same-or-earlier-day
-    // order key (a self as-of: at-tie the day's max order key wins,
-    // matching the right side's pre-aggregation discipline).
+    // order is enriched with the customer's same-or-earlier-day MAX
+    // order key — an INCLUSIVE self as-of, so at the tie timestamp the
+    // payload is the probe's own day's max key (possibly the probe
+    // order itself or a later-keyed same-day order), matching DuckDB's
+    // inclusive ASOF and the right side's pre-aggregation discipline.
+    // Named for what it computes; a strict previous-order semantic
+    // would need a strict (>) time bound or a day-shifted right side.
     EngineQuery(
-      "asof_orders_prev_order",
+      "asof_orders_same_day_max",
       (s, dir) => {
         val l = Tables.orders(s, dir)
           .select(

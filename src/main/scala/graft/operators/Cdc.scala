@@ -156,7 +156,7 @@ object Cdc {
     // Conf before the raw schema read: a TIMESTAMP(NANOS)-vintage
     // orders file is unreadable without it in a fresh session (the
     // Tables.table reads set it, but this query may run first).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.ensureLegacyParquetConf(spark)
     val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
     val base = Tables.orders(spark, sfDir)
     val outDir =
@@ -243,6 +243,7 @@ object Cdc {
              |SELECT status, count(*) AS cnt, CAST(sum(price) AS DOUBLE) AS sum_price
              |FROM m GROUP BY status HAVING count(*) > 0
              |ORDER BY status""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "cdc_scd2_history",

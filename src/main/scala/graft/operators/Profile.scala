@@ -69,6 +69,28 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** The catalog half of ANALYZE (the [[profile]] relation is the
+    * observable half): register `name` as a catalog parquet table over
+    * `sfDir` and compute table + column statistics, so Catalyst's CBO
+    * (`spark.sql.cbo.enabled`) can estimate filter selectivity and
+    * join build sides from ndv/min/max instead of raw file size. The
+    * engine's gate queries read paths (no catalog), so they plan on
+    * AQE's runtime re-estimation; this is the write-side workflow a
+    * persistent deployment runs after ingest — ANALYZE once, every
+    * subsequent query's compile-time join order/build-side improves.
+    * `StatsPlanningSpec` pins a join whose broadcast decision flips
+    * exactly when these stats are present.
+    */
+  def analyzeTable(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String, name: String): String = {
+    Tables.ensureLegacyParquetConf(spark)
+    val cat = s"graft_stats_$name"
+    spark.sql(s"DROP TABLE IF EXISTS $cat")
+    spark.sql(s"CREATE TABLE $cat USING parquet LOCATION '$sfDir/$name.parquet'")
+    spark.sql(s"ANALYZE TABLE $cat COMPUTE STATISTICS FOR ALL COLUMNS")
+    cat
+  }
+
   /** DuckDB mirror: one UNION ALL branch per column (the oracle can
     * afford per-column scans at verification scale). */
   private def duckProfile(table: String, cols: Seq[(String, String)]): String =

@@ -447,6 +447,7 @@ object Relational {
              |)
              |SELECT c_custkey, max(depth) AS depth, count(*) AS chain_len
              |FROM anc GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      headline = true,
     ),
     // Array scalar functions over tokenized text: distinct, sort,
     // slice, size — all codegen'd builtins (no UDFs).

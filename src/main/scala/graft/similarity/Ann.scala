@@ -385,6 +385,7 @@ object Ann {
              |  CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(q*q) AS BIGINT) AS sum_q2,
              |  min(q) AS min_q, max(q) AS max_q
              |FROM e GROUP BY dim ORDER BY dim""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "ann_brute_topk",

@@ -58,7 +58,7 @@ object EventAnalytics {
     // be INT64 nanos or a plain timestamp depending on harness data vintage
     // — Tables.events doc), so Tables.normalizeEventsTs is re-applied
     // inside the streaming path; it branches on the schema it was handed.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.ensureLegacyParquetConf(spark)
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema)
@@ -86,7 +86,7 @@ object EventAnalytics {
     * drained for the finite gate corpus.
     */
   def runStreamingEnrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.ensureLegacyParquetConf(spark)
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream
       .schema(rawSchema)
@@ -118,7 +118,7 @@ object EventAnalytics {
     * landed files and aggregates, proving the full ingest loop.
     */
   def runForeachBatchIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.ensureLegacyParquetConf(spark)
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val outDir = s"${graft.OutDir.base}/graft_stream_ingest/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
@@ -146,7 +146,7 @@ object EventAnalytics {
     * finite gate corpus.
     */
   def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.ensureLegacyParquetConf(spark)
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def src = spark.readStream
       .schema(rawSchema)
@@ -181,7 +181,7 @@ object EventAnalytics {
     * stream-stream joins support.
     */
   def runStreamingIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.ensureLegacyParquetConf(spark)
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def src = Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema)
@@ -219,7 +219,7 @@ object EventAnalytics {
     * in one streaming query.
     */
   def runStreamingDedupWatermarked(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.ensureLegacyParquetConf(spark)
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def src = Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema)

@@ -24,6 +24,20 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
     val lab = labels(chain, maxIter = 20)
     lab.keySet shouldBe (0L to 12L).toSet
     lab.values.toSet shouldBe Set(0L)
+    // Iteration-count pin (r10 verdict #4): the seeding pass IS
+    // iteration 1's labels, so label 0 needs diameter−1 = 11 further
+    // hops to reach node 12, plus the confirming pass = 12. A count
+    // drifting above diameter would mean the propagation rate
+    // regressed (e.g. the seeding or the union'd self-carry broke).
+    Dedup.lastCcIterations shouldBe 12
+  }
+
+  test("quasi-clique (the dedup pipeline's shape) converges in one confirming pass") {
+    // Triangle: seeding labels every node with the component min, so
+    // the loop's first pass only confirms the fixed point.
+    val lab = labels(Seq((1L, 2L), (1L, 3L), (2L, 3L)), maxIter = 20)
+    lab.values.toSet shouldBe Set(1L)
+    Dedup.lastCcIterations shouldBe 1
   }
 
   test("chain graph: diameter beyond maxIter fails loudly, not silently") {

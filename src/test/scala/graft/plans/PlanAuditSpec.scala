@@ -2,7 +2,7 @@ package graft.plans
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
-import graft.{Registry, TestSpark}
+import graft.{Registry, Tables, TestSpark}
 
 /** CI teeth for the PLANS.md audit claims: the load-bearing plan
   * properties are asserted on every test run, not just eyeballed in the
@@ -36,17 +36,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     val p = plan("sql_q4_late_shipment")
     p should include("LeftSemi")
     // The pushdown pin only holds for timestamp-encoded o_orderdate
-    // (Spark unwraps the NTZ cast). Under the also-allowed
-    // TIMESTAMP(NANOS) vintage, normalizeTs rebuilds the column
-    // arithmetically and the filter legitimately sits above a Project —
-    // correct, just not scan-pushed — so don't fail the build on an
-    // encoding SchemaGuard accepts.
-    import org.apache.spark.sql.types.LongType
+    // (Spark unwraps the NTZ cast). Under the other encodings
+    // SchemaGuard also accepts — TIMESTAMP(NANOS)-as-long (normalizeTs
+    // rebuilds the column arithmetically) and DATE (the TIMESTAMP
+    // literal can't push below the implicit cast) — the filter
+    // legitimately sits above a Project: correct, just not scan-pushed.
+    // Gate on the vintages where the pin HOLDS, not on != LongType,
+    // so an allowed DATE regeneration doesn't fail the build.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val rawOrderdate = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.ensureLegacyParquetConf(spark)
       spark.read.parquet(s"$sfDir/orders.parquet").schema("o_orderdate").dataType
     }
-    if (rawOrderdate != LongType)
+    if (rawOrderdate == TimestampType || rawOrderdate == TimestampNTZType)
       p should include regex "PushedFilters: \\[.*GreaterThanOrEqual\\(o_orderdate"
   }
 
@@ -95,7 +97,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
   }
 
   test("orders self as-of: one hash exchange on the key, one window pass") {
-    val p = plan("asof_orders_prev_order")
+    val p = plan("asof_orders_same_day_max")
     // the union'd stream partitions once on user_id for the window
     // carry; no join operator appears at all (the as-of is a window).
     // Every hash exchange keys on the as-of key — which surfaces as
@@ -104,6 +106,34 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "Join"
     "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
       .map(_.group(1)).toSet should (be(Set("user_id")) or be(Set("user_id", "o_custkey")))
+  }
+
+  test("CC per-iteration plan: neighbor propagation is a hash equi-join + node-keyed min aggregate") {
+    val p = plan("neardup_cc_step")
+    // the loop body's shape (kmeans_step discipline — the loop itself
+    // returns a checkpoint scan): labels travel via an equi-join on
+    // the edge endpoint, never a nested-loop product, and collapse in
+    // a partial+final min aggregate keyed on the node
+    p should (include("SortMergeJoin") or include("ShuffledHashJoin") or include("BroadcastHashJoin"))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("partial_min")
+  }
+
+  test("curated corpus: composition filters the fact stream, never widens it") {
+    val p = plan("curated_corpus")
+    // quality gate and dedup keep-set attach as id-set semi/anti joins;
+    // nothing in the composed plan is a product (plan() executes the
+    // CC loop first, so this audits the REAL post-training frame whose
+    // dedup leaf is the materialized label checkpoint)
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the dedup keep-set enters from the one materialized CC result,
+    // not a re-run of the MinHash pipeline: no Generate (shingling)
+    // survives into the composed plan
+    p should not include "Generate"
   }
 
   test("broadcast revenue join never shuffles the fact table") {
