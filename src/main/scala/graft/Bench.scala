@@ -74,7 +74,11 @@ object Bench {
       "line_dedup_corpus" -> 2.00, "substring_dup_stats" -> 2.56,
       "semdedup_prune" -> 2.66, "neardup_components" -> 2.77,
       "skew_join_hot_key" -> 2.81, "bloom_semi_join_pruned" -> 3.15,
-      "curated_corpus" -> 3.77)
+      "curated_corpus" -> 3.77,
+      // r11 headline promotions, min-of-5 from the r11 builder run
+      "sample_weighted_priority" -> 0.24, "embedding_dim_stats" -> 0.30,
+      "lang_adaptive_cut" -> 0.38, "cdc_agg_maintain" -> 0.52,
+      "sql_recursive_reachability" -> 1.44)
     val headline = Registry.all.filter(_.headline)
       .filter(q => only.forall(_.contains(q.name)))
       .sortBy(q => expectedSec.getOrElse(q.name, Double.MaxValue))

@@ -118,42 +118,133 @@ object Bpe {
     merges.toDF("step", "a", "b", "cnt")
   }
 
+  /** Adjacent-symbol triples as (x, a, b) structs; callers guard
+    * `size >= 3`. Triple counts bound the adjacency count any pair
+    * NEWLY CREATED by merging (a, b) can have — see the batching proof
+    * in [[learn]].
+    */
+  private def adjacentTriples(syms: Column): Column =
+    transform(
+      sequence(lit(0), size(syms) - 3),
+      i =>
+        struct(
+          element_at(syms, i + 1).as("x"),
+          element_at(syms, i + 2).as("a"),
+          element_at(syms, i + 3).as("b")))
+
+  /** Rounds (Spark jobs over the vocabulary) the most recent [[learn]]
+    * took — diagnostics for `BpeSpec`'s batching assertion; with
+    * batching a round can land several merges, so rounds < merges.
+    */
+  @volatile var lastLearnRounds: Int = -1
+
   /** The shared learner loop: (merges, final vocabulary as (syms, c)
     * checkpointed — still PINNED; the release handle is the caller's,
     * the `SemDedup.assignments` discipline). Intermediate iterations'
     * checkpoint blocks are freed as the loop advances.
+    *
+    * r11: each round can land SEVERAL merges per vocabulary job
+    * (fewer driver round-trips and checkpoints for the same merge
+    * table) while remaining bit-identical to the one-merge-per-round
+    * sequential learner. The batch is the maximal RANK-PREFIX of the
+    * (cnt DESC, a, b)-ordered candidate list such that, for each
+    * accepted pair p_m after the first:
+    *  - p_m shares no symbol with any earlier accepted pair, and its
+    *    symbols don't collide with an earlier pair's concatenated new
+    *    symbol (disjointness ⇒ earlier merges can neither destroy nor
+    *    create p_m adjacencies, so cnt_m is still exact at its turn);
+    *  - cnt_m is STRICTLY greater than every earlier accepted pair's
+    *    new-pair bound, where bound(p) = max adjacency count over the
+    *    triples (x,a,b)/(a,b,y) — any pair created by merging p=(a,b)
+    *    occurs only where such a triple occurred, so its count is ≤
+    *    that bound and can neither outrank nor tie-beat p_m.
+    * Under those two rules the sequential learner provably selects
+    * exactly p_1..p_j in order, so the batched merge table (steps,
+    * pairs, counts) is identical — `BpeSpec` differentially asserts
+    * this against maxBatch=1, and the unrolled DuckDB oracle
+    * hash-checks it end-to-end.
     */
   private def learn(
       docs: DataFrame,
-      numMerges: Int): (Seq[(Long, String, String, Long)], DataFrame, () => Unit) = {
+      numMerges: Int,
+      maxBatch: Int = 16): (Seq[(Long, String, String, Long)], DataFrame, () => Unit) = {
     var (vocab, freePrev) = Checkpoints.localEager(
       wordCounts(docs).select(split(col("w"), "").as("syms"), col("c")))
     val merges = ListBuffer.empty[(Long, String, String, Long)]
     var step = 1
+    var rounds = 0
     var done = false
     while (step <= numMerges && !done) {
-      val top = vocab
+      val pairs = vocab
         .where(size(col("syms")) >= 2)
         .select(explode(adjacentPairs(col("syms"))).as("pr"), col("c"))
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum(col("c")).as("cnt"))
+      // The two context bounds ride the same job: (x,a,b) triple counts
+      // keyed once by the trailing pair (bound for new pairs (x, ab))
+      // and once by the leading pair (bound for (ab, y) — including
+      // the (ab, ab) self-chain, whose occurrences contain an (a,b,a)
+      // triple, and the cross-batch (a1b1, a2b2), which contains
+      // (a1,b1,a2)).
+      val triples = vocab
+        .where(size(col("syms")) >= 3)
+        .select(explode(adjacentTriples(col("syms"))).as("tr"), col("c"))
+        .groupBy(col("tr.x").as("x"), col("tr.a").as("a"), col("tr.b").as("b"))
+        .agg(sum(col("c")).as("tc"))
+      val beforeBound = triples.groupBy(col("a"), col("b")).agg(max(col("tc")).as("nb"))
+      val afterBound = triples.groupBy(col("x").as("a"), col("a").as("b")).agg(max(col("tc")).as("na"))
+      val top = pairs
+        .join(beforeBound, Seq("a", "b"), "left_outer")
+        .join(afterBound, Seq("a", "b"), "left_outer")
+        .select(
+          col("a"), col("b"), col("cnt"),
+          greatest(coalesce(col("nb"), lit(0L)), coalesce(col("na"), lit(0L))).as("bound"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(maxBatch.max(1))
         .collect()
+      rounds += 1
       if (top.isEmpty) done = true
       else {
-        val (a, b, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step.toLong, a, b, cnt))
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = ListBuffer.empty[(String, String, Long)]
+        var maxNewBound = -1L
+        var stop = false
+        for (r <- top if !stop) {
+          val (a, b, cnt, bound) =
+            (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+          val disjoint = !used(a) && !used(b)
+          val safe = batch.isEmpty || cnt > maxNewBound
+          if (disjoint && safe && step - 1 + batch.size < numMerges) {
+            batch += ((a, b, cnt))
+            used += a; used += b; used += (a + b)
+            maxNewBound = math.max(maxNewBound, bound)
+          } else stop = true // prefix rule: ranks must stay consecutive
+        }
+        batch.foreach { case (a, b, cnt) =>
+          merges += ((step.toLong, a, b, cnt)); step += 1
+        }
+        val mergedSyms = batch.foldLeft(col("syms")) {
+          case (c0, (a, b, _)) => applyMerge(c0, a, b)
+        }
         val (next, freeNext) = Checkpoints.localEager(
-          vocab.select(applyMerge(col("syms"), a, b).as("syms"), col("c")))
+          vocab.select(mergedSyms.as("syms"), col("c")))
         freePrev()
         freePrev = freeNext
         vocab = next
-        step += 1
       }
     }
+    lastLearnRounds = rounds
     (merges.toList, vocab, freePrev)
+  }
+
+  /** The one-merge-per-round learner — [[learn]] with batching off;
+    * `BpeSpec` uses it as the differential reference.
+    */
+  private[text] def learnSequential(
+      docs: DataFrame, numMerges: Int): Seq[(Long, String, String, Long)] = {
+    val (merges, _, free) = learn(docs, numMerges, maxBatch = 1)
+    free()
+    merges
   }
 
   /** Tokenize the corpus with the learned merges: (doc_id,

@@ -237,6 +237,55 @@ object QualityFilters {
       .drop("__toks")
   }
 
+  /** Synthetic PARAGRAPH reshape — the paragraph rung of the dedup
+    * granularity ladder (doc / paragraph / line / substring; Lee et
+    * al.'s dedup-granularity discussion). The harness documents are
+    * flat token streams, so paragraphs are built deterministically:
+    * 24-token slices joined by blank lines, with two boilerplate
+    * paragraphs injected on fixed doc_id cohorts — a license header
+    * on every 7th doc and a lorem-ipsum footer on every 31st — so
+    * cross-document paragraph dedup has a real signal to find.
+    * Mirrored exactly in [[duckSyntheticParaDocs]].
+    */
+  private val LicensePara =
+    "this corpus is released under the synthetic license terms apply to all mirrored copies"
+  private val LoremPara =
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+
+  def withSyntheticParagraphs(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val mkParas = transform(
+      sequence(lit(1), greatest(ceil(size(col("__toks")) / lit(24.0)).cast("int"), lit(1))),
+      p => concat_ws(" ", slice(col("__toks"), (p - 1) * 24 + 1, lit(24))))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("text",
+        concat(
+          when(col("doc_id") % 7 === 0, lit(LicensePara + "\n\n")).otherwise(lit("")),
+          array_join(mkParas, "\n\n"),
+          when(col("doc_id") % 31 === 0, lit("\n\n" + LoremPara)).otherwise(lit(""))))
+      .drop("__toks")
+  }
+
+  /** [[withSyntheticParagraphs]] mirrored in DuckDB — CTE chain ending
+    * in `doc(doc_id, text)`, the paragraph twin of [[duckSyntheticDocs]].
+    */
+  private[text] val duckSyntheticParaDocs =
+    s"""t AS (SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |       ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      |  FROM documents),
+      |built AS (SELECT doc_id,
+      |  list_transform(
+      |    generate_series(1, greatest(CAST(ceil(length(toks) / 24.0) AS INT), 1)),
+      |    p -> array_to_string(toks[CAST((p - 1) * 24 + 1 AS INT):CAST(p * 24 AS INT)], ' ')) AS paras0
+      |  FROM t),
+      |doc AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN '$LicensePara' || chr(10) || chr(10) ELSE '' END
+      |  || array_to_string(paras0, chr(10) || chr(10))
+      |  || CASE WHEN doc_id % 31 = 0 THEN chr(10) || chr(10) || '$LoremPara' ELSE '' END AS text
+      |  FROM built)""".stripMargin
+
   // --------------------------------------------------------------- oracles
 
   private def duckStopList = GopherStopwords.map(w => s"'$w'").mkString(", ")

@@ -110,6 +110,47 @@ class BpeSpec extends AnyFunSuite with Matchers {
     got shouldBe referenceBpe(texts, 6)
   }
 
+  test("batched learner: bit-identical merge table on the gate corpus") {
+    // the r11 batching rule (rank-prefix, symbol-disjoint, count
+    // strictly above every earlier pair's triple bound) must never
+    // change a single (step, a, b, cnt) row vs the one-merge-per-round
+    // learner (measured: 8 merges in 4 rounds on this corpus — but the
+    // round count is corpus-dependent, so engagement is pinned on the
+    // constructed corpus below, not asserted here)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batched = Bpe.bpeLearnMerges(docs).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val sequential = Bpe.learnSequential(docs, Bpe.DefaultMerges)
+    Bpe.lastLearnRounds shouldBe Bpe.DefaultMerges // sequential: 1 merge per round
+    batched shouldBe sequential
+  }
+
+  test("batched learner: disjoint-margin pairs land in ONE round") {
+    // three disjoint pairs, strictly separated counts, 2-char words so
+    // no triples exist (every new-pair bound is 0): the batch rule
+    // must accept all three in the first round
+    val texts = (Seq.fill(100)("ab") ++ Seq.fill(90)("cd") ++ Seq.fill(80)("ef"))
+      .mkString(" ")
+    val df = Seq((1L, texts)).toDF("doc_id", "text")
+    val got = Bpe.bpeLearnMerges(df, 3).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    got shouldBe Seq((1L, "a", "b", 100L), (2L, "c", "d", 90L), (3L, "e", "f", 80L))
+    Bpe.lastLearnRounds shouldBe 1
+  }
+
+  test("batched learner: a shared symbol or an unsafe margin ends the batch") {
+    // (a,b) count 100 and (b,c) count 90 share symbol b → (b,c) cannot
+    // ride the same round; word 'abc' also creates triples so bounds
+    // are non-zero — the sequential semantics must be preserved exactly
+    val texts = (Seq.fill(50)("abc") ++ Seq.fill(50)("ab") ++ Seq.fill(40)("bc"))
+      .mkString(" ")
+    val df = Seq((1L, texts)).toDF("doc_id", "text")
+    val got = Bpe.bpeLearnMerges(df, 2).orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    got shouldBe referenceBpe(Seq(texts), 2)
+    Bpe.lastLearnRounds shouldBe 2
+  }
+
   test("tokenize stats: per-doc BPE token counts match the reference tokenizer") {
     val texts = Seq("abab abab cd", "ab ab ab", "x", "  ")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
