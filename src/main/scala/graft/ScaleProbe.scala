@@ -3,11 +3,16 @@ package graft
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scale probe — the stand-in for the missing sf1 dataset (the
-  * driver serves only sf0.001/0.01/0.1 and the test-data tree is
-  * read-only). Materializes a synthetic ~sf1 directory under /tmp ONCE:
+/** N× scale probe (default 10×; `SPARK_GRAFT_PROBE_COPIES` raises it —
+  * r10 verdict #3: at 10× the 32 cores are under-filled at sf0.1 and
+  * sub-linear wall-clock can mask super-linear WORK, so the
+  * superlinearity-prone families get a 30× run, or a constrained-core
+  * one via `SPARK_GRAFT_CPUS`) — the stand-in for the missing sf1
+  * dataset (the driver serves only sf0.001/0.01/0.1 and the test-data
+  * tree is read-only). Materializes a synthetic scaled directory under
+  * /tmp ONCE per factor:
   *
-  *  - `documents`: 10 copies of the sf0.1 corpus, each copy's text
+  *  - `documents`: N copies of the sf0.1 corpus, each copy's text
   *    ROTATED by a copy-specific offset (cheap codegen, preserves
   *    length/alphabet, shifts every shingle) so copies are not trivial
   *    exact dups and the dedup family sees a realistic mostly-distinct
