@@ -67,6 +67,38 @@ object Curation {
       md5Bucket(col("doc_id"), 100).as("bucket"))
       .withColumn("split", splitCol(col("bucket")))
 
+  /** Per-source corpus accounting — the crawl-curation rollup that
+    * drives domain-level decisions (blocklists, per-host caps, source
+    * mixture weights; the RefinedWeb/C4 URL-filtering stage with the
+    * harness's `source` column standing in for the host). One
+    * partial+final aggregate keyed by source; every measure is exact
+    * integer arithmetic.
+    */
+  def sourceRollup(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("n_chars")).as("max_chars"))
+
+  /** Per-source dominance cap: keep at most `cap` documents per source,
+    * chosen by a deterministic md5 priority (seeded, so reruns and
+    * repartitioning pick the identical subset) — the per-host cap every
+    * crawl pipeline applies so one mirror/forum dump can't dominate the
+    * corpus. The rank cut runs as WindowGroupLimit below the window
+    * sort: each partition retains ≤ cap candidates per source and no
+    * source group ever materializes whole.
+    */
+  def sourceCapSample(docs: DataFrame, cap: Int, seed: String): DataFrame =
+    docs
+      .withColumn("__pri", md5(concat(lit(seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("source").orderBy(col("__pri"), col("doc_id"))))
+      .where(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+
   /** Per-stratum deterministic sampling: keep a doc iff its hash bucket
     * (per-mille) falls under its stratum's rate. Rates are a plain
     * column expression, so the plan is filter+project — no shuffle, no
@@ -663,6 +695,30 @@ object Curation {
              |SELECT doc_id, lang, n_chars, rk FROM r WHERE rk <= 50
              |ORDER BY lang, rk""".stripMargin),
       headline = true,
+    ),
+    EngineQuery(
+      "source_rollup",
+      (s, dir) => sourceRollup(Tables.documents(s, dir)).orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  count(DISTINCT lang) AS n_langs,
+             |  min(doc_id) AS min_doc_id,
+             |  max(n_chars) AS max_chars
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+    ),
+    EngineQuery(
+      "source_cap_sample",
+      (s, dir) =>
+        sourceCapSample(Tables.documents(s, dir), cap = 10, seed = "scs1")
+          .orderBy("source", "rk"),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (
+             |      PARTITION BY source
+             |      ORDER BY md5('scs1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT doc_id, source, rk FROM r WHERE rk <= 10
+             |ORDER BY source, rk""".stripMargin),
     ),
     EngineQuery(
       "split_assign",

@@ -154,6 +154,36 @@ object Dedup {
         max(col("m")).as("max_members"),
         sum(when(col("m") > maxBandSize, 1L).otherwise(0L)).cast("long").as("capped_bands"))
 
+  /** LSH quality observability, one level deeper than
+    * [[minhashBandStats]]: exact Jaccard over the CANDIDATE pairs the
+    * banding emits, rolled up as a decile histogram (bucket =
+    * ⌊10·J⌋ in exact integer arithmetic, so both engines bucket
+    * identically). This is the precision face of the
+    * probabilistic/exact trade — how many banding candidates are true
+    * near-dups vs band-collision noise — and the calibration input for
+    * choosing bands×rows against a target Jaccard threshold. Cost is
+    * CANDIDATE-bounded: the shingle-intersection join fans out only
+    * pairs that already survived the capped banding, so the quadratic
+    * mass is the output clique mass, never corpus².
+    */
+  def minhashCandidatePrecision(docs: DataFrame): DataFrame = {
+    val pairs = minhashCandidatePairs(docs)
+    val sh = docShingles(docs, ShingleK).select(col("doc_id"), col("shingle")).distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("bucket", expr("(10 * inter) div (sz_a + sz_b - inter)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("inter")).as("sum_inter"))
+  }
+
   /** Connected components over candidate near-dup pairs — the clustering
     * step that turns pairwise LSH hits into dedup groups (keep one doc
     * per component). Iterative min-label propagation: each step is one
@@ -792,6 +822,33 @@ object Dedup {
            |SELECT CAST(band_idx AS BIGINT) AS band_idx, count(*) AS n_band_vals, max(m) AS max_members,
            |  CAST(sum(CASE WHEN m > $DefaultMaxBandSize THEN 1 ELSE 0 END) AS BIGINT) AS capped_bands
            |FROM m GROUP BY band_idx ORDER BY band_idx""".stripMargin),
+    ),
+    // The precision face of the banding trade: exact Jaccard decile
+    // histogram over the emitted candidates (see
+    // minhashCandidatePrecision).
+    EngineQuery(
+      "minhash_candidate_precision",
+      (s, dir) =>
+        minhashCandidatePrecision(Tables.documents(s, dir)).orderBy("bucket"),
+      Some(
+        s"""WITH sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |pairs AS ($duckPairs),
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM (${duckShingles(ShingleK)})),
+           |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+           |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+           |  FROM pairs p
+           |  JOIN sh a ON a.doc_id = p.doc_a
+           |  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+           |  GROUP BY p.doc_a, p.doc_b),
+           |j AS (SELECT p.doc_a, p.doc_b, coalesce(i.inter, 0) AS inter, sa.sz AS sz_a, sb.sz AS sz_b
+           |  FROM pairs p
+           |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+           |  JOIN sz sa ON sa.doc_id = p.doc_a
+           |  JOIN sz sb ON sb.doc_id = p.doc_b)
+           |SELECT (10 * inter) // (sz_a + sz_b - inter) AS bucket,
+           |  count(*) AS n_pairs, CAST(sum(inter) AS BIGINT) AS sum_inter
+           |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin),
     ),
     // Clustering the LSH pairs into dedup groups; oracle computes the
     // same components via a recursive transitive-closure CTE.

@@ -136,6 +136,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "Generate"
   }
 
+  test("source cap sample: rank cut is WindowGroupLimit, source leads the window exchange") {
+    val p = plan("source_cap_sample")
+    p should include("WindowGroupLimit")
+    p should not include "CartesianProduct"
+  }
+
+  test("minhash candidate precision: exact Jaccard joins are candidate-bounded equi-joins") {
+    val p = plan("minhash_candidate_precision")
+    // the shingle-intersection join keys on (doc, shingle) — hash
+    // equi-joins only; the quadratic mass is the surviving candidate
+    // set, never corpus x corpus
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("broadcast revenue join never shuffles the fact table") {
     val p = plan("join_broadcast_revenue")
     p should include("BroadcastHashJoin")
