@@ -122,6 +122,16 @@ object Plans {
       "Budget-bounded best-first selection — shuffleOrder's prefix decomposition generalized to a quality-ordered running TOKEN total. A naive `sum(n_tokens) OVER (ORDER BY score DESC)` is one window partition holding the corpus; here the score quantizes into ≤50 buckets (score is monotone in its bucket, so bucketed order = global order), per-bucket token totals aggregate tiny (the offsets prefix window runs over that ≤50-row relation — the plan's one `Exchange SinglePartition` is driver-sized by construction), offsets broadcast back (`BroadcastHashJoin`), and the corpus-sized cumulative sum is `Window partitionBy(qb)` — all buckets in parallel. The budget cut is a single-row broadcast cross + exact integer comparison `(tt*2) div 5`, so both engines cut at the same row. The quality subexpression is computed twice (once per branch) — two map-only corpus passes, the standard trade against materializing the scored corpus; identical to shuffle_order/pack_sequences_scalable's offsets shape.",
     "bpe_pair_counts" ->
       "BPE candidate table: ONE corpus-linear pass (word explode → partial+final count on the word — the plan's first hash exchange), then everything downstream is VOCABULARY-scale: the adjacent-pair `Generate` consumes the aggregated (w, c) relation, and the pair-count aggregation (second hash exchange) shuffles distinct-pair rows weighted by word counts — the occurrences-to-weights trick (`CountMin.sketchWeighted` precedent), so a 100 TB corpus pays its vocabulary, not its token stream, for every BPE statistic. `bpe_learn_merges` iterates exactly this plan over the evolving symbol table (localCheckpoint per step, previous step's blocks released, ONE argmax row to the driver per merge — the Lloyd-loop discipline), so its per-iteration plan is this one and its final frame is a driver-local ≤numMerges-row relation, which is why the dump audits the pair-count plan rather than the loop's LocalTableScan.",
+    "quality_threshold_sweep" ->
+      "Data-budget planning curve: every candidate quality threshold's survivor count in one pass. The corpus pays ONE scored partial+final aggregation into ≤20 bins; the cumulative-from-the-top windows run over that ≤20-row relation, so the plan's single-partition window is driver-sized by construction (the token_budget_select offsets discipline). Bin arithmetic is floor(score·20) over bit-identical doubles — both engines bin identically.",
+    "paragraph_dedup" ->
+      "Paragraph rung of the dedup granularity ladder (doc/paragraph/line/substring): paragraphs cross the wire only as md5 hashes — the corpus-wide frequency aggregation is partial+final on the 16-byte hash, the boilerplate-membership join back is declarative (AQE broadcasts the small common set; hash-joins at scale), and the order-preserving rebuild is a per-doc collect_list bounded by the document's own row. Identical shape to line_dedup_corpus one level up.",
+    "minhash_candidate_precision" ->
+      "LSH calibration evidence: exact Jaccard (decile-bucketed in exact integer arithmetic) over the banding's CANDIDATE pairs only. The shingle-intersection join keys on (doc, shingle) behind the already-capped candidate set, so the quadratic mass is the surviving candidates — never corpus². The per-doc shingle-set sizes come from one distinct+aggregate on the same shingle stream.",
+    "decontaminate_fuzzy" ->
+      "Near-dup benchmark decontamination (the exact-overlap family's fuzzy twin): ONE banding pass over the corpus, the holdout slice of the banded table is tiny (band-keyed equi-join; broadcast when it fits), the per-band cap bounds degenerate boilerplate bands exactly as in candidate generation, and the verdict is a doc_id-keyed distinct-holdout count — no quadratic path, no second corpus scan.",
+    "source_cap_sample" ->
+      "Per-source dominance cap (the per-host cap of crawl curation): deterministic md5 priority, rank cut as WindowGroupLimit below the window sort — each partition retains ≤ cap candidates per source, no source group materializes whole; source is the only wide key.",
     "neardup_cc_step" ->
       "The connected-components loop's per-iteration plan, standalone (the loop's own returned frame is a post-loop checkpoint scan — the kmeans_step discipline): neighbor labels arrive via a hash EQUI-join on the edge endpoint (never a nested-loop product), merge with the self-carry union, and collapse in a node-keyed partial+final min aggregate — per iteration the wire carries one |edges|-keyed join plus |nodes| label rows, nothing quadratic. In the real loop the label side is a localCheckpoint scan (blocks released per generation — `Checkpoints.localEager`), convergence reads off the same aggregate via the carried `old` column (no extra comparison join), and iterations-to-convergence is pinned: quasi-cliques (the dedup shape) converge in 1 confirming pass, chains in diameter hops (`ConnectedComponentsSpec`), with the probe artifact recording the count at probe scale (`cc_iterations`).",
     "curated_corpus" ->

@@ -154,6 +154,31 @@ object Dedup {
         max(col("m")).as("max_members"),
         sum(when(col("m") > maxBandSize, 1L).otherwise(0L)).cast("long").as("capped_bands"))
 
+  /** Fuzzy benchmark decontamination — the near-duplicate complement of
+    * the exact n-gram overlap family
+    * ([[graft.curation.Curation.decontaminate]]): a training document
+    * is contaminated when it is a MINHASH NEAR-DUP of any holdout
+    * document (shares ≥1 capped LSH band), which catches lightly
+    * edited/reformatted eval copies that exact 5-gram overlap can
+    * miss. Same cohort convention as `decontaminate_overlap`
+    * (doc_id % mod == 0 is the holdout). Scale shape: ONE banding pass
+    * over the corpus, the holdout slice of the banded table is tiny
+    * (broadcast or band-keyed hash join), per-doc distinct-holdout
+    * count aggregates on doc_id — nothing quadratic (the band cap
+    * bounds any degenerate boilerplate band, exactly as in
+    * [[minhashCandidatePairs]]).
+    */
+  def decontaminateFuzzy(docs: DataFrame, holdoutMod: Long = 50): DataFrame = {
+    val banded = capByKey(
+      minhashBands(minhashSignatures(docs)), Seq("band_idx", "band_val"), DefaultMaxBandSize)
+    val hold = banded.where(col("doc_id") % holdoutMod === 0)
+      .select(col("band_idx"), col("band_val"), col("doc_id").as("holdout_id"))
+    banded.where(col("doc_id") % holdoutMod =!= 0)
+      .join(hold, Seq("band_idx", "band_val"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("holdout_id")).as("n_holdout_neardups"))
+  }
+
   /** LSH quality observability, one level deeper than
     * [[minhashBandStats]]: exact Jaccard over the CANDIDATE pairs the
     * banding emits, rolled up as a decile histogram (bucket =
@@ -289,6 +314,25 @@ object Dedup {
           "component diameter exceeds maxIter — raise maxIter for long-chain graphs")
     und.unpersist()
     cur.select(col("node").as("doc_id"), col("component"))
+  }
+
+  /** Incremental connected components — the daily-ingest path: fold a
+    * NEW batch of candidate pairs into an EXISTING labeling without
+    * re-walking the old graph's edges. The old labeling collapses to
+    * its star edges (component ← member), which have the same
+    * transitive closure as the original graph, so running the loop on
+    * star(old) ∪ new provably yields the same components as a full
+    * recompute over old ∪ new — and the iteration count is bounded by
+    * the NEW batch's diameter plus 2 (the stars are depth-1), not the
+    * accumulated graph's. The gate query reuses `neardup_components`'s
+    * full-recompute oracle verbatim: incremental ≡ recompute, the
+    * `cdc_agg_maintain` discipline applied to the dedup graph.
+    */
+  def incrementalComponents(oldPairs: DataFrame, newPairs: DataFrame): DataFrame = {
+    val labelEdges = connectedComponents(oldPairs)
+      .where(col("doc_id") =!= col("component"))
+      .select(col("component").as("doc_a"), col("doc_id").as("doc_b"))
+    connectedComponents(labelEdges.unionByName(newPairs.select("doc_a", "doc_b")))
   }
 
   /** Apply near-dup dedup: keep one document per component (the
@@ -692,6 +736,23 @@ object Dedup {
        |    ON a.band_idx = k.band_idx AND a.band_val = k.band_val
        |  WHERE a.doc_id < b.doc_id""".stripMargin
 
+  /** Full-recompute components oracle — shared verbatim by
+    * `neardup_components` AND `neardup_components_incremental`, which
+    * is the point: the incremental fold must produce the recompute's
+    * exact relation.
+    */
+  private lazy val duckFullComponents: String =
+    s"""WITH RECURSIVE sig AS ($duckSig),
+       |bands AS ($duckBands),
+       |pairs AS ($duckPairs),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b)
+       |SELECT a AS doc_id, least(a, min(b)) AS component
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** The incremental-run CTE prefix (side split, cap, existing-match,
     * intra-batch clustering) shared by ALL oracles that view the same
     * run — keep, streaming keep, and stats. One definition so the
@@ -823,6 +884,26 @@ object Dedup {
            |  CAST(sum(CASE WHEN m > $DefaultMaxBandSize THEN 1 ELSE 0 END) AS BIGINT) AS capped_bands
            |FROM m GROUP BY band_idx ORDER BY band_idx""".stripMargin),
     ),
+    // Near-dup contamination: train docs sharing >=1 capped band with
+    // any holdout doc (see decontaminateFuzzy; exact-overlap twin is
+    // decontaminate_overlap in Curation).
+    EngineQuery(
+      "decontaminate_fuzzy",
+      (s, dir) =>
+        decontaminateFuzzy(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(
+        s"""WITH sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |k AS (SELECT band_idx, band_val FROM bands
+           |      GROUP BY band_idx, band_val HAVING count(*) <= $DefaultMaxBandSize),
+           |cb AS (SELECT b.doc_id, b.band_idx, b.band_val
+           |       FROM bands b JOIN k USING (band_idx, band_val)),
+           |hits AS (SELECT t.doc_id, h.doc_id AS hid
+           |  FROM cb t JOIN cb h ON t.band_idx = h.band_idx AND t.band_val = h.band_val
+           |  WHERE t.doc_id % 50 <> 0 AND h.doc_id % 50 = 0)
+           |SELECT doc_id, count(DISTINCT hid) AS n_holdout_neardups
+           |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
     // The precision face of the banding trade: exact Jaccard decile
     // histogram over the emitted candidates (see
     // minhashCandidatePrecision).
@@ -857,18 +938,23 @@ object Dedup {
       (s, dir) =>
         connectedComponents(minhashCandidatePairs(Tables.documents(s, dir)))
           .orderBy("doc_id"),
-      Some(
-        s"""WITH RECURSIVE sig AS ($duckSig),
-           |bands AS ($duckBands),
-           |pairs AS ($duckPairs),
-           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(a, b) AS (
-           |  SELECT a, b FROM und
-           |  UNION
-           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b)
-           |SELECT a AS doc_id, least(a, min(b)) AS component
-           |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+      Some(duckFullComponents),
       headline = true,
+    ),
+    // Incremental fold of a new pair batch into an existing labeling
+    // (see incrementalComponents): the pairs split into old/new by a
+    // deterministic parity rule, and the oracle is the FULL-recompute
+    // components SQL verbatim — incremental ≡ recompute is the gate.
+    EngineQuery(
+      "neardup_components_incremental",
+      (s, dir) => {
+        val pairs = minhashCandidatePairs(Tables.documents(s, dir))
+        incrementalComponents(
+          pairs.where((col("doc_a") + col("doc_b")) % 2 === 0),
+          pairs.where((col("doc_a") + col("doc_b")) % 2 =!= 0))
+          .orderBy("doc_id")
+      },
+      Some(duckFullComponents),
     ),
     // The CC loop's per-iteration join+aggregate, standalone (see
     // ccPropagationStep doc): one propagation step over the seeded

@@ -293,6 +293,37 @@ object TextAnalysis {
       Some(s"""SELECT doc_id, n_chars, n_tokens, alpha_ratio, stop_ratio, score
               |FROM ($duckQuality) ORDER BY doc_id""".stripMargin),
     ),
+    // Quality threshold sweep — the data-budget planning curve ("keep
+    // everything above score s" → how many docs/chars survive, for
+    // every candidate s at once). The corpus pays ONE scored
+    // aggregation into ≤20 bins; the cumulative-from-the-top windows
+    // run over that ≤20-row relation (the single-partition window is
+    // driver-sized by construction — the token_budget_select offsets
+    // discipline). Bucket arithmetic is floor(score·20) on the
+    // bit-identical score doubles, so both engines bin identically.
+    EngineQuery(
+      "quality_threshold_sweep",
+      (s, dir) => {
+        val bins = 20
+        val b = qualityScore(Tables.documents(s, dir))
+          .withColumn("qb", least(floor(col("score") * bins), lit(bins - 1)).cast("long"))
+          .groupBy("qb")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("qb").desc).rowsBetween(Long.MinValue, 0)
+        b.withColumn("cum_docs", sum(col("n_docs")).over(w))
+          .withColumn("cum_chars", sum(col("sum_chars")).over(w))
+          .orderBy("qb")
+      },
+      Some(s"""WITH b AS (
+              |  SELECT CAST(least(floor(score * 20), 19) AS BIGINT) AS qb,
+              |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |  FROM ($duckQuality) GROUP BY qb)
+              |SELECT qb, n_docs, sum_chars,
+              |  CAST(sum(n_docs) OVER (ORDER BY qb DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+              |  CAST(sum(sum_chars) OVER (ORDER BY qb DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+              |FROM b ORDER BY qb""".stripMargin),
+    ),
     EngineQuery(
       "text_lang_guess",
       (s, dir) => langGuess(Tables.documents(s, dir)).orderBy("doc_id"),

@@ -67,6 +67,25 @@ class ConnectedComponentsSpec extends AnyFunSuite with Matchers {
     } finally setter.invoke(sc, saved)
   }
 
+  test("incremental fold over any split equals the full recompute") {
+    // random graph, split by edge parity into old/new batches: folding
+    // new into the old labeling's star edges must reproduce the full
+    // labeling exactly (star(old) has the same transitive closure as
+    // old, so connectivity — and the min label — is preserved)
+    var seed = 0x51ed2701bb9d21L
+    def next(bound: Int): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 17, bound.toLong)
+    }
+    val edges = Seq.fill(80)((next(90), next(90))).filter(e => e._1 != e._2)
+    val full = labels(edges, maxIter = 40)
+    val (oldE, newE) = edges.partition(e => (e._1 + e._2) % 2 == 0)
+    val inc = Dedup.incrementalComponents(
+      oldE.toDF("doc_a", "doc_b"), newE.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inc shouldBe full
+  }
+
   test("random graph: labels match an independent union-find") {
     // Deterministic pseudo-random graph: 120 nodes, 90 edges from a
     // fixed LCG — mixes singles, pairs, stars, and mid-size blobs.
