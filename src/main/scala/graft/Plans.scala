@@ -136,6 +136,16 @@ object Plans {
       "The connected-components loop's per-iteration plan, standalone (the loop's own returned frame is a post-loop checkpoint scan — the kmeans_step discipline): neighbor labels arrive via a hash EQUI-join on the edge endpoint (never a nested-loop product), merge with the self-carry union, and collapse in a node-keyed partial+final min aggregate — per iteration the wire carries one |edges|-keyed join plus |nodes| label rows, nothing quadratic. In the real loop the label side is a localCheckpoint scan (blocks released per generation — `Checkpoints.localEager`), convergence reads off the same aggregate via the carried `old` column (no extra comparison join), and iterations-to-convergence is pinned: quasi-cliques (the dedup shape) converge in 1 confirming pass, chains in diameter hops (`ConnectedComponentsSpec`), with the probe artifact recording the count at probe scale (`cc_iterations`).",
     "curated_corpus" ->
       "The composed curation pipeline — quality gate ∧ near-dup keep-set ∧ split — and the most expensive headline. Composition is by LEFT SEMI id-set intersection: the documents fact stream is FILTERED, never widened (no column from either gate survives the join), and the dedup keep-set attaches as a LeftAnti against the drop list. By dump time the MinHash→LSH→CC sub-pipeline already ran (driver-orchestrated loop), so its leaf here is the one materialized localCheckpoint label table — train-once/scan-many (the SemDedup-assignments discipline); the band-join + per-band cap that bound its candidate generation are audited live in `minhash_lsh_pairs` (ReusedExchange) and the per-iteration shape in `neardup_cc_step`. The final per-(lang, split) rollup is one partial+final aggregate. Each composed stage scans documents once; the stages meet only on doc_id sets.",
+    "graph_pagerank_parts" ->
+      "Iterative link analysis (the web-graph centrality family of crawl curation) as statically-unrolled joins: the within-order pair expansion is an equi-join on l_orderkey — bounded by order size, O(rows·avg_order_size), never table-quadratic — and each of the 3 rank iterations is one src-keyed hash join (pr ⋈ outdeg, both pre-aggregated) plus one dst-keyed partial+final sum. All arithmetic is BIGINT nano-ranks (pr div outdeg, 15%+85% blend in integers), so the result is partitioning- and summation-order-independent — which is what lets DuckDB's unrolled-CTE oracle agree bit-for-bit. The final top-20 is TakeOrderedAndProject, not a global sort. At cluster scale the edge relation would be cached/bucketed on src so iterations 2..k re-use its layout; a convergence-driven variant would checkpoint per iteration exactly as neardup_cc_step does.",
+    "dsir_importance_select" ->
+      "DSIR-style importance selection (arXiv:2302.03169 re-expressed in exact integers): one tokenize pass feeds two partial+final count aggregations (target slice and full corpus), the vocabulary-scale weight table joins back to the token stream on the token key (AQE broadcasts it at gate scale; hash-partitions on token when a 100 TB vocabulary outgrows the driver), the per-doc score is one more doc_id-keyed map-side-combined sum, and the cut is TakeOrderedAndProject. The log-likelihood-ratio weight is replaced by the exact integer ratio cnt_t·1e6 div cnt_r — a monotone ranking surrogate, which is all selection needs and what makes both engines agree exactly.",
+    "curation_funnel" ->
+      "Pipeline observability — per-stage survivor counts (raw→quality→exact-dedup→repetition) in one composed plan: the dup-rank window partitions on md5(text) (dup groups are tiny, no skew), the repetition side is the standard two-level token aggregation joined back on doc_id, and the funnel itself collapses to a SINGLE 1-row aggregate exploded into 4 labeled stage rows — the audit costs no more than the most expensive stage it audits, and adds no exchange beyond theirs.",
+    "phrase_mining_pmi" ->
+      "Word2vec phrase promotion: one token pass → vocab-scale unigram counts, one bigram pass → corpus-supported pair counts with the minCount cut applied BEFORE the cnta/cntb attach joins (the pair table shrinks before it ever joins), single-row total via broadcast cross, TakeOrderedAndProject for the top-k. The PMI-ish score is a monotone exact-integer surrogate — ranking is the contract, so DuckDB agrees without float discipline.",
+    "ccnet_perplexity_buckets" ->
+      "CCNet head/middle/tail bucketing per language: the corpus pays the bigram fluency pipeline (already audited in bigram_lm_fluency) plus ONE (lang, m) histogram aggregation; the tercile thresholds come from exact integer rank tests (run·3 ≥ tot) over the value-cardinality histogram — no cume_dist window over a language's whole corpus slice — and the ≤|langs|-row threshold tables broadcast back into a pure projection bucket assign.",
     "bpe_tokenize_stats" ->
       "The tokenizer's APPLICATION half — the step that pays the corpus. By dump time the 8-iteration learner already ran (driver-orchestrated, vocabulary-scale), so the plan's trained-vocabulary leaf is a localCheckpoint `Scan ExistingRDD` (the SemDedup-assignments discipline: train once, consumers scan the materialization); each vocabulary row projects to (word = concat of symbols, n_sym = symbol count) — no second merge replay — and the corpus word stream equi-joins it BY WORD (AQE broadcasts the vocab at gate scale; hash-partitions on the word when a 100 TB corpus's vocabulary outgrows the driver), with the per-doc rollup one doc_id-keyed partial+final aggregate.",
   )

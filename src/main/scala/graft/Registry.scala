@@ -37,6 +37,7 @@ object Registry {
       operators.ZOrder.engineQueries ++
       operators.Analytic.engineQueries ++
       operators.AsOf.engineQueries ++
+      operators.GraphRank.engineQueries ++
       operators.RangeJoin.engineQueries ++
       text.TextAnalysis.engineQueries ++
       text.QualityFilters.engineQueries ++

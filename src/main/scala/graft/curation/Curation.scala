@@ -663,7 +663,140 @@ object Curation {
       .select("doc_id", "lang", "n_chars", "thr")
   }
 
+  /** DSIR-style importance-weighted selection (Xie et al. 2023, "Data
+    * Selection via Importance Resampling", arXiv:2302.03169): score raw
+    * docs by how target-like their unigram distribution is, where the
+    * target is a trusted slice of the corpus (here: one source). Real
+    * pipelines use this to up-select web text that "looks like"
+    * Wikipedia/books without training a classifier.
+    *
+    * Exactness: the canonical formulation weights tokens by
+    * log(p_target/p_raw); floats there are engine-divergent, so the
+    * weight is the exact integer ratio cnt_target(t)·1e6 div cnt_raw(t)
+    * and a doc's score is the exact BIGINT sum of its tokens' weights
+    * (a monotone surrogate for the likelihood-ratio score — ranking, not
+    * probability, is what selection needs). Both engines agree exactly.
+    *
+    * Scale notes: two token-count aggregations (map-side combined) over
+    * one tokenize pass; the weight table is vocabulary-scale, joined
+    * back to the token stream on the token key (at 100 TB: the weight
+    * table is the small side — hash/broadcast by frequency band); the
+    * per-doc score is one more map-side-combined sum. Top-k is a
+    * TakeOrdered, not a global sort.
+    */
+  def dsirImportanceSelect(docs: DataFrame, targetSource: String, k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        explode(graft.text.TextAnalysis.wsTokens(col("text"))).as("tok"))
+    val cntT = toks.where(col("source") === targetSource)
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val cntR = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val w = cntR.join(cntT, Seq("tok"), "left")
+      .select(col("tok"), expr("(coalesce(ct, 0L) * 1000000) div cr").as("w"))
+    toks
+      .join(w, "tok")
+      .groupBy("doc_id").agg(sum("w").as("score"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .where(col("source") =!= targetSource)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("score"))
+  }
+
+  /** Curation funnel audit: per-stage survivor counts through a
+    * three-stage cut (quality length gate → exact dedup → repetition
+    * gate). The observability artifact every production pipeline ships —
+    * "where did my corpus go" — kept exactly SQL-expressible so the
+    * funnel itself is oracle-gated, not just the stages it composes.
+    *
+    * Scale notes: one md5 projection + one duplicate-rank window keyed
+    * by the hash (dup groups are tiny, no skew), one tokenize pass for
+    * the repetition ratio, then a single 4-row aggregate. The funnel
+    * costs no more than the most expensive stage it audits.
+    */
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    // identical text ⇒ identical n_chars, so an md5(text) dup group is
+    // homogeneous in the quality flag — partitioning ALL docs by the
+    // hash (not just quality survivors) keeps the window simple without
+    // ever deduping a survivor against a failed-quality copy
+    val rep = repetitionScore(docs).select("doc_id", "top_tok_cnt", "n_tokens")
+    val flagged = docs
+      .withColumn("pass_quality", col("n_chars") >= 100)
+      .withColumn("dup_rk",
+        row_number().over(Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .withColumn("pass_dedup", col("pass_quality") && col("dup_rk") === 1)
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("pass_rep",
+        col("pass_dedup") && (col("top_tok_cnt") * 4 <= col("n_tokens")))
+    flagged.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("pass_quality"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("pass_dedup"), 1L).otherwise(0L)).as("n_dedup"),
+      sum(when(col("pass_rep"), 1L).otherwise(0L)).as("n_final"))
+      .select(
+        explode(array(
+          struct(lit(1L).as("stage"), lit("raw").as("stage_name"), col("n_raw").as("n_out")),
+          struct(lit(2L).as("stage"), lit("quality").as("stage_name"), col("n_quality").as("n_out")),
+          struct(lit(3L).as("stage"), lit("exact_dedup").as("stage_name"), col("n_dedup").as("n_out")),
+          struct(lit(4L).as("stage"), lit("repetition").as("stage_name"), col("n_final").as("n_out")))).as("s"))
+      .select(col("s.stage"), col("s.stage_name"), col("s.n_out"))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "dsir_importance_select",
+      (s, dir) => dsirImportanceSelect(Tables.documents(s, dir), "src0", k = 30),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, tok FROM (
+             |    SELECT doc_id, source,
+             |      unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |    FROM documents WHERE length(trim(text)) > 0)),
+             |ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct
+             |  FROM toks WHERE source = 'src0' GROUP BY tok),
+             |cr AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY tok),
+             |w AS (SELECT cr.tok, (COALESCE(ct.ct, 0) * 1000000) // cr.cr AS w
+             |  FROM cr LEFT JOIN ct ON cr.tok = ct.tok),
+             |sc AS (SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+             |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY t.doc_id)
+             |SELECT sc.doc_id, d.source, sc.score
+             |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+             |WHERE d.source <> 'src0'
+             |ORDER BY score DESC, sc.doc_id LIMIT 30""".stripMargin),
+    ),
+    EngineQuery(
+      "curation_funnel",
+      (s, dir) => curationFunnel(Tables.documents(s, dir)).orderBy("stage"),
+      Some("""WITH rep AS (
+             |  SELECT doc_id, max(cnt) AS top_tok_cnt, CAST(sum(cnt) AS BIGINT) AS n_tokens
+             |  FROM (SELECT doc_id, tok, count(*) AS cnt
+             |        FROM (SELECT doc_id,
+             |                unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+             |              FROM documents)
+             |        WHERE tok <> '' GROUP BY doc_id, tok)
+             |  GROUP BY doc_id),
+             |f AS (
+             |  SELECT d.doc_id, (d.n_chars >= 100) AS pass_quality,
+             |    row_number() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS dup_rk,
+             |    r.top_tok_cnt, r.n_tokens
+             |  FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id),
+             |g AS (
+             |  SELECT pass_quality,
+             |    (pass_quality AND dup_rk = 1) AS pass_dedup,
+             |    (pass_quality AND dup_rk = 1 AND top_tok_cnt * 4 <= n_tokens) AS pass_rep
+             |  FROM f)
+             |SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+             |  CAST(count(*) AS BIGINT) AS n_out FROM g
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'quality',
+             |  CAST(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) FROM g
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 'exact_dedup',
+             |  CAST(sum(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS BIGINT) FROM g
+             |UNION ALL
+             |SELECT CAST(4 AS BIGINT), 'repetition',
+             |  CAST(sum(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS BIGINT) FROM g
+             |ORDER BY stage""".stripMargin),
+    ),
     EngineQuery(
       "lang_adaptive_cut",
       (s, dir) =>

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+/** Hand-checked PageRank arithmetic on tiny graphs, plus the edge
+  * derivation from a lineitem-shaped relation. The engine iteration is
+  * pure integer arithmetic (nano-ranks), so expected values are
+  * computable by hand — no tolerance, exact equality.
+  */
+class GraphRankSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val S = 1000000000L // nano-rank scale
+
+  test("co-purchase edges: symmetric, distinct, no self-loops") {
+    // order 1: parts {10, 20, 30}; order 2: parts {10, 20} (dup line)
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L), (2L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+    val edges = GraphRank.coPurchaseEdges(li)
+      .as[(Long, Long)].collect().toSet
+    edges shouldBe Set(
+      (10L, 20L), (20L, 10L), (10L, 30L), (30L, 10L), (20L, 30L), (30L, 20L))
+  }
+
+  test("one iteration on a two-node cycle is exact") {
+    // A↔B, both outdeg 1: contrib = S, pr' = 0.15·S + 0.85·S = S exactly
+    val li = Seq((1L, 1L), (1L, 2L)).toDF("l_orderkey", "l_partkey")
+    val pr = GraphRank.pagerank(GraphRank.coPurchaseEdges(li), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    pr shouldBe Map(1L -> S, 2L -> S)
+  }
+
+  test("asymmetric triangle-with-tail matches hand-rolled integer PageRank") {
+    // orders: {1,2,3} clique plus {3,4} pair → node 3 has degree 3, 4 has 1
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = GraphRank.pagerank(GraphRank.coPurchaseEdges(li), iters = 2)
+      .as[(Long, Long)].collect().toMap
+
+    // independent reference: same integer recurrence in plain Scala
+    val edges = Map(
+      1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    var pr = edges.keys.map(_ -> S).toMap
+    (1 to 2).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dsts) =>
+        val c = pr(src) / dsts.size
+        dsts.foreach(d => contrib(d) += c)
+      }
+      pr = edges.keys.map(n => n -> (15L * S / 100L + 85L * contrib(n) / 100L)).toMap
+    }
+    got shouldBe pr
+    // sanity: hub (3) above leaf (4)
+    got(3L) should be > got(4L)
+  }
+
+  test("degree histogram over the tiny graph") {
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val hist = GraphRank.degreeHistogram(li)
+      .as[(Long, Long)].collect().toMap
+    // nodes 1,2,4 → see {2,3},{1,3},{3}: degrees 2,2,1; node 3 → degree 3
+    hist shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+  }
+}
