@@ -82,7 +82,40 @@ object Analytic {
           (1 to 4).map(i => (abs(col(s"__s$i") - 0.25) <= 0.02).as(s"q${i}_share_ok")): _*)
   }
 
+  /** Cohort retention matrix: cohort = a user's first-activity week,
+    * cell (cohort_week, week_offset) = distinct users from that cohort
+    * active that many weeks later — the standard growth-analytics
+    * rollup. Week index is exact integer epoch-ms division, so both
+    * engines bucket identically.
+    *
+    * Scale shape: the event stream first collapses to distinct
+    * (user, week) — partial+final on a narrow pair, the big reduction —
+    * then the cohort min and the self-attach join both key on user_id
+    * (one shuffle key end-to-end until the tiny final matrix
+    * aggregation). No window over the raw stream.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "cohort_retention",
+      (s, dir) => cohortRetention(Tables.events(s, dir)).orderBy("cohort_wk", "week_offset"),
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+             |SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+             |  CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+             |FROM uw JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
     // RANGE-frame moving aggregate: 7-day trailing revenue per order
     // day. The frame is value-based (rangeBetween over a day number),
     // not row-based — days with no orders still shrink the window, and

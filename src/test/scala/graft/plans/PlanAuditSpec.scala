@@ -436,4 +436,41 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
       .map(_.group(1)).toSet should (be(Set("w", "doc_id")) or be(Set("doc_id")))
   }
+
+  test("pagerank: all joins are equi-joins (no nested-loop), final cut is TakeOrdered") {
+    val p = plan("graph_pagerank_parts")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // top-20 never globally sorts the rank table
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("dsir: single-row total is the only cross; cut is TakeOrdered; score rollup keys on doc_id") {
+    val p = plan("dsir_importance_select")
+    p should not include "CartesianProduct"
+    p should include("TakeOrderedAndProject")
+    // the token-keyed weight join and the doc-keyed rollup are the wide ops
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("doc_id")
+  }
+
+  test("curation funnel: collapses to one single-partition aggregate row, no extra corpus pass") {
+    val p = plan("curation_funnel")
+    // the 4 stage rows explode from ONE 1-row aggregate
+    p should include("Generate explode")
+    // repetition side joins back on doc_id; dup window keys on the text hash
+    p should not include "CartesianProduct"
+  }
+
+  test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
+    val p = plan("ccnet_perplexity_buckets")
+    // bucket assignment is a projection after broadcast joins
+    p should include("BroadcastHashJoin")
+    // the only windows run over the value-cardinality histogram, whose
+    // input is an aggregate, never the raw per-doc stream: every window
+    // sits above a HashAggregate in this plan (cheap structural check:
+    // a Window node exists and no Window sorts on doc-level columns)
+    p should include("Window")
+    p should not include "cume_dist"
+  }
 }
