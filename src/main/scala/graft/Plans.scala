@@ -142,6 +142,10 @@ object Plans {
       "DSIR-style importance selection (arXiv:2302.03169 re-expressed in exact integers): one tokenize pass feeds two partial+final count aggregations (target slice and full corpus), the vocabulary-scale weight table joins back to the token stream on the token key (AQE broadcasts it at gate scale; hash-partitions on token when a 100 TB vocabulary outgrows the driver), the per-doc score is one more doc_id-keyed map-side-combined sum, and the cut is TakeOrderedAndProject. The log-likelihood-ratio weight is replaced by the exact integer ratio cnt_t·1e6 div cnt_r — a monotone ranking surrogate, which is all selection needs and what makes both engines agree exactly.",
     "curation_funnel" ->
       "Pipeline observability — per-stage survivor counts (raw→quality→exact-dedup→repetition) in one composed plan: the dup-rank window partitions on md5(text) (dup groups are tiny, no skew), the repetition side is the standard two-level token aggregation joined back on doc_id, and the funnel itself collapses to a SINGLE 1-row aggregate exploded into 4 labeled stage rows — the audit costs no more than the most expensive stage it audits, and adds no exchange beyond theirs.",
+    "dq_constraint_audit" ->
+      "Deequ-style ingest validation: each table's domain/range rules share ONE conditional-aggregation scan (no per-rule passes); referential integrity is a key-only LeftAnti count; the temporal rule is one equi-join on the key the tables would be bucketed by. All branches collapse to single-row aggregates — the audit's wide work is two joins, nothing else. The shipdate rule genuinely fails on this data, so the gate proves violation counting rather than all-zero agreement.",
+    "cohort_retention" ->
+      "Growth-analytics cohort matrix: the event stream collapses FIRST to distinct (user, week) — the big partial+final reduction — then the cohort min and the self-attach join both key on user_id (one shuffle key end-to-end) before the tiny (cohort, offset) matrix aggregate. No window over the raw stream; week bucketing is exact integer epoch-ms division so both engines agree.",
     "phrase_mining_pmi" ->
       "Word2vec phrase promotion: one token pass → vocab-scale unigram counts, one bigram pass → corpus-supported pair counts with the minCount cut applied BEFORE the cnta/cntb attach joins (the pair table shrinks before it ever joins), single-row total via broadcast cross, TakeOrderedAndProject for the top-k. The PMI-ish score is a monotone exact-integer surrogate — ranking is the contract, so DuckDB agrees without float discipline.",
     "ccnet_perplexity_buckets" ->

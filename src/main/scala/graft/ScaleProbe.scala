@@ -54,6 +54,13 @@ object ScaleProbe {
     // histogram-decomposed per-lang percentile cut and the priority-
     // sampling rank cut — both claim value-cardinality wide work.
     "lang_adaptive_cut", "sample_weighted_priority",
+    // r11 additions: the pair-expansion self-join + 3 unrolled join
+    // iterations (quadratic-prone if the per-order bound broke), the
+    // token-keyed weight join (vocabulary-vs-corpus asymmetry), the
+    // two-level bigram pipeline behind the tercile bucketing, and the
+    // composed funnel (dup window + token rollup in one plan).
+    "graph_pagerank_parts", "dsir_importance_select",
+    "ccnet_perplexity_buckets", "curation_funnel",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")
 
@@ -90,7 +97,23 @@ object ScaleProbe {
         col("user_id"), col("event_type"), col("value"), col("props"))
     }.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "embeddings"))
+    // r11: the fact tables scale too (order keys shifted per copy so
+    // orders⋈lineitem stays consistent; customer/part/supplier keys are
+    // NOT shifted, so dimension joins keep resolving, hot keys stay hot,
+    // and the co-purchase graph densifies with copies — the realistic
+    // stress for graph_pagerank_parts). Probe artifacts before r11
+    // carried 1× facts, so lineitem-family ratios aren't comparable
+    // across that boundary.
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    union10(orders) { (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L))
+    }.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    union10(li) { (l, i) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L))
+    }.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "embeddings"))
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
     done.createNewFile()

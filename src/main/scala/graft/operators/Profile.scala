@@ -119,11 +119,112 @@ object Profile {
     "l_discount" -> "num", "l_tax" -> "num", "l_returnflag" -> "str",
     "l_linestatus" -> "str", "l_shipdate" -> "ts")
 
+  /** Deequ-style declarative constraint audit — the ingest-validation
+    * rulebook every pipeline runs before promoting a batch: per-table
+    * domain/range/null rules as ONE conditional-aggregation pass per
+    * table, plus two cross-table rules (referential integrity as an
+    * anti-join count; temporal consistency as an equi-join count).
+    * Output is (rule_name, n_checked, n_violations) — the shipdate
+    * rule genuinely fails on this synthetic data, so the gate proves
+    * violation COUNTING, not just all-zero agreement.
+    *
+    * Scale shape: the single-table rules share one scan each (no
+    * per-rule passes); the referential check is a key-only anti join
+    * (at 100 TB: orders' key projection is the build side or a bloom
+    * pre-filter — the engine's bloom_semi_join_pruned pattern); the
+    * temporal check joins on the same key the tables would be bucketed
+    * by. Everything reduces to a handful of single-row aggregates
+    * unioned driver-side.
+    */
+  def dqConstraintAudit(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    def rule(name: String, checked: org.apache.spark.sql.Column, violated: org.apache.spark.sql.Column) =
+      (name, checked, violated)
+    val liRules = Seq(
+      rule("lineitem.quantity_positive", lit(true), col("l_quantity") <= 0),
+      rule("lineitem.discount_in_0_1", lit(true), col("l_discount") < 0 || col("l_discount") > 1),
+      rule("lineitem.returnflag_domain", lit(true), !col("l_returnflag").isin("A", "N", "R")))
+    val liAgg = lineitem.agg(
+      count(lit(1)).as("__n"),
+      liRules.map { case (n, _, v) =>
+        sum(when(v, 1L).otherwise(0L)).as("__v_" + n.replace('.', '_'))
+      }: _*)
+    val liRows = liAgg.select(explode(array(liRules.map { case (n, _, _) =>
+      struct(lit(n).as("rule_name"), col("__n").as("n_checked"), col("__v_" + n.replace('.', '_')).as("n_violations"))
+    }: _*)).as("r")).select("r.*")
+
+    val oRules = Seq(
+      rule("orders.totalprice_positive", lit(true), col("o_totalprice") <= 0),
+      rule("orders.status_domain", lit(true), !col("o_orderstatus").isin("O", "F", "P")))
+    val oAgg = orders.agg(
+      count(lit(1)).as("__n"),
+      oRules.map { case (n, _, v) =>
+        sum(when(v, 1L).otherwise(0L)).as("__v_" + n.replace('.', '_'))
+      }: _*)
+    val oRows = oAgg.select(explode(array(oRules.map { case (n, _, _) =>
+      struct(lit(n).as("rule_name"), col("__n").as("n_checked"), col("__v_" + n.replace('.', '_')).as("n_violations"))
+    }: _*)).as("r")).select("r.*")
+
+    val orphan = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(lineitem.agg(count(lit(1)).as("n_checked"))))
+      .select(lit("lineitem.orderkey_in_orders").as("rule_name"),
+        col("n_checked"), col("n_violations"))
+
+    val shipAfter = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem.shipdate_after_orderdate").as("rule_name"),
+        col("n_checked"), col("n_violations"))
+
+    liRows.unionByName(oRows).unionByName(orphan).unionByName(shipAfter)
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
       "profile_lineitem",
       (s, dir) => profile(Tables.lineitem(s, dir)),
       Some(duckProfile("lineitem", lineitemCols)),
+    ),
+    EngineQuery(
+      "dq_constraint_audit",
+      (s, dir) =>
+        dqConstraintAudit(Tables.lineitem(s, dir), Tables.orders(s, dir))
+          .orderBy("rule_name"),
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem.quantity_positive' AS rule_name,
+             |    CAST(count(*) AS BIGINT) AS n_checked,
+             |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.discount_in_0_1', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.returnflag_domain', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders.totalprice_positive', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'orders.status_domain', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'lineitem.orderkey_in_orders',
+             |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             |    CAST((SELECT count(*) FROM lineitem l
+             |          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'lineitem.shipdate_after_orderdate',
+             |    CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |) ORDER BY rule_name""".stripMargin),
     ),
   )
 }
