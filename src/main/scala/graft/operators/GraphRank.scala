@@ -53,16 +53,26 @@ object GraphRank {
 
   /** k iterations of integer-scaled PageRank (damping 0.85) over the
     * edge list; returns (node, pr_scaled). Nodes = endpoints of edges.
+    *
+    * The edge relation (with outdeg pre-attached) is materialized ONCE
+    * via an eager local checkpoint — every iteration re-joins it, and
+    * without the checkpoint each unrolled iteration would re-derive the
+    * whole pair-expansion subtree from the scan (the CC-loop
+    * discipline, `Checkpoints.localEager`). The release handles are
+    * deliberately not invoked: the returned lazy frame still scans
+    * these blocks, and both relations are edge-endpoint-sized, not
+    * corpus-sized.
     */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+  def pagerank(edges0: DataFrame, iters: Int): DataFrame = {
+    val deg0 = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val (edges, _) = graft.Checkpoints.localEager(edges0.join(deg0, "src"))
+    val (nodes, _) = graft.Checkpoints.localEager(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
     var pr = nodes.withColumn("pr", lit(Scale))
     (1 to iters).foreach { _ =>
       val contribs = edges
         .join(pr.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy("node")
         .agg(sum("c").as("s"))
