@@ -78,10 +78,19 @@ object Bench {
       // r11 headline promotions, min-of-5 from the r11 builder run
       "sample_weighted_priority" -> 0.24, "embedding_dim_stats" -> 0.30,
       "lang_adaptive_cut" -> 0.38, "cdc_agg_maintain" -> 0.52,
-      "sql_recursive_reachability" -> 1.44)
-    val headline = Registry.all.filter(_.headline)
-      .filter(q => only.forall(_.contains(q.name)))
-      .sortBy(q => expectedSec.getOrElse(q.name, Double.MaxValue))
+      "sql_recursive_reachability" -> 1.44,
+      // r11 new-operator promotions, min-of-passes from the r11 builder run
+      "dsir_importance_select" -> 0.53, "dq_constraint_audit" -> 0.85,
+      "curation_funnel" -> 1.00, "ccnet_perplexity_buckets" -> 2.69,
+      "graph_pagerank_parts" -> 4.78)
+    // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
+    // just the headline set — ad-hoc timing of a not-yet-promoted query
+    // shouldn't require editing headline flags first. Without the env
+    // the driver path is unchanged: headline set only.
+    val headline = (only match {
+      case Some(names) => Registry.all.filter(q => names.contains(q.name))
+      case None => Registry.all.filter(_.headline)
+    }).sortBy(q => expectedSec.getOrElse(q.name, Double.MaxValue))
     val order = headline.map(_.name)
     // Staleness tripwire: the cheapest-first map is hand-maintained, so
     // a renamed headline query (or a stale entry) would silently fall to

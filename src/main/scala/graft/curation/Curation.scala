@@ -762,6 +762,7 @@ object Curation {
              |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
              |WHERE d.source <> 'src0'
              |ORDER BY score DESC, sc.doc_id LIMIT 30""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "curation_funnel",
@@ -796,6 +797,7 @@ object Curation {
              |SELECT CAST(4 AS BIGINT), 'repetition',
              |  CAST(sum(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS BIGINT) FROM g
              |ORDER BY stage""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "lang_adaptive_cut",

@@ -58,15 +58,17 @@ object GraphRank {
     * via an eager local checkpoint — every iteration re-joins it, and
     * without the checkpoint each unrolled iteration would re-derive the
     * whole pair-expansion subtree from the scan (the CC-loop
-    * discipline, `Checkpoints.localEager`). The release handles are
-    * deliberately not invoked: the returned lazy frame still scans
-    * these blocks, and both relations are edge-endpoint-sized, not
-    * corpus-sized.
+    * discipline, `Checkpoints.localEager`). The final rank table is
+    * itself pinned (it is |nodes|-sized) and the edge/node blocks are
+    * released before returning — without the release, every bench pass
+    * would leak one edge materialization into the storage pool (the
+    * leak Checkpoints documents; it showed up as pass-over-pass
+    * slowdown in the r11 bench of this very query).
     */
   def pagerank(edges0: DataFrame, iters: Int): DataFrame = {
     val deg0 = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val (edges, _) = graft.Checkpoints.localEager(edges0.join(deg0, "src"))
-    val (nodes, _) = graft.Checkpoints.localEager(
+    val (edges, releaseEdges) = graft.Checkpoints.localEager(edges0.join(deg0, "src"))
+    val (nodes, releaseNodes) = graft.Checkpoints.localEager(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct())
     var pr = nodes.withColumn("pr", lit(Scale))
@@ -81,7 +83,9 @@ object GraphRank {
         .select(col("node"),
           (lit(15L * Scale / 100L) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
     }
-    pr
+    val (pinned, _) = graft.Checkpoints.localEager(pr)
+    releaseEdges(); releaseNodes()
+    pinned
   }
 
   /** Top-k parts by 3-iteration PageRank over the co-purchase graph. */
@@ -134,6 +138,7 @@ object GraphRank {
              |${duckIter("pr2", "pr3")}
              |SELECT node AS part_key, pr AS pr_scaled FROM pr3
              |ORDER BY pr DESC, node LIMIT 20""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "graph_degree_histogram",

@@ -225,6 +225,7 @@ object Profile {
              |    CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
              |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              |) ORDER BY rule_name""".stripMargin),
+      headline = true,
     ),
   )
 }

@@ -215,6 +215,7 @@ object BigramLm {
              |       ELSE 'head' END AS bucket
              |FROM sm JOIN t1 USING (lang) JOIN t2 USING (lang)
              |ORDER BY sm.doc_id""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "bigram_lm_fluency",
