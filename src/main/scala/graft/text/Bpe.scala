@@ -368,5 +368,53 @@ object Bpe {
       (s, dir) => bpeTokenizeStats(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(duckTokenizeStats(DefaultMerges)),
     ),
+    EngineQuery(
+      "bpe_fertility_by_lang",
+      (s, dir) => bpeFertilityByLang(Tables.documents(s, dir)).orderBy("lang"),
+      Some(duckFertilityByLang(DefaultMerges)),
+    ),
   )
+
+  /** Per-language tokenizer fertility (BPE tokens per word — the
+    * tokenizer-equity metric of Rust et al. 2021, "How Good is Your
+    * Tokenizer?"): a vocabulary trained on the mixed corpus splits
+    * under-represented languages into more pieces; this rollup is the
+    * evidence. Same plan as [[bpeTokenizeStats]] (trained-vocab
+    * checkpoint scan + word join) with the rollup keyed on lang via a
+    * doc_id-keyed attach; the one IEEE division happens after exact
+    * integer sums, so both engines agree bit-for-bit.
+    */
+  def bpeFertilityByLang(docs: DataFrame, numMerges: Int = DefaultMerges): DataFrame = {
+    val (_, vocab, _) = learn(docs, numMerges)
+    val symCount = vocab.select(
+      concat_ws("", col("syms")).as("w"),
+      size(col("syms")).cast("long").as("n_sym"))
+    docWords(docs)
+      .join(symCount, Seq("w"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum(col("n_sym")).as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
+  /** Oracle twin of [[bpeFertilityByLang]]: the unrolled learner, then
+    * the tokenize join rolled up per language. */
+  private def duckFertilityByLang(n: Int): String = {
+    val (steps, _) = duckSteps(n)
+    s"""WITH words AS ($duckWords),
+       |wc AS (SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w),
+       |v0 AS (SELECT list_reduce(string_split(w, ''), (a, x) -> a || chr(31) || x) AS vs, c FROM wc),
+       |$steps,
+       |toklen AS (SELECT replace(vs, chr(31), '') AS w,
+       |  CAST(length(string_split(vs, chr(31))) AS BIGINT) AS n_sym FROM v$n)
+       |SELECT d2.lang,
+       |  CAST(sum(t.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(t.n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+       |FROM words d JOIN toklen t ON d.w = t.w
+       |JOIN documents d2 ON d.doc_id = d2.doc_id
+       |WHERE d.w <> ''
+       |GROUP BY d2.lang ORDER BY d2.lang""".stripMargin
+  }
 }
