@@ -74,6 +74,23 @@ class StorageResidueSpec extends AnyFunSuite with Matchers {
     settledResidue(0) shouldBe 0
   }
 
+  test("pagerank: edge/node checkpoints release; only the pinned rank table remains") {
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+    // two orders over a shared part -> a small cyclic graph; the loop
+    // checkpoints edges + nodes and must free BOTH after pinning the
+    // final ranks (the r11 bench leak: pass times trended up without
+    // the release)
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val pr = graft.operators.GraphRank.pagerank(
+      graft.operators.GraphRank.coPurchaseEdges(li), iters = 3)
+    pr.collect().length shouldBe 4
+    settledResidue(1) should be <= 1 // the result's own pinned blocks
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+  }
+
   test("bpeTokenizeStats: only the final trained vocabulary stays pinned") {
     benchStyleCleanup()
     settledResidue(0) shouldBe 0
