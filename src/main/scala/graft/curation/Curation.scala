@@ -270,6 +270,36 @@ object Curation {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** α-sampling mixture budgets (Conneau & Lample / XLM-R: sample
+    * language l with probability ∝ p_l^α, α ≈ 0.5, to up-weight
+    * low-resource languages without drowning high-resource ones): per
+    * language, the token budget a total budget splits into under
+    * α = 0.5.
+    *
+    * Exactness: p^0.5 is sqrt, and IEEE-754 sqrt is CORRECTLY ROUNDED
+    * in both engines, so floor(sqrt(n_tokens)) is the same integer on
+    * both sides (the true sqrt of a non-square is irrational — never at
+    * a rounding boundary; squares round exactly). From there the
+    * weights, the weight total, and the budget split
+    * total·w_l div Σw are pure BIGINT arithmetic.
+    *
+    * Scale shape: one (lang, token-count) aggregation over the corpus
+    * (map-side combined), then everything runs at |langs| cardinality
+    * with a single-row total broadcast — the mixture_report shape with
+    * an isqrt reweighting on top.
+    */
+  def mixtureAlphaBudget(docs: DataFrame, totalBudget: Long): DataFrame = {
+    val per = docs.select(
+      col("lang"),
+      size(graft.text.TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang").agg(sum("n_tok").cast("long").as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum("w").cast("long").as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"), col("w"),
+        expr(s"($totalBudget * w) div tw").as("budget_tokens"))
+  }
+
   /** Corpus snapshot diff: classify every doc_id across two table
     * versions as added / removed / changed / same (content compared by
     * md5). One full-outer join on the key — the reproducibility audit
@@ -896,6 +926,22 @@ object Curation {
       "token_budget_by_lang",
       (s, dir) => tokenBudgetByLang(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(duckTokenBudget(Seq("lang"))),
+    ),
+    EngineQuery(
+      "mixture_alpha_budget",
+      (s, dir) =>
+        mixtureAlphaBudget(Tables.documents(s, dir), totalBudget = 100000L)
+          .orderBy("lang"),
+      Some("""WITH per AS (
+             |  SELECT lang,
+             |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE length(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY lang),
+             |w AS (SELECT lang, n_tokens,
+             |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w FROM per),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+             |SELECT lang, n_tokens, w, (100000 * w) // tw AS budget_tokens
+             |FROM w CROSS JOIN t ORDER BY lang""".stripMargin),
     ),
     EngineQuery(
       "mixture_report",
