@@ -56,6 +56,7 @@ object Registry {
       similarity.Ann.engineQueries ++
       similarity.Pq.engineQueries ++
       similarity.SemDedup.engineQueries ++
+      similarity.Quantize.engineQueries ++
       streaming.EventAnalytics.engineQueries ++
       streaming.StatefulSessions.engineQueries ++
       multimodal.Multimodal.engineQueries ++

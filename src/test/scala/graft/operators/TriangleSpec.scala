@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+class TriangleSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Build a lineitem-shaped frame whose co-purchase graph is exactly
+    * `edges` (one order per edge; part keys are multiples of 5 so the
+    * query's nodeMod=5 sample keeps every node).
+    */
+  private def lineitemFor(edges: Seq[(Long, Long)]) =
+    edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong, a * 5), (i.toLong, b * 5))
+    }.toDF("l_orderkey", "l_partkey")
+
+  test("K4 yields 3 triangles per node (C(3,2) corners each)") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val out = GraphRank.triangleCounts(lineitemFor(k4), nodeMod = 5)
+      .collect().map(r => r.getLong(0) / 5 -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("a path graph has no triangles") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    GraphRank.triangleCounts(lineitemFor(path), nodeMod = 5)
+      .count() shouldBe 0L
+  }
+
+  test("two triangles sharing an edge count the shared corners twice") {
+    // {1,2,3} and {2,3,4}: nodes 2,3 in both.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = GraphRank.triangleCounts(lineitemFor(g), nodeMod = 5)
+      .collect().map(r => r.getLong(0) / 5 -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
+  }
+}
