@@ -152,6 +152,12 @@ object Plans {
       "CCNet head/middle/tail bucketing per language: the corpus pays the bigram fluency pipeline (already audited in bigram_lm_fluency) plus ONE (lang, m) histogram aggregation; the tercile thresholds come from exact integer rank tests (run·3 ≥ tot) over the value-cardinality histogram — no cume_dist window over a language's whole corpus slice — and the ≤|langs|-row threshold tables broadcast back into a pure projection bucket assign.",
     "bpe_tokenize_stats" ->
       "The tokenizer's APPLICATION half — the step that pays the corpus. By dump time the 8-iteration learner already ran (driver-orchestrated, vocabulary-scale), so the plan's trained-vocabulary leaf is a localCheckpoint `Scan ExistingRDD` (the SemDedup-assignments discipline: train once, consumers scan the materialization); each vocabulary row projects to (word = concat of symbols, n_sym = symbol count) — no second merge replay — and the corpus word stream equi-joins it BY WORD (AQE broadcasts the vocab at gate scale; hash-partitions on the word when a 100 TB corpus's vocabulary outgrows the driver), with the per-doc rollup one doc_id-keyed partial+final aggregate.",
+    "graph_triangle_counts" ->
+      "Degree-ordered triangle counting (Schank–Wagner orientation): every join in the plan is a hash EQUI-join — the degree-inequality orientation is applied to the edge relation before the wedge self-join, so a hub of degree d keeps only its ≥d-degree neighbors and wedge work is O(m^1.5), not Σd². Corner fanout is a lazy `Generate explode` and the per-node counts combine map-side below the node-keyed exchange. No CartesianProduct / BroadcastNestedLoopJoin anywhere.",
+    "embedding_sq8_recall" ->
+      "int8 scalar quantization recall probe: the per-dim min/max bounds collapse to a single-row array carrier that rides a broadcast crossJoin back over the corpus (the mixture-budget carrier shape) — quantizing is ONE corpus pass with no corpus shuffle; both the exact and SQ8 top-k rankings broadcast the bounded query side over the corpus and cut rank≤k per partition via `WindowGroupLimit` before any window materializes a full candidate list.",
+    "embedding_outliers" ->
+      "Diagonal-Mahalanobis curation cut: per-dim moments aggregate with map-side partials (64 rows per task through the exchange), return as a 1-row broadcast carrier, and the per-vector χ²-style score is a pure projection — the top-n then runs as `TakeOrderedAndProject` (per-partition heaps merged on the driver), never a global sort of the corpus.",
   )
 
   def main(args: Array[String]): Unit = {

@@ -462,6 +462,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("triangle counting: equi-joins only — orientation kills the neighbor-pair blowup") {
+    val p = plan("graph_triangle_counts")
+    // wedge + closing joins are hash equi-joins; the inequality filters
+    // (degree orientation) are applied on the edge relation BEFORE the
+    // joins, never as a nested-loop post-filter
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // corner fanout is a lazy Generate, and per-node counts combine
+    // map-side below the node-keyed exchange
+    p should include("Generate explode")
+    p should include("partial_count")
+  }
+
+  test("sq8 recall: bounds are a 1-row broadcast carrier; rank cuts run as WindowGroupLimit") {
+    val p = plan("embedding_sq8_recall")
+    // the per-dim min/max array pair rides a broadcast single-row
+    // crossJoin (the mixture-budget carrier shape) — the corpus never
+    // shuffles to get quantized
+    p should include("BroadcastExchange")
+    p should include("WindowGroupLimit")
+    p should not include "CartesianProduct"
+  }
+
+  test("embedding outliers: top-n is TakeOrderedAndProject, stats combine map-side") {
+    val p = plan("embedding_outliers")
+    p should include("TakeOrderedAndProject")
+    p should include("partial_sum")
+    p should not include "CartesianProduct"
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
