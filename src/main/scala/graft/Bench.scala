@@ -82,7 +82,9 @@ object Bench {
       // r11 new-operator promotions, min-of-passes from the r11 builder run
       "dsir_importance_select" -> 0.53, "dq_constraint_audit" -> 0.85,
       "curation_funnel" -> 1.00, "ccnet_perplexity_buckets" -> 2.69,
-      "graph_pagerank_parts" -> 4.78)
+      "graph_pagerank_parts" -> 4.78,
+      // r11 late adds, min-of-5 ad-hoc builder run
+      "embedding_sq8_recall" -> 1.31, "graph_triangle_counts" -> 1.75)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

@@ -60,6 +60,11 @@ object ScaleProbe {
     // two-level bigram pipeline behind the tercile bucketing, and the
     // composed funnel (dup window + token rollup in one plan).
     "graph_pagerank_parts", "dsir_importance_select",
+    // triangle counting: the co-purchase graph DENSIFIES with probe
+    // copies (part keys unshifted), so wedge mass grows faster than
+    // rows — the query whose degree-orientation bound this probe
+    // exists to test
+    "graph_triangle_counts",
     "ccnet_perplexity_buckets", "curation_funnel",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")
