@@ -104,6 +104,31 @@ object Analytic {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** 3-sigma trailing-window anomaly flags on hourly event volume;
+    * see the `events_hourly_anomaly` registration comment for the
+    * integer cross-multiplication and RANGE-frame rationale.
+    */
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(
+        expr("unix_millis(ts) div 3600000").as("hour_no"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hour_no").rangeBetween(-24, -1)
+    hourly
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("sum_prev", sum("cnt").over(w))
+      .withColumn("sumsq_prev", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("n_prev") >= 12)
+      .select(
+        col("hour_no"), col("event_type"), col("cnt"), col("n_prev"), col("sum_prev"),
+        when(
+          (col("n_prev") * col("cnt") - col("sum_prev"))
+            * (col("n_prev") * col("cnt") - col("sum_prev"))
+            > lit(9L) * (col("n_prev") * col("sumsq_prev") - col("sum_prev") * col("sum_prev")),
+          1L).otherwise(0L).as("anomaly"))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
       "cohort_retention",
@@ -159,6 +184,42 @@ object Analytic {
              |  trailing_7d_days,
              |  CAST(trailing_dec AS DOUBLE) / CAST(trailing_7d_days AS DOUBLE) AS trailing_7d_avg
              |FROM win ORDER BY day_no""".stripMargin),
+    ),
+    // Trailing-window anomaly detection on hourly event volume — the
+    // ops-monitoring query every ingest pipeline runs over its own
+    // throughput. The event stream collapses FIRST to (hour, type)
+    // counts (partial+final aggregate — the only corpus-wide work);
+    // the trailing-24h baseline is a value-based RANGE frame over hour
+    // numbers (hours with no events shrink the frame; a ROWS frame
+    // would silently bridge gaps), excluding the current hour so the
+    // tested value never contaminates its own baseline. The 3-sigma
+    // test is cross-multiplied to integers — (n·cnt − Σ)² > 9·(n·Σx² −
+    // Σ²) is (cnt − mean)² > 9·var with both sides scaled by n² — so
+    // no sqrt, no float accumulation, and DuckDB agrees bit-for-bit.
+    // At 100 TB the window input is hour-cardinality (corpus-
+    // independent), so the window task is trivially small.
+    EngineQuery(
+      "events_hourly_anomaly",
+      (s, dir) => hourlyAnomaly(Tables.events(s, dir)).orderBy("event_type", "hour_no"),
+      Some("""WITH hourly AS (
+             |  SELECT epoch_ms(ts) // 3600000 AS hour_no, event_type,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |win AS (
+             |  SELECT hour_no, event_type, cnt,
+             |    count(*) OVER w AS n_prev,
+             |    CAST(sum(cnt) OVER w AS BIGINT) AS sum_prev,
+             |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS sumsq_prev
+             |  FROM hourly
+             |  WINDOW w AS (
+             |    PARTITION BY event_type ORDER BY hour_no
+             |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT hour_no, event_type, cnt, n_prev, sum_prev,
+             |  CAST(CASE WHEN (n_prev * cnt - sum_prev) * (n_prev * cnt - sum_prev)
+             |            > 9 * (n_prev * sumsq_prev - sum_prev * sum_prev)
+             |       THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+             |FROM win WHERE n_prev >= 12
+             |ORDER BY event_type, hour_no""".stripMargin),
     ),
     // Event funnel: users who viewed and then purchased AFTER their
     // first view. One running-flag window pass + one aggregation — no

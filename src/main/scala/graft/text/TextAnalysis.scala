@@ -216,7 +216,61 @@ object TextAnalysis {
       (col("t") =!= expr("nfc_normalize(t)")).as("changed"))
   }
 
+  /** Heaps-law vocabulary growth curve: cumulative distinct-type count
+    * vs cumulative token count over md5-ordered corpus prefixes — the
+    * corpus-composition diagnostic (sub-linear type growth ⇒ natural
+    * text; near-linear ⇒ boilerplate/IDs) a tokenizer-training run
+    * checks before committing a vocabulary size.
+    *
+    * Scale shape: "cumulative distinct over a prefix" is NOT computed
+    * as |prefixes| distinct passes — each term contributes to exactly
+    * its FIRST bucket (a vocabulary-scale min-aggregate with map-side
+    * combine), per-bucket new-type counts aggregate from that, and the
+    * running sums are a window over `buckets` rows (corpus-
+    * independent). The corpus pays one token pass total.
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 16): DataFrame = {
+    val toks = graft.Partitioning.fanOut(docs)
+      .select(
+        graft.curation.Curation.md5Bucket(col("doc_id"), buckets).as("bucket"),
+        explode(wsTokens(lower(col("text")))).as("term"))
+      .where(col("term") =!= "")
+    val perBucket = toks.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val newTypes = toks.groupBy("term").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("tokens_cum", sum("n_tokens").over(w))
+      .withColumn("types_cum", sum("n_new_types").over(w))
+      .select("bucket", "n_tokens", "n_new_types", "tokens_cum", "types_cum")
+      .orderBy("bucket")
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "vocab_growth_curve",
+      (s, dir) => vocabGrowth(Tables.documents(s, dir)),
+      Some(s"""WITH toks AS (
+             |  SELECT ${graft.curation.Curation.duckMd5Bucket("doc_id", 16)} AS bucket,
+             |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |t2 AS (SELECT * FROM toks WHERE term <> ''),
+             |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens FROM t2 GROUP BY bucket),
+             |nt AS (
+             |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_types
+             |  FROM (SELECT term, min(bucket) AS bucket FROM t2 GROUP BY term)
+             |  GROUP BY bucket)
+             |SELECT pb.bucket, pb.n_tokens,
+             |  COALESCE(nt.n_new_types, 0) AS n_new_types,
+             |  CAST(sum(pb.n_tokens) OVER cum AS BIGINT) AS tokens_cum,
+             |  CAST(sum(COALESCE(nt.n_new_types, 0)) OVER cum AS BIGINT) AS types_cum
+             |FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
+             |WINDOW cum AS (ORDER BY pb.bucket ROWS UNBOUNDED PRECEDING)
+             |ORDER BY pb.bucket""".stripMargin),
+    ),
     EngineQuery(
       "nfc_normalize_dedup",
       (s, dir) => nfcNormalized(Tables.documents(s, dir)).orderBy("doc_id"),

@@ -27,4 +27,22 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     out shouldBe Set(("a", 3), ("a", 2), ("b", 9))
   }
+
+  test("hourly anomaly flags a spike against its trailing 24h baseline") {
+    // 24 calm hours (1 event each), then a 50-event spike at hour 24,
+    // then a calm hour 25 whose baseline now CONTAINS the spike
+    // (variance explodes -> no flag). Hours 0..11 have <12 trailing
+    // hours and are excluded.
+    val rows = (0 until 24).map(h => (h.toLong * 3600000L, 1)) ++
+      Seq((24L * 3600000L, 50)) ++ Seq((25L * 3600000L, 1))
+    val events = rows.zipWithIndex.flatMap { case ((ms, n), _) =>
+      (0 until n).map(i => (ms + i, "view"))
+    }.toDF("tms_raw", "event_type")
+      .withColumn("ts", timestamp_millis(col("tms_raw")))
+    val out = Analytic.hourlyAnomaly(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    out.keySet shouldBe (12L to 25L).toSet
+    out(24L) shouldBe 1L // the spike
+    (12L to 23L).foreach(h => out(h) shouldBe 0L)
+  }
 }

@@ -73,4 +73,19 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out.length shouldBe 1
     out(0).getLong(2) shouldBe 3L
   }
+
+  test("vocab growth: each type counts once, in its first bucket; cumsums are monotone") {
+    // enough docs that both buckets of a 2-bucket split are non-empty
+    val docs = (0L until 20L).map { i =>
+      (i, if (i % 2 == 0) "alpha beta" else "alpha gamma delta")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.map(_._1).toSeq shouldBe Seq(0L, 1L)
+    // 4 distinct types total, each attributed exactly once
+    out.map(_._3).sum shouldBe 4L
+    // cumulative totals equal the full corpus sums
+    out.last._4 shouldBe out.map(_._2).sum
+    out.last._5 shouldBe 4L
+  }
 }
