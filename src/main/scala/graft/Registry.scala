@@ -57,6 +57,7 @@ object Registry {
       similarity.Pq.engineQueries ++
       similarity.SemDedup.engineQueries ++
       similarity.Quantize.engineQueries ++
+      similarity.HybridSearch.engineQueries ++
       streaming.EventAnalytics.engineQueries ++
       streaming.StatefulSessions.engineQueries ++
       multimodal.Multimodal.engineQueries ++
