@@ -108,12 +108,27 @@ object Analytic {
     * see the `events_hourly_anomaly` registration comment for the
     * integer cross-multiplication and RANGE-frame rationale.
     */
-  def hourlyAnomaly(events: DataFrame): DataFrame = {
-    val hourly = events
+  def hourlyAnomaly(events: DataFrame): DataFrame =
+    anomalyOverHourly(hourlyEventCounts(events))
+
+  /** (hour_no, event_type, cnt) — the streamable half: a plain
+    * aggregation, shared verbatim by the streaming twin
+    * (`streaming_hourly_anomaly`), which maintains it in complete mode
+    * and runs [[anomalyOverHourly]] downstream over the materialized
+    * state (window functions don't stream; the split IS the
+    * production shape).
+    */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(
         expr("unix_millis(ts) div 3600000").as("hour_no"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The trailing-window 3-sigma test over an (hour_no, event_type,
+    * cnt) relation.
+    */
+  def anomalyOverHourly(hourly: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("hour_no").rangeBetween(-24, -1)
     hourly
       .withColumn("n_prev", count(lit(1)).over(w))
@@ -128,6 +143,31 @@ object Analytic {
             > lit(9L) * (col("n_prev") * col("sumsq_prev") - col("sum_prev") * col("sum_prev")),
           1L).otherwise(0L).as("anomaly"))
   }
+
+  /** DuckDB oracle of the hourly anomaly relation — shared by the
+    * batch gate (`events_hourly_anomaly`) and the streaming twin
+    * (`streaming_hourly_anomaly`), which must agree with it exactly.
+    */
+  val hourlyAnomalyOracle: String =
+    """WITH hourly AS (
+      |  SELECT epoch_ms(ts) // 3600000 AS hour_no, event_type,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |win AS (
+      |  SELECT hour_no, event_type, cnt,
+      |    count(*) OVER w AS n_prev,
+      |    CAST(sum(cnt) OVER w AS BIGINT) AS sum_prev,
+      |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS sumsq_prev
+      |  FROM hourly
+      |  WINDOW w AS (
+      |    PARTITION BY event_type ORDER BY hour_no
+      |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT hour_no, event_type, cnt, n_prev, sum_prev,
+      |  CAST(CASE WHEN (n_prev * cnt - sum_prev) * (n_prev * cnt - sum_prev)
+      |            > 9 * (n_prev * sumsq_prev - sum_prev * sum_prev)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      |FROM win WHERE n_prev >= 12
+      |ORDER BY event_type, hour_no""".stripMargin
 
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
@@ -201,25 +241,7 @@ object Analytic {
     EngineQuery(
       "events_hourly_anomaly",
       (s, dir) => hourlyAnomaly(Tables.events(s, dir)).orderBy("event_type", "hour_no"),
-      Some("""WITH hourly AS (
-             |  SELECT epoch_ms(ts) // 3600000 AS hour_no, event_type,
-             |    CAST(count(*) AS BIGINT) AS cnt
-             |  FROM events GROUP BY 1, 2),
-             |win AS (
-             |  SELECT hour_no, event_type, cnt,
-             |    count(*) OVER w AS n_prev,
-             |    CAST(sum(cnt) OVER w AS BIGINT) AS sum_prev,
-             |    CAST(sum(cnt * cnt) OVER w AS BIGINT) AS sumsq_prev
-             |  FROM hourly
-             |  WINDOW w AS (
-             |    PARTITION BY event_type ORDER BY hour_no
-             |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
-             |SELECT hour_no, event_type, cnt, n_prev, sum_prev,
-             |  CAST(CASE WHEN (n_prev * cnt - sum_prev) * (n_prev * cnt - sum_prev)
-             |            > 9 * (n_prev * sumsq_prev - sum_prev * sum_prev)
-             |       THEN 1 ELSE 0 END AS BIGINT) AS anomaly
-             |FROM win WHERE n_prev >= 12
-             |ORDER BY event_type, hour_no""".stripMargin),
+      Some(hourlyAnomalyOracle),
     ),
     // Event funnel: users who viewed and then purchased AFTER their
     // first view. One running-flag window pass + one aggregation — no

@@ -298,5 +298,36 @@ object EventAnalytics {
              |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY hour_ms, event_type ORDER BY hour_ms, event_type""".stripMargin),
     ),
+    // Streaming twin of events_hourly_anomaly: the streamABLE half —
+    // the (hour_no, event_type, cnt) aggregate — is maintained by a
+    // real streaming query in complete mode; the trailing-window
+    // 3-sigma test (window functions don't stream) runs DOWNSTREAM
+    // over the materialized state, which is the production monitoring
+    // shape: state stays hour-cardinality regardless of stream volume,
+    // and the detector scan costs |hours|, not |events|. Gate-checked
+    // against the identical batch oracle, proving the two paths agree.
+    EngineQuery(
+      "streaming_hourly_anomaly",
+      (s, dir) => {
+        Tables.ensureLegacyParquetConf(s)
+        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = Tables.normalizeEventsTs(s.readStream
+          .schema(rawSchema)
+          .format("parquet")
+          .option("pathGlobFilter", "events.parquet")
+          .load(dir))
+        val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
+        val q = graft.operators.Analytic.hourlyEventCounts(stream).writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qn)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        graft.operators.Analytic.anomalyOverHourly(s.table(qn))
+          .orderBy("event_type", "hour_no")
+      },
+      Some(graft.operators.Analytic.hourlyAnomalyOracle),
+    ),
   )
 }
