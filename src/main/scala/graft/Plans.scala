@@ -158,6 +158,14 @@ object Plans {
       "int8 scalar quantization recall probe: the per-dim min/max bounds collapse to a single-row array carrier that rides a broadcast crossJoin back over the corpus (the mixture-budget carrier shape) — quantizing is ONE corpus pass with no corpus shuffle; both the exact and SQ8 top-k rankings broadcast the bounded query side over the corpus and cut rank≤k per partition via `WindowGroupLimit` before any window materializes a full candidate list.",
     "embedding_outliers" ->
       "Diagonal-Mahalanobis curation cut: per-dim moments aggregate with map-side partials (64 rows per task through the exchange), return as a 1-row broadcast carrier, and the per-vector χ²-style score is a pure projection — the top-n then runs as `TakeOrderedAndProject` (per-partition heaps merged on the driver), never a global sort of the corpus.",
+    "events_hourly_anomaly" ->
+      "Ops-monitoring anomaly scan: the corpus-wide work is ONE (hour, type) partial+final count aggregate; the trailing-24h RANGE-frame 3-sigma test consumes that hour-cardinality output (window exchange keys on event_type, input is |hours| rows regardless of stream volume). Integer cross-multiplied test — no sqrt, no float accumulation — and no Join node anywhere. The streaming twin maintains the identical aggregate in complete mode and runs the identical detector downstream.",
+    "vocab_growth_curve" ->
+      "Heaps-law curve without per-prefix distinct passes: each term reduces to its FIRST bucket via a vocabulary-scale min-aggregate (map-side combine), per-bucket new-type counts aggregate from that, and the cumulative window runs over |buckets| (=16) rows. The corpus pays one token pass; nothing self-joins.",
+    "hybrid_search_rrf" ->
+      "Sparse+dense fusion: both input rankings are rank≤depth cut per partition (`WindowGroupLimit`) before anything fuses, so the FullOuter fusion join and the final sort cost k — corpus-scale work stays inside the audited BM25 inverted-index probe and the ANN ranking, and the fused score is pure integer rank arithmetic.",
+    "hilbert_skipping_stats" ->
+      "Write-time layout assignment quantified: Hilbert index is a chain of per-level projections (linear-size expression tree — a nested formulation would double per level), per-file min/max stats combine map-side below the two fid-keyed exchanges, and the contiguous-run lag window runs over the ≤64-row must-read file list. The metric the gate pins: identical file/row counts to Z-order under the seam-straddling predicate, strictly fewer contiguous scan ranges (3 vs 4 at sf0.1).",
   )
 
   def main(args: Array[String]): Unit = {

@@ -492,6 +492,41 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("hourly anomaly: window runs over the hour-cardinality aggregate, never raw events") {
+    val p = plan("events_hourly_anomaly")
+    // corpus-wide work is ONE partial+final count; the trailing-window
+    // test consumes its output (|hours| rows), so the window's exchange
+    // keys on event_type only
+    p should include("partial_count")
+    p should include("Window")
+    p should not include "Join"
+  }
+
+  test("vocab growth: first-bucket attribution is a min-agg; no per-prefix distinct passes") {
+    val p = plan("vocab_growth_curve")
+    // each term reduces to its min bucket (map-side combine), so the
+    // wide exchanges key on term/bucket; the cumulative window runs
+    // over |buckets| rows, and nothing joins the corpus to itself
+    p should include("partial_min")
+    p should not include "CartesianProduct"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("term")
+  }
+
+  test("hybrid RRF: both rankings cut per-partition before fusion; fusion joins bounded lists") {
+    val p = plan("hybrid_search_rrf")
+    p should include("WindowGroupLimit")
+    p should include("FullOuter")
+    p should not include "CartesianProduct"
+  }
+
+  test("hilbert layout: per-file stats combine map-side; the only wide exchange keys on fid") {
+    val p = plan("hilbert_skipping_stats")
+    p should include("partial_min")
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("fid_hilbert", "fid_zorder")
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
