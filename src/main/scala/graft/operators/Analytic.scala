@@ -144,6 +144,66 @@ object Analytic {
           1L).otherwise(0L).as("anomaly"))
   }
 
+  /** CUSUM changepoint scan over daily order revenue (Page 1954) —
+    * the sequential drift detector behind data-quality monitors
+    * ("did ingest volume shift regime?"). The textbook recurrence
+    * S_t = max(0, S_{t-1} + x_t − k) looks SQL-inexpressible
+    * (sequential state), but it has a closed window form:
+    * S_t = P_t − min_{i≤t} P_i over the prefix sums P of (x_t − k) —
+    * one running sum + one running min, both at DAY cardinality (the
+    * corpus reduced to daily totals first), so the single-partition
+    * windows are corpus-independent.
+    *
+    * Exactness: revenue in integer cents (DECIMAL(12,2)·100), the
+    * reference drift k = mean daily cents via BIGINT `div`, all
+    * prefix arithmetic in BIGINT; the alarm threshold is one mean
+    * day's excess accumulated. Bit-identical in DuckDB.
+    */
+  def cusumRevenueShift(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
+      .agg((sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+    val tot = daily.agg(
+      expr("sum(cents) div count(1)").as("k_cents"))
+    val wCum = Window.orderBy("day_no").rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("p", sum(col("cents") - col("k_cents")).over(wCum))
+      // the prefix-min includes the EMPTY prefix (P_0 = 0): without
+      // the 0 floor, a first-day excess would read as S_1 = 0
+      .withColumn("cusum_cents", col("p") - least(lit(0L), min(col("p")).over(wCum)))
+      .select(
+        col("day_no"), col("cents"), col("cusum_cents"),
+        when(col("cusum_cents") > col("k_cents"), 1L).otherwise(0L).as("shifted"))
+  }
+
+  /** Multi-touch marketing attribution: every purchase's revenue
+    * attributed to the user's FIRST and LAST preceding engagement
+    * (view/click) — the first-touch/last-touch pair every growth team
+    * reports. One window pass over the user-partitioned event stream
+    * (`first`/`last` with ignoreNulls over an unbounded-to-previous
+    * frame — no purchase×engagement self-join, which is the naive
+    * quadratic formulation), then a ≤(channels+1)² aggregate.
+    * Purchases with no prior engagement attribute to 'none'.
+    */
+  def touchAttribution(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("tms"), col("event_id"), col("value"))
+    val eng = when(col("event_type").isin("view", "click"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("first_touch", first(eng, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(eng, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(
+        coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+  }
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -242,6 +302,51 @@ object Analytic {
       "events_hourly_anomaly",
       (s, dir) => hourlyAnomaly(Tables.events(s, dir)).orderBy("event_type", "hour_no"),
       Some(hourlyAnomalyOracle),
+    ),
+    EngineQuery(
+      "attribution_touch_revenue",
+      (s, dir) => touchAttribution(Tables.events(s, dir)).orderBy("first_touch", "last_touch"),
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id, value FROM events),
+             |f AS (
+             |  SELECT *,
+             |    first_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+             |      IGNORE NULLS) OVER w AS first_touch,
+             |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+             |      IGNORE NULLS) OVER w AS last_touch
+             |  FROM ev
+             |  WINDOW w AS (
+             |    PARTITION BY user_id ORDER BY tms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT COALESCE(first_touch, 'none') AS first_touch,
+             |  COALESCE(last_touch, 'none') AS last_touch,
+             |  count(*) AS n_purchases,
+             |  CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents
+             |FROM f WHERE event_type = 'purchase'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+    EngineQuery(
+      "cusum_revenue_shift",
+      (s, dir) => cusumRevenueShift(Tables.orders(s, dir)).orderBy("day_no"),
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS k_cents FROM daily),
+             |pre AS (
+             |  SELECT day_no, cents, k_cents,
+             |    CAST(sum(cents - k_cents) OVER w AS BIGINT) AS p
+             |  FROM daily, tot
+             |  WINDOW w AS (ORDER BY day_no ROWS UNBOUNDED PRECEDING)),
+             |cus AS (
+             |  SELECT day_no, cents, k_cents,
+             |    p - least(0, min(p) OVER (ORDER BY day_no ROWS UNBOUNDED PRECEDING))
+             |      AS cusum_cents
+             |  FROM pre)
+             |SELECT day_no, cents, cusum_cents,
+             |  CAST(CASE WHEN cusum_cents > k_cents THEN 1 ELSE 0 END AS BIGINT) AS shifted
+             |FROM cus ORDER BY day_no""".stripMargin),
     ),
     // Event funnel: users who viewed and then purchased AFTER their
     // first view. One running-flag window pass + one aggregation — no

@@ -28,6 +28,36 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
     out shouldBe Set(("a", 3), ("a", 2), ("b", 9))
   }
 
+  test("attribution: first/last touch pick the right engagements; orphans go to none") {
+    // user 1: view, click, purchase -> (first view, last click);
+    // a later purchase keeps the same touches. user 2: bare purchase.
+    val rows = Seq(
+      (1L, "view", 0L, 100L, 0.0), (1L, "click", 10L, 101L, 0.0),
+      (1L, "purchase", 20L, 102L, 5.0), (1L, "purchase", 30L, 103L, 7.0),
+      (2L, "purchase", 5L, 200L, 3.0),
+    ).toDF("user_id", "event_type", "tms_raw", "event_id", "value")
+      .withColumn("ts", timestamp_millis(col("tms_raw")))
+    val out = Analytic.touchAttribution(rows)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    out shouldBe Map(
+      ("view", "click") -> ((2L, 1200L)),
+      ("none", "none") -> ((1L, 300L)))
+  }
+
+  test("CUSUM window form equals the sequential max(0, s + x - k) recurrence") {
+    val prices = Seq(1.00, 1.00, 5.00, 1.00, 1.00, 7.00, 1.00)
+    val orders = prices.zipWithIndex.map { case (p, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)), p)
+    }.toDF("o_orderdate", "o_totalprice")
+    val out = Analytic.cusumRevenueShift(orders).orderBy("day_no")
+      .collect().map(_.getLong(2))
+    val cents = prices.map(p => math.round(p * 100))
+    val k = cents.sum / cents.length
+    var s = 0L
+    val expected = cents.map { c => s = math.max(0L, s + c - k); s }
+    out.toSeq shouldBe expected
+  }
+
   test("hourly anomaly flags a spike against its trailing 24h baseline") {
     // 24 calm hours (1 event each), then a 50-event spike at hour 24,
     // then a calm hour 25 whose baseline now CONTAINS the spike
