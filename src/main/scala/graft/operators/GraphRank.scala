@@ -145,6 +145,60 @@ object GraphRank {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Iterations the last [[kCore]] call took — probe observability,
+    * mirroring [[graft.dedup.Dedup.lastCcIterations]].
+    */
+  @volatile var lastKCoreIterations: Int = -1
+
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes
+    * with degree < k (and their edges) until a fixed point; surviving
+    * nodes with their within-core degrees are the graph's dense
+    * backbone — the community-mining / spam-farm-detection primitive
+    * next to PageRank and triangles. Each round is one degree
+    * aggregate (map-side combine) + two semi-join-shaped filters on
+    * the shrinking edge relation, checkpoint-released per round (the
+    * CC-loop discipline); convergence is an exact degree fixed point,
+    * so an oracle unrolled DEEPER than the actual round count is valid
+    * — extra rounds are idempotent. Fails loud past `maxIter` (the
+    * `graft.dedup.Dedup.connectedComponents` contract: silent
+    * non-convergence is how wrong answers ship).
+    */
+  def kCore(lineitem: DataFrame, k: Int, nodeMod: Int, maxIter: Int = 8): DataFrame = {
+    val e0 = coPurchaseEdges(lineitem.where(col("l_partkey") % nodeMod === 0))
+    var (edges, freePrev) = graft.Checkpoints.localEager(e0)
+    var prevNodes = -1L
+    var iters = 0
+    var converged = false
+    while (!converged) {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      val nNodes = deg.count()
+      if (nNodes == prevNodes) converged = true
+      else {
+        iters += 1
+        if (iters > maxIter) {
+          lastKCoreIterations = iters
+          throw new IllegalStateException(
+            s"kCore did not converge after $maxIter peeling rounds; " +
+              "raise maxIter for graphs with long degeneracy chains")
+        }
+        prevNodes = nNodes
+        val keep = deg.where(col("d") >= k)
+        val (next, freeNext) = graft.Checkpoints.localEager(
+          edges
+            .join(keep.select(col("src")), "src")
+            .join(keep.select(col("src").as("dst")), "dst")
+            .select("src", "dst"))
+        freePrev(); edges = next; freePrev = freeNext
+      }
+    }
+    lastKCoreIterations = iters
+    val (core, _) = graft.Checkpoints.localEager(
+      edges.groupBy("src").agg(count(lit(1)).as("core_deg"))
+        .select(col("src").as("node"), col("core_deg")))
+    freePrev()
+    core
+  }
+
   /** Shared oracle CTE prefix: edges/nodes/outdegrees of the
     * co-purchase graph, mirroring [[coPurchaseEdges]] exactly.
     */
@@ -203,6 +257,31 @@ object GraphRank {
              |SELECT node, count(*) AS triangles
              |FROM corners GROUP BY node ORDER BY node""".stripMargin),
       headline = true,
+    ),
+    EngineQuery(
+      "graph_kcore_nodes",
+      (s, dir) => kCore(Tables.lineitem(s, dir), k = 12, nodeMod = 5).orderBy("node"),
+      Some {
+        // each round references the previous edge relation three times
+        // (degree agg + both endpoint filters) — without MATERIALIZED,
+        // DuckDB's CTE inlining re-evaluates the chain 3^rounds times
+        val rounds = (1 to 8).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT src, count(*) AS c FROM e${i - 1} GROUP BY src),
+             |kp$i AS MATERIALIZED (SELECT src AS node FROM d$i WHERE c >= 12),
+             |e$i AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM e${i - 1} e
+             |  JOIN kp$i a ON a.node = e.src JOIN kp$i b ON b.node = e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH op AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |  FROM lineitem WHERE l_partkey % 5 = 0),
+           |e0 AS MATERIALIZED (
+           |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+           |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+           |$rounds
+           |SELECT src AS node, count(*) AS core_deg
+           |FROM e8 GROUP BY src ORDER BY node""".stripMargin
+      },
     ),
     EngineQuery(
       "graph_degree_histogram",

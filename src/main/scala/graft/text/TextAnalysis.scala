@@ -249,7 +249,109 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Per-language closed-form OLS of token count on char count — the
+    * grouped-regression shape (one slope per group over a 100 TB
+    * corpus) done the scale-correct way: ONE aggregation pass collects
+    * the five moments (n, Σx, Σy, Σx², Σxy) with map-side combine, and
+    * the slope emerges per group as the exact integer RATIONAL
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — numerator and denominator
+    * surfaced separately, so no float division ever happens inside the
+    * engine and both engines agree bit-for-bit. (The intercept's
+    * cross-product Σy·den can overflow BIGINT at corpus scale, so the
+    * relation carries the moments instead — any consumer can form it
+    * in its own precision.)
+    */
+  def olsTokensByLang(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("lang"),
+        col("n_chars").as("x"),
+        size(wsTokens(lower(col("text")))).cast("long").as("y"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sum_x"), sum("y").as("sum_y"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("x") * col("y")).as("sum_xy"))
+      .select(
+        col("lang"), col("n"), col("sum_x"), col("sum_y"), col("sum_xx"), col("sum_xy"),
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).as("slope_num"),
+        (col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).as("slope_den"))
+
+  /** Positional-index phrase search: find every document containing
+    * the corpus's most frequent adjacent bigram as an EXACT phrase,
+    * with match counts — the inverted-index-with-positions probe
+    * (Lucene phrase query shape). Scale design: bigram selection pays
+    * one per-row zip pass + a vocabulary-scale count (no corpus
+    * self-join); the match step joins only the two chosen terms'
+    * posting lists on (doc_id, pos+1) — the corpus-scale token stream
+    * is filtered to two terms BEFORE any shuffle, exactly like a real
+    * posting-list intersection.
+    */
+  def phraseMatchDocs(docs: DataFrame): DataFrame = {
+    val toked = graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
+    // per-row adjacent bigrams -> global top-1 (count desc, then t1, t2)
+    val top = toked
+      .select(explode(expr(
+        "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), (t, i) -> struct(t AS t1, toks[i + 1] AS t2))"))
+        .as("bg"))
+      .select(col("bg.t1"), col("bg.t2"))
+      .where(col("t1") =!= "" && col("t2") =!= "")
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2")).limit(1)
+    val pos = toked.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+    val a = pos.join(broadcast(top), pos("term") === top("t1"))
+      .select(col("doc_id"), col("pos"), col("t1"), col("t2"))
+    val b = pos.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("term"))
+    a.join(b,
+        col("doc_b") === col("doc_id") && col("pos_b") === col("pos") + 1
+          && col("term") === col("t2"))
+      .groupBy("doc_id", "t1", "t2")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "phrase_match_docs",
+      (s, dir) => phraseMatchDocs(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""WITH toked AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+             |  FROM documents),
+             |bg AS (
+             |  SELECT unnest(toks[1:-2]) AS t1, unnest(toks[2:]) AS t2 FROM toked
+             |  WHERE len(toks) >= 2),
+             |top AS (
+             |  SELECT t1, t2 FROM bg WHERE t1 <> '' AND t2 <> ''
+             |  GROUP BY t1, t2 ORDER BY count(*) DESC, t1, t2 LIMIT 1),
+             |pos AS (
+             |  SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+             |  FROM toked)
+             |SELECT a.doc_id, top.t1, top.t2, count(*) AS n_matches
+             |FROM pos a JOIN top ON a.term = top.t1
+             |JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = top.t2
+             |GROUP BY 1, 2, 3 ORDER BY a.doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "ols_tokens_by_lang",
+      (s, dir) => olsTokensByLang(Tables.documents(s, dir)).orderBy("lang"),
+      Some("""WITH d AS (
+             |  SELECT lang, n_chars AS x,
+             |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE length(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT) AS y
+             |  FROM documents),
+             |m AS (
+             |  SELECT lang, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+             |    CAST(sum(x * x) AS BIGINT) AS sum_xx, CAST(sum(x * y) AS BIGINT) AS sum_xy
+             |  FROM d GROUP BY lang)
+             |SELECT lang, n, sum_x, sum_y, sum_xx, sum_xy,
+             |  n * sum_xy - sum_x * sum_y AS slope_num,
+             |  n * sum_xx - sum_x * sum_x AS slope_den
+             |FROM m ORDER BY lang""".stripMargin),
+    ),
     EngineQuery(
       "vocab_growth_curve",
       (s, dir) => vocabGrowth(Tables.documents(s, dir)),

@@ -37,4 +37,25 @@ class TriangleSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getLong(0) / 5 -> r.getLong(1)).toMap
     out shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L)
   }
+
+  test("k-core peels the pendant chain and keeps the clique") {
+    // K5 on 1..5 plus a chain 5-6-7: the 4-core is exactly the clique
+    // (peeling round 1 drops 7 and 6 together — both sit under k after
+    // the degree pass; node 5's within-clique degree stays 4)
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val g = k5 ++ Seq((5L, 6L), (6L, 7L))
+    val out = GraphRank.kCore(lineitemFor(g), k = 4, nodeMod = 5)
+      .collect().map(r => r.getLong(0) / 5 -> r.getLong(1)).toMap
+    out shouldBe (1L to 5L).map(_ -> 4L).toMap
+    GraphRank.lastKCoreIterations should be >= 2 // peel round + confirm round
+  }
+
+  test("k-core fails loud instead of silently stopping early") {
+    // a long path needs one round per node end-to-end under k=2? no —
+    // a PATH's 2-core is empty and peeling eats one endpoint pair per
+    // round: maxIter=2 on an 8-path cannot converge -> must throw
+    val path = (1L to 8L).sliding(2).map(s => (s(0), s(1))).toSeq
+    an[IllegalStateException] should be thrownBy
+      GraphRank.kCore(lineitemFor(path), k = 2, nodeMod = 5, maxIter = 2)
+  }
 }
