@@ -140,6 +140,35 @@ object Dedup {
     pairsFromBands(capByKey(
       minhashBands(minhashSignatures(docs)), Seq("band_idx", "band_val"), maxBandSize))
 
+  /** Contrastive training triplets (anchor, positive, negative) mined
+    * from the corpus — the data-prep step for embedding-model training
+    * (SimCSE/E5-style): positives are MinHash near-dup candidate pairs
+    * (genuinely similar text), negatives are deterministic pseudo-
+    * random docs keyed by md5 of the pair — reproducible across runs,
+    * retries, and engines, with a 3-probe skip past the degenerate
+    * draws (negative = anchor or positive; doc_ids are contiguous
+    * 0..n-1 in the harness corpus, so `% n_docs` is a valid doc).
+    * Scale: the pair relation is the banded candidate set (never
+    * all-pairs) and the negative is a pure projection — no extra
+    * shuffle beyond the audited MinHash path; n_docs rides a 1-row
+    * broadcast carrier.
+    */
+  def contrastiveTriplets(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    minhashCandidatePairs(docs)
+      .crossJoin(broadcast(n))
+      .withColumn("h",
+        expr("""CAST(conv(substring(md5(concat(CAST(doc_a AS STRING), '_',
+               |  CAST(doc_b AS STRING))), 1, 8), 16, 10) AS BIGINT) % n_docs""".stripMargin))
+      .select(
+        col("doc_a").as("anchor"),
+        col("doc_b").as("positive"),
+        expr("""CASE WHEN h <> doc_a AND h <> doc_b THEN h
+               |  WHEN (h + 1) % n_docs <> doc_a AND (h + 1) % n_docs <> doc_b
+               |    THEN (h + 1) % n_docs
+               |  ELSE (h + 2) % n_docs END""".stripMargin).as("negative"))
+  }
+
   /** Band-population profile: per band_idx, how many distinct band
     * values exist, the largest membership, and how many exceed the cap
     * (the dropped-band count for [[minhashCandidatePairs]]) — the
@@ -865,6 +894,29 @@ object Dedup {
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
            |WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    EngineQuery(
+      "contrastive_triplets",
+      (s, dir) => contrastiveTriplets(Tables.documents(s, dir)).orderBy("anchor", "positive"),
+      Some(
+        s"""WITH sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |  WHERE a.doc_id < b.doc_id),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |hpair AS (
+           |  SELECT doc_a, doc_b, n_docs,
+           |    CAST('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '_' || CAST(doc_b AS VARCHAR)), 1, 8)
+           |      AS BIGINT) % n_docs AS h
+           |  FROM pairs, n)
+           |SELECT doc_a AS anchor, doc_b AS positive,
+           |  CASE WHEN h <> doc_a AND h <> doc_b THEN h
+           |    WHEN (h + 1) % n_docs <> doc_a AND (h + 1) % n_docs <> doc_b
+           |      THEN (h + 1) % n_docs
+           |    ELSE (h + 2) % n_docs END AS negative
+           |FROM hpair ORDER BY anchor, positive""".stripMargin),
     ),
     // The cap's observability face: band-population profile per band
     // index (distinct band values, max membership, bands over the cap).

@@ -182,7 +182,54 @@ object Profile {
     liRows.unionByName(oRows).unionByName(orphan).unionByName(shipAfter)
   }
 
+  /** Benford's-law first-digit audit of order totals — the forensic
+    * DQ screen for fabricated or truncated numeric columns (Nigrini's
+    * accounting test): natural multi-scale amounts follow
+    * P(d) = log10(1 + 1/d); a synthetic uniform column does not, and
+    * the per-digit observed-vs-expected permille gap shows exactly
+    * how. One aggregation pass into 9 digit groups; expected permille
+    * are integer literals of the canonical distribution (no runtime
+    * log10, no float portability surface). The first digit comes from
+    * the DECIMAL(12,2) string form — identical text rendering in both
+    * engines for the all-positive price domain.
+    */
+  def benfordFirstDigit(orders: DataFrame): DataFrame = {
+    val expected = Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L, 5 -> 79L,
+      6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+    val expCol = expected.foldLeft(lit(0L)) { case (acc, (d, pm)) =>
+      when(col("digit") === d.toString, pm).otherwise(acc)
+    }
+    val counts = orders
+      .select(substring(col("o_totalprice").cast(DecimalType(12, 2)).cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("observed"))
+    val tot = counts.agg(sum(col("observed")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col("digit"),
+        col("observed"),
+        expr("(observed * 1000) div total").as("observed_pm"),
+        expCol.as("expected_pm"))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "benford_first_digit",
+      (s, dir) => benfordFirstDigit(Tables.orders(s, dir)).orderBy("digit"),
+      Some("""WITH d AS (
+             |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1)
+             |    AS digit
+             |  FROM orders),
+             |c AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+             |t AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM c)
+             |SELECT digit, observed,
+             |  CAST((observed * 1000) // total AS BIGINT) AS observed_pm,
+             |  CAST(CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176 WHEN '3' THEN 125
+             |    WHEN '4' THEN 97 WHEN '5' THEN 79 WHEN '6' THEN 67 WHEN '7' THEN 58
+             |    WHEN '8' THEN 51 WHEN '9' THEN 46 ELSE 0 END AS BIGINT) AS expected_pm
+             |FROM c, t ORDER BY digit""".stripMargin),
+    ),
     EngineQuery(
       "profile_lineitem",
       (s, dir) => profile(Tables.lineitem(s, dir)),

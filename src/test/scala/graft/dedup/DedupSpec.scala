@@ -149,4 +149,20 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
     grouped shouldBe Map(1L -> 2L, 3L -> 1L)
   }
+
+  test("contrastive triplets: positives are near-dups, negatives avoid both ends") {
+    // two near-identical docs (the positive pair) + distinct fillers
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = (Seq((0L, long), (1L, long + " tail")) ++
+      (2L to 9L).map(i => i -> s"unique doc $i with its own words ${"pad" * 5} $i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contrastiveTriplets(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(t => (t._1, t._2)) should contain((0L, 1L))
+    out.foreach { case (a, p, n) =>
+      n should not be a
+      n should not be p
+      n should (be >= 0L and be < 10L)
+    }
+  }
 }
