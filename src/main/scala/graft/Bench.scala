@@ -84,7 +84,9 @@ object Bench {
       "curation_funnel" -> 1.00, "ccnet_perplexity_buckets" -> 2.69,
       "graph_pagerank_parts" -> 4.78,
       // r11 late adds, min-of-5 ad-hoc builder run
-      "embedding_sq8_recall" -> 1.31, "graph_triangle_counts" -> 1.75)
+      "embedding_sq8_recall" -> 1.31, "graph_triangle_counts" -> 1.75,
+      "cusum_revenue_shift" -> 0.65, "graph_kcore_nodes" -> 2.49,
+      "hybrid_search_rrf" -> 2.66)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

@@ -166,6 +166,22 @@ object Plans {
       "Sparse+dense fusion: both input rankings are rank≤depth cut per partition (`WindowGroupLimit`) before anything fuses, so the FullOuter fusion join and the final sort cost k — corpus-scale work stays inside the audited BM25 inverted-index probe and the ANN ranking, and the fused score is pure integer rank arithmetic.",
     "hilbert_skipping_stats" ->
       "Write-time layout assignment quantified: Hilbert index is a chain of per-level projections (linear-size expression tree — a nested formulation would double per level), per-file min/max stats combine map-side below the two fid-keyed exchanges, and the contiguous-run lag window runs over the ≤64-row must-read file list. The metric the gate pins: identical file/row counts to Z-order under the seam-straddling predicate, strictly fewer contiguous scan ranges (3 vs 4 at sf0.1).",
+    "cusum_revenue_shift" ->
+      "CUSUM changepoint scan in closed window form: the corpus reduces to daily totals (partial+final decimal sum), the reference drift and prefix windows run at DAY cardinality, and S_t = P_t − min(0, running-min P) replaces the sequential max(0, s+x−k) recurrence — proven equal in AnalyticSpec. All integer cents; the 1-row mean rides a broadcast carrier; no self-join.",
+    "attribution_touch_revenue" ->
+      "Multi-touch attribution without the naive purchase×engagement self-join: ONE ignoreNulls first/last window pass over the user-partitioned stream (user_id is the only wide exchange key), then a ≤(channels+1)² aggregate. No Join node in the plan at all.",
+    "skyline_parts" ->
+      "2-D Pareto frontier the scale-correct way: the frontier needs only MIN(size) per price, so the corpus pays one price-keyed min aggregate (map-side combine) and the running-min dominance window consumes value-cardinality rows — never the quadratic NOT EXISTS dominance join.",
+    "ols_tokens_by_lang" ->
+      "Grouped regression as ONE moments pass: a single scan of documents feeds n/Σx/Σy/Σx²/Σxy per language (partial aggregation below the lang-keyed exchange), and the slope emerges as an exact integer rational in the projection — no float division in-engine, no per-moment scans, no join.",
+    "phrase_match_docs" ->
+      "Positional posting-list intersection: bigram selection is a per-row zip + vocabulary-scale count; the chosen phrase broadcasts, the corpus token stream filters to the TWO query terms before any shuffle, and the (doc, pos+1) match is a hash equi-join of two posting lists — the Lucene phrase-query shape on Spark.",
+    "graph_kcore_nodes" ->
+      "Iterative peeling to an exact degree fixed point: each round is one map-side-combined degree aggregate + two endpoint semi-filters on the shrinking edge relation, checkpoint-released per round (CC discipline, loud past maxIter). By plan time consumers scan the pinned materialization (`Scan ExistingRDD`) — re-reads never replay rounds. The oracle unrolls 8 MATERIALIZED rounds (plain CTEs would re-inline 3^rounds times); extra rounds past convergence are idempotent.",
+    "benford_first_digit" ->
+      "Forensic first-digit audit: one digit-grouped count aggregate + a 1-row total carrier; expected permilles are integer literals (no runtime log10, no float surface). On this corpus it genuinely flags the uniform synthetic price digits — the test detecting exactly what it is built to detect.",
+    "contrastive_triplets" ->
+      "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )
 
   def main(args: Array[String]): Unit = {

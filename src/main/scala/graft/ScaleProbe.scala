@@ -65,6 +65,11 @@ object ScaleProbe {
     // rows — the query whose degree-orientation bound this probe
     // exists to test
     "graph_triangle_counts",
+    // k-core: the densified probe graph peels DIFFERENTLY (higher
+    // degrees -> fewer rounds survive the k cut); rounds recorded like
+    // CC iterations. phrase/triplets ride the 30x documents corpus —
+    // posting-list filter-before-shuffle and banded-pair scaling.
+    "graph_kcore_nodes", "phrase_match_docs", "contrastive_triplets",
     "ccnet_perplexity_buckets", "curation_funnel",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")
@@ -194,6 +199,12 @@ object ScaleProbe {
     val rows = probeQueries.map { n =>
       val base = time(n, srcDir)
       val probe = time(n, outDir)
+      if (n == "graph_kcore_nodes") {
+        val it = graft.operators.GraphRank.lastKCoreIterations
+        ccIters(n) = it
+        if (it > 6)
+          System.err.println(s"[probe] $n: peeling took $it rounds at probe scale — approaching maxIter=8")
+      }
       if (ccQueries(n)) {
         val it = graft.dedup.Dedup.lastCcIterations
         ccIters(n) = it

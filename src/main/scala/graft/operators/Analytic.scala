@@ -204,6 +204,28 @@ object Analytic {
       .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
   }
 
+  /** 2-D skyline (Pareto frontier) of parts: the non-dominated set
+    * minimizing (retail price, size) — the classic multi-criteria
+    * operator (Börzsönyi et al. 2001). The sort-filter formulation,
+    * made scale-safe by the observation that the 2-D frontier needs
+    * only MIN(y) per x: the corpus reduces to one row per distinct
+    * price (map-side-combined min aggregate), and the running-min
+    * dominance test is a window over that value-cardinality relation
+    * — never a self-join of the table against itself (the naive
+    * NOT EXISTS dominance query is quadratic). Exact integer cents.
+    */
+  def skylineParts(part: DataFrame): DataFrame = {
+    val perPrice = part
+      .groupBy((col("p_retailprice").cast(DecimalType(12, 2)) * 100).cast("long")
+        .as("price_cents"))
+      .agg(min(col("p_size").cast("long")).as("size"))
+    val w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    perPrice
+      .withColumn("mn", min("size").over(w))
+      .where(col("mn").isNull || col("size") < col("mn"))
+      .select("price_cents", "size")
+  }
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -304,6 +326,21 @@ object Analytic {
       Some(hourlyAnomalyOracle),
     ),
     EngineQuery(
+      "skyline_parts",
+      (s, dir) => skylineParts(Tables.part(s, dir)).orderBy("price_cents"),
+      Some("""WITH pp AS (
+             |  SELECT CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+             |    CAST(min(p_size) AS BIGINT) AS size
+             |  FROM part GROUP BY 1),
+             |sky AS (
+             |  SELECT price_cents, size,
+             |    min(size) OVER (ORDER BY price_cents
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn
+             |  FROM pp)
+             |SELECT price_cents, size FROM sky
+             |WHERE mn IS NULL OR size < mn ORDER BY price_cents""".stripMargin),
+    ),
+    EngineQuery(
       "attribution_touch_revenue",
       (s, dir) => touchAttribution(Tables.events(s, dir)).orderBy("first_touch", "last_touch"),
       Some("""WITH ev AS (
@@ -347,6 +384,7 @@ object Analytic {
              |SELECT day_no, cents, cusum_cents,
              |  CAST(CASE WHEN cusum_cents > k_cents THEN 1 ELSE 0 END AS BIGINT) AS shifted
              |FROM cus ORDER BY day_no""".stripMargin),
+      headline = true,
     ),
     // Event funnel: users who viewed and then purchased AFTER their
     // first view. One running-flag window pass + one aggregation — no

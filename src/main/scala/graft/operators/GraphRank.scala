@@ -282,6 +282,7 @@ object GraphRank {
            |SELECT src AS node, count(*) AS core_deg
            |FROM e8 GROUP BY src ORDER BY node""".stripMargin
       },
+      headline = true,
     ),
     EngineQuery(
       "graph_degree_histogram",

@@ -111,6 +111,7 @@ object HybridSearch {
       "hybrid_search_rrf",
       (s, dir) => hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir), depth = 20, k = 10),
       Some(oracle(depth = 20, k = 10)),
+      headline = true,
     ),
   )
 }

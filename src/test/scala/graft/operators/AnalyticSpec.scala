@@ -28,6 +28,15 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
     out shouldBe Set(("a", 3), ("a", 2), ("b", 9))
   }
 
+  test("skyline keeps exactly the non-dominated (price, size) points") {
+    val parts = Seq((1.00, 5), (2.00, 3), (3.00, 4), (4.00, 1), (5.00, 1), (2.00, 7))
+      .toDF("p_retailprice", "p_size")
+    val out = Analytic.skylineParts(parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (3,4) dominated by (2,3); (5,1) by (4,1); (2,7) by (2,3) via min-per-price
+    out shouldBe Set((100L, 5L), (200L, 3L), (400L, 1L))
+  }
+
   test("attribution: first/last touch pick the right engagements; orphans go to none") {
     // user 1: view, click, purchase -> (first view, last click);
     // a later purchase keeps the same touches. user 2: bare purchase.

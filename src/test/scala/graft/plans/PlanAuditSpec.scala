@@ -527,6 +527,73 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("fid_hilbert", "fid_zorder")
   }
 
+  test("CUSUM: corpus reduces to daily totals before the prefix windows; no self-join") {
+    val p = plan("cusum_revenue_shift")
+    p should include("partial_sum")
+    p should include("Window")
+    // the 1-row mean carrier is the only join-like node
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("attribution: one window pass over the user-keyed stream; no purchase-engagement join") {
+    val p = plan("attribution_touch_revenue")
+    p should include("Window")
+    p should not include "Join"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("user_id")
+  }
+
+  test("skyline: frontier test runs over the per-price min aggregate, not the raw table") {
+    val p = plan("skyline_parts")
+    // the corpus-wide work is the price-keyed min agg (map-side
+    // combine); the dominance window consumes value-cardinality rows
+    p should include("partial_min")
+    p should include("Window")
+    p should not include "Join"
+  }
+
+  test("per-group OLS: five moments in ONE aggregation pass, no per-moment scans") {
+    val p = plan("ols_tokens_by_lang")
+    p should include("partial_count")
+    p should include("partial_sum")
+    // one scan of documents feeds everything
+    "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
+    p should not include "Join"
+  }
+
+  test("phrase match: posting lists filter to the two query terms before the position join") {
+    val p = plan("phrase_match_docs")
+    // the chosen bigram broadcasts; the position join is an equi-join
+    p should include("BroadcastExchange")
+    p should not include "CartesianProduct"
+  }
+
+  test("k-core peeling: the converged core is a pinned materialization, not a live subtree") {
+    val p = plan("graph_kcore_nodes")
+    // by plan time the loop has converged — consumers scan the
+    // localCheckpoint block (the CC/SemDedup discipline), so re-reads
+    // never replay the peeling rounds
+    p should include("Scan ExistingRDD")
+    p should not include "Join"
+    graft.operators.GraphRank.lastKCoreIterations should be >= 1
+  }
+
+  test("benford: one digit-grouped aggregate + 1-row total carrier") {
+    val p = plan("benford_first_digit")
+    p should include("partial_count")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("contrastive triplets: negative assignment is a projection over the banded pair join") {
+    val p = plan("contrastive_triplets")
+    // no new exchange beyond the audited MinHash band path: the
+    // negative draw is pure md5 arithmetic on the pair columns
+    p should not include "CartesianProduct"
+    p should include("BroadcastExchange") // the 1-row n_docs carrier
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
