@@ -180,6 +180,16 @@ object Plans {
       "Iterative peeling to an exact degree fixed point: each round is one map-side-combined degree aggregate + two endpoint semi-filters on the shrinking edge relation, checkpoint-released per round (CC discipline, loud past maxIter). By plan time consumers scan the pinned materialization (`Scan ExistingRDD`) — re-reads never replay rounds. The oracle unrolls 8 MATERIALIZED rounds (plain CTEs would re-inline 3^rounds times); extra rounds past convergence are idempotent.",
     "benford_first_digit" ->
       "Forensic first-digit audit: one digit-grouped count aggregate + a 1-row total carrier; expected permilles are integer literals (no runtime log10, no float surface). On this corpus it genuinely flags the uniform synthetic price digits — the test detecting exactly what it is built to detect.",
+    "assoc_rules_lift" ->
+      "A-priori level-2 without quadratic blowup: baskets collapse to distinct (order,item) first, the pair expansion is an equi-join on the order key bounded by the basket-size cap (mega-baskets filtered out — the one key that could expand 10^10 pairs), and item totals plus the 1-row basket count attach to the surviving rules by broadcast. Confidence/lift are integer permilles via BIGINT div — no float crosses an exchange.",
+    "event_transition_matrix" ->
+      "Markov matrix in one user-keyed window pass: lag() pairs each event with its successor inside the trajectory partition, the count collapses to |types|² rows, and the row-conditional permille divides at matrix cardinality. The naive successor-by-timestamp self-join is quadratic under ties and shuffles twice; this shuffles once.",
+    "session_path_topk" ->
+      "Path mining with the truncation BEFORE the aggregation: sessionize + per-session rank share one user-keyed Window chain (no second exchange), rn≤maxLen drops the tail of long sessions before any string is built, and the path table the top-k scans is ≤|types|^maxLen rows served by TakeOrderedAndProject.",
+    "concurrent_sessions_peak" ->
+      "Interval max-overlap with NO global sweep: sessions explode into their (≤48, capped) covered hours, each hour's carry-in is a pure aggregation over that span relation, and the ±1 boundary sweep windows are hour-keyed partitions over boundary events only. The textbook formulation orders every boundary in the corpus in one reducer; this shape's widest sort is one hour.",
+    "mad_outlier_days" ->
+      "Hampel filter at day cardinality: the corpus pays one partial/final cents reduction, both exact medians run over the ~2.4k-row daily relation, and med2/mad2 ride 1-row broadcast carriers. Doubled-integer medians keep the half-step interpolation exact; the 3·1.4826·MAD test is integer cross-multiplication (10000·dev2 > 44478·mad2).",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -36,6 +36,8 @@ object Registry {
       operators.Profile.engineQueries ++
       operators.ZOrder.engineQueries ++
       operators.Analytic.engineQueries ++
+      operators.EventFlow.engineQueries ++
+      operators.MarketBasket.engineQueries ++
       operators.AsOf.engineQueries ++
       operators.GraphRank.engineQueries ++
       operators.RangeJoin.engineQueries ++

@@ -226,6 +226,39 @@ object Analytic {
       .select("price_cents", "size")
   }
 
+  /** Robust outlier days by median absolute deviation — the
+    * median/MAD twin of the 3-sigma mean/stddev anomaly family
+    * (Hampel filter): a handful of extreme days can't drag the
+    * center or the spread the way they drag a mean and sigma.
+    *
+    * Scale shape: the corpus reduces to daily totals first
+    * (partial+final cents sum), so both exact medians run at DAY
+    * cardinality — corpus-independent, the same discipline as CUSUM.
+    *
+    * Exactness: everything rides doubled integers. `percentile(·,0.5)`
+    * of BIGINTs interpolates to k or k+0.5, so 2× the median is an
+    * exactly-representable integer in both engines (Spark `percentile`
+    * and DuckDB `quantile_cont` share the (1−f)·lo+f·hi definition —
+    * the Relational percentile gates pin this); dev2 = |2x − med2| and
+    * mad2 = 2·median(dev2) stay integer, and the Hampel test
+    * |x−med| > 3·1.4826·MAD becomes 10000·dev2 > 44478·mad2 by exact
+    * integer cross-multiplication. No float ever crosses a comparison.
+    */
+  def madOutlierDays(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
+      .agg((sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+    val med = daily.agg(expr("cast(2 * percentile(cents, 0.5d) as bigint)").as("med2"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+    val mad = dev.agg(expr("cast(2 * percentile(dev2, 0.5d) as bigint)").as("mad2"))
+    dev.crossJoin(broadcast(mad))
+      .select(
+        col("day_no"), col("cents"), col("dev2"), col("mad2"),
+        when(col("dev2") * 10000 > col("mad2") * lit(44478L), 1L).otherwise(0L)
+          .as("outlier"))
+  }
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -339,6 +372,21 @@ object Analytic {
              |  FROM pp)
              |SELECT price_cents, size FROM sky
              |WHERE mn IS NULL OR size < mn ORDER BY price_cents""".stripMargin),
+    ),
+    EngineQuery(
+      "mad_outlier_days",
+      (s, dir) => madOutlierDays(Tables.orders(s, dir)).orderBy("day_no"),
+      Some("""WITH daily AS (
+             |  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |med AS (SELECT CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2 FROM daily),
+             |dev AS (SELECT day_no, cents, abs(cents * 2 - med2) AS dev2, med2
+             |  FROM daily CROSS JOIN med),
+             |mad AS (SELECT CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad2 FROM dev)
+             |SELECT day_no, cents, dev2, mad2,
+             |  CAST(CASE WHEN dev2 * 10000 > mad2 * 44478 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+             |FROM dev CROSS JOIN mad ORDER BY day_no""".stripMargin),
     ),
     EngineQuery(
       "attribution_touch_revenue",

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** Event-sequence analytics: Markov transition matrices, session path
+  * mining, and interval sweep-lines — the clickstream-flow category
+  * (product analytics "user flows" / "path analysis"). Nothing in the
+  * reference's k-mer surface touches sequences-within-a-key; this
+  * family extends the engine's windowed story from per-row frames to
+  * whole-trajectory operators.
+  *
+  * Scale notes (100 TB): every operator here shuffles the event stream
+  * exactly once, keyed on `user_id` (the trajectory key); everything
+  * after that first window pass runs at collapsed cardinality —
+  * transition matrices are |types|², path tables are capped-length
+  * string groups, and the sweep-line runs at HOUR cardinality with
+  * carry-ins computed by aggregation, not by widening any window.
+  * No self-joins anywhere: the naive "pair every event with its
+  * successor by timestamp join" formulation is quadratic under
+  * timestamp ties and shuffles twice.
+  */
+object EventFlow {
+
+  private def ev(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("tms"), col("event_id"))
+
+  /** First-order Markov transition matrix over per-user event
+    * trajectories: (prev_type, event_type, n, p_permille), where the
+    * synthetic 'start' state precedes each user's first event and
+    * p_permille is the exact integer-permille row-conditional
+    * probability. One user-keyed window pass; the permille division
+    * happens on the |types|²-row matrix, never on the stream.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val m = ev(events)
+      .withColumn("prev_type", coalesce(lag(col("event_type"), 1).over(w), lit("start")))
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val wRow = Window.partitionBy("prev_type")
+    m.withColumn("p_permille", expr("(1000 * n) div sum(n) over (partition by prev_type)"))
+      .select("prev_type", "event_type", "n", "p_permille")
+  }
+
+  /** Top-k session paths: the most frequent ordered event-type
+    * sequences, truncated to the first `maxLen` events of each
+    * 30-minute-gap session. The stream pays ONE user-keyed window pass
+    * (sessionize + rank share the same partitioning, so Catalyst runs
+    * them in a single Window node chain without a second exchange);
+    * the truncation rank cut drops everything past `maxLen` BEFORE the
+    * per-session aggregation, and the path table the top-k runs on is
+    * ≤|types|^maxLen rows.
+    */
+  def sessionPaths(events: DataFrame, gapMs: Long, maxLen: Int, k: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val bySess = Window.partitionBy("user_id", "session_id").orderBy("tms", "event_id")
+    ev(events)
+      .withColumn("prev", lag(col("tms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tms") - col("prev") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(cum).cast("long"))
+      .withColumn("rn", row_number().over(bySess))
+      .where(col("rn") <= maxLen)
+      .groupBy("user_id", "session_id")
+      .agg(expr(
+        "concat_ws('>', transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type))")
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Peak concurrent sessions per hour — the interval max-overlap
+    * sweep-line, decomposed so no window ever spans the corpus: each
+    * session explodes into the hours it covers (capped at 48 — a
+    * session longer than two days is truncated, the degenerate-interval
+    * guard), the hour's carry-in (sessions alive at the hour boundary)
+    * is a pure aggregation over that bounded span relation, and the
+    * ±1 boundary sweep runs inside hour-keyed window partitions over
+    * boundary events only. The naive global sweep is ONE ordering over
+    * every boundary in the corpus — a single reducer at 100 TB; this
+    * shape's widest window partition is one hour of boundaries.
+    *
+    * Tie discipline: ends (emitted at end_ms+1) sort before starts at
+    * the same millisecond via the `delta` ascending sort key, so the
+    * reported peak is the conservative (post-decrement) reading;
+    * concurrency is inclusive of both endpoints.
+    */
+  def concurrentSessionsPeak(events: DataFrame, gapMs: Long): DataFrame = {
+    val sess = Analytic.sessionize(events, gapMs)
+      .select(col("start_ms"), col("end_ms"))
+      .withColumn("h0", expr("start_ms div 3600000"))
+      .withColumn("end_c", least(col("end_ms"), expr("(h0 + 49) * 3600000 - 1")))
+      .withColumn("h1", expr("end_c div 3600000"))
+    val spans = sess.select(col("h0"), explode(expr("sequence(h0, h1)")).as("hour_no"))
+    val carry = spans.where(col("h0") < col("hour_no"))
+      .groupBy("hour_no").agg(count(lit(1)).as("carry_in"))
+    val starts = sess.select(col("h0").as("hour_no"), col("start_ms").as("t"), lit(1L).as("delta"))
+    val ends = sess.where(expr("(end_c + 1) div 3600000") === col("h1"))
+      .select(col("h1").as("hour_no"), (col("end_c") + 1).as("t"), lit(-1L).as("delta"))
+    val w = Window.partitionBy("hour_no").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inHour = starts.union(ends)
+      .withColumn("s", sum("delta").over(w))
+      .groupBy("hour_no").agg(greatest(max("s"), lit(0L)).as("peak_delta"))
+    carry.join(inHour, Seq("hour_no"), "full")
+      .select(col("hour_no"),
+        (coalesce(col("carry_in"), lit(0L)) + coalesce(col("peak_delta"), lit(0L)))
+          .as("peak_sessions"))
+  }
+
+  /** Shared oracle CTE: 30-minute-gap sessions with per-event rank —
+    * mirrors the `events_sessionize` oracle exactly, plus `rn`.
+    */
+  private val duckSessionCtes =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events),
+      |g AS (SELECT user_id, event_id, event_type, tms,
+      |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      |s AS (SELECT user_id, event_type, tms, event_id,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g),
+      |r AS (SELECT user_id, session_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id, session_id ORDER BY tms, event_id) AS rn
+      |  FROM s)""".stripMargin
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "event_transition_matrix",
+      (s, dir) => transitionMatrix(Tables.events(s, dir))
+        .orderBy("prev_type", "event_type"),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id FROM events),
+             |seq AS (SELECT
+             |  coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY tms, event_id),
+             |    'start') AS prev_type,
+             |  event_type FROM e),
+             |m AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM seq GROUP BY 1, 2)
+             |SELECT prev_type, event_type, n,
+             |  (1000 * n) // sum(n) OVER (PARTITION BY prev_type) AS p_permille
+             |FROM m ORDER BY prev_type, event_type""".stripMargin),
+    ),
+    EngineQuery(
+      "session_path_topk",
+      (s, dir) => sessionPaths(Tables.events(s, dir), gapMs = 30 * 60 * 1000L, maxLen = 5, k = 20),
+      Some(s"""$duckSessionCtes,
+             |p AS (SELECT user_id, session_id,
+             |  string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 5 GROUP BY user_id, session_id)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+             |FROM p GROUP BY path
+             |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
+    ),
+    EngineQuery(
+      "concurrent_sessions_peak",
+      (s, dir) => concurrentSessionsPeak(Tables.events(s, dir), gapMs = 30 * 60 * 1000L)
+        .orderBy("hour_no"),
+      Some(s"""$duckSessionCtes,
+             |sess0 AS (SELECT user_id, session_id, min(tms) AS start_ms, max(tms) AS end_ms
+             |  FROM s GROUP BY user_id, session_id),
+             |sess AS (SELECT start_ms, end_ms, start_ms // 3600000 AS h0,
+             |    least(end_ms, (start_ms // 3600000 + 49) * 3600000 - 1) AS end_c,
+             |    least(end_ms, (start_ms // 3600000 + 49) * 3600000 - 1) // 3600000 AS h1
+             |  FROM sess0),
+             |spans AS (SELECT h0, unnest(generate_series(h0, h1)) AS hour_no FROM sess),
+             |carry AS (SELECT hour_no, CAST(count(*) AS BIGINT) AS carry_in
+             |  FROM spans WHERE h0 < hour_no GROUP BY hour_no),
+             |ev AS (
+             |  SELECT h0 AS hour_no, start_ms AS t, CAST(1 AS BIGINT) AS delta FROM sess
+             |  UNION ALL
+             |  SELECT h1, end_c + 1, CAST(-1 AS BIGINT) FROM sess
+             |  WHERE (end_c + 1) // 3600000 = h1),
+             |ih AS (SELECT hour_no, greatest(max(ps), 0) AS peak_delta FROM (
+             |    SELECT hour_no, sum(delta) OVER (PARTITION BY hour_no ORDER BY t, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+             |    FROM ev) GROUP BY hour_no)
+             |SELECT coalesce(carry.hour_no, ih.hour_no) AS hour_no,
+             |  coalesce(carry_in, 0) + coalesce(peak_delta, 0) AS peak_sessions
+             |FROM carry FULL JOIN ih ON carry.hour_no = ih.hour_no
+             |ORDER BY hour_no""".stripMargin),
+    ),
+  )
+}

@@ -37,6 +37,20 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
     out shouldBe Set((100L, 5L), (200L, 3L), (400L, 1L))
   }
 
+  test("MAD outliers: robust center ignores the spike; doubled-integer arithmetic exact") {
+    val prices = Seq(1.00, 1.02, 1.04, 1.06, 2.00)
+    val orders = prices.zipWithIndex.map { case (p, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)), p)
+    }.toDF("o_orderdate", "o_totalprice")
+    val out = Analytic.madOutlierDays(orders).orderBy("day_no")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // med=104c -> med2=208; dev2=[8,4,0,4,192]; mad2=2*4=8;
+    // flag iff dev2*10000 > 8*44478 -> only the 200c day
+    out.map(_._2).toSeq shouldBe Seq(8L, 4L, 0L, 4L, 192L)
+    out.map(_._3).toSet shouldBe Set(8L)
+    out.map(_._4).toSeq shouldBe Seq(0L, 0L, 0L, 0L, 1L)
+  }
+
   test("attribution: first/last touch pick the right engagements; orphans go to none") {
     // user 1: view, click, purchase -> (first view, last click);
     // a later purchase keeps the same touches. user 2: bare purchase.

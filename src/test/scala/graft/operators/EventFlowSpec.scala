@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+class EventFlowSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def events(rows: Seq[(Long, String, Long, Long)]) =
+    rows.toDF("user_id", "event_type", "tms_raw", "event_id")
+      .withColumn("ts", timestamp_millis(col("tms_raw")))
+
+  test("transition matrix counts per-user successor pairs with a start state") {
+    val ev = events(Seq(
+      (1L, "a", 0L, 100L), (1L, "b", 10L, 101L), (1L, "a", 20L, 102L),
+      (2L, "b", 5L, 200L)))
+    val out = EventFlow.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    out shouldBe Map(
+      ("start", "a") -> ((1L, 500L)),
+      ("start", "b") -> ((1L, 500L)),
+      ("a", "b") -> ((1L, 1000L)),
+      ("b", "a") -> ((1L, 1000L)))
+  }
+
+  test("session paths group identical truncated sequences across sessions") {
+    // user 1: a,b,c in one session; user 2: a,b; user 3: a,b twice with
+    // a >gap break between — "a>b" counts 3 sessions
+    val ev = events(Seq(
+      (1L, "a", 0L, 1L), (1L, "b", 10L, 2L), (1L, "c", 20L, 3L),
+      (2L, "a", 0L, 4L), (2L, "b", 10L, 5L),
+      (3L, "a", 0L, 6L), (3L, "b", 10L, 7L),
+      (3L, "a", 100000L, 8L), (3L, "b", 100010L, 9L)))
+    val out = EventFlow.sessionPaths(ev, gapMs = 30000L, maxLen = 5, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("a>b" -> 3L, "a>b>c" -> 1L)
+  }
+
+  test("session paths truncate to the first maxLen events") {
+    val ev = events((0 until 7).map(i => (1L, s"e$i", i * 100L, i.toLong)))
+    val out = EventFlow.sessionPaths(ev, gapMs = 30000L, maxLen = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("e0>e1>e2" -> 1L)
+  }
+
+  test("concurrent-sessions sweep handles overlap, hour carry-in, and boundary ends") {
+    val ev = events(Seq(
+      // hour 0: u1 session 0..10s, u2 session 5..8s (peak 2 concurrent)
+      (1L, "x", 0L, 1L), (1L, "x", 10000L, 2L),
+      (2L, "x", 5000L, 3L), (2L, "x", 8000L, 4L),
+      // u4: session straddling the hour boundary (3599s .. 3601s)
+      (4L, "x", 3599000L, 5L), (4L, "x", 3601000L, 6L),
+      // hour 1: u3 single-event session while u4 still alive (carry-in)
+      (3L, "x", 3600100L, 7L)))
+    val out = EventFlow.concurrentSessionsPeak(ev, gapMs = 30000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(0L -> 2L, 1L -> 2L)
+  }
+}

@@ -594,6 +594,54 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("BroadcastExchange") // the 1-row n_docs carrier
   }
 
+  test("assoc rules: pair expansion is an order-keyed equi-join; stats attach by broadcast") {
+    val p = plan("assoc_rules_lift")
+    // distinct (order,item) reduction feeds the expansion; item counts
+    // and the 1-row basket total ride broadcasts, never a shuffle join
+    p should include("BroadcastExchange")
+    p should not include "CartesianProduct"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("ok")
+  }
+
+  test("transition matrix: one user-keyed window pass; permille division at matrix cardinality") {
+    val p = plan("event_transition_matrix")
+    p should include("Window")
+    p should not include "Join"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("user_id")
+  }
+
+  test("session paths: sessionize + truncation share one user-keyed exchange; top-k is TakeOrdered") {
+    val p = plan("session_path_topk")
+    p should include("Window")
+    p should include("TakeOrderedAndProject")
+    p should not include "Join"
+    // both window chains and the session aggregation key on user_id —
+    // exactly one wide exchange family over the stream
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("user_id", "path")
+  }
+
+  test("concurrent sessions: sweep windows are hour-keyed; carry-in is an aggregate, not a widened window") {
+    val p = plan("concurrent_sessions_peak")
+    p should include("Window")
+    p should include("Generate") // the bounded hour-span explode
+    p should not include "CartesianProduct"
+    "Window \\[sum".r.findAllMatchIn(p).size should be >= 1
+    // no window partition wider than (user_id) sessionize / (hour_no) sweep
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain allOf ("user_id", "hour_no")
+  }
+
+  test("MAD outliers: corpus reduces to daily totals; medians ride 1-row broadcast carriers") {
+    val p = plan("mad_outlier_days")
+    p should include("partial_sum")
+    p should include("BroadcastExchange")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
