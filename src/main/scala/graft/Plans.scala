@@ -190,6 +190,10 @@ object Plans {
       "Interval max-overlap with NO global sweep: sessions explode into their (≤48, capped) covered hours, each hour's carry-in is a pure aggregation over that span relation, and the ±1 boundary sweep windows are hour-keyed partitions over boundary events only. The textbook formulation orders every boundary in the corpus in one reducer; this shape's widest sort is one hour.",
     "mad_outlier_days" ->
       "Hampel filter at day cardinality: the corpus pays one partial/final cents reduction, both exact medians run over the ~2.4k-row daily relation, and med2/mad2 ride 1-row broadcast carriers. Doubled-integer medians keep the half-step interpolation exact; the 3·1.4826·MAD test is integer cross-multiplication (10000·dev2 > 44478·mad2).",
+    "containment_dup_pairs" ->
+      "Asymmetric containment dedup (Broder's resemblance-vs-containment): the same hash-shingle candidate discipline as the Jaccard family — 8-byte gram hashes end-to-end, df cap kills boilerplate grams before the gh-keyed pair join — but normalized by the contained side, so a short doc quoted inside a long one (invisible to Jaccard/MinHash) scores 1000‰. One intersect count serves both directions; the ratio is integer permille.",
+    "editdist_similar_names" ->
+      "Record-linkage string matching without all-pairs: the corpus collapses to DISTINCT values first (vocabulary-scale), candidates come from a token-blocking equi-join with a hot-token df cap (a stopword block would recreate the quadratic join), and the O(len²) levenshtein verify is a post-join FILTER on blocked candidates only — never a join condition, which would force a nested loop.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

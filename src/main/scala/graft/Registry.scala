@@ -53,6 +53,7 @@ object Registry {
       text.Mojibake.engineQueries ++
       dedup.SubstringDup.engineQueries ++
       dedup.SetSimJoin.engineQueries ++
+      dedup.EditDistJoin.engineQueries ++
       curation.Curation.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++

@@ -649,6 +649,34 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Directed near-CONTAINMENT pairs: C(a→b) = |grams(a) ∩ grams(b)| /
+    * |grams(a)| ≥ τ‰ — the asymmetric twin of [[ngramJaccardPairs]].
+    * Jaccard normalizes by the UNION, so a short document quoted
+    * verbatim inside a much longer one scores near zero and survives
+    * resemblance dedup; containment normalizes by the contained side
+    * (Broder's resemblance-vs-containment distinction) and is how
+    * quote/boilerplate inclusion is actually caught in corpus
+    * pipelines. Same candidate discipline as Jaccard: shingles travel
+    * as 64-bit hashes, the df cap kills boilerplate grams before the
+    * pair join, and the ratio is integer permille (BIGINT div) so both
+    * engines agree exactly. One intersect count serves both directions
+    * of each candidate pair.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 5, maxDf: Int = 50, minPermille: Long = 200): DataFrame = {
+    val grams = wordNgramHashesRaw(docs, n).distinct()
+    val rare = grams.groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
+    val g = grams.join(rare.select("gh"), Seq("gh"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = g.select(col("doc_id").as("doc_a"), col("gh"))
+    val b = g.select(col("doc_id").as("doc_b"), col("gh"))
+    a.join(b, Seq("gh")).where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), Seq("doc_a"))
+      .withColumn("cont_permille", expr("(1000 * inter) div size_a"))
+      .where(col("cont_permille") >= minPermille)
+      .select("doc_a", "doc_b", "inter", "size_a", "cont_permille")
+  }
+
   /** Quantized embedding: floor(x*1000) per element — exact integer dot
     * products, engine-portable.
     */
@@ -1181,6 +1209,26 @@ object Dedup {
              |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
              |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
              |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.05
+             |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    EngineQuery(
+      "containment_dup_pairs",
+      (s, dir) => containmentPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b"),
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i FROM toks WHERE length(t) >= 5)),
+             |rare AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) <= 50),
+             |g AS (SELECT doc_id, grams.gram FROM grams JOIN rare ON grams.gram = rare.gram),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+             |  FROM g a JOIN g b ON a.gram = b.gram WHERE a.doc_id <> b.doc_id
+             |  GROUP BY doc_a, doc_b)
+             |SELECT doc_a, doc_b, inter, sa.sz AS size_a,
+             |  (1000 * inter) // sa.sz AS cont_permille
+             |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+             |WHERE (1000 * inter) // sa.sz >= 200
              |ORDER BY doc_a, doc_b""".stripMargin),
     ),
     EngineQuery(

@@ -114,6 +114,19 @@ class DedupSpec extends AnyFunSuite with Matchers {
     rows((1L, 2L)) shouldBe 1.0
   }
 
+  test("containment flags a short doc quoted inside a long one; Jaccard misses it") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val long = (1 to 40).map(i => s"filler$i").mkString(" ") + " " + quote
+    val cdocs = Seq((1L, quote), (2L, long)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(cdocs, n = 5, maxDf = 50, minPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    cont((1L, 2L)) shouldBe 1000L // every gram of the quote is in the long doc
+    cont.contains((2L, 1L)) shouldBe false // the long side is NOT contained
+    Dedup.ngramJaccardPairs(cdocs, n = 5, maxDf = 50, minJaccard = 0.5)
+      .count() shouldBe 0L // resemblance dedup would have kept both
+  }
+
   test("hyperplanes are deterministic, ±1, and per-plane balanced-ish") {
     val a = Dedup.hyperplanes(8)
     val b = Dedup.hyperplanes(8)

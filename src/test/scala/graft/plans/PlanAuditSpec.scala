@@ -642,6 +642,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("containment pairs: candidates via the gram-hash equi-join, df-capped; no cross join") {
+    val p = plan("containment_dup_pairs")
+    // shingles travel as 8-byte hashes (ngram_hashes generator), the
+    // df cap filters before the pair join, and the pair join keys on gh
+    p.toLowerCase should include("ngramhashgenerator")
+    p should not include "CartesianProduct"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("gh")
+  }
+
+  test("editdist join: distinct-value reduction feeds token blocking; verify only on candidates") {
+    val p = plan("editdist_similar_names")
+    // the corpus pays a distinct; candidates come from the w-keyed
+    // equi-join; levenshtein appears as a post-join filter, never a
+    // join condition (which would force nested-loop)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("w")
+    p should include("levenshtein")
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
