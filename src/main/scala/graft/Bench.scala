@@ -86,7 +86,10 @@ object Bench {
       // r11 late adds, min-of-5 ad-hoc builder run
       "embedding_sq8_recall" -> 1.31, "graph_triangle_counts" -> 1.75,
       "cusum_revenue_shift" -> 0.65, "graph_kcore_nodes" -> 2.49,
-      "hybrid_search_rrf" -> 2.66)
+      "hybrid_search_rrf" -> 2.66,
+      // r11 final adds, min-of-5 ad-hoc builder run
+      "assoc_rules_lift" -> 3.81, "containment_dup_pairs" -> 2.27,
+      "concurrent_sessions_peak" -> 1.35)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

@@ -70,6 +70,14 @@ object ScaleProbe {
     // CC iterations. phrase/triplets ride the 30x documents corpus —
     // posting-list filter-before-shuffle and banded-pair scaling.
     "graph_kcore_nodes", "phrase_match_docs", "contrastive_triplets",
+    // r11 late adds: the a-priori pair expansion (order keys shift per
+    // copy, so basket sizes stay bounded and the pair relation must
+    // grow linearly), the containment gram join (rotated copies keep
+    // shingles distinct — df-cap behavior at 30× corpus), and the
+    // event-flow trio (user_id unshifted -> per-user trajectories get
+    // `copies`× deeper: the window-pass stress).
+    "assoc_rules_lift", "containment_dup_pairs", "concurrent_sessions_peak",
+    "event_transition_matrix", "session_path_topk",
     "ccnet_perplexity_buckets", "curation_funnel",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")

@@ -1230,6 +1230,7 @@ object Dedup {
              |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
              |WHERE (1000 * inter) // sa.sz >= 200
              |ORDER BY doc_a, doc_b""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "embedding_neardup_pairs",

@@ -186,6 +186,7 @@ object EventFlow {
              |  coalesce(carry_in, 0) + coalesce(peak_delta, 0) AS peak_sessions
              |FROM carry FULL JOIN ih ON carry.hour_no = ih.hour_no
              |ORDER BY hour_no""".stripMargin),
+      headline = true,
     ),
   )
 }

@@ -89,6 +89,7 @@ object MarketBasket {
              |JOIN item ib ON ib.pk = p.consequent
              |CROSS JOIN tot t
              |ORDER BY antecedent, consequent""".stripMargin),
+      headline = true,
     ),
   )
 }
