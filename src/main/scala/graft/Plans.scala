@@ -194,6 +194,16 @@ object Plans {
       "Asymmetric containment dedup (Broder's resemblance-vs-containment): the same hash-shingle candidate discipline as the Jaccard family — 8-byte gram hashes end-to-end, df cap kills boilerplate grams before the gh-keyed pair join — but normalized by the contained side, so a short doc quoted inside a long one (invisible to Jaccard/MinHash) scores 1000‰. One intersect count serves both directions; the ratio is integer permille.",
     "editdist_similar_names" ->
       "Record-linkage string matching without all-pairs: the corpus collapses to DISTINCT values first (vocabulary-scale), candidates come from a token-blocking equi-join with a hot-token df cap (a stopword block would recreate the quadratic join), and the O(len²) levenshtein verify is a post-join FILTER on blocked candidates only — never a join condition, which would force a nested loop.",
+    "cdc_snapshot_asof" ->
+      "Point-in-time reconstruction from a multi-generation change log: the ts≤T filter prunes the log BELOW the key-keyed exchange (only the live prefix shuffles), one rank window per key resolves latest-change-wins, and delete suppression is a post-rank filter. No join against any 'current' table — the log alone carries the state.",
+    "timeseries_gapfill_locf" ->
+      "Gap-fill + LOCF with the corpus paying only a day-cardinality reduction: daily totals partial/final-aggregate first, the calendar spine generates off a 1-row min/max carrier, and the carry-forward window runs over spine cardinality. The naive per-day correlated 'latest prior observation' subquery is quadratic in days; this is one window.",
+    "histogram_quantile_range" ->
+      "Mergeable quantile sketch store (the HLL-store pattern for ranks): the corpus pays ONE (month,bin) aggregation, bins merge across any month range by pure addition, and the quantile probe is a bin-cardinality cumulative window + a 3-row broadcast permille probe — range queries never rescan the corpus, and rank error is bounded by one bin width.",
+    "k_anonymity_audit" ->
+      "Privacy screen in one pass: QI-class size (k) and sensitive-band diversity (l) come from a single grouped aggregate with map-side partials; the class relation is QI-cardinality. No self-join against the class list — the flags are projections over the same aggregate row.",
+    "embedding_gram_upper" ->
+      "Distributed Gram matrix (the PCA/whitening building block): each vector generates its 2080 upper-triangle products inside a codegen'd explode — no self-join of the dimension explode (the naive posexplode⋈posexplode doubles the shuffle and adds a join) — and the (i,j)-keyed aggregation combines map-side, so the exchange carries ≤2080 rows per task at ANY corpus size. Exact BIGINT quantized products.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -33,6 +33,7 @@ object Registry {
       operators.Relational.engineQueries ++
       operators.BloomJoin.engineQueries ++
       operators.Cdc.engineQueries ++
+      operators.Temporal.engineQueries ++
       operators.Profile.engineQueries ++
       operators.ZOrder.engineQueries ++
       operators.Analytic.engineQueries ++

@@ -213,7 +213,48 @@ object Profile {
         expCol.as("expected_pm"))
   }
 
+  /** k-anonymity / l-diversity audit over a quasi-identifier tuple —
+    * the privacy screen a training-data pipeline runs before releasing
+    * user-derived tables (Sweeney k-anonymity; Machanavajjhala
+    * l-diversity). Each QI equivalence class reports its size (k) and
+    * its count of distinct sensitive values (l); classes failing
+    * either bound are the re-identification risk surface. ONE
+    * aggregation pass (count + distinct-count per group, map-side
+    * combined); the class relation is QI-cardinality, corpus-
+    * independent. Sensitive attribute here: account-balance band
+    * (1000-unit integer cents bins — exact in both engines).
+    */
+  def kAnonymityAudit(customer: DataFrame, k: Long, l: Long): DataFrame =
+    customer
+      .select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as long) div 100000").as("bal_band"))
+      .groupBy("nation", "segment")
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(col("bal_band")).as("l_distinct"))
+      .select(
+        col("nation"), col("segment"), col("class_size"), col("l_distinct"),
+        (col("class_size") >= k).cast("long").as("k_anonymous"),
+        (col("l_distinct") >= l).cast("long").as("l_diverse"))
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "k_anonymity_audit",
+      (s, dir) => kAnonymityAudit(Tables.customer(s, dir), k = 10, l = 3)
+        .orderBy("nation", "segment"),
+      Some("""WITH t AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+             |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS bal_band
+             |  FROM customer)
+             |SELECT nation, segment,
+             |  CAST(count(*) AS BIGINT) AS class_size,
+             |  CAST(count(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+             |  CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS k_anonymous,
+             |  CAST(CASE WHEN count(DISTINCT bal_band) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS l_diverse
+             |FROM t GROUP BY nation, segment ORDER BY nation, segment""".stripMargin),
+    ),
     EngineQuery(
       "benford_first_digit",
       (s, dir) => benfordFirstDigit(Tables.orders(s, dir)).orderBy("digit"),

@@ -373,7 +373,38 @@ object Ann {
         col("dim").cast("long").as("dim"), col("cnt"),
         col("sum_q"), col("sum_q2"), col("min_q"), col("max_q"))
 
+  /** Upper-triangle Gram matrix G = Σ q·qᵀ over the quantized corpus —
+    * the one-pass building block of PCA/whitening/covariance
+    * (G/n − μμᵀ) in distributed linear algebra. Each vector generates
+    * its dim·(dim+1)/2 upper-triangle products inside a codegen'd
+    * generate (no join, no second scan), and the (i,j)-keyed partial
+    * aggregation combines map-side, so the exchange carries at most
+    * 2080 rows per task regardless of corpus size. Exact BIGINT
+    * products of quantized components — bit-identical in DuckDB.
+    */
+  def gramMatrixUpper(embeddings: DataFrame): DataFrame =
+    Dedup.quantized(embeddings)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${Dedup.Dim - 1}),
+           |  i -> transform(sequence(i, ${Dedup.Dim - 1}),
+           |    j -> named_struct('i', i, 'j', j, 'p', q[i] * q[j]))))""".stripMargin))
+        .as("c"))
+      .groupBy(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"))
+      .agg(sum(col("c.p")).as("s"))
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "embedding_gram_upper",
+      (s, dir) => gramMatrixUpper(Tables.embeddings(s, dir)).orderBy("i", "j"),
+      Some("""WITH qx AS (
+             |  SELECT list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |  FROM embeddings)
+             |SELECT CAST(g1.i AS BIGINT) AS i, CAST(g2.j AS BIGINT) AS j,
+             |  CAST(sum(q[CAST(g1.i AS INT) + 1] * q[CAST(g2.j AS INT) + 1]) AS BIGINT) AS s
+             |FROM qx, range(64) g1(i), range(64) g2(j)
+             |WHERE g2.j >= g1.i GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
+    ),
     EngineQuery(
       "embedding_dim_stats",
       (s, dir) => dimStats(Tables.embeddings(s, dir)).orderBy("dim"),

@@ -48,6 +48,19 @@ class ProfileSpec extends AnyFunSuite with Matchers {
     ts.getAs[Double]("min_num") shouldBe Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000.0
   }
 
+  test("k-anonymity: class sizes, sensitive diversity, and both flags") {
+    // class (1,'A'): 3 members, 3 distinct balance bands -> l-diverse
+    // but not 10-anonymous; class (2,'B'): 1 member, 1 band
+    val cust = Seq(
+      (1, "A", 100.00), (1, "A", 1100.00), (1, "A", 2100.00),
+      (2, "B", 50.00),
+    ).toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Profile.kAnonymityAudit(cust, k = 2, l = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    out((1L, "A")) shouldBe ((3L, 3L, 1L, 1L))
+    out((2L, "B")) shouldBe ((1L, 1L, 0L, 0L))
+  }
+
   test("all-null column and empty frame don't break") {
     val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
     val out = Profile.profile(df).collect().map(r => r.getString(0) -> r).toMap

@@ -664,6 +664,48 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("levenshtein")
   }
 
+  test("snapshot as-of: time filter prunes the log before the key-partitioned rank window") {
+    val p = plan("cdc_snapshot_asof")
+    p should include("Window")
+    p should not include "SortMergeJoin"
+    // the ts<=T filter sits below the exchange (pushed toward the scan),
+    // so only the live prefix of the log shuffles
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("k")
+  }
+
+  test("gap-fill: corpus reduces to day totals; spine generates off a 1-row carrier") {
+    val p = plan("timeseries_gapfill_locf")
+    p should include("partial_sum")
+    p should include("Generate explode") // the calendar spine
+    p should include("Window")
+    p should not include "CartesianProduct"
+  }
+
+  test("histogram store: one (month,bin) aggregate; quantile probe never rescans the corpus") {
+    val p = plan("histogram_quantile_range")
+    p should include("partial_count")
+    p should include("BroadcastExchange") // total carrier + permille probe rows
+    p should not include "SortMergeJoin"
+    // exactly one parquet scan — store build; the cum/probe run on it
+    "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
+  }
+
+  test("k-anonymity: one grouped aggregate, map-side combined; no joins") {
+    val p = plan("k_anonymity_audit")
+    p should include("partial_count")
+    p should not include "Join"
+    "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
+  }
+
+  test("gram matrix: per-vector generate + (i,j)-keyed partial aggregation; no join, one scan") {
+    val p = plan("embedding_gram_upper")
+    p should include("Generate explode")
+    p should include("partial_sum")
+    p should not include "Join"
+    "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins

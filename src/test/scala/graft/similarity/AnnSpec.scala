@@ -51,6 +51,21 @@ class AnnSpec extends AnyFunSuite with Matchers {
     out.find(_._2 == 2L).get._3 shouldBe 1.0 +- 1e-12
   }
 
+  test("gram matrix: upper triangle of sum of outer products, exact") {
+    import spark.implicits._
+    // two vectors, constant 1.0 and alternating ±2.0 (quantized 1000 / ±2000)
+    val vs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.tabulate(64)(i => if (i % 2 == 0) 2.0f else -2.0f))).toDF("vec_id", "embedding")
+    val out = Ann.gramMatrixUpper(vs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.size shouldBe 64 * 65 / 2
+    // G[0][0] = 1000² + 2000²; G[0][1] = 1000·1000 + 2000·(−2000)
+    out((0L, 0L)) shouldBe (1000L * 1000 + 2000L * 2000)
+    out((0L, 1L)) shouldBe (1000L * 1000 - 2000L * 2000)
+    out.contains((1L, 0L)) shouldBe false // strictly upper triangle
+  }
+
   test("kmeans step: centroid members and exact dimension sums") {
     // 4-dim-style tiny corpus embedded in 64 dims: vectors 0 and 1 are
     // the centroids; 2 is colinear with 1, 3 with 0 -> memberships {0,3} {1,2}
