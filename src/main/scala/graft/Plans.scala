@@ -204,6 +204,8 @@ object Plans {
       "Privacy screen in one pass: QI-class size (k) and sensitive-band diversity (l) come from a single grouped aggregate with map-side partials; the class relation is QI-cardinality. No self-join against the class list — the flags are projections over the same aggregate row.",
     "embedding_gram_upper" ->
       "Distributed Gram matrix (the PCA/whitening building block): each vector generates its 2080 upper-triangle products inside a codegen'd explode — no self-join of the dimension explode (the naive posexplode⋈posexplode doubles the shuffle and adds a join) — and the (i,j)-keyed aggregation combines map-side, so the exchange carries ≤2080 rows per task at ANY corpus size. Exact BIGINT quantized products.",
+    "cdc_join_maintain" ->
+      "Incremental maintenance of a JOIN view (ΔA⋈B with an immutable dimension — the common warehouse case of the textbook join-delta decomposition): the change feed's ± terms join the customer dimension by BROADCAST (the dimension never re-shuffles for a refresh), merge with the stored (nation,status) rollup by pure addition, and the refresh pays |changes| with no fact rescan beyond the initial view build. The oracle recomputes from the fully merged table across the join — maintenance ≡ recompute, including cross-group moves.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -142,6 +142,59 @@ object Cdc {
       .where(col("cnt") > 0)
   }
 
+  /** The change feed's ± terms with the ORDER's customer key attached —
+    * the input to join-view maintenance ([[joinMaintain]]). Same
+    * cohorts/arithmetic as [[aggDelta]]; inserts keep the source row's
+    * customer.
+    */
+  def joinDelta(orders: DataFrame): DataFrame = {
+    val m = col("o_orderkey") % 10
+    def price = dec(col("o_totalprice")).cast(DecimalType(15, 3))
+    val updOld = orders.where(m === UpdateCohort).select(
+      col("o_custkey"), col("o_orderstatus").as("status"),
+      lit(-1L).as("d_cnt"), (-price).as("d_sum"))
+    val updNew = orders.where(m === UpdateCohort).select(
+      col("o_custkey"), lit("U").as("status"), lit(1L).as("d_cnt"),
+      (dec(col("o_totalprice")) * uplift).cast(DecimalType(15, 3)).as("d_sum"))
+    val delOld = orders.where(m === DeleteCohort).select(
+      col("o_custkey"), col("o_orderstatus").as("status"),
+      lit(-1L).as("d_cnt"), (-price).as("d_sum"))
+    val insNew = orders.where(m === InsertCohort).select(
+      col("o_custkey"), col("o_orderstatus").as("status"),
+      lit(1L).as("d_cnt"), price.as("d_sum"))
+    updOld.unionByName(updNew).unionByName(delOld).unionByName(insNew)
+  }
+
+  /** Incremental maintenance of a JOIN view — the step past
+    * [[aggMaintain]]: the materialized rollup is orders⋈customer
+    * grouped by (nation, status), and the refresh applies the change
+    * feed's ± terms JOINED TO THE DIMENSION (broadcast — the dimension
+    * never re-shuffles for a delta), never rescanning the fact base.
+    * This is ΔA⋈B of the textbook join-delta decomposition
+    * (Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) with an immutable dimension, the
+    * overwhelmingly common warehouse case. The oracle RECOMPUTES the
+    * rollup from the fully merged table joined to the dimension, so
+    * the gate proves maintenance ≡ recompute across the join,
+    * including cross-group moves.
+    */
+  def joinMaintain(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val dim = broadcast(customer.select(
+      col("c_custkey").as("o_custkey"), col("c_nationkey").cast("long").as("nation")))
+    val mv = orders.join(dim, "o_custkey")
+      .groupBy(col("nation"), col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("d_cnt"),
+        sum(dec(col("o_totalprice")).cast(DecimalType(15, 3)))
+          .cast(DecimalType(25, 3)).as("d_sum"))
+    val delta = joinDelta(orders).join(dim, "o_custkey")
+      .select(col("nation"), col("status"), col("d_cnt"),
+        col("d_sum").cast(DecimalType(25, 3)).as("d_sum"))
+    mv.unionByName(delta)
+      .groupBy("nation", "status")
+      .agg(sum(col("d_cnt")).as("cnt"), sum(col("d_sum")).cast("double").as("sum_price"))
+      .where(col("cnt") > 0)
+  }
+
   /** Streaming twin of [[mergeUpsert]] — continuous CDC ingestion, the
     * same shape as [[graft.dedup.Dedup.runStreamingIncrementalDedup]]:
     * the change source arrives as a file stream, each microbatch
@@ -244,6 +297,27 @@ object Cdc {
              |FROM m GROUP BY status HAVING count(*) > 0
              |ORDER BY status""".stripMargin),
       headline = true,
+    ),
+    EngineQuery(
+      "cdc_join_maintain",
+      (s, dir) => joinMaintain(Tables.orders(s, dir), Tables.customer(s, dir))
+        .orderBy("nation", "status"),
+      Some(s"""WITH m AS (
+             |  SELECT o_custkey,
+             |    CASE WHEN o_orderkey % 10 = $UpdateCohort THEN 'U' ELSE o_orderstatus END AS status,
+             |    CASE WHEN o_orderkey % 10 = $UpdateCohort
+             |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST($UpliftLit AS DECIMAL(2,1)) AS DECIMAL(15,3))
+             |      ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3)) END AS price
+             |  FROM orders WHERE o_orderkey % 10 <> $DeleteCohort
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderstatus,
+             |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(15,3))
+             |  FROM orders WHERE o_orderkey % 10 = $InsertCohort)
+             |SELECT CAST(c.c_nationkey AS BIGINT) AS nation, m.status,
+             |  count(*) AS cnt, CAST(sum(m.price) AS DOUBLE) AS sum_price
+             |FROM m JOIN customer c ON m.o_custkey = c.c_custkey
+             |GROUP BY 1, 2 HAVING count(*) > 0
+             |ORDER BY nation, status""".stripMargin),
     ),
     EngineQuery(
       "cdc_scd2_history",

@@ -38,14 +38,22 @@ object EventFlow {
     */
   def transitionMatrix(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
-    val m = ev(events)
+    matrixFromPairs(ev(events)
       .withColumn("prev_type", coalesce(lag(col("event_type"), 1).over(w), lit("start")))
+      .select("prev_type", "event_type"))
+  }
+
+  /** (prev_type, event_type) pairs → the counted matrix with exact
+    * integer-permille row-conditional probabilities. Shared by the
+    * window formulation above and the stateful-fold streaming twin
+    * ([[graft.streaming.StatefulSessions.runStreamingTransitionMatrix]]).
+    */
+  def matrixFromPairs(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy("prev_type", "event_type")
       .agg(count(lit(1)).as("n"))
-    val wRow = Window.partitionBy("prev_type")
-    m.withColumn("p_permille", expr("(1000 * n) div sum(n) over (partition by prev_type)"))
+      .withColumn("p_permille", expr("(1000 * n) div sum(n) over (partition by prev_type)"))
       .select("prev_type", "event_type", "n", "p_permille")
-  }
 
   /** Top-k session paths: the most frequent ordered event-type
     * sequences, truncated to the first `maxLen` events of each

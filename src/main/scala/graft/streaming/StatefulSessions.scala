@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
   ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor,
@@ -223,6 +223,67 @@ object StatefulSessions {
       .toDF()
   }
 
+  @volatile private var sinkCounter = 0
+
+  final case class TEv(user_id: Long, tms: Long, event_id: Long, event_type: String)
+  final case class TransCarry(last_type: String)
+  final case class Trans(prev_type: String, event_type: String)
+
+  /** Fold time-sorted events into first-order transitions; the carry is
+    * the user's last event type from prior batches (None → the
+    * synthetic 'start' state precedes the first event).
+    */
+  def foldTransitions(sorted: Seq[TEv], carry: Option[String]): (Seq[Trans], Option[String]) = {
+    var prev = carry
+    val out = sorted.map { e =>
+      val t = Trans(prev.getOrElse("start"), e.event_type)
+      prev = Some(e.event_type)
+      t
+    }
+    (out, prev)
+  }
+
+  /** Streaming twin of `event_transition_matrix`: the per-user Markov
+    * state (just the last event type — one tiny record per user) is
+    * maintained online by `flatMapGroupsWithState`, transitions emit
+    * append-mode as they become determined, and the matrix aggregation
+    * runs over the landed transition stream. The finite gate corpus
+    * lands in one microbatch, so the landed matrix provably equals the
+    * window-function formulation — identical oracle. Cross-batch
+    * correctness (a user's trajectory split across microbatches) is
+    * the carry's job, pinned in the spec.
+    */
+  def runStreamingTransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.ensureLegacyParquetConf(spark)
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = Tables.normalizeEventsTs(spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir))
+    val transitions = stream
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"), col("event_type"))
+      .as[TEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[TEv], state: GroupState[TransCarry]) =>
+          val (out, last) = foldTransitions(
+            it.toSeq.sortBy(e => (e.tms, e.event_id)), state.getOption.map(_.last_type))
+          last.foreach(t => state.update(TransCarry(t)))
+          out.iterator
+      }
+    val qn = synchronized { sinkCounter += 1; s"graft_stream_trans_$sinkCounter" }
+    val q = transitions.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.operators.EventFlow.matrixFromPairs(spark.table(qn))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
     // Must reproduce the declarative window-function sessionization
     // (events_sessionize) exactly — same oracle.
@@ -242,6 +303,22 @@ object StatefulSessions {
              |SELECT user_id, session_id, count(*) AS n_events, min(tms) AS start_ms, max(tms) AS end_ms
              |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
       headline = true,
+    ),
+    // Streaming Markov-state twin — same oracle as the batch
+    // window-function formulation (event_transition_matrix).
+    EngineQuery(
+      "streaming_transition_matrix",
+      (s, dir) => runStreamingTransitionMatrix(s, dir).orderBy("prev_type", "event_type"),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id FROM events),
+             |seq AS (SELECT
+             |  coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY tms, event_id),
+             |    'start') AS prev_type,
+             |  event_type FROM e),
+             |m AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM seq GROUP BY 1, 2)
+             |SELECT prev_type, event_type, n,
+             |  (1000 * n) // sum(n) OVER (PARTITION BY prev_type) AS p_permille
+             |FROM m ORDER BY prev_type, event_type""".stripMargin),
     ),
     // transformWithState formulation — same fold, same oracle.
     EngineQuery(

@@ -65,6 +65,24 @@ class CdcSpec extends AnyFunSuite with Matchers {
     maintained("F") shouldBe ((2L, 600.00)) // insert source + clone
   }
 
+  test("join-view maintenance equals recompute across the dimension join") {
+    // base keys: 13→update (cust 1), 17→delete (cust 2), 11→insert-src
+    // (cust 1), 20→untouched (cust 2); customers map to nations 5 and 9
+    val baseJ = Seq(
+      (13L, 1L, "O", 100.00), (17L, 2L, "O", 200.00),
+      (11L, 1L, "F", 300.00), (20L, 2L, "O", 400.00),
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val cust = Seq((1L, 5), (2L, 9)).toDF("c_custkey", "c_nationkey")
+    val out = Cdc.joinMaintain(baseJ, cust).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // nation 5: key 13 moved O→U (+10%); key 11 stays F and its insert
+    // clone doubles the F group. nation 9: 17 deleted, 20 untouched.
+    out shouldBe Map(
+      (5L, "U") -> ((1L, 110.00)),
+      (5L, "F") -> ((2L, 600.00)),
+      (9L, "O") -> ((1L, 400.00)))
+  }
+
   test("merge then re-merge is idempotent for U/D cohorts on unchanged keys") {
     // merging an EMPTY change feed returns the base unchanged
     val empty = Cdc.changeFeed(base.where($"o_orderkey" < 0))

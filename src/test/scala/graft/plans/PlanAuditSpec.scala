@@ -706,6 +706,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
   }
 
+  test("join-IVM: the dimension attaches by broadcast on BOTH the view and the delta side") {
+    val p = plan("cdc_join_maintain")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin" // the dimension never shuffles
+    p should include("partial_count") // partial terms combine map-side
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins

@@ -97,6 +97,58 @@ class StatefulSessionsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("transition fold carries the last type across batch boundaries") {
+    import StatefulSessions.{foldTransitions, TEv, Trans}
+    val b1 = Seq(TEv(1L, 0L, 1L, "a"), TEv(1L, 10L, 2L, "b"))
+    val b2 = Seq(TEv(1L, 20L, 3L, "c"))
+    val (t1, c1) = foldTransitions(b1, None)
+    t1 shouldBe Seq(Trans("start", "a"), Trans("a", "b"))
+    val (t2, c2) = foldTransitions(b2, c1)
+    // the cross-batch transition b→c only exists because of the carry
+    t2 shouldBe Seq(Trans("b", "c"))
+    c2 shouldBe Some("c")
+    // split-anywhere invariance: one batch == the two-batch composition
+    val (all, cAll) = foldTransitions(b1 ++ b2, None)
+    all shouldBe t1 ++ t2
+    cAll shouldBe c2
+  }
+
+  test("streaming transition matrix across multiple microbatches equals the batch matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val events = input.toDF().select(
+      col("_1").as("user_id"), col("_2").as("tms"), col("_3").as("event_id"),
+      col("_4").as("event_type"))
+    val transitions = events
+      .as[StatefulSessions.TEv](org.apache.spark.sql.Encoders.product)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[StatefulSessions.TEv],
+         state: org.apache.spark.sql.streaming.GroupState[StatefulSessions.TransCarry]) =>
+          val (out, last) = StatefulSessions.foldTransitions(
+            it.toSeq.sortBy(e => (e.tms, e.event_id)), state.getOption.map(_.last_type))
+          last.foreach(t => state.update(StatefulSessions.TransCarry(t)))
+          out.iterator
+      }
+    val q = transitions.toDF().writeStream
+      .outputMode("append").format("memory").queryName("st_trans").start()
+    try {
+      input.addData((1L, 0L, 1L, "a"), (1L, 10L, 2L, "b"))
+      q.processAllAvailable()
+      input.addData((1L, 20L, 3L, "a"), (2L, 5L, 4L, "b")) // user 1 split across batches
+      q.processAllAvailable()
+      val out = spark.table("st_trans")
+        .groupBy("prev_type", "event_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      out shouldBe Map(
+        ("start", "a") -> 1L, ("a", "b") -> 1L,
+        ("b", "a") -> 1L, // the cross-microbatch transition, via the carry
+        ("start", "b") -> 1L)
+    } finally q.stop()
+  }
+
   test("session numbering continues across event-time timeouts (no duplicate keys)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long)]
