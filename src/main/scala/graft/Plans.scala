@@ -206,6 +206,14 @@ object Plans {
       "Distributed Gram matrix (the PCA/whitening building block): each vector generates its 2080 upper-triangle products inside a codegen'd explode — no self-join of the dimension explode (the naive posexplode⋈posexplode doubles the shuffle and adds a join) — and the (i,j)-keyed aggregation combines map-side, so the exchange carries ≤2080 rows per task at ANY corpus size. Exact BIGINT quantized products.",
     "cdc_join_maintain" ->
       "Incremental maintenance of a JOIN view (ΔA⋈B with an immutable dimension — the common warehouse case of the textbook join-delta decomposition): the change feed's ± terms join the customer dimension by BROADCAST (the dimension never re-shuffles for a refresh), merge with the stored (nation,status) rollup by pure addition, and the refresh pays |changes| with no fact rescan beyond the initial view build. The oracle recomputes from the fully merged table across the join — maintenance ≡ recompute, including cross-group moves.",
+    "sql_lateral_topk" ->
+      "SQL-2016 LATERAL with ORDER BY+LIMIT, decorrelated: Catalyst rewrites the per-segment correlated top-2 into a DomainJoin-derived rank window over the joined fact stream — one plan for all driving rows, never a re-execution per segment (the nested-loop reading of LATERAL). The pin asserts Window present, CartesianProduct absent.",
+    "corr_moments_lineitem" ->
+      "Pearson-matrix moments in ONE pass: all nine pairwise sums (Σx, Σx², Σxy for 3 columns) land in a single partial/final aggregate over a single scan — no per-pair scans, no Expand (no distincts). Scales picked BIGINT-overflow-safe through sf100 (price in whole units, discount in permyriad); the float division is the consumer's, so the gate stays exact.",
+    "funnel_time_bound" ->
+      "Deadline conversion without the view×purchase self-join: first_view attaches via one whole-partition window over the user-keyed stream, the deadline test is a projection, and the conversion metric collapses in one distinct-aggregate. The naive formulation joins purchases to views per user and double-shuffles.",
+    "er_name_clusters" ->
+      "The full entity-resolution pipeline (block → verify → cluster) in one plan: df-capped token blocking, Levenshtein verify as a post-join filter, then the audited CC loop — by plan time converged and pinned as a materialization (`Scan ExistingRDD`), so consumers never replay the iterations. Name→id is a rank over the DISTINCT vocabulary (corpus-independent single partition); the min-id label maps back to the min name.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -259,6 +259,33 @@ object Analytic {
           .as("outlier"))
   }
 
+  /** Time-bounded funnel: users converting (purchasing) within
+    * `windowMs` of their FIRST view — the standard "7-day conversion"
+    * growth metric. The unbounded-window funnel (`events_funnel`) has
+    * no deadline; this one anchors a per-user clock. One user-keyed
+    * whole-partition window pass attaches first_view to every row (no
+    * view×purchase self-join — the naive formulation), then a single
+    * global aggregate; conversion rate is exact integer permille.
+    */
+  def funnelTimeBound(events: DataFrame, windowMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ev = events.select(
+      col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"),
+      (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+    val withFv = ev.withColumn("first_view",
+      min(when(col("event_type") === "view", col("tms"))).over(w))
+    val isConv = col("event_type") === "purchase" && col("first_view").isNotNull &&
+      col("tms") >= col("first_view") && col("tms") <= col("first_view") + windowMs
+    withFv.agg(
+      count_distinct(when(col("event_type") === "view", col("user_id"))).as("n_viewers"),
+      count_distinct(when(isConv, col("user_id"))).as("n_converted"),
+      sum(when(isConv, col("cents")).otherwise(lit(0L))).as("conv_revenue_cents"))
+      .select(
+        col("n_viewers"), col("n_converted"), col("conv_revenue_cents"),
+        expr("(1000 * n_converted) div n_viewers").as("conv_permille"))
+  }
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -372,6 +399,28 @@ object Analytic {
              |  FROM pp)
              |SELECT price_cents, size FROM sky
              |WHERE mn IS NULL OR size < mn ORDER BY price_cents""".stripMargin),
+    ),
+    EngineQuery(
+      "funnel_time_bound",
+      (s, dir) => funnelTimeBound(Tables.events(s, dir), windowMs = 7L * 86400000L),
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_ms(ts) AS tms,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+             |  FROM events),
+             |fv AS (
+             |  SELECT *, min(CASE WHEN event_type = 'view' THEN tms END)
+             |    OVER (PARTITION BY user_id) AS first_view
+             |  FROM ev),
+             |m AS (SELECT
+             |  CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS n_viewers,
+             |  CAST(count(DISTINCT CASE WHEN event_type = 'purchase' AND first_view IS NOT NULL
+             |    AND tms >= first_view AND tms <= first_view + 604800000 THEN user_id END) AS BIGINT) AS n_converted,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND first_view IS NOT NULL
+             |    AND tms >= first_view AND tms <= first_view + 604800000 THEN cents ELSE 0 END), 0) AS BIGINT)
+             |    AS conv_revenue_cents
+             |  FROM fv)
+             |SELECT n_viewers, n_converted, conv_revenue_cents,
+             |  (1000 * n_converted) // n_viewers AS conv_permille FROM m""".stripMargin),
     ),
     EngineQuery(
       "mad_outlier_days",

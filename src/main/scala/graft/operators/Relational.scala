@@ -397,6 +397,75 @@ object Relational {
              |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
     ),
+    // LATERAL correlated subquery with ORDER BY + LIMIT — the SQL-2016
+    // lateral-join surface (top-n per driving row). Catalyst
+    // decorrelates the per-segment top-2 into a DomainJoin-derived
+    // rank, never a per-row re-execution; the plan pin asserts no
+    // nested loop over the fact side.
+    EngineQuery(
+      "sql_lateral_topk",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT t.c_mktsegment, l.o_orderkey, l.price
+                |FROM (SELECT DISTINCT c_mktsegment FROM customer_v) t
+                |JOIN LATERAL (
+                |  SELECT o.o_orderkey,
+                |    CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+                |  FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+                |  WHERE c.c_mktsegment = t.c_mktsegment
+                |  ORDER BY CAST(o.o_totalprice AS DECIMAL(12,2)) DESC, o.o_orderkey
+                |  LIMIT 2) l
+                |ORDER BY t.c_mktsegment, l.price DESC, l.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT t.c_mktsegment, l.o_orderkey, l.price
+             |FROM (SELECT DISTINCT c_mktsegment FROM customer) t
+             |JOIN LATERAL (
+             |  SELECT o.o_orderkey,
+             |    CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  WHERE c.c_mktsegment = t.c_mktsegment
+             |  ORDER BY CAST(o.o_totalprice AS DECIMAL(12,2)) DESC, o.o_orderkey
+             |  LIMIT 2) l ON true
+             |ORDER BY t.c_mktsegment, l.price DESC, l.o_orderkey""".stripMargin),
+    ),
+    // Pairwise correlation MOMENTS across the numeric lineitem columns
+    // in ONE aggregation pass — the Pearson-matrix building block
+    // (corr = (n·Σxy − ΣxΣy) / √(…)); the engine surfaces the exact
+    // integer moment sums and leaves the float division to the consumer
+    // (the portability rule: no float crosses the gate). Scales chosen
+    // BIGINT-overflow-safe through sf100: quantity as-is (≤50), price
+    // in whole units (integer cents div 100), discount in permyriad.
+    EngineQuery(
+      "corr_moments_lineitem",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_quantity").cast(DecimalType(12, 2)).cast("long").as("q"),
+          expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as long) div 100").as("p"),
+          (col("l_discount").cast(DecimalType(6, 4)) * 10000).cast("long").as("d"))
+        li.agg(
+          count(lit(1)).as("n"),
+          sum("q").as("sq"), sum("p").as("sp"), sum("d").as("sd"),
+          sum(col("q") * col("q")).as("sqq"),
+          sum(col("p") * col("p")).as("spp"),
+          sum(col("d") * col("d")).as("sdd"),
+          sum(col("q") * col("p")).as("sqp"),
+          sum(col("q") * col("d")).as("sqd"),
+          sum(col("p") * col("d")).as("spd"))
+      },
+      Some("""WITH t AS (
+             |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS q,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS p,
+             |    CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS d
+             |  FROM lineitem)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+             |  CAST(sum(d) AS BIGINT) AS sd,
+             |  CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(p*p) AS BIGINT) AS spp,
+             |  CAST(sum(d*d) AS BIGINT) AS sdd, CAST(sum(q*p) AS BIGINT) AS sqp,
+             |  CAST(sum(q*d) AS BIGINT) AS sqd, CAST(sum(p*d) AS BIGINT) AS spd
+             |FROM t""".stripMargin),
+    ),
     // TPC-H Q2's decorrelation class — a correlated SCALAR AGGREGATE
     // subquery (each row compared against its own group's max), which
     // Catalyst rewrites into a grouped aggregate + equi-join rather

@@ -28,6 +28,21 @@ class EditDistJoinSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("ER clusters are transitive and labeled by the min name; singletons self-label") {
+    // chain: "aaaa bb" ~ "aaab bb" ~ "aabb bb" (each adjacent pair dist
+    // ≤2, ends dist 2 apart too) plus an unrelated singleton
+    val df = Seq("aaaa bb", "aaab bb", "aabb bb", "zzzz yy")
+      .map(Tuple1(_)).toDF("p_name")
+    val out = EditDistJoin.nameClusters(df, "p_name", maxDist = 1, maxDf = 100)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // with maxDist=1 only adjacent names pair, transitivity still
+    // clusters the chain under the lexicographic min
+    out("aaaa bb") shouldBe "aaaa bb"
+    out("aaab bb") shouldBe "aaaa bb"
+    out("aabb bb") shouldBe "aaaa bb"
+    out("zzzz yy") shouldBe "zzzz yy" // singleton, self-labeled
+  }
+
   test("distinct-value reduction: duplicated rows do not duplicate pairs") {
     val df = Seq("aa bb", "aa bb", "aa bc").map(Tuple1(_)).toDF("p_name")
     EditDistJoin.similarNames(df, "p_name", maxDist = 2, maxDf = 100)

@@ -67,6 +67,21 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
       ("none", "none") -> ((1L, 300L)))
   }
 
+  test("time-bounded funnel: converts inside the window, not after; viewless purchases excluded") {
+    // user 1: view at t=0, purchase at t=5 (in) and t=20 (out of window 10)
+    // user 2: view only; user 3: purchase with no view ever
+    val rows = Seq(
+      (1L, "view", 0L, 1L, 0.0), (1L, "purchase", 5L, 2L, 3.0),
+      (1L, "purchase", 20L, 3L, 9.0),
+      (2L, "view", 0L, 4L, 0.0),
+      (3L, "purchase", 2L, 5L, 7.0),
+    ).toDF("user_id", "event_type", "tms_raw", "event_id", "value")
+      .withColumn("ts", timestamp_millis(col("tms_raw")))
+    val out = Analytic.funnelTimeBound(rows, windowMs = 10L).collect()(0)
+    (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) shouldBe
+      ((2L, 1L, 300L, 500L)) // 2 viewers, 1 converted, 300 cents, 500‰
+  }
+
   test("CUSUM window form equals the sequential max(0, s + x - k) recurrence") {
     val prices = Seq(1.00, 1.00, 5.00, 1.00, 1.00, 7.00, 1.00)
     val orders = prices.zipWithIndex.map { case (p, i) =>

@@ -713,6 +713,38 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("partial_count") // partial terms combine map-side
   }
 
+  test("lateral top-k decorrelates to a rank, never a per-driving-row nested loop") {
+    val p = plan("sql_lateral_topk")
+    p should include("Window") // the DomainJoin-derived per-segment rank
+    p should not include "CartesianProduct"
+  }
+
+  test("corr moments: all nine sums in ONE aggregation pass over one scan") {
+    val p = plan("corr_moments_lineitem")
+    p should include("partial_count")
+    p should include("partial_sum")
+    p should not include "Join"
+    "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
+  }
+
+  test("time-bounded funnel: one user-keyed window pass, no view-purchase self-join") {
+    val p = plan("funnel_time_bound")
+    p should include("Window")
+    p should not include "Join"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("user_id")
+  }
+
+  test("ER clusters: converged CC is a pinned materialization over the blocked verify") {
+    val p = plan("er_name_clusters")
+    // the block→verify subtree ran eagerly inside the CC loop; by plan
+    // time only the checkpointed component table remains (its own plan
+    // properties are pinned by the editdist_similar_names test above)
+    p should include("Scan ExistingRDD")
+    p should not include "CartesianProduct"
+    graft.dedup.Dedup.lastCcIterations should be >= 1
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
