@@ -214,6 +214,8 @@ object Plans {
       "Deadline conversion without the view×purchase self-join: first_view attaches via one whole-partition window over the user-keyed stream, the deadline test is a projection, and the conversion metric collapses in one distinct-aggregate. The naive formulation joins purchases to views per user and double-shuffles.",
     "er_name_clusters" ->
       "The full entity-resolution pipeline (block → verify → cluster) in one plan: df-capped token blocking, Levenshtein verify as a post-join filter, then the audited CC loop — by plan time converged and pinned as a materialization (`Scan ExistingRDD`), so consumers never replay the iterations. Name→id is a rank over the DISTINCT vocabulary (corpus-independent single partition); the min-id label maps back to the min name.",
+    "code_detect_score" ->
+      "Code-vs-prose screen as a PURE projection: symbol density via length-diff (no explode), indent/keyword/identifier counts via lazy array filters inside codegen, integer-permille score by BIGINT div. Zero exchanges (the only repartition is the skew fan-out) — at 100 TB this runs entirely map-side, the cheapest possible shape for a per-document filter.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -78,6 +78,11 @@ object ScaleProbe {
     // `copies`× deeper: the window-pass stress).
     "assoc_rules_lift", "containment_dup_pairs", "concurrent_sessions_peak",
     "event_transition_matrix", "session_path_topk",
+    // temporal-state + IVM family (order keys shift per copy: the
+    // change log, join deltas, and per-key rank windows must scale
+    // linearly in keys); funnel rides the deepened trajectories.
+    "cdc_snapshot_asof", "cdc_join_maintain", "histogram_quantile_range",
+    "funnel_time_bound",
     "ccnet_perplexity_buckets", "curation_funnel",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")

@@ -347,6 +347,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     df.queryExecution.executedPlan.toString should include("ReusedExchange")
   }
 
+  test("code detection is a pure map stage: no hash exchange, no join, no window") {
+    val p = plan("code_detect_score")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+    p should not include "Join"
+    p should not include "Window ["
+  }
+
   test("hashed linear scoring is a pure map stage (no hash exchange)") {
     val p = plan("hashed_linear_score")
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
@@ -602,6 +609,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
     "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
       .map(_.group(1)).toSet should contain("ok")
+  }
+
+  test("assoc rules: the basket relation's exchange is REUSED across its five consumers") {
+    // op (distinct (order,item)) feeds sized/a-side/b-side/itemCnt/
+    // nOrders — the pre-execution dump re-derives the subtree each
+    // time, but AQE stage reuse must execute the scan+distinct ONCE
+    // (stage metrics: input_records ≈ 2×|lineitem|, not 11×). Pin on
+    // the EXECUTED adaptive plan, the CountMin discipline.
+    val df = Registry.all.find(_.name == "assoc_rules_lift").get.fn(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString should include("ReusedExchange")
   }
 
   test("transition matrix: one user-keyed window pass; permille division at matrix cardinality") {

@@ -176,4 +176,25 @@ class QualityFiltersSpec extends AnyFunSuite with Matchers {
     lines0(1) should include("javascript")
     lines0(2) should include("{code}")
   }
+  test("code detection separates a source snippet from prose") {
+    val code = "def main(args):\n    import sys\n    x_val = {1: 2};\n    return x_val[1]\n"
+    val prose = "the quick brown fox jumps over the lazy dog and keeps on running home"
+    val df = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val out = QualityFilters.codeDetect(df)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("code_permille"), r.getAs[Long]("is_code")))).toMap
+    out(1L)._2 shouldBe 1L
+    out(2L)._2 shouldBe 0L
+    out(1L)._1 should be > out(2L)._1
+  }
+
+  test("code detection feature counts are exact on a hand-built doc") {
+    // 2 braces + 2 parens + 1 semicolon + 1 equals = 6 symbols; one
+    // indented line; keywords: def, return; idents: snake_case + camelCase
+    val doc = "def f(a):\n  x = 1;\n{my_var fooBar}\nreturn"
+    val r = QualityFilters.codeDetect(Seq((1L, doc)).toDF("doc_id", "text")).collect().head
+    r.getAs[Long]("n_symbols") shouldBe 6L
+    r.getAs[Long]("n_indent_lines") shouldBe 1L
+    r.getAs[Long]("n_keywords") shouldBe 2L
+    r.getAs[Long]("n_idents") shouldBe 2L
+  }
 }
