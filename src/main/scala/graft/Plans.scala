@@ -216,6 +216,10 @@ object Plans {
       "The full entity-resolution pipeline (block → verify → cluster) in one plan: df-capped token blocking, Levenshtein verify as a post-join filter, then the audited CC loop — by plan time converged and pinned as a materialization (`Scan ExistingRDD`), so consumers never replay the iterations. Name→id is a rank over the DISTINCT vocabulary (corpus-independent single partition); the min-id label maps back to the min name.",
     "code_detect_score" ->
       "Code-vs-prose screen as a PURE projection: symbol density via length-diff (no explode), indent/keyword/identifier counts via lazy array filters inside codegen, integer-permille score by BIGINT div. Zero exchanges (the only repartition is the skew fan-out) — at 100 TB this runs entirely map-side, the cheapest possible shape for a per-document filter.",
+    "seasonal_naive_backtest" ->
+      "Forecast backtesting at day cardinality: the corpus pays one partial/final cents reduction, the lag-7 seasonal-naive forecast is a window over the ~2.4k-row daily relation, and the per-weekday MAE rollup is 7 rows. Exact integer cents end-to-end — the baseline every forecasting pipeline must beat, measured without a single float.",
+    "ab_test_chi2" ->
+      "Experimentation readout with an exact significance decision: the event stream collapses to one (user, variant, converted) row (user_id is the only wide exchange key), the 2×2 contingency table is a single aggregate row, and the χ²≥3.841 test runs as cross-multiplication in DECIMAL(38,0) — 1000·n·(ad−bc)² vs 3841·∏margins, no division, no sqrt, overflow-safe through ~10⁹ users, bit-identical verdict in both engines.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -286,6 +286,31 @@ object Analytic {
         expr("(1000 * n_converted) div n_viewers").as("conv_permille"))
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every demand-
+    * forecasting pipeline must beat (M-competition convention):
+    * forecast(d) = actual(d − 7), error aggregated per weekday. The
+    * corpus reduces to daily totals first (the CUSUM/MAD discipline),
+    * the lag-7 window runs at DAY cardinality, and the backtest rollup
+    * is a 7-row relation. sum_abs_err and the MAE (integer cents div)
+    * are exact.
+    */
+  def seasonalNaiveBacktest(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
+      .agg((sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+    val w = Window.orderBy("day_no")
+    daily
+      .withColumn("forecast", lag(col("cents"), 7).over(w))
+      .where(col("forecast").isNotNull)
+      .groupBy((col("day_no") % 7).as("weekday"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("forecast"))).as("sum_abs_err"))
+      .select(
+        col("weekday"), col("n_days"), col("sum_abs_err"),
+        expr("sum_abs_err div n_days").as("mae_cents"))
+  }
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -399,6 +424,21 @@ object Analytic {
              |  FROM pp)
              |SELECT price_cents, size FROM sky
              |WHERE mn IS NULL OR size < mn ORDER BY price_cents""".stripMargin),
+    ),
+    EngineQuery(
+      "seasonal_naive_backtest",
+      (s, dir) => seasonalNaiveBacktest(Tables.orders(s, dir)).orderBy("weekday"),
+      Some("""WITH daily AS (
+             |  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |f AS (SELECT day_no, cents,
+             |  lag(cents, 7) OVER (ORDER BY day_no) AS forecast FROM daily)
+             |SELECT day_no % 7 AS weekday, CAST(count(*) AS BIGINT) AS n_days,
+             |  CAST(sum(abs(cents - forecast)) AS BIGINT) AS sum_abs_err,
+             |  CAST(sum(abs(cents - forecast)) AS BIGINT) // count(*) AS mae_cents
+             |FROM f WHERE forecast IS NOT NULL
+             |GROUP BY 1 ORDER BY weekday""".stripMargin),
     ),
     EngineQuery(
       "funnel_time_bound",

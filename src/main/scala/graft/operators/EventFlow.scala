@@ -124,6 +124,43 @@ object EventFlow {
           .as("peak_sessions"))
   }
 
+  /** A/B experiment readout with an exact chi-square decision — the
+    * experimentation-platform primitive (two-proportion test on
+    * conversion). Variant = user_id parity (the deterministic hash
+    * assignment every A/B system uses); converted = the user has ≥1
+    * purchase. The stream collapses to one (user, variant, converted)
+    * row FIRST (partial/final distinct-style aggregate — the only wide
+    * exchange keys on user_id), the 2×2 contingency table is a 1-row
+    * aggregate, and the χ² ≥ 3.841 (df=1, p<0.05) decision is computed
+    * by exact cross-multiplication in DECIMAL(38,0) — the float
+    * formula n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) never divides:
+    * 1000·n·(ad−bc)² ≥ 3841·∏margins, overflow-safe in 38 digits
+    * through ~10⁹ users. No float, no division, bit-identical verdict.
+    */
+  def abTestChi2(events: DataFrame): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val t = perUser.agg(
+      sum(when(col("variant") === 0 && col("converted") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("variant") === 0 && col("converted") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("variant") === 1 && col("converted") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("variant") === 1 && col("converted") === 0, 1L).otherwise(0L)).as("d"))
+    val dec38 = "decimal(38,0)"
+    t.select(
+      col("a").as("conv_a"), col("b").as("nonconv_a"),
+      col("c").as("conv_b"), col("d").as("nonconv_b"),
+      expr(s"""cast(1000 as $dec38) * cast(a + b + c + d as $dec38)
+              |  * cast(cast(a as $dec38) * cast(d as $dec38)
+              |       - cast(b as $dec38) * cast(c as $dec38) as $dec38)
+              |  * cast(cast(a as $dec38) * cast(d as $dec38)
+              |       - cast(b as $dec38) * cast(c as $dec38) as $dec38)
+              | >= cast(3841 as $dec38) * cast(a + b as $dec38) * cast(c + d as $dec38)
+              |  * cast(a + c as $dec38) * cast(b + d as $dec38)""".stripMargin)
+        .cast("long").as("significant"))
+  }
+
   /** Shared oracle CTE: 30-minute-gap sessions with per-event rank —
     * mirrors the `events_sessionize` oracle exactly, plus `rn`.
     */
@@ -166,6 +203,27 @@ object EventFlow {
              |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
              |FROM p GROUP BY path
              |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin),
+    ),
+    EngineQuery(
+      "ab_test_chi2",
+      (s, dir) => abTestChi2(Tables.events(s, dir)),
+      Some("""WITH pu AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT
+             |  sum(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS a,
+             |  sum(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END) AS b,
+             |  sum(CASE WHEN user_id % 2 = 1 AND conv = 1 THEN 1 ELSE 0 END) AS c,
+             |  sum(CASE WHEN user_id % 2 = 1 AND conv = 0 THEN 1 ELSE 0 END) AS d
+             |  FROM pu)
+             |SELECT CAST(a AS BIGINT) AS conv_a, CAST(b AS BIGINT) AS nonconv_a,
+             |  CAST(c AS BIGINT) AS conv_b, CAST(d AS BIGINT) AS nonconv_b,
+             |  CAST(CASE WHEN CAST(1000 AS HUGEINT) * (a + b + c + d)
+             |      * (a * d - b * c) * (a * d - b * c)
+             |    >= CAST(3841 AS HUGEINT) * (a + b) * (c + d) * (a + c) * (b + d)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+             |FROM t""".stripMargin),
     ),
     EngineQuery(
       "concurrent_sessions_peak",

@@ -82,6 +82,21 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
       ((2L, 1L, 300L, 500L)) // 2 viewers, 1 converted, 300 cents, 500‰
   }
 
+  test("seasonal-naive backtest: lag-7 forecast errors roll up per weekday") {
+    // week 1 flat 1.00/day, week 2 flat 1.10/day -> every weekday has
+    // exactly one scored day with error 10 cents
+    val orders = (0 until 14).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)),
+        if (i < 7) 1.00 else 1.10)
+    }.toDF("o_orderdate", "o_totalprice")
+    val out = Analytic.seasonalNaiveBacktest(orders).orderBy("weekday")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.length shouldBe 7
+    out.foreach { case (_, n, sae, mae) =>
+      n shouldBe 1L; sae shouldBe 10L; mae shouldBe 10L
+    }
+  }
+
   test("CUSUM window form equals the sequential max(0, s + x - k) recurrence") {
     val prices = Seq(1.00, 1.00, 5.00, 1.00, 1.00, 7.00, 1.00)
     val orders = prices.zipWithIndex.map { case (p, i) =>

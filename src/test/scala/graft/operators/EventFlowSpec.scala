@@ -46,6 +46,21 @@ class EventFlowSpec extends AnyFunSuite with Matchers {
     out shouldBe Map("e0>e1>e2" -> 1L)
   }
 
+  test("A/B chi-square: perfect separation significant, identical arms not") {
+    // 10 even users (variant A) all purchase; 10 odd (B) only view:
+    // chi2 = 20·(100)²/(10·10·10·10) = 20 >= 3.841
+    val sep = events((0 until 20).map(u =>
+      (u.toLong, if (u % 2 == 0) "purchase" else "view", u * 10L, u.toLong)))
+    val r1 = EventFlow.abTestChi2(sep).collect()(0)
+    (r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) shouldBe
+      ((10L, 0L, 0L, 10L, 1L))
+    // both arms convert 1-of-2: (ad-bc)=0 -> chi2=0, not significant
+    val same = events(Seq(
+      (0L, "purchase", 0L, 1L), (2L, "view", 0L, 2L),
+      (1L, "purchase", 0L, 3L), (3L, "view", 0L, 4L)))
+    EventFlow.abTestChi2(same).collect()(0).getLong(4) shouldBe 0L
+  }
+
   test("concurrent-sessions sweep handles overlap, hour carry-in, and boundary ends") {
     val ev = events(Seq(
       // hour 0: u1 session 0..10s, u2 session 5..8s (peak 2 concurrent)

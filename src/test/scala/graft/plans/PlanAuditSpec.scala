@@ -763,6 +763,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     graft.dedup.Dedup.lastCcIterations should be >= 1
   }
 
+  test("seasonal backtest: corpus reduces to daily totals before the lag-7 window") {
+    val p = plan("seasonal_naive_backtest")
+    p should include("partial_sum")
+    p should include("Window")
+    p should not include "Join"
+  }
+
+  test("A/B chi2: stream collapses per user first; the 2x2 table is one aggregate row") {
+    val p = plan("ab_test_chi2")
+    p should not include "Join"
+    "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("user_id")
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
