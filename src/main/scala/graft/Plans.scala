@@ -220,6 +220,10 @@ object Plans {
       "Forecast backtesting at day cardinality: the corpus pays one partial/final cents reduction, the lag-7 seasonal-naive forecast is a window over the ~2.4k-row daily relation, and the per-weekday MAE rollup is 7 rows. Exact integer cents end-to-end — the baseline every forecasting pipeline must beat, measured without a single float.",
     "ab_test_chi2" ->
       "Experimentation readout with an exact significance decision: the event stream collapses to one (user, variant, converted) row (user_id is the only wide exchange key), the 2×2 contingency table is a single aggregate row, and the χ²≥3.841 test runs as cross-multiplication in DECIMAL(38,0) — 1000·n·(ad−bc)² vs 3841·∏margins, no division, no sqrt, overflow-safe through ~10⁹ users, bit-identical verdict in both engines.",
+    "graph_bfs_depth" ->
+      "Bounded-depth BFS (Pregel/Bellman-Ford shape): each unrolled round is one src-keyed join of the |nodes|-sized distance table against the ONCE-materialized edge relation plus a per-dst min aggregate (map-side combined). The edge pin means round k never re-derives the pair expansion; the bounded horizon is what makes an exactly-replayable oracle possible.",
+    "graph_lpa_communities" ->
+      "Deterministic synchronous label propagation (communities, NOT connectivity — the majority vote finds denser structure than CC's min-label): per round one src-keyed label join, a map-side-combined (dst,label) vote count, and a dst-keyed rank window over ≤degree rows with a min-label tie-break (fully deterministic, both engines bit-agree). Rounds checkpoint-release (CC discipline), so the plan roots in the previous round's materialization.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -145,6 +145,72 @@ object GraphRank {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** BFS depth from a deterministic source set (node % 50 == 0),
+    * unrolled `rounds` relaxation iterations — the unweighted
+    * single-source(-set) shortest path primitive (Pregel/Bellman-Ford
+    * shape on an edge list). Each round is one src-keyed join of the
+    * frontier-bearing distance table against the PINNED edge relation
+    * plus a min-aggregate per dst; the edge relation materializes ONCE
+    * (pagerank discipline) and the distance table stays |nodes|-sized.
+    * Nodes beyond `rounds` hops are absent — the semantics of a
+    * bounded-depth BFS, which is what an oracle can replay exactly.
+    */
+  def bfsDepth(lineitem: DataFrame, nodeMod: Int, rounds: Int): DataFrame = {
+    val (edges, releaseEdges) = graft.Checkpoints.localEager(
+      coPurchaseEdges(lineitem.where(col("l_partkey") % nodeMod === 0)))
+    var dist = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .where(col("node") % 50 === 0)
+      .withColumn("depth", lit(0L))
+    (1 to rounds).foreach { _ =>
+      val relaxed = edges
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("depth") + 1).as("depth"))
+      dist = dist.union(relaxed).groupBy("node").agg(min("depth").as("depth"))
+    }
+    val (pinned, _) = graft.Checkpoints.localEager(dist)
+    releaseEdges()
+    pinned
+  }
+
+  /** Deterministic synchronous label propagation (`rounds` unrolled) —
+    * the community-detection primitive next to CC (which this is NOT:
+    * CC converges to connectivity; LPA's majority vote finds denser
+    * sub-structure). Vote = most frequent label among neighbors, ties
+    * broken by MIN label — fully deterministic, so both engines agree
+    * exactly. Each round: one src-keyed label join, a (dst,label)
+    * count (map-side combined), and a dst-keyed rank window over
+    * ≤degree rows; isolated nodes keep their label. Checkpoint per
+    * round (the CC discipline) keeps the unrolled plan from re-deriving
+    * all prior rounds.
+    */
+  def lpaCommunities(lineitem: DataFrame, nodeMod: Int, rounds: Int): DataFrame = {
+    val (edges, releaseEdges) = graft.Checkpoints.localEager(
+      coPurchaseEdges(lineitem.where(col("l_partkey") % nodeMod === 0)))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var lab = nodes.withColumn("label", col("node"))
+    var release: () => Unit = () => ()
+    (1 to rounds).foreach { _ =>
+      val votes = edges
+        .join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("label"))
+      val winner = votes
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      val (next, freeNext) = graft.Checkpoints.localEager(
+        lab.join(winner, Seq("node"), "left")
+          .select(col("node"), coalesce(col("new_label"), col("label")).as("label")))
+      release(); release = freeNext
+      lab = next
+    }
+    releaseEdges()
+    lab
+  }
+
   /** Iterations the last [[kCore]] call took — probe observability,
     * mirroring [[graft.dedup.Dedup.lastCcIterations]].
     */
@@ -283,6 +349,60 @@ object GraphRank {
            |FROM e8 GROUP BY src ORDER BY node""".stripMargin
       },
       headline = true,
+    ),
+    EngineQuery(
+      "graph_bfs_depth",
+      (s, dir) => bfsDepth(Tables.lineitem(s, dir), nodeMod = 5, rounds = 4).orderBy("node"),
+      Some {
+        val rounds = (1 to 4).map { i =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT node, min(depth) AS depth FROM (
+             |    SELECT node, depth FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT e.dst, d.depth + 1 FROM e JOIN d${i - 1} d ON e.src = d.node)
+             |  GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH op AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |  FROM lineitem WHERE l_partkey % 5 = 0),
+           |e AS MATERIALIZED (
+           |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+           |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |d0 AS MATERIALIZED (
+           |  SELECT node, CAST(0 AS BIGINT) AS depth FROM n WHERE node % 50 = 0),
+           |$rounds
+           |SELECT node, depth FROM d4 ORDER BY node""".stripMargin
+      },
+    ),
+    EngineQuery(
+      "graph_lpa_communities",
+      (s, dir) => lpaCommunities(Tables.lineitem(s, dir), nodeMod = 5, rounds = 3).orderBy("node"),
+      Some {
+        val rounds = (1 to 3).map { i =>
+          s"""v$i AS MATERIALIZED (
+             |  SELECT e.dst AS node, l.label, count(*) AS c
+             |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+             |w$i AS MATERIALIZED (
+             |  SELECT node, label AS new_label FROM (
+             |    SELECT node, label,
+             |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+             |    FROM v$i) WHERE rn = 1),
+             |l$i AS MATERIALIZED (
+             |  SELECT l.node, coalesce(w.new_label, l.label) AS label
+             |  FROM l${i - 1} l LEFT JOIN w$i w ON l.node = w.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH op AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |  FROM lineitem WHERE l_partkey % 5 = 0),
+           |e AS MATERIALIZED (
+           |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+           |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |l0 AS MATERIALIZED (SELECT node, CAST(node AS BIGINT) AS label FROM n),
+           |$rounds
+           |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+      },
     ),
     EngineQuery(
       "graph_degree_histogram",

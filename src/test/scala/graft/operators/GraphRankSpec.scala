@@ -25,6 +25,28 @@ class GraphRankSpec extends AnyFunSuite with Matchers {
       (10L, 20L), (20L, 10L), (10L, 30L), (30L, 10L), (20L, 30L), (30L, 20L))
   }
 
+  test("BFS depth: path graph levels out from the source; beyond-rounds nodes absent") {
+    // path 0–5–10–15–20–25 (all keys %5==0 so nodeMod keeps them);
+    // source set = node%50==0 -> {0}; rounds=4 reaches depth 4
+    val li = Seq((1L, 0L), (1L, 5L), (2L, 5L), (2L, 10L), (3L, 10L), (3L, 15L),
+      (4L, 15L), (4L, 20L), (5L, 20L), (5L, 25L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = GraphRank.bfsDepth(li, nodeMod = 5, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(0L -> 0L, 5L -> 1L, 10L -> 2L, 15L -> 3L, 20L -> 4L)
+    // node 25 is 5 hops away — out of the bounded-depth horizon
+  }
+
+  test("LPA: two disjoint cliques each converge to their min-id label") {
+    val li = Seq((1L, 5L), (1L, 10L), (1L, 15L), (2L, 20L), (2L, 25L), (2L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = GraphRank.lpaCommunities(li, nodeMod = 5, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(
+      5L -> 5L, 10L -> 5L, 15L -> 5L,
+      20L -> 20L, 25L -> 20L, 30L -> 20L)
+  }
+
   test("one iteration on a two-node cycle is exact") {
     // A↔B, both outdeg 1: contrib = S, pr' = 0.15·S + 0.85·S = S exactly
     val li = Seq((1L, 1L), (1L, 2L)).toDF("l_orderkey", "l_partkey")

@@ -576,6 +576,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("BFS: rounds relax against the pinned edge materialization, final table pinned") {
+    val p = plan("graph_bfs_depth")
+    // the distance table is |nodes|-sized, pinned once converged
+    p should include("Scan ExistingRDD")
+    p should not include "CartesianProduct"
+  }
+
+  test("LPA: per-round rank windows are dst-keyed; rounds checkpoint, never re-derive") {
+    val p = plan("graph_lpa_communities")
+    // every round checkpoints eagerly, so by plan time the label table
+    // IS the round-3 materialization — consumers scan it, never replay
+    // the vote joins (the per-round window plan is exercised by the
+    // GraphRankSpec clique test and the gate itself)
+    p should include("Scan ExistingRDD")
+    p should not include "Join"
+    p should not include "CartesianProduct"
+  }
+
   test("k-core peeling: the converged core is a pinned materialization, not a live subtree") {
     val p = plan("graph_kcore_nodes")
     // by plan time the loop has converged — consumers scan the
