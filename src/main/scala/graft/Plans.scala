@@ -224,6 +224,10 @@ object Plans {
       "Bounded-depth BFS (Pregel/Bellman-Ford shape): each unrolled round is one src-keyed join of the |nodes|-sized distance table against the ONCE-materialized edge relation plus a per-dst min aggregate (map-side combined). The edge pin means round k never re-derives the pair expansion; the bounded horizon is what makes an exactly-replayable oracle possible.",
     "graph_lpa_communities" ->
       "Deterministic synchronous label propagation (communities, NOT connectivity — the majority vote finds denser structure than CC's min-label): per round one src-keyed label join, a map-side-combined (dst,label) vote count, and a dst-keyed rank window over ≤degree rows with a min-label tie-break (fully deterministic, both engines bit-agree). Rounds checkpoint-release (CC discipline), so the plan roots in the previous round's materialization.",
+    "luhn_pii_scan" ->
+      "Checksum-validated PII detection as a PURE projection: candidates from one regexp_extract_all, the Luhn sum as a lazy higher-order aggregate over each digit string (codegen'd — no explode, the candidate array never widens the row count), zero exchanges. The checksum rejects ~90% of random 16-digit false positives that a regex-only scrub would flag; precision costs nothing at 100 TB because the whole query is map-side.",
+    "window_rank_suite" ->
+      "Rank-function surface (dense_rank/percent_rank/cume_dist/nth_value) at DAY cardinality: the corpus reduces to daily totals first, one compound-key ordering serves the three rank functions in a single Window node (nth_value's unbounded-following frame adds one more), and the rationals are exact small fractions — deterministic as doubles in both engines.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

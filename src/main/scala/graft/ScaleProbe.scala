@@ -70,6 +70,9 @@ object ScaleProbe {
     // CC iterations. phrase/triplets ride the 30x documents corpus —
     // posting-list filter-before-shuffle and banded-pair scaling.
     "graph_kcore_nodes", "phrase_match_docs", "contrastive_triplets",
+    // BFS/LPA on the DENSIFIED probe graph (part keys unshifted):
+    // frontier joins and vote counts grow with edge mass, not rows
+    "graph_bfs_depth", "graph_lpa_communities",
     // r11 late adds: the a-priori pair expansion (order keys shift per
     // copy, so basket sizes stay bounded and the pair relation must
     // grow linearly), the containment gram join (rotated copies keep

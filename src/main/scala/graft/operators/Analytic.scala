@@ -425,6 +425,43 @@ object Analytic {
              |SELECT price_cents, size FROM sky
              |WHERE mn IS NULL OR size < mn ORDER BY price_cents""".stripMargin),
     ),
+    // Rank-function completeness: percent_rank / cume_dist / dense_rank
+    // / nth_value over the daily-revenue relation (day cardinality — the
+    // corpus reduces first, so the single-partition ordering window is
+    // corpus-independent). The compound (cents, day_no) order key makes
+    // every rank deterministic; percent_rank and cume_dist are exact
+    // small rationals, bit-identical as doubles in both engines.
+    EngineQuery(
+      "window_rank_suite",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
+          .agg((sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+        val w = Window.orderBy("cents", "day_no")
+        val wAll = Window.orderBy("cents", "day_no")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        daily.select(
+          col("day_no"), col("cents"),
+          dense_rank().over(w).cast("long").as("drank"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          nth_value(col("cents"), 3).over(wAll).as("third_lowest"))
+          .orderBy("day_no")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1)
+             |SELECT day_no, cents,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+             |  percent_rank() OVER w AS prank,
+             |  cume_dist() OVER w AS cdist,
+             |  nth_value(cents, 3) OVER (ORDER BY cents, day_no
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_lowest
+             |FROM daily
+             |WINDOW w AS (ORDER BY cents, day_no)
+             |ORDER BY day_no""".stripMargin),
+    ),
     EngineQuery(
       "seasonal_naive_backtest",
       (s, dir) => seasonalNaiveBacktest(Tables.orders(s, dir)).orderBy("weekday"),

@@ -471,7 +471,66 @@ object QualityFilters {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Inject deterministic card-shaped digit runs: every 17th doc gets a
+    * Luhn-VALID 16-digit number, every 19th an INVALID one — so the
+    * scan query proves both detection and checksum rejection on the
+    * same corpus (the [[withSyntheticLines]] pattern: reshape mirrored
+    * in the oracle SQL).
+    */
+  def withSyntheticCards(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 17 === 0, lit(" card 4539578763621486 on file")).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit(" card 4111111111111112 on file")).otherwise(lit(""))))
+
+  /** Credit-card PII scan with Luhn checksum validation — the
+    * precision upgrade over the regex-only PII scrub (a random
+    * 16-digit run is a false positive ~90% of the time; the checksum
+    * rejects it). Candidates come from one regexp_extract_all, the
+    * checksum is a lazy higher-order aggregate over the digit string
+    * (codegen'd, no explode), and the whole query is a pure per-row
+    * projection — zero exchanges at any corpus size.
+    */
+  def luhnPiiScan(docs: DataFrame): DataFrame = {
+    val luhnSum =
+      """aggregate(transform(sequence(1, length(c)),
+        |  i -> CASE WHEN i % 2 = 0
+        |    THEN IF((ascii(substr(reverse(c), i, 1)) - 48) * 2 > 9,
+        |            (ascii(substr(reverse(c), i, 1)) - 48) * 2 - 9,
+        |            (ascii(substr(reverse(c), i, 1)) - 48) * 2)
+        |    ELSE ascii(substr(reverse(c), i, 1)) - 48 END),
+        |  0, (acc, x) -> acc + x)""".stripMargin
+    graft.Partitioning.fanOut(docs)
+      .withColumn("__cands", expr("regexp_extract_all(text, '[0-9]{16}', 0)"))
+      .select(
+        col("doc_id"),
+        size(col("__cands")).cast("long").as("n_candidates"),
+        expr(s"cast(size(filter(__cands, c -> ($luhnSum) % 10 = 0)) as bigint)")
+          .as("n_valid"))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "luhn_pii_scan",
+      (s, dir) => luhnPiiScan(withSyntheticCards(Tables.documents(s, dir))).orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 17 = 0 THEN ' card 4539578763621486 on file' ELSE '' END
+             |    || CASE WHEN doc_id % 19 = 0 THEN ' card 4111111111111112 on file' ELSE '' END
+             |    AS text
+             |  FROM documents),
+             |c AS (SELECT doc_id, regexp_extract_all(text, '[0-9]{16}') AS cands FROM d)
+             |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+             |  CAST(len(list_filter(cands, c ->
+             |    list_sum(list_transform(range(1, length(c) + 1),
+             |      i -> CASE WHEN i % 2 = 0
+             |        THEN CASE WHEN (ascii(substr(reverse(c), CAST(i AS INT), 1)) - 48) * 2 > 9
+             |          THEN (ascii(substr(reverse(c), CAST(i AS INT), 1)) - 48) * 2 - 9
+             |          ELSE (ascii(substr(reverse(c), CAST(i AS INT), 1)) - 48) * 2 END
+             |        ELSE ascii(substr(reverse(c), CAST(i AS INT), 1)) - 48 END))
+             |    % 10 = 0)) AS BIGINT) AS n_valid
+             |FROM c ORDER BY doc_id""".stripMargin),
+    ),
     EngineQuery(
       "code_detect_score",
       (s, dir) => codeDetect(Tables.documents(s, dir)).orderBy("doc_id"),

@@ -354,6 +354,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "Window ["
   }
 
+  test("Luhn scan is a pure map stage: higher-order checksum, no explode, no exchange") {
+    val p = plan("luhn_pii_scan")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+    p should not include "Generate" // candidates stay a lazy array
+    p should not include "Join"
+  }
+
+  test("rank suite: corpus reduces to daily totals; one ordering serves all four functions") {
+    val p = plan("window_rank_suite")
+    p should include("partial_sum")
+    // dense_rank/percent_rank/cume_dist share one Window sort; only
+    // nth_value's unbounded-following frame needs a second Window node
+    "Window \\[".r.findAllMatchIn(p).size should be <= 2
+    p should not include "Join"
+  }
+
   test("hashed linear scoring is a pure map stage (no hash exchange)") {
     val p = plan("hashed_linear_score")
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0

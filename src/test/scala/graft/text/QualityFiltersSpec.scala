@@ -197,4 +197,16 @@ class QualityFiltersSpec extends AnyFunSuite with Matchers {
     r.getAs[Long]("n_keywords") shouldBe 2L
     r.getAs[Long]("n_idents") shouldBe 2L
   }
+  test("Luhn scan: valid card counted, invalid 16-digit run rejected, short runs ignored") {
+    val df = Seq(
+      (1L, "pay with 4539578763621486 now"),     // Luhn-valid
+      (2L, "fake 4111111111111112 number"),      // 16 digits, bad checksum
+      (3L, "order 12345 reference 999"),         // no 16-digit run
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.luhnPiiScan(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((1L, 1L))
+    out(2L) shouldBe ((1L, 0L))
+    out(3L) shouldBe ((0L, 0L))
+  }
 }
