@@ -228,6 +228,8 @@ object Plans {
       "Checksum-validated PII detection as a PURE projection: candidates from one regexp_extract_all, the Luhn sum as a lazy higher-order aggregate over each digit string (codegen'd — no explode, the candidate array never widens the row count), zero exchanges. The checksum rejects ~90% of random 16-digit false positives that a regex-only scrub would flag; precision costs nothing at 100 TB because the whole query is map-side.",
     "window_rank_suite" ->
       "Rank-function surface (dense_rank/percent_rank/cume_dist/nth_value) at DAY cardinality: the corpus reduces to daily totals first, one compound-key ordering serves the three rank functions in a single Window node (nth_value's unbounded-following frame adds one more), and the rationals are exact small fractions — deterministic as doubles in both engines.",
+    "rolling_7d_active_users" ->
+      "The sliding-window distinct problem solved by sketch store: exact COUNT(DISTINCT) cannot window, so per-day HLL sketches are stored once (one partial/final pass over distinct user-days) and each day's trailing week is a RANGE-frame hll_union_agg over SEVEN STORED SKETCHES — zero row re-touch per window position. The exact twin (each user-day spread to its 7 target days, distinct, per-day count) gates the estimate at ±5%; at 100 TB only the sketch path runs.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -805,6 +805,49 @@ object Relational {
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS est_ok
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     ),
+    // Rolling 7-day active users — THE growth metric exact distinct
+    // can't serve at scale (distinct aggregates don't window): per-day
+    // HLL sketches stored once, the trailing week is a RANGE-frame
+    // hll_union_agg over 7 stored sketches per day (no row re-touch,
+    // the sketch-store pattern applied to a sliding window). Exact twin
+    // for the gate: each (user, day) spreads to the 7 target days it
+    // counts toward — distinct pairs, then a per-day count; the spread
+    // relation is 7×|user-days|, corpus-bounded. Self-verifying gate
+    // (sketches aren't engine-portable): exact value + a ±5% est flag.
+    EngineQuery(
+      "rolling_7d_active_users",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+          .distinct()
+        val daily = ev.groupBy("day").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val est = daily.selectExpr(
+          "day",
+          """hll_sketch_estimate(hll_union_agg(sk, false) OVER
+            |  (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS est""".stripMargin)
+        val exact = ev
+          .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as("exact_7d_users"))
+        est.join(exact, Seq("day"))
+          .select(
+            col("day"), col("exact_7d_users"),
+            (abs(col("est") - col("exact_7d_users"))
+              <= col("exact_7d_users").cast("double") * 0.05).as("est_ok"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+             |sp AS (
+             |  SELECT DISTINCT user_id, day + i AS day
+             |  FROM ev, range(0, 7) t(i)),
+             |days AS (SELECT DISTINCT day FROM ev),
+             |exact AS (
+             |  SELECT sp.day, CAST(count(*) AS BIGINT) AS exact_7d_users
+             |  FROM sp JOIN days d ON sp.day = d.day GROUP BY 1)
+             |SELECT day, exact_7d_users, true AS est_ok
+             |FROM exact ORDER BY day""".stripMargin),
+    ),
     // Temporal scalar functions over the order date (the reference has
     // no date/time functions at all, SURVEY §2.2).
     EngineQuery(

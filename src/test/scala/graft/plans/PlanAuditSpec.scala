@@ -370,6 +370,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "Join"
   }
 
+  test("rolling active users: sketch union is a RANGE window over stored sketches") {
+    val p = plan("rolling_7d_active_users")
+    p should include("hll_union_agg")
+    p should include("specifiedwindowframe(RangeFrame, -6, currentrow")
+    // the sketch side never re-touches events rows past the daily agg
+    p should include("partial_hll_sketch_agg")
+  }
+
   test("hashed linear scoring is a pure map stage (no hash exchange)") {
     val p = plan("hashed_linear_score")
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
