@@ -230,6 +230,12 @@ object Plans {
       "Rank-function surface (dense_rank/percent_rank/cume_dist/nth_value) at DAY cardinality: the corpus reduces to daily totals first, one compound-key ordering serves the three rank functions in a single Window node (nth_value's unbounded-following frame adds one more), and the rationals are exact small fractions — deterministic as doubles in both engines.",
     "rolling_7d_active_users" ->
       "The sliding-window distinct problem solved by sketch store: exact COUNT(DISTINCT) cannot window, so per-day HLL sketches are stored once (one partial/final pass over distinct user-days) and each day's trailing week is a RANGE-frame hll_union_agg over SEVEN STORED SKETCHES — zero row re-touch per window position. The exact twin (each user-day spread to its 7 target days, distinct, per-day count) gates the estimate at ±5%; at 100 TB only the sketch path runs.",
+    "bot_regularity_flags" ->
+      "Traffic-quality screen in one trajectory pass: inter-event gaps from the family's single user-keyed lag window, exact gap moments accumulated in DECIMAL(38,0) (a month of ms-gaps squared overflows BIGINT at depth), and the low-variance bot test by cross-multiplication — n·Σg² − (Σg)² < τ²·n·(n−1) decides sample-variance < τ² with no division. Sparse users are unflagged, not guessed.",
+    "user_diversity_simpson" ->
+      "Engagement diversity without logs: Simpson's 1 − Σp² is an exact rational (entropy would force floats), so the per-user index is pure BIGINT arithmetic over a (user,type) count and the output is a bucket histogram at user cardinality. Two aggregates, one exchange family, no window over the stream.",
+    "cross_source_dups" ->
+      "Syndication/mirror detection: md5 of the 60-char head fingerprint (byte-identical md5 misses mirrors whose bodies diverge after the lede) grouped once, with the distinct-source count and the cross-source HAVING pruning inside the aggregation — nothing but confirmed mirrors leaves the operator.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

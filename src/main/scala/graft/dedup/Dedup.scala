@@ -896,6 +896,30 @@ object Dedup {
       Some("""SELECT md5(text) AS hash, count(*) AS cnt, min(doc_id) AS keeper
              |FROM documents GROUP BY hash ORDER BY hash""".stripMargin),
     ),
+    // Provenance-aware dup analysis: documents sharing a HEAD
+    // FINGERPRINT (md5 of the first 60 chars — the crawl-pipeline
+    // trick for syndicated/mirrored articles whose bodies diverge
+    // after the lede) across MORE THAN ONE source. Full-text md5
+    // catches only byte-identical re-posts; the head fingerprint
+    // surfaces the mirror/syndication signal a curation pipeline uses
+    // to pick one canonical provenance. One fingerprint-keyed
+    // aggregate; the HAVING prunes inside the aggregation.
+    EngineQuery(
+      "cross_source_dups",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(md5(substring(col("text"), 1, 60)).as("hash"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count_distinct(col("source")).as("n_sources"),
+            min(col("doc_id")).as("keeper"))
+          .where(col("n_sources") > 1)
+          .orderBy("hash"),
+      Some("""SELECT md5(substr(text, 1, 60)) AS hash, count(*) AS n_docs,
+             |  count(DISTINCT source) AS n_sources, min(doc_id) AS keeper
+             |FROM documents GROUP BY hash HAVING count(DISTINCT source) > 1
+             |ORDER BY hash""".stripMargin),
+    ),
     EngineQuery(
       "minhash_signatures",
       (s, dir) => {

@@ -161,6 +161,55 @@ object EventFlow {
         .cast("long").as("significant"))
   }
 
+  /** Bot/automation detection by inter-event timing regularity: a
+    * human's gaps between events are high-variance; a scripted
+    * client's are near-constant. Per user: one lag window pass over
+    * the trajectory (the family's single user-keyed exchange), exact
+    * integer gap moments (n, Σg, Σg²), and the low-variance flag by
+    * cross-multiplication — n·Σg² − (Σg)² < τ²·n·(n−1) means the
+    * sample variance is under τ² without ever dividing. Users with
+    * < `minEvents` gaps are unflagged (insufficient evidence).
+    * Gap magnitudes: ms gaps ≤ ~2.6e9 over a month, squared ≤ 7e18 —
+    * one gap² fits BIGINT but a SUM of them may not at depth, so the
+    * moments accumulate in DECIMAL(38,0) (exact, engine-portable).
+    */
+  def botRegularityFlags(events: DataFrame, tauMs: Long, minEvents: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val gaps = ev(events)
+      .withColumn("gap", col("tms") - lag(col("tms"), 1).over(w))
+      .where(col("gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast("decimal(38,0)")).as("sg"),
+        sum((col("gap") * col("gap")).cast("decimal(38,0)")).as("sg2"))
+      .select(
+        col("user_id"), col("n_gaps"),
+        ((col("n_gaps") >= minEvents) &&
+          (col("n_gaps").cast("decimal(38,0)") * col("sg2") - col("sg") * col("sg")
+            < lit(tauMs * tauMs).cast("decimal(38,0)")
+              * col("n_gaps").cast("decimal(38,0)")
+              * (col("n_gaps") - 1).cast("decimal(38,0)")))
+          .cast("long").as("bot_flag"))
+  }
+
+  /** Per-user engagement diversity by Simpson's index (1 − Σp²) — the
+    * log-free diversity measure (entropy needs floats; Simpson is an
+    * exact rational): simpson_permille = 1000·(n² − Σc²) div n² over
+    * the user's event-type counts. Output is the corpus histogram of
+    * diversity buckets — the stream pays one (user, type) count and
+    * one per-user rollup, both user-keyed.
+    */
+  def diversitySimpson(events: DataFrame): DataFrame = {
+    val perType = events.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val perUser = perType.groupBy("user_id")
+      .agg(sum("c").as("n"), sum(col("c") * col("c")).as("sc2"))
+      .withColumn("simpson_permille",
+        expr("(1000 * (n * n - sc2)) div (n * n)"))
+    perUser.groupBy(expr("simpson_permille div 10").as("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Shared oracle CTE: 30-minute-gap sessions with per-event rank —
     * mirrors the `events_sessionize` oracle exactly, plus `rn`.
     */
@@ -224,6 +273,35 @@ object EventFlow {
              |    >= CAST(3841 AS HUGEINT) * (a + b) * (c + d) * (a + c) * (b + d)
              |    THEN 1 ELSE 0 END AS BIGINT) AS significant
              |FROM t""".stripMargin),
+    ),
+    EngineQuery(
+      "bot_regularity_flags",
+      (s, dir) => botRegularityFlags(Tables.events(s, dir), tauMs = 3600000L, minEvents = 5)
+        .orderBy("user_id"),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events),
+             |g AS (SELECT user_id,
+             |  tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS gap
+             |  FROM e),
+             |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             |  sum(CAST(gap AS HUGEINT)) AS sg, sum(CAST(gap AS HUGEINT) * gap) AS sg2
+             |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT user_id, n_gaps,
+             |  CAST(CASE WHEN n_gaps >= 5
+             |    AND CAST(n_gaps AS HUGEINT) * sg2 - sg * sg
+             |      < CAST(3600000 AS HUGEINT) * 3600000 * n_gaps * (n_gaps - 1)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+             |FROM m ORDER BY user_id""".stripMargin),
+    ),
+    EngineQuery(
+      "user_diversity_simpson",
+      (s, dir) => diversitySimpson(Tables.events(s, dir)).orderBy("bucket"),
+      Some("""WITH pt AS (
+             |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+             |pu AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+             |  CAST(sum(c * c) AS BIGINT) AS sc2 FROM pt GROUP BY 1),
+             |s AS (SELECT (1000 * (n * n - sc2)) // (n * n) AS sp FROM pu)
+             |SELECT sp // 10 AS bucket, CAST(count(*) AS BIGINT) AS n_users
+             |FROM s GROUP BY 1 ORDER BY bucket""".stripMargin),
     ),
     EngineQuery(
       "concurrent_sessions_peak",

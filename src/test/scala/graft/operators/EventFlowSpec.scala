@@ -46,6 +46,32 @@ class EventFlowSpec extends AnyFunSuite with Matchers {
     out shouldBe Map("e0>e1>e2" -> 1L)
   }
 
+  test("bot regularity: metronome-regular user flagged, bursty human and sparse user not") {
+    // user 1: exactly every 1000 ms (variance 0 < tau²); user 2: wildly
+    // varying gaps; user 3: only 3 events (< minEvents gaps)
+    val rows =
+      (0 until 10).map(i => (1L, "view", i * 1000L, i.toLong)) ++
+        Seq(0L, 1000L, 100000000L, 100001000L, 900000000L).zipWithIndex
+          .map { case (t, i) => (2L, "view", t, 100L + i) } ++
+        (0 until 3).map(i => (3L, "view", i * 1000L, 200L + i.toLong))
+    val out = EventFlow.botRegularityFlags(events(rows), tauMs = 3600000L, minEvents = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((9L, 1L))
+    out(2L)._2 shouldBe 0L
+    out(3L) shouldBe ((2L, 0L)) // insufficient evidence
+  }
+
+  test("Simpson diversity: single-type user scores 0, uniform multi-type near max") {
+    val rows =
+      (0 until 4).map(i => (1L, "view", i * 10L, i.toLong)) ++ // all one type -> 0
+        Seq((2L, "view", 0L, 10L), (2L, "click", 1L, 11L),
+          (2L, "purchase", 2L, 12L), (2L, "error", 3L, 13L)) // 4 types once each
+    val out = EventFlow.diversitySimpson(events(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 1: permille 0 -> bucket 0; user 2: 1000·(16-4)/16 = 750 -> bucket 75
+    out shouldBe Map(0L -> 1L, 75L -> 1L)
+  }
+
   test("A/B chi-square: perfect separation significant, identical arms not") {
     // 10 even users (variant A) all purchase; 10 odd (B) only view:
     // chi2 = 20·(100)²/(10·10·10·10) = 20 >= 3.841

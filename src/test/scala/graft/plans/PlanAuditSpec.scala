@@ -820,6 +820,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet should contain("user_id")
   }
 
+  test("bot regularity: one user-keyed lag pass; decimal moments combine map-side") {
+    val p = plan("bot_regularity_flags")
+    p should include("Window")
+    p should include("partial_sum")
+    p should not include "Join"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("user_id")
+  }
+
+  test("Simpson diversity: two user-keyed aggregates, bucket rollup at user cardinality") {
+    val p = plan("user_diversity_simpson")
+    p should include("partial_count")
+    p should not include "Join"
+    p should not include "Window ["
+  }
+
+  test("cross-source dups: one fingerprint-keyed aggregate; HAVING prunes inside it") {
+    val p = plan("cross_source_dups")
+    p should not include "Join"
+    "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
