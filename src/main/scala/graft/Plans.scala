@@ -236,6 +236,12 @@ object Plans {
       "Engagement diversity without logs: Simpson's 1 − Σp² is an exact rational (entropy would force floats), so the per-user index is pure BIGINT arithmetic over a (user,type) count and the output is a bucket histogram at user cardinality. Two aggregates, one exchange family, no window over the stream.",
     "cross_source_dups" ->
       "Syndication/mirror detection: md5 of the 60-char head fingerprint (byte-identical md5 misses mirrors whose bodies diverge after the lede) grouped once, with the distinct-source count and the cross-source HAVING pruning inside the aggregation — nothing but confirmed mirrors leaves the operator.",
+    "observe_metrics_audit" ->
+      "The Observation API as the zero-cost audit surface: named metrics (input count, selectivity counter) ride the SAME job as the filter stage they audit — at 100 TB a separate audit query would double the scan; observe() adds a per-task accumulator. The output relation is the one-row driver-side metric record, cross-checked by the gate against an independent SQL recompute.",
+    "revenue_drawdown" ->
+      "Max drawdown in the CUSUM closed-window discipline: daily reduction first, running sum + running max at DAY cardinality, worst trough via TakeOrderedAndProject top-1 with a deterministic earliest-day tie-break. Integer cents; no self-join against 'all prior peaks' (the naive quadratic formulation).",
+    "session_bounce_rate" ->
+      "Bounce KPI riding the session family's ONE user-keyed window pass: the gap-sessionize relation already exists in the plan; the bounce rollup adds a single global aggregate and an integer-permille division. Nothing touches the stream twice.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

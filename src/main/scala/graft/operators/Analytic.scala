@@ -311,6 +311,41 @@ object Analytic {
         expr("sum_abs_err div n_days").as("mae_cents"))
   }
 
+  /** Maximum drawdown of cumulative revenue — the risk metric
+    * (peak-to-trough decline of a running total): dd(t) = max_{s≤t}
+    * C(s) − C(t) over the cumulative daily series, reported at its
+    * deterministic argmax (worst trough; ties → earliest day). Same
+    * closed-window discipline as CUSUM: the corpus reduces to daily
+    * totals, one running sum + one running max at DAY cardinality,
+    * integer cents throughout.
+    */
+  def revenueDrawdown(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
+      .agg((sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+    val wCum = Window.orderBy("day_no").rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("cum", sum("cents").over(wCum))
+      .withColumn("peak", max("cum").over(wCum))
+      .select(col("day_no").as("trough_day"), (col("peak") - col("cum")).as("drawdown_cents"))
+      .orderBy(col("drawdown_cents").desc, col("trough_day"))
+      .limit(1)
+  }
+
+  /** Session bounce rate: single-event sessions over all sessions —
+    * the engagement KPI, as one rollup over the gap-sessionized
+    * relation (which already pays the family's one user-keyed window
+    * pass). Integer permille.
+    */
+  def bounceRate(events: DataFrame, gapMs: Long): DataFrame =
+    sessionize(events, gapMs)
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(
+        col("n_sessions"), col("n_bounce"),
+        expr("(1000 * n_bounce) div n_sessions").as("bounce_permille"))
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -498,6 +533,39 @@ object Analytic {
              |  FROM fv)
              |SELECT n_viewers, n_converted, conv_revenue_cents,
              |  (1000 * n_converted) // n_viewers AS conv_permille FROM m""".stripMargin),
+    ),
+    EngineQuery(
+      "revenue_drawdown",
+      (s, dir) => revenueDrawdown(Tables.orders(s, dir)),
+      Some("""WITH daily AS (
+             |  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |c1 AS (SELECT day_no, sum(cents) OVER (ORDER BY day_no
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM daily),
+             |c2 AS (SELECT day_no, cum, max(cum) OVER (ORDER BY day_no
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM c1)
+             |SELECT day_no AS trough_day, CAST(peak - cum AS BIGINT) AS drawdown_cents
+             |FROM c2 ORDER BY drawdown_cents DESC, trough_day LIMIT 1""".stripMargin),
+    ),
+    EngineQuery(
+      "session_bounce_rate",
+      (s, dir) => bounceRate(Tables.events(s, dir), gapMs = 30 * 60 * 1000L),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+             |g AS (SELECT user_id, event_id, tms,
+             |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+             |s AS (SELECT user_id,
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g),
+             |sess AS (SELECT user_id, session_id, count(*) AS n_events
+             |  FROM s GROUP BY 1, 2),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+             |  FROM sess)
+             |SELECT n_sessions, n_bounce,
+             |  (1000 * n_bounce) // n_sessions AS bounce_permille FROM m""".stripMargin),
     ),
     EngineQuery(
       "mad_outlier_days",

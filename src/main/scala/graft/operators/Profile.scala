@@ -239,7 +239,40 @@ object Profile {
         (col("class_size") >= k).cast("long").as("k_anonymous"),
         (col("l_distinct") >= l).cast("long").as("l_diverse"))
 
+  /** Pipeline telemetry via the `Observation` API — named metrics that
+    * ride THE SAME job as the transformation they audit (production
+    * shape: a 100 TB filter stage reports its input/selectivity counts
+    * with ZERO extra scans; a separate audit query would double the
+    * read). The observed metrics land driver-side as one tiny row —
+    * the legitimate driver-side touchpoint, bounded by metric count —
+    * and the gate cross-checks them against an independent recompute
+    * (n_kept from the actual filtered result must equal the observed
+    * selectivity counter).
+    */
+  def observeFilterAudit(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val filtered = orders
+      .observe(obs,
+        count(lit(1)).as("n_scanned"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
+      .where(col("o_orderpriority") === "1-URGENT")
+    val kept = filtered.count() // the one action both the stage and its metrics ride
+    val m = obs.get
+    Seq((m("n_scanned").asInstanceOf[Long], m("n_urgent").asInstanceOf[Long], kept))
+      .toDF("n_scanned", "n_urgent", "n_kept")
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "observe_metrics_audit",
+      (s, dir) => observeFilterAudit(Tables.orders(s, dir)),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_scanned,
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM orders""".stripMargin),
+    ),
     EngineQuery(
       "k_anonymity_audit",
       (s, dir) => kAnonymityAudit(Tables.customer(s, dir), k = 10, l = 3)

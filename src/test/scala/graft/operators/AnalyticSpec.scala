@@ -97,6 +97,29 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("drawdown: worst peak-to-trough decline at its earliest argmax") {
+    // daily: +100, +300, -250(=50c day), ... cumulative 100,400,150,200,90
+    val prices = Seq(1.00, 3.00, -2.50, 0.50, -1.10)
+    val orders = prices.zipWithIndex.map { case (p, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)), p)
+    }.toDF("o_orderdate", "o_totalprice")
+    val r = Analytic.revenueDrawdown(orders).collect().head
+    // cum = 100,400,150,200,90; peak = 100,400,400,400,400
+    // dd  = 0,0,250,200,310 -> worst 310 at day 4
+    (r.getLong(0), r.getLong(1)) shouldBe ((4L, 310L))
+  }
+
+  test("bounce rate counts single-event sessions") {
+    val events = Seq(
+      (1L, 0L, 1L), (1L, 1000L, 2L),    // session of 2 (not a bounce)
+      (1L, 10000000L, 3L),              // lone event -> bounce
+      (2L, 0L, 4L),                     // lone event -> bounce
+    ).toDF("user_id", "tms_raw", "event_id")
+      .withColumn("ts", timestamp_millis(col("tms_raw")))
+    val r = Analytic.bounceRate(events, gapMs = 30000L).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((3L, 2L, 666L))
+  }
+
   test("CUSUM window form equals the sequential max(0, s + x - k) recurrence") {
     val prices = Seq(1.00, 1.00, 5.00, 1.00, 1.00, 7.00, 1.00)
     val orders = prices.zipWithIndex.map { case (p, i) =>

@@ -61,6 +61,14 @@ class ProfileSpec extends AnyFunSuite with Matchers {
     out((2L, "B")) shouldBe ((1L, 1L, 0L, 0L))
   }
 
+  test("observe metrics ride the job and agree with the filtered result") {
+    val orders = Seq(
+      ("1-URGENT", 1.0), ("3-MEDIUM", 2.0), ("1-URGENT", 3.0), ("5-LOW", 4.0),
+    ).toDF("o_orderpriority", "o_totalprice")
+    val r = Profile.observeFilterAudit(orders).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((4L, 2L, 2L))
+  }
+
   test("all-null column and empty frame don't break") {
     val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
     val out = Profile.profile(df).collect().map(r => r.getString(0) -> r).toMap

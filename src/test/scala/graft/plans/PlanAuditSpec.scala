@@ -842,6 +842,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
   }
 
+  test("drawdown: CUSUM discipline — daily reduction, day-cardinality windows, top-1 cut") {
+    val p = plan("revenue_drawdown")
+    p should include("partial_sum")
+    p should include("Window")
+    p should include("TakeOrderedAndProject")
+    p should not include "Join"
+  }
+
+  test("bounce rate: rides the single sessionize window pass; rollup is one aggregate") {
+    val p = plan("session_bounce_rate")
+    p should include("Window")
+    p should not include "Join"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("user_id")
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
