@@ -242,6 +242,8 @@ object Plans {
       "Max drawdown in the CUSUM closed-window discipline: daily reduction first, running sum + running max at DAY cardinality, worst trough via TakeOrderedAndProject top-1 with a deterministic earliest-day tie-break. Integer cents; no self-join against 'all prior peaks' (the naive quadratic formulation).",
     "session_bounce_rate" ->
       "Bounce KPI riding the session family's ONE user-keyed window pass: the gap-sessionize relation already exists in the plan; the bounce rollup adds a single global aggregate and an integer-permille division. Nothing touches the stream twice.",
+    "funnel_three_step" ->
+      "Strict ordered funnel without the 3-way inequality self-join: each stage is a user-keyed aggregate whose threshold is the previous stage's timestamp, chained by co-partitioned joins — user_id is the ONLY exchange key in the plan, and the inequality lives in a post-join filter, never a join condition. The naive event³ self-join is quadratic per user and defeats pushdown.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -346,6 +346,37 @@ object Analytic {
         col("n_sessions"), col("n_bounce"),
         expr("(1000 * n_bounce) div n_sessions").as("bounce_permille"))
 
+  /** Strict three-step ordered funnel (view → click → purchase, each
+    * step strictly AFTER the previous): the sequential dependency is
+    * three user-keyed aggregates chained by co-partitioned joins —
+    * stage k's threshold is stage k−1's timestamp, so every join keys
+    * on user_id and Catalyst plans the chain without re-exchanging
+    * (one shuffle key end-to-end). The naive formulation is a 3-way
+    * event self-join with inequality conditions — quadratic per user
+    * and un-pushable. Counts are exact; permilles integer.
+    */
+  def funnelThreeStep(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"))
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tms").as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("tms") > col("t1"))
+      .groupBy("user_id").agg(min("tms").as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("tms") > col("t2"))
+      .groupBy("user_id").agg(min("tms").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_step1"),
+        sum(col("t2").isNotNull.cast("long")).as("n_step2"),
+        sum(col("t3").isNotNull.cast("long")).as("n_step3"))
+      .select(
+        col("n_step1"), col("n_step2"), col("n_step3"),
+        expr("(1000 * n_step2) div n_step1").as("s2_permille"),
+        expr("(1000 * n_step3) div n_step1").as("s3_permille"))
+  }
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -533,6 +564,51 @@ object Analytic {
              |  FROM fv)
              |SELECT n_viewers, n_converted, conv_revenue_cents,
              |  (1000 * n_converted) // n_viewers AS conv_permille FROM m""".stripMargin),
+    ),
+    EngineQuery(
+      "funnel_three_step",
+      (s, dir) => funnelThreeStep(Tables.events(s, dir)),
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+             |s1 AS (SELECT user_id, min(tms) AS t1 FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(tms) AS t2 FROM ev e JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND tms > t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(tms) AS t3 FROM ev e JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND tms > t2 GROUP BY 1),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n_step1,
+             |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+             |  CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step3
+             |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+             |SELECT n_step1, n_step2, n_step3,
+             |  (1000 * n_step2) // n_step1 AS s2_permille,
+             |  (1000 * n_step3) // n_step1 AS s3_permille FROM m""".stripMargin),
+    ),
+    // Argmax/argmin surface: max_by/min_by with a PACKED deterministic
+    // comparison key (cents·10^7 + orderkey — ties on price resolve by
+    // key, so both engines' arg_max agree exactly; bare max_by on a
+    // tied value column is engine-arbitrary and ungateable).
+    EngineQuery(
+      "argmax_orders",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            (expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as long)") * 10000000L
+              + col("o_orderkey")).as("pk"))
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("max_by(o_orderkey, pk)").as("priciest_order"),
+            expr("min_by(o_orderkey, pk)").as("cheapest_order"))
+          .orderBy("o_orderpriority"),
+      Some("""WITH t AS (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000
+             |      + o_orderkey AS pk
+             |  FROM orders)
+             |SELECT o_orderpriority,
+             |  arg_max(o_orderkey, pk) AS priciest_order,
+             |  arg_min(o_orderkey, pk) AS cheapest_order
+             |FROM t GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
     ),
     EngineQuery(
       "revenue_drawdown",

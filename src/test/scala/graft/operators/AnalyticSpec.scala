@@ -120,6 +120,23 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
     (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((3L, 2L, 666L))
   }
 
+  test("three-step funnel enforces strict ordering: click BEFORE view doesn't count") {
+    // user 1: view(0) -> click(10) -> purchase(20): full funnel
+    // user 2: click(0) -> view(10) -> purchase(20): click precedes view
+    //   -> step2 not reached (purchase can't attach without a click)
+    // user 3: view only
+    val rows = Seq(
+      (1L, "view", 0L, 1L), (1L, "click", 10L, 2L), (1L, "purchase", 20L, 3L),
+      (2L, "click", 0L, 4L), (2L, "view", 10L, 5L), (2L, "purchase", 20L, 6L),
+      (3L, "view", 0L, 7L),
+    ).toDF("user_id", "event_type", "tms_raw", "event_id")
+      .withColumn("ts", timestamp_millis(col("tms_raw")))
+      .withColumn("value", lit(0.0))
+    val r = Analytic.funnelThreeStep(rows).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe
+      ((3L, 1L, 1L, 333L, 333L))
+  }
+
   test("CUSUM window form equals the sequential max(0, s + x - k) recurrence") {
     val prices = Seq(1.00, 1.00, 5.00, 1.00, 1.00, 7.00, 1.00)
     val orders = prices.zipWithIndex.map { case (p, i) =>

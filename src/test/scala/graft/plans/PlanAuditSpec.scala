@@ -858,6 +858,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet should contain("user_id")
   }
 
+  test("three-step funnel: every stage keys on user_id; no inequality self-join of the stream") {
+    val p = plan("funnel_three_step")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("user_id")
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
