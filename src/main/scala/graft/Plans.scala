@@ -244,6 +244,10 @@ object Plans {
       "Bounce KPI riding the session family's ONE user-keyed window pass: the gap-sessionize relation already exists in the plan; the bounce rollup adds a single global aggregate and an integer-permille division. Nothing touches the stream twice.",
     "funnel_three_step" ->
       "Strict ordered funnel without the 3-way inequality self-join: each stage is a user-keyed aggregate whose threshold is the previous stage's timestamp, chained by co-partitioned joins — user_id is the ONLY exchange key in the plan, and the inequality lives in a post-join filter, never a join condition. The naive event³ self-join is quadratic per user and defeats pushdown.",
+    "key_skew_report" ->
+      "The pre-flight skew diagnostic: per-key counts in one map-side-combined pass, hot keys by TakeOrderedAndProject, totals + the HHI concentration index (Σc²·10⁶/n², the exact-rational Herfindahl measure) on a 1-row broadcast carrier. This is the query that decides salting/AQE-skew/broadcast BEFORE a 100 TB join runs — it must itself cost one aggregation, and does.",
+    "events_kpi_snapshot" ->
+      "The composed dashboard query (the curated_corpus precedent on the events side): bounce, peak-concurrency, strict funnel, and hourly anomaly each keep their audited plan shape — the stream pays each family's single wide exchange (user_id for sessions/funnel, hour_no for the sweep) — and the four 1-row results fuse by broadcast carriers. Cost = sum of the audited parts; nothing multiplicative.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

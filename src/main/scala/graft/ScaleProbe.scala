@@ -86,6 +86,9 @@ object ScaleProbe {
     // linearly in keys); funnel rides the deepened trajectories.
     "cdc_snapshot_asof", "cdc_join_maintain", "histogram_quantile_range",
     "funnel_time_bound",
+    // the composed KPI snapshot at 30×: its cost must remain the sum
+    // of its audited parts on the deepened trajectories
+    "events_kpi_snapshot", "funnel_three_step",
     "ccnet_perplexity_buckets", "curation_funnel",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     "salted_group_count", "skew_join_hot_key")

@@ -210,6 +210,30 @@ object EventFlow {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Composed events KPI snapshot — the dashboard query: FIVE audited
+    * subsystems (sessionize/bounce, interval sweep-line, strict
+    * funnel, trailing-sigma anomaly) reduced to one metrics row by
+    * 1-row broadcast carriers. The point of the composition (the
+    * `curated_corpus` precedent on the events side): each component
+    * keeps its own pinned plan shape, the stream pays each family's
+    * single wide exchange, and the final row is pure carrier joins —
+    * the cost is the sum of the audited parts, nothing multiplicative.
+    */
+  def eventsKpiSnapshot(events: DataFrame): DataFrame = {
+    val gapMs = 30 * 60 * 1000L
+    val sess = Analytic.bounceRate(events, gapMs)
+      .select(col("n_sessions"), col("bounce_permille"))
+    val peak = concurrentSessionsPeak(events, gapMs)
+      .agg(max("peak_sessions").as("max_concurrent"))
+    val funnel = Analytic.funnelThreeStep(events)
+      .select(col("n_step3").as("n_full_funnel"), col("s3_permille"))
+    val anom = Analytic.hourlyAnomaly(events)
+      .agg(sum("anomaly").as("n_anomalous_hours"))
+    sess.crossJoin(broadcast(peak))
+      .crossJoin(broadcast(funnel))
+      .crossJoin(broadcast(anom))
+  }
+
   /** Shared oracle CTE: 30-minute-gap sessions with per-event rank —
     * mirrors the `events_sessionize` oracle exactly, plus `rn`.
     */
@@ -273,6 +297,66 @@ object EventFlow {
              |    >= CAST(3841 AS HUGEINT) * (a + b) * (c + d) * (a + c) * (b + d)
              |    THEN 1 ELSE 0 END AS BIGINT) AS significant
              |FROM t""".stripMargin),
+    ),
+    EngineQuery(
+      "events_kpi_snapshot",
+      (s, dir) => eventsKpiSnapshot(Tables.events(s, dir)),
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events),
+             |g AS (SELECT user_id, event_id, tms,
+             |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+             |s AS (SELECT user_id, tms,
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g),
+             |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+             |  min(tms) AS start_ms, max(tms) AS end_ms FROM s GROUP BY 1, 2),
+             |bounce AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             |  (1000 * CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT))
+             |    // count(*) AS bounce_permille FROM sess),
+             |sx AS (SELECT start_ms, end_ms, start_ms // 3600000 AS h0,
+             |    least(end_ms, (start_ms // 3600000 + 49) * 3600000 - 1) AS end_c,
+             |    least(end_ms, (start_ms // 3600000 + 49) * 3600000 - 1) // 3600000 AS h1
+             |  FROM sess),
+             |spans AS (SELECT h0, unnest(generate_series(h0, h1)) AS hour_no FROM sx),
+             |carry AS (SELECT hour_no, CAST(count(*) AS BIGINT) AS carry_in
+             |  FROM spans WHERE h0 < hour_no GROUP BY hour_no),
+             |evb AS (
+             |  SELECT h0 AS hour_no, start_ms AS t, CAST(1 AS BIGINT) AS delta FROM sx
+             |  UNION ALL
+             |  SELECT h1, end_c + 1, CAST(-1 AS BIGINT) FROM sx
+             |  WHERE (end_c + 1) // 3600000 = h1),
+             |ih AS (SELECT hour_no, greatest(max(ps), 0) AS peak_delta FROM (
+             |    SELECT hour_no, sum(delta) OVER (PARTITION BY hour_no ORDER BY t, delta
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+             |    FROM evb) GROUP BY hour_no),
+             |pk AS (SELECT CAST(max(coalesce(carry_in, 0) + coalesce(peak_delta, 0)) AS BIGINT)
+             |    AS max_concurrent
+             |  FROM carry FULL JOIN ih USING (hour_no)),
+             |f1 AS (SELECT user_id, min(tms) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+             |f2 AS (SELECT e2.user_id, min(tms) AS t2 FROM e e2 JOIN f1 USING (user_id)
+             |  WHERE event_type = 'click' AND tms > t1 GROUP BY 1),
+             |f3 AS (SELECT e3.user_id, min(tms) AS t3 FROM e e3 JOIN f2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND tms > t2 GROUP BY 1),
+             |fu AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+             |  CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+             |  FROM f1 LEFT JOIN f2 USING (user_id) LEFT JOIN f3 USING (user_id)),
+             |hourly AS (SELECT epoch_ms(ts) // 3600000 AS hour_no, event_type,
+             |  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+             |win AS (SELECT hour_no, event_type, cnt, count(*) OVER w AS n_prev,
+             |  CAST(sum(cnt) OVER w AS BIGINT) AS sum_prev,
+             |  CAST(sum(cnt * cnt) OVER w AS BIGINT) AS sumsq_prev
+             |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour_no
+             |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+             |an AS (SELECT CAST(sum(CASE
+             |    WHEN (n_prev * cnt - sum_prev) * (n_prev * cnt - sum_prev)
+             |      > 9 * (n_prev * sumsq_prev - sum_prev * sum_prev)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_hours
+             |  FROM win WHERE n_prev >= 12)
+             |SELECT bounce.n_sessions, bounce.bounce_permille, pk.max_concurrent,
+             |  fu.n_full AS n_full_funnel, (1000 * fu.n_full) // fu.n1 AS s3_permille,
+             |  an.n_anomalous_hours
+             |FROM bounce, pk, fu, an""".stripMargin),
     ),
     EngineQuery(
       "bot_regularity_flags",

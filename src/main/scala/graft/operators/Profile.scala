@@ -264,7 +264,46 @@ object Profile {
       .toDF("n_scanned", "n_urgent", "n_kept")
   }
 
+  /** Join-key skew report — the pre-flight diagnostic before any big
+    * join/aggregation: per-key counts (one map-side-combined pass),
+    * the top-k hot keys with their exact permille share of the table,
+    * and a concentration index (Σc² scaled — the Simpson/HHI measure,
+    * exact rational ×10⁶). At 100 TB this is what decides salting /
+    * AQE-skew-join / broadcast BEFORE the expensive job runs; the
+    * report itself costs one aggregation + a top-k.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(
+      sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+      sum(col("c") * col("c")).as("sc2"))
+    counts
+      .orderBy(col("c").desc, col("key"))
+      .limit(topK)
+      .crossJoin(broadcast(tot))
+      .select(
+        col("key"), col("c").as("cnt"),
+        expr("(1000 * c) div n_rows").as("share_permille"),
+        col("n_keys"),
+        // HHI ×10⁶: 1e6·Σc²/n² — 1e6/n_keys (uniform) … 1e6 (one key)
+        expr("(1000000 * sc2) div (n_rows * n_rows)").as("hhi_ppm"))
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "key_skew_report",
+      (s, dir) => keySkewReport(Tables.lineitem(s, dir), "l_partkey", topK = 10)
+        .orderBy(col("cnt").desc, col("key")),
+      Some("""WITH c AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS c
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(c * c) AS BIGINT) AS sc2 FROM c)
+             |SELECT key, c AS cnt, (1000 * c) // n_rows AS share_permille,
+             |  n_keys, (1000000 * sc2) // (n_rows * n_rows) AS hhi_ppm
+             |FROM c CROSS JOIN t
+             |ORDER BY cnt DESC, key LIMIT 10""".stripMargin),
+    ),
     EngineQuery(
       "observe_metrics_audit",
       (s, dir) => observeFilterAudit(Tables.orders(s, dir)),

@@ -866,6 +866,22 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("user_id")
   }
 
+  test("key skew report: one count pass + top-k + 1-row carrier; no shuffle join") {
+    val p = plan("key_skew_report")
+    p should include("partial_count")
+    p should include("TakeOrderedAndProject")
+    p should not include "SortMergeJoin"
+  }
+
+  test("KPI snapshot: components compose by 1-row carriers; only family exchanges appear") {
+    val p = plan("events_kpi_snapshot")
+    // the three carrier attaches are broadcast loops over 1-row sides
+    "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size shouldBe 3
+    p should not include "CartesianProduct"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain allOf ("user_id", "hour_no")
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
