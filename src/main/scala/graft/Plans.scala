@@ -248,6 +248,8 @@ object Plans {
       "The pre-flight skew diagnostic: per-key counts in one map-side-combined pass, hot keys by TakeOrderedAndProject, totals + the HHI concentration index (Σc²·10⁶/n², the exact-rational Herfindahl measure) on a 1-row broadcast carrier. This is the query that decides salting/AQE-skew/broadcast BEFORE a 100 TB join runs — it must itself cost one aggregation, and does.",
     "events_kpi_snapshot" ->
       "The composed dashboard query (the curated_corpus precedent on the events side): bounce, peak-concurrency, strict funnel, and hourly anomaly each keep their audited plan shape — the stream pays each family's single wide exchange (user_id for sessions/funnel, hour_no for the sweep) — and the four 1-row results fuse by broadcast carriers. Cost = sum of the audited parts; nothing multiplicative.",
+    "revenue_gini" ->
+      "Inequality measurement linearized: Gini's definitional mean-absolute-pairwise-difference is O(n²); the sorted form Σ(2i−n−1)xᵢ/(n·Σx) costs one rank window at DAY cardinality after the daily reduction. Numerator/denominator surface as exact BIGINTs, the coefficient as integer permille — no float, no pairwise join.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

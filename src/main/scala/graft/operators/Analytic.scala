@@ -377,6 +377,33 @@ object Analytic {
         expr("(1000 * n_step3) div n_step1").as("s3_permille"))
   }
 
+  /** Gini coefficient of daily revenue — the inequality measure, in
+    * its exact sorted form: G = Σᵢ(2i−n−1)·xᵢ / (n·Σx) over ascending
+    * xᵢ (mean-absolute-difference normalized by 2·mean, no pairwise
+    * O(n²) expansion). The corpus reduces to daily totals first, the
+    * rank runs at DAY cardinality, and numerator/denominator surface
+    * as exact BIGINTs with the ratio in integer permille.
+    */
+  def revenueGini(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
+      .agg((sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+    val w = Window.orderBy("cents", "day_no")
+    daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("cents").as("sx"),
+        sum((col("rn") * 2 - 1) * col("cents")).as("wsum"))
+      .select(
+        col("n"), col("sx"),
+        // G = [2Σi·xᵢ − (n+1)Σx]/(n·Σx); with wsum = Σ(2i−1)xᵢ the
+        // numerator simplifies to wsum − n·Σx
+        (col("wsum") - col("n") * col("sx")).as("gini_num"),
+        (col("n") * col("sx")).as("gini_den"),
+        expr("(1000 * (wsum - n * sx)) div (n * sx)").as("gini_permille"))
+  }
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -609,6 +636,20 @@ object Analytic {
              |  arg_max(o_orderkey, pk) AS priciest_order,
              |  arg_min(o_orderkey, pk) AS cheapest_order
              |FROM t GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+    ),
+    EngineQuery(
+      "revenue_gini",
+      (s, dir) => revenueGini(Tables.orders(s, dir)),
+      Some("""WITH daily AS (
+             |  SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT cents,
+             |  CAST(row_number() OVER (ORDER BY cents, day_no) AS BIGINT) AS rn FROM daily),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+             |  CAST(sum((rn * 2 - 1) * cents) AS BIGINT) AS wsum FROM r)
+             |SELECT n, sx, wsum - n * sx AS gini_num, n * sx AS gini_den,
+             |  (1000 * (wsum - n * sx)) // (n * sx) AS gini_permille FROM m""".stripMargin),
     ),
     EngineQuery(
       "revenue_drawdown",

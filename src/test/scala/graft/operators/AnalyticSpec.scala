@@ -137,6 +137,20 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
       ((3L, 1L, 1L, 333L, 333L))
   }
 
+  test("Gini: perfect equality scores 0; known unequal case matches hand arithmetic") {
+    def gini(prices: Seq[Double]) = {
+      val orders = prices.zipWithIndex.map { case (p, i) =>
+        (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)), p)
+      }.toDF("o_orderdate", "o_totalprice")
+      val r = Analytic.revenueGini(orders).collect().head
+      (r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    gini(Seq(1.00, 1.00, 1.00, 1.00))._1 shouldBe 0L
+    // x = (100, 300) cents sorted: wsum = 1·100 + 3·300 = 1000;
+    // num = 1000 − 2·400 = 200; den = 800 → G = 0.25
+    gini(Seq(1.00, 3.00)) shouldBe ((200L, 800L, 250L))
+  }
+
   test("CUSUM window form equals the sequential max(0, s + x - k) recurrence") {
     val prices = Seq(1.00, 1.00, 5.00, 1.00, 1.00, 7.00, 1.00)
     val orders = prices.zipWithIndex.map { case (p, i) =>

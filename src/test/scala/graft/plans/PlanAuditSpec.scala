@@ -882,6 +882,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet should contain allOf ("user_id", "hour_no")
   }
 
+  test("Gini: sorted-form linearization — rank window at day cardinality, no pairwise join") {
+    val p = plan("revenue_gini")
+    p should include("partial_sum")
+    p should include("Window")
+    p should not include "Join" // the O(n²) |xᵢ−xⱼ| formulation would need one
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
