@@ -89,7 +89,9 @@ object Bench {
       "hybrid_search_rrf" -> 2.66,
       // r11 final adds, min-of-5 ad-hoc builder run
       "assoc_rules_lift" -> 3.81, "containment_dup_pairs" -> 2.27,
-      "concurrent_sessions_peak" -> 1.35)
+      "concurrent_sessions_peak" -> 1.35,
+      // r11 closing add: the composed events dashboard
+      "events_kpi_snapshot" -> 1.71)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

@@ -357,6 +357,7 @@ object EventFlow {
              |  fu.n_full AS n_full_funnel, (1000 * fu.n_full) // fu.n1 AS s3_permille,
              |  an.n_anomalous_hours
              |FROM bounce, pk, fu, an""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "bot_regularity_flags",
