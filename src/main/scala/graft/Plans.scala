@@ -250,6 +250,8 @@ object Plans {
       "The composed dashboard query (the curated_corpus precedent on the events side): bounce, peak-concurrency, strict funnel, and hourly anomaly each keep their audited plan shape — the stream pays each family's single wide exchange (user_id for sessions/funnel, hour_no for the sweep) — and the four 1-row results fuse by broadcast carriers. Cost = sum of the audited parts; nothing multiplicative.",
     "revenue_gini" ->
       "Inequality measurement linearized: Gini's definitional mean-absolute-pairwise-difference is O(n²); the sorted form Σ(2i−n−1)xᵢ/(n·Σx) costs one rank window at DAY cardinality after the daily reduction. Numerator/denominator surface as exact BIGINTs, the coefficient as integer permille — no float, no pairwise join.",
+    "langid_confusion" ->
+      "Classifier evaluation in one pass: the language guess is a pure projection beside the truth label (no guess⋈truth self-join — the naive eval joins two derived tables on doc_id and shuffles twice), the matrix collapses to ≤|langs|² rows, and per-class recall divides at matrix cardinality as integer permille.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

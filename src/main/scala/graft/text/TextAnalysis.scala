@@ -172,6 +172,34 @@ object TextAnalysis {
         .otherwise("zh").as("lang_guess"))
   }
 
+  /** Classifier-evaluation surface: the confusion matrix of the
+    * language-ID heuristic against the labeled `lang` column, with
+    * per-class recall as exact integer permille — the eval harness a
+    * curation pipeline runs before trusting any classifier-driven
+    * routing. ONE corpus pass (the guess is a projection, no
+    * guess⋈truth self-join); the permille division runs on the
+    * ≤|langs|²-row matrix.
+    */
+  def langidConfusion(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val sEn = stopHits(toks, stopEn)
+    val sEs = stopHits(toks, stopEs)
+    val sDe = stopHits(toks, stopDe)
+    val sFr = stopHits(toks, stopFr)
+    val sZh = stopHits(toks, stopZh)
+    docs.select(
+      col("lang").as("actual"),
+      when(sEn >= sEs && sEn >= sDe && sEn >= sFr && sEn >= sZh, "en")
+        .when(sEs >= sDe && sEs >= sFr && sEs >= sZh, "es")
+        .when(sDe >= sFr && sDe >= sZh, "de")
+        .when(sFr >= sZh, "fr")
+        .otherwise("zh").as("predicted"))
+      .groupBy("actual", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("recall_permille",
+        expr("(1000 * n) div sum(n) over (partition by actual)"))
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized text (exact
     * content identity) plus a winnowing-style shingle fingerprint — the
     * minimum md5 over all 8-char shingles (robust to local edits; it is
@@ -501,6 +529,33 @@ object TextAnalysis {
               |       WHEN s_fr >= s_zh THEN 'fr'
               |       ELSE 'zh' END AS lang_guess
               |FROM s ORDER BY doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "langid_confusion",
+      (s, dir) => langidConfusion(Tables.documents(s, dir)).orderBy("actual", "predicted"),
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              |       ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+              |  FROM documents),
+              |s AS (SELECT doc_id, lang,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS s_en,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopEs)}))) AS s_es,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopDe)}))) AS s_de,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopFr)}))) AS s_fr,
+              |  length(list_filter(toks, x -> x IN (${sqlList(stopZh)}))) AS s_zh
+              |  FROM t),
+              |g AS (SELECT lang AS actual,
+              |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+              |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+              |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+              |       WHEN s_fr >= s_zh THEN 'fr'
+              |       ELSE 'zh' END AS predicted
+              |  FROM s),
+              |m AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+              |  FROM g GROUP BY 1, 2)
+              |SELECT actual, predicted, n,
+              |  (1000 * n) // sum(n) OVER (PARTITION BY actual) AS recall_permille
+              |FROM m ORDER BY actual, predicted""".stripMargin),
     ),
     EngineQuery(
       "doc_fingerprint",

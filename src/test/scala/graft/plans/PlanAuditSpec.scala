@@ -889,6 +889,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "Join" // the O(n²) |xᵢ−xⱼ| formulation would need one
   }
 
+  test("langid confusion: the guess is a projection; no guess-truth self-join") {
+    val p = plan("langid_confusion")
+    p should not include "Join"
+    "Scan parquet".r.findAllMatchIn(p).size shouldBe 1
+    p should include("partial_count")
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
