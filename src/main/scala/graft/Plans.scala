@@ -252,6 +252,8 @@ object Plans {
       "Inequality measurement linearized: Gini's definitional mean-absolute-pairwise-difference is O(n²); the sorted form Σ(2i−n−1)xᵢ/(n·Σx) costs one rank window at DAY cardinality after the daily reduction. Numerator/denominator surface as exact BIGINTs, the coefficient as integer permille — no float, no pairwise join.",
     "langid_confusion" ->
       "Classifier evaluation in one pass: the language guess is a pure projection beside the truth label (no guess⋈truth self-join — the naive eval joins two derived tables on doc_id and shuffles twice), the matrix collapses to ≤|langs|² rows, and per-class recall divides at matrix cardinality as integer permille.",
+    "conversion_latency_hist" ->
+      "Time-to-convert distribution in the funnel discipline: first-view per user, first subsequent purchase per user (inequality as a post-join filter on the co-partitioned join — never a join condition), then an hour-bucket rollup at histogram cardinality. user_id is the only wide exchange key.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

@@ -404,6 +404,26 @@ object Analytic {
         expr("(1000 * (wsum - n * sx)) div (n * sx)").as("gini_permille"))
   }
 
+  /** Conversion-latency distribution: hours from a user's FIRST view
+    * to their first subsequent purchase, bucketed — the
+    * time-to-convert histogram next to the funnel's count metrics.
+    * Two chained user-keyed aggregates (the funnel discipline: the
+    * inequality is a post-join filter, user_id the only exchange key),
+    * then a bucket rollup at histogram cardinality. Exact integer
+    * hour buckets.
+    */
+  def conversionLatencyHist(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tms").as("t_view"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(v, "user_id").where(col("tms") > col("t_view"))
+      .groupBy("user_id").agg(min(col("tms") - col("t_view")).as("latency_ms"))
+    p.groupBy(expr("latency_ms div 3600000").as("hours_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -636,6 +656,19 @@ object Analytic {
              |  arg_max(o_orderkey, pk) AS priciest_order,
              |  arg_min(o_orderkey, pk) AS cheapest_order
              |FROM t GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+    ),
+    EngineQuery(
+      "conversion_latency_hist",
+      (s, dir) => conversionLatencyHist(Tables.events(s, dir)).orderBy("hours_bucket"),
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+             |v AS (SELECT user_id, min(tms) AS t_view FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |p AS (SELECT e.user_id, min(tms - t_view) AS latency_ms
+             |  FROM ev e JOIN v USING (user_id)
+             |  WHERE event_type = 'purchase' AND tms > t_view GROUP BY 1)
+             |SELECT latency_ms // 3600000 AS hours_bucket,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM p GROUP BY 1 ORDER BY hours_bucket""".stripMargin),
     ),
     EngineQuery(
       "revenue_gini",

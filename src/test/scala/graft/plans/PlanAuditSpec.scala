@@ -896,6 +896,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("partial_count")
   }
 
+  test("conversion latency: funnel discipline — user-keyed stages, bucket rollup") {
+    val p = plan("conversion_latency_hist")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("user_id")
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
