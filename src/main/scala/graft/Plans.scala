@@ -254,6 +254,8 @@ object Plans {
       "Classifier evaluation in one pass: the language guess is a pure projection beside the truth label (no guess⋈truth self-join — the naive eval joins two derived tables on doc_id and shuffles twice), the matrix collapses to ≤|langs|² rows, and per-class recall divides at matrix cardinality as integer permille.",
     "conversion_latency_hist" ->
       "Time-to-convert distribution in the funnel discipline: first-view per user, first subsequent purchase per user (inequality as a post-join filter on the co-partitioned join — never a join condition), then an hour-bucket rollup at histogram cardinality. user_id is the only wide exchange key.",
+    "pareto_revenue_concentration" ->
+      "80/20 analysis without a customer-cardinality sort: per-customer revenue collapses into value buckets (the lang_adaptive_cut histogram discipline), the descending cumulative windows run at BUCKET cardinality, and the crossing test cross-multiplies (5·cum ≥ 4·total). Resolution = one bucket width — the knob — instead of a single-task rank over every customer at 100 TB.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
   )

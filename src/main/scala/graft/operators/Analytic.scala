@@ -424,6 +424,42 @@ object Analytic {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Pareto (80/20) revenue concentration: how many top customers
+    * cover 80% of revenue — answered to BUCKET resolution, the
+    * histogram-decomposition discipline (`lang_adaptive_cut`): a
+    * customer-cardinality rank window would sort the whole customer
+    * table in one task at 100 TB; instead customer revenues collapse
+    * into value buckets (one aggregation), the descending cumulative
+    * windows run at BUCKET cardinality, and the crossing bucket's
+    * whole population counts (resolution = one bucket, the knob is
+    * bucket width). Exact integers; the 80% test cross-multiplies
+    * (5·cum ≥ 4·total).
+    */
+  def paretoRevenueConcentration(orders: DataFrame, bucketCents: Long): DataFrame = {
+    val cust = orders
+      .groupBy("o_custkey")
+      .agg((sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+    val buckets = cust
+      .groupBy(expr(s"cents div $bucketCents").as("b"))
+      .agg(count(lit(1)).as("n_cust"), sum("cents").as("sum_cents"))
+    val wDesc = Window.orderBy(col("b").desc).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .withColumn("cum_n", sum("n_cust").over(wDesc))
+      .withColumn("cum_s", sum("sum_cents").over(wDesc))
+      .withColumn("total_n", sum("n_cust").over(wAll))
+      .withColumn("total_s", sum("sum_cents").over(wAll))
+      .where(col("cum_s") * 5 >= col("total_s") * 4)
+      .agg(
+        min("total_n").as("n_customers"),
+        min("total_s").as("total_cents"),
+        min("cum_n").as("n_top_for_80pct"))
+      .select(
+        col("n_customers"), col("total_cents"), col("n_top_for_80pct"),
+        expr("(1000 * n_top_for_80pct) div n_customers").as("top_share_permille"))
+  }
+
   /** DuckDB oracle of the hourly anomaly relation — shared by the
     * batch gate (`events_hourly_anomaly`) and the streaming twin
     * (`streaming_hourly_anomaly`), which must agree with it exactly.
@@ -669,6 +705,29 @@ object Analytic {
              |SELECT latency_ms // 3600000 AS hours_bucket,
              |  CAST(count(*) AS BIGINT) AS n_users
              |FROM p GROUP BY 1 ORDER BY hours_bucket""".stripMargin),
+    ),
+    EngineQuery(
+      "pareto_revenue_concentration",
+      (s, dir) => paretoRevenueConcentration(Tables.orders(s, dir), bucketCents = 100000L),
+      Some("""WITH cust AS (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |bk AS (SELECT cents // 100000 AS b, CAST(count(*) AS BIGINT) AS n_cust,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents FROM cust GROUP BY 1),
+             |c AS (SELECT b,
+             |  CAST(sum(n_cust) OVER wd AS BIGINT) AS cum_n,
+             |  CAST(sum(sum_cents) OVER wd AS BIGINT) AS cum_s,
+             |  CAST(sum(n_cust) OVER wa AS BIGINT) AS total_n,
+             |  CAST(sum(sum_cents) OVER wa AS BIGINT) AS total_s
+             |  FROM bk
+             |  WINDOW wd AS (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wa AS (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+             |m AS (SELECT min(total_n) AS n_customers, min(total_s) AS total_cents,
+             |  min(cum_n) AS n_top_for_80pct
+             |  FROM c WHERE cum_s * 5 >= total_s * 4)
+             |SELECT n_customers, total_cents, n_top_for_80pct,
+             |  (1000 * n_top_for_80pct) // n_customers AS top_share_permille FROM m""".stripMargin),
     ),
     EngineQuery(
       "revenue_gini",

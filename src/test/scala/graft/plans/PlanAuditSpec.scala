@@ -904,6 +904,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet should contain("user_id")
   }
 
+  test("Pareto concentration: windows run at value-bucket cardinality, never per-customer") {
+    val p = plan("pareto_revenue_concentration")
+    p should include("partial_sum")
+    p should include("Window")
+    p should not include "Join"
+    // the per-customer reduction exchanges on the customer key; the
+    // windows then consume the BUCKET relation
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should contain("o_custkey")
+  }
+
   test("perplexity buckets: threshold tables broadcast back; no per-language corpus window") {
     val p = plan("ccnet_perplexity_buckets")
     // bucket assignment is a projection after broadcast joins
