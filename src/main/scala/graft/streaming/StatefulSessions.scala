@@ -317,7 +317,7 @@ object StatefulSessions {
              |m AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
              |  FROM seq GROUP BY 1, 2)
              |SELECT prev_type, event_type, n,
-             |  (1000 * n) // sum(n) OVER (PARTITION BY prev_type) AS p_permille
+             |  CAST((1000 * n) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_permille
              |FROM m ORDER BY prev_type, event_type""".stripMargin),
     ),
     // transformWithState formulation — same fold, same oracle.

@@ -554,7 +554,7 @@ object TextAnalysis {
               |m AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
               |  FROM g GROUP BY 1, 2)
               |SELECT actual, predicted, n,
-              |  (1000 * n) // sum(n) OVER (PARTITION BY actual) AS recall_permille
+              |  CAST((1000 * n) // sum(n) OVER (PARTITION BY actual) AS BIGINT) AS recall_permille
               |FROM m ORDER BY actual, predicted""".stripMargin),
     ),
     EngineQuery(

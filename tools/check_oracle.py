@@ -55,6 +55,35 @@ def main():
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
             n_fail += 1
             continue
+        # Driver-hash parity: DuckDB promotes sum(BIGINT) to HUGEINT,
+        # which the driver's arrow/pandas bridge re-encodes (float64 /
+        # object) so the value hash diverges from Spark's int64 even
+        # when every value is numerically equal (r11 cost 4 gate rows:
+        # event_transition_matrix & co). Spark never emits HUGEINT, so
+        # any HUGEINT oracle column is an un-CAST sum() — fail loud.
+        type_bad = False
+        try:
+            wtypes = dict(zip(con.sql(sql).columns,
+                              (str(t) for t in con.sql(sql).types)))
+            gtypes = dict(zip(
+                con.sql(f"SELECT * FROM read_parquet('{out}/*.parquet')").columns,
+                (str(t) for t in con.sql(
+                    f"SELECT * FROM read_parquet('{out}/*.parquet')").types)))
+            for c, t in wtypes.items():
+                if t in ("HUGEINT", "UHUGEINT"):
+                    print(f"FAIL {name}: oracle column '{c}' is {t} "
+                          f"(spark side {gtypes.get(c)}) — CAST it in the SQL")
+                    type_bad = True
+                elif t.startswith("DECIMAL") and not str(
+                        gtypes.get(c, "")).startswith("DECIMAL"):
+                    print(f"FAIL {name}: oracle column '{c}' is {t} but "
+                          f"spark side is {gtypes.get(c)} — align the types")
+                    type_bad = True
+        except Exception as e:  # type introspection must never mask a diff
+            print(f"WARN {name}: type introspection failed: {e}")
+        if type_bad:
+            n_fail += 1
+            continue
         gperm = [got_cols.index(c) for c in sorted(got_cols)]
         wperm = [want_cols.index(c) for c in sorted(want_cols)]
         # None-safe total order that still compares int/float NUMERICALLY
