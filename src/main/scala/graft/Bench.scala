@@ -91,7 +91,10 @@ object Bench {
       "assoc_rules_lift" -> 3.81, "containment_dup_pairs" -> 2.27,
       "concurrent_sessions_peak" -> 1.35,
       // r11 closing add: the composed events dashboard
-      "events_kpi_snapshot" -> 1.71)
+      "events_kpi_snapshot" -> 1.71,
+      // r12 promotion: window-formulated retention matrix (min-of-5
+      // ad-hoc builder run of the pre-upgrade shape; same magnitude)
+      "cohort_retention" -> 0.36)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

@@ -145,7 +145,11 @@ object Plans {
     "dq_constraint_audit" ->
       "Deequ-style ingest validation: each table's domain/range rules share ONE conditional-aggregation scan (no per-rule passes); referential integrity is a key-only LeftAnti count; the temporal rule is one equi-join on the key the tables would be bucketed by. All branches collapse to single-row aggregates — the audit's wide work is two joins, nothing else. The shipdate rule genuinely fails on this data, so the gate proves violation counting rather than all-zero agreement.",
     "cohort_retention" ->
-      "Growth-analytics cohort matrix: the event stream collapses FIRST to distinct (user, week) — the big partial+final reduction — then the cohort min and the self-attach join both key on user_id (one shuffle key end-to-end) before the tiny (cohort, offset) matrix aggregate. No window over the raw stream; week bucketing is exact integer epoch-ms division so both engines agree.",
+      "Growth-analytics cohort matrix: the event stream collapses FIRST to distinct (user, week) — the big partial+final reduction — then the first-seen minimum is a WINDOW over the collapsed relation reusing the user_id exchange the distinct established (no Join operator in the plan; the former min-then-self-join paid a second shuffle and a join for the same answer). The permille division runs on the |weeks|²-row matrix; week bucketing is exact integer epoch-ms division so both engines agree.",
+    "langid_auc" ->
+      "Threshold-free classifier eval: ONE tokenize pass collapses the corpus to per-SCORE (pos, neg) counts — score cardinality is max stopword hits, a few hundred — so the Mann-Whitney prefix window runs at score cardinality over a single tiny partition, never on the corpus, and the driver receives one exact-integer row (n_pos, n_neg, auc_x2, auc_permille). Ties get the standard half-credit via the 2·below+at identity, all in int64.",
+    "corpus_drift_bins" ->
+      "Distribution-shift audit: the corpus collapses to ≤64 per-length-bin cohort counts in one map-side-combined aggregate (bin = length(bin(n_chars)), pure integer); totals are a global window at bin cardinality and the signed ppm gap divides AFTER taking |d| (Spark div truncates, DuckDB // floors — the sign must not ride the division).",
     "phrase_mining_pmi" ->
       "Word2vec phrase promotion: one token pass → vocab-scale unigram counts, one bigram pass → corpus-supported pair counts with the minCount cut applied BEFORE the cnta/cntb attach joins (the pair table shrinks before it ever joins), single-row total via broadcast cross, TakeOrderedAndProject for the top-k. The PMI-ish score is a monotone exact-integer surrogate — ranking is the contract, so DuckDB agrees without float discipline.",
     "ccnet_perplexity_buckets" ->

@@ -56,6 +56,7 @@ object Registry {
       dedup.SetSimJoin.engineQueries ++
       dedup.EditDistJoin.engineQueries ++
       curation.Curation.engineQueries ++
+      curation.Drift.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       similarity.Pq.engineQueries ++

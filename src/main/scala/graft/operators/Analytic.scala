@@ -83,25 +83,36 @@ object Analytic {
   }
 
   /** Cohort retention matrix: cohort = a user's first-activity week,
-    * cell (cohort_week, week_offset) = distinct users from that cohort
-    * active that many weeks later — the standard growth-analytics
-    * rollup. Week index is exact integer epoch-ms division, so both
-    * engines bucket identically.
+    * cell (cohort_wk, week_offset) = distinct users from that cohort
+    * active that many weeks later, with exact integer-permille
+    * retention against the cohort's week-0 size — the standard
+    * growth-analytics triangle. Week index is exact integer epoch-ms
+    * division, so both engines bucket identically.
     *
-    * Scale shape: the event stream first collapses to distinct
-    * (user, week) — partial+final on a narrow pair, the big reduction —
-    * then the cohort min and the self-attach join both key on user_id
-    * (one shuffle key end-to-end until the tiny final matrix
-    * aggregation). No window over the raw stream.
+    * Scale shape: the raw stream pays exactly ONE shuffle, keyed
+    * user_id — `collect_set(week)` whose partials dedupe map-side
+    * exactly like distinct, but keep the partitioning the downstream
+    * needs (a `distinct` would hash on (user, week), forcing a second
+    * user-keyed exchange for the first-seen computation — the shape
+    * both former formulations paid). The per-user set is bounded by
+    * corpus age in weeks (~52·years), the first-seen week is
+    * `array_min` of that set, and the permille division runs on the
+    * |weeks|²-row matrix; week 0 always exists (every user's first
+    * week is offset 0), so the carried cohort size is total, never
+    * null.
     */
   def cohortRetention(events: DataFrame): DataFrame = {
     val uw = events
       .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"))
-      .distinct()
-    val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    uw.join(cohort, "user_id")
-      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
-      .agg(count_distinct(col("user_id")).as("n_users"))
+      .groupBy("user_id").agg(collect_set(col("wk")).as("wks"))
+      .select(array_min(col("wks")).as("cohort_wk"), explode(col("wks")).as("wk"))
+    uw.groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_users")))
+          .over(Window.partitionBy("cohort_wk")))
+      .withColumn("retention_permille", expr("(1000 * n_users) div cohort_size"))
+      .select("cohort_wk", "week_offset", "n_users", "retention_permille")
   }
 
   /** 3-sigma trailing-window anomaly flags on hourly event volume;
@@ -491,11 +502,17 @@ object Analytic {
       (s, dir) => cohortRetention(Tables.events(s, dir)).orderBy("cohort_wk", "week_offset"),
       Some("""WITH uw AS (
              |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
-             |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
-             |SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
-             |  CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
-             |FROM uw JOIN c USING (user_id)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+             |u AS (SELECT user_id, wk,
+             |  min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM uw),
+             |m AS (SELECT cohort_wk, wk - cohort_wk AS week_offset,
+             |  CAST(count(*) AS BIGINT) AS n_users FROM u GROUP BY 1, 2),
+             |c AS (SELECT cohort_wk, week_offset, n_users,
+             |  max(CASE WHEN week_offset = 0 THEN n_users END)
+             |    OVER (PARTITION BY cohort_wk) AS cohort_size FROM m)
+             |SELECT cohort_wk, week_offset, n_users,
+             |  CAST((1000 * n_users) // cohort_size AS BIGINT) AS retention_permille
+             |FROM c ORDER BY cohort_wk, week_offset""".stripMargin),
+      headline = true,
     ),
     // RANGE-frame moving aggregate: 7-day trailing revenue per order
     // day. The frame is value-based (rangeBetween over a day number),

@@ -55,40 +55,6 @@ object EventFlow {
       .withColumn("p_permille", expr("(1000 * n) div sum(n) over (partition by prev_type)"))
       .select("prev_type", "event_type", "n", "p_permille")
 
-  /** Weekly retention cohort matrix: users grouped by first-seen
-    * epoch-week (the cohort), counted per week-offset of later
-    * activity, with exact integer-permille retention against the
-    * cohort's week-0 size. The classic product-analytics triangle
-    * chart, and the same shape a training-data pipeline uses for
-    * contributor/source longevity.
-    *
-    * Scale: the event stream collapses to DISTINCT (user, week) in the
-    * first aggregation — the only full-volume shuffle — then the
-    * first-seen window runs partitioned by user over the collapsed
-    * user-week relation (≤ |users|·|weeks| rows, orders of magnitude
-    * below the stream), and the permille division happens on the
-    * |weeks|²-row cohort matrix. No self-join of events against the
-    * per-user minimum: the window formulation reuses the user-keyed
-    * partitioning the distinct already established.
-    */
-  def cohortRetention(events: DataFrame): DataFrame = {
-    val uw = ev(events)
-      .select(col("user_id"), expr("tms div 604800000").as("week"))
-      .distinct()
-    val perUser = Window.partitionBy("user_id")
-    val perCohort = Window.partitionBy("cohort_week")
-    uw.withColumn("cohort_week", min(col("week")).over(perUser))
-      .withColumn("week_offset", col("week") - col("cohort_week"))
-      .groupBy("cohort_week", "week_offset")
-      .agg(count(lit(1)).as("n_users"))
-      // week 0 always exists (each user's min week is offset 0), so the
-      // carried cohort size is total users first seen that week
-      .withColumn("cohort_size",
-        max(when(col("week_offset") === 0, col("n_users"))).over(perCohort))
-      .withColumn("retention_permille", expr("(1000 * n_users) div cohort_size"))
-      .select("cohort_week", "week_offset", "n_users", "retention_permille")
-  }
-
   /** Top-k session paths: the most frequent ordered event-type
     * sequences, truncated to the first `maxLen` events of each
     * 30-minute-gap session. The stream pays ONE user-keyed window pass

@@ -200,6 +200,40 @@ object TextAnalysis {
         expr("(1000 * n) div sum(n) over (partition by actual)"))
   }
 
+  /** ROC-AUC of the English stopword-count signal as an is-English
+    * classifier, evaluated against the labeled `lang` column — the
+    * threshold-free companion to [[langidConfusion]]'s fixed-argmax
+    * matrix, computed EXACTLY via the Mann-Whitney rank-sum identity
+    * with the standard half-credit for score ties:
+    * AUC·2·P·N = Σ_s pos(s)·(2·neg_below(s) + neg(s)).
+    *
+    * Output is one row of exact integers: (n_pos, n_neg, auc_x2 — the
+    * doubled numerator, auc_permille). Scale: the corpus pays one
+    * tokenize pass and collapses to per-SCORE counts (score cardinality
+    * ≈ max stopword hits, a few hundred), so the global-order prefix
+    * window runs at score cardinality, never on the corpus; the driver
+    * sees a single row. auc_x2 ≤ 2·P·N overflows int64 only past ~2·10⁹
+    * docs per class — at that scale the eval runs on a sampled holdout,
+    * as every published pipeline does.
+    */
+  def langidAuc(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    docs.select(
+        stopHits(toks, stopEn).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("score")
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      .withColumn("cnb", coalesce(expr(
+        "sum(nn) over (order by score rows between unbounded preceding and 1 preceding)"),
+        lit(0L)))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np") * (col("cnb") * 2 + col("nn"))).as("auc_x2"))
+      .withColumn("auc_permille", expr("(1000 * auc_x2) div (2 * n_pos * n_neg)"))
+      .select("n_pos", "n_neg", "auc_x2", "auc_permille")
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized text (exact
     * content identity) plus a winnowing-style shingle fingerprint — the
     * minimum md5 over all 8-char shingles (robust to local edits; it is
@@ -556,6 +590,31 @@ object TextAnalysis {
               |SELECT actual, predicted, n,
               |  CAST((1000 * n) // sum(n) OVER (PARTITION BY actual) AS BIGINT) AS recall_permille
               |FROM m ORDER BY actual, predicted""".stripMargin),
+    ),
+    EngineQuery(
+      "langid_auc",
+      (s, dir) => langidAuc(Tables.documents(s, dir)),
+      Some(s"""WITH t AS (SELECT
+              |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              |       ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks,
+              |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM documents),
+              |s AS (SELECT
+              |  CAST(length(list_filter(toks, x -> x IN (${sqlList(stopEn)}))) AS BIGINT) AS score,
+              |  pos FROM t),
+              |g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+              |  CAST(sum(1 - pos) AS BIGINT) AS nn FROM s GROUP BY 1),
+              |c AS (SELECT np, nn,
+              |  CAST(coalesce(sum(nn) OVER (ORDER BY score
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+              |  FROM g)
+              |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+              |  CAST(sum(nn) AS BIGINT) AS n_neg,
+              |  CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS auc_x2,
+              |  CAST((1000 * CAST(sum(np * (2 * cnb + nn)) AS BIGINT))
+              |    // (2 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)) AS BIGINT)
+              |    AS auc_permille
+              |FROM c""".stripMargin),
     ),
     EngineQuery(
       "doc_fingerprint",

@@ -926,4 +926,35 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("Window")
     p should not include "cume_dist"
   }
+
+  test("cohort retention: the raw stream pays one user-keyed shuffle — no Join, no second exchange") {
+    val p = plan("cohort_retention")
+    p should not include "Join"
+    // collect_set partials dedupe map-side (objHashAggregate), keeping
+    // the exchange keyed on user_id alone — a distinct would hash on
+    // (user, week) and force a second user-keyed exchange
+    val keys = "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    keys should contain("user_id")
+    "Exchange hashpartitioning\\(user_id#".r.findAllMatchIn(p).size shouldBe 1
+    p should include("collect_set")
+  }
+
+  test("langid AUC: prefix window runs over the per-score aggregate, not the corpus") {
+    val p = plan("langid_auc")
+    p should not include "Join"
+    // corpus collapses to per-score counts before any window: the
+    // single-partition window's input is the aggregated relation
+    p should include("partial_sum")
+    p should include("Window")
+  }
+
+  test("corpus drift: one map-side-combined aggregate; windows at bin cardinality") {
+    val p = plan("corpus_drift_bins")
+    p should include("partial_sum")
+    p should not include "Join"
+    // the only hash exchange keys on the length bin
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("len_bin")
+  }
 }
