@@ -148,6 +148,10 @@ object Plans {
       "Growth-analytics cohort matrix: the event stream collapses FIRST to distinct (user, week) — the big partial+final reduction — then the first-seen minimum is a WINDOW over the collapsed relation reusing the user_id exchange the distinct established (no Join operator in the plan; the former min-then-self-join paid a second shuffle and a join for the same answer). The permille division runs on the |weeks|²-row matrix; week bucketing is exact integer epoch-ms division so both engines agree.",
     "langid_auc" ->
       "Threshold-free classifier eval: ONE tokenize pass collapses the corpus to per-SCORE (pos, neg) counts — score cardinality is max stopword hits, a few hundred — so the Mann-Whitney prefix window runs at score cardinality over a single tiny partition, never on the corpus, and the driver receives one exact-integer row (n_pos, n_neg, auc_x2, auc_permille). Ties get the standard half-credit via the 2·below+at identity, all in int64.",
+    "embedding_centroid_shift" ->
+      "Embedding-space drift: one corpus pass quantizes inline (label carried — no vec_id join back) and collapses to (label, dim) partial+final sums, ≤|labels|·64 rows over the exchange; the cohort pairing self-joins at that collapsed cardinality and the exact-rational centroid L1 (|s_a·n_b − s_b·n_a| summed over dims before ONE integer division) never materializes a float mean.",
+    "vocab_drift_topk" ->
+      "Vocabulary churn: ONE tokenize pass carries both cohorts via conditional flags (no two filtered corpus branches), collapses to (cohort, term) counts at vocab cardinality, per-cohort top-k is a WindowGroupLimit cut with a total (cnt DESC, term) order, and the ≤2k-row top relation folds to one driver row of exact-integer Jaccard.",
     "corpus_drift_bins" ->
       "Distribution-shift audit: the corpus collapses to ≤64 per-length-bin cohort counts in one map-side-combined aggregate (bin = length(bin(n_chars)), pure integer); totals are a global window at bin cardinality and the signed ppm gap divides AFTER taking |d| (Spark div truncates, DuckDB // floors — the sign must not ride the division).",
     "phrase_mining_pmi" ->

@@ -91,7 +91,13 @@ object ScaleProbe {
     "events_kpi_snapshot", "funnel_three_step",
     "ccnet_perplexity_buckets", "curation_funnel",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
-    "salted_group_count", "skew_join_hot_key")
+    "salted_group_count", "skew_join_hot_key",
+    // r12 additions: cohort retention rides the deepened trajectories
+    // (user_id unshifted -> per-user week SETS grow with copies: the
+    // collect_set bound under stress); AUC and drift ride the 30×
+    // corpus — both claim post-scan work at score/bin cardinality, so
+    // their ratio should track the pure scan ratio.
+    "cohort_retention", "langid_auc", "corpus_drift_bins")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -373,6 +373,47 @@ object Ann {
         col("dim").cast("long").as("dim"), col("cnt"),
         col("sum_q"), col("sum_q2"), col("min_q"), col("max_q"))
 
+  /** Pairwise centroid L1 distance between label cohorts, exact in
+    * milli-units — the embedding-space companion of the length-bin
+    * drift audit ([[graft.curation.Drift]]): did a cohort's (or a new
+    * snapshot's) embedding mass move? Means never materialize as
+    * floats: |μ_a − μ_b| per dim is the exact rational
+    * |sum_a·n_b − sum_b·n_a| / (n_a·n_b) over the quantized milli
+    * lane, summed over dims BEFORE the one integer division.
+    *
+    * Scale: one corpus pass collapses to (label, dim) partial+final
+    * sums — ≤ |labels|·64 rows cross the exchange — and the pairing
+    * self-join runs at that collapsed cardinality, never on vectors.
+    * The cross-multiplied numerator stays in int64 up to ~10⁷ vectors
+    * per cohort at milli scale; past that the centroid lane widens to
+    * DECIMAL (same plan shape, Spark sums decimals exactly).
+    */
+  def centroidShift(embeddings: DataFrame): DataFrame = {
+    // quantize inline with the label carried: one scan, no vec_id
+    // join back (Dedup.quantized projects the label away)
+    val byLabelDim = embeddings
+      .select(col("label"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val a = byLabelDim.select(
+      col("label").as("label_a"), col("dim"), col("n").as("n_a"), col("s").as("s_a"))
+    val b = byLabelDim.select(
+      col("label").as("label_b"), col("dim"), col("n").as("n_b"), col("s").as("s_b"))
+    a.join(b, Seq("dim")).where(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(
+        min(col("n_a")).as("n_a"),
+        min(col("n_b")).as("n_b"),
+        sum(abs(col("s_a") * col("n_b") - col("s_b") * col("n_a"))).as("absdiff"))
+      .select(
+        col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"),
+        col("n_a"), col("n_b"),
+        expr("absdiff div (n_a * n_b)").as("l1_milli"))
+  }
+
   /** Upper-triangle Gram matrix G = Σ q·qᵀ over the quantized corpus —
     * the one-pass building block of PCA/whitening/covariance
     * (G/n − μμᵀ) in distributed linear algebra. Each vector generates
@@ -404,6 +445,22 @@ object Ann {
              |  CAST(sum(q[CAST(g1.i AS INT) + 1] * q[CAST(g2.j AS INT) + 1]) AS BIGINT) AS s
              |FROM qx, range(64) g1(i), range(64) g2(j)
              |WHERE g2.j >= g1.i GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
+    ),
+    EngineQuery(
+      "embedding_centroid_shift",
+      (s, dir) => centroidShift(Tables.embeddings(s, dir)).orderBy("label_a", "label_b"),
+      Some("""WITH e AS (
+             |  SELECT CAST(label AS BIGINT) AS label, t.i AS dim,
+             |    CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS v
+             |  FROM embeddings, range(64) t(i)),
+             |g AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1, 2)
+             |SELECT a.label AS label_a, b.label AS label_b,
+             |  min(a.n) AS n_a, min(b.n) AS n_b,
+             |  CAST(CAST(sum(abs(a.s * b.n - b.s * a.n)) AS BIGINT)
+             |    // (min(a.n) * min(b.n)) AS BIGINT) AS l1_milli
+             |FROM g a JOIN g b ON a.dim = b.dim AND a.label < b.label
+             |GROUP BY 1, 2 ORDER BY label_a, label_b""".stripMargin),
     ),
     EngineQuery(
       "embedding_dim_stats",

@@ -234,6 +234,44 @@ object TextAnalysis {
       .select("n_pos", "n_neg", "auc_x2", "auc_permille")
   }
 
+  /** Vocabulary drift between two corpus cohorts (English vs rest —
+    * the same cohort split as [[graft.curation.Drift]], serving
+    * snapshot-vs-snapshot identically): Jaccard overlap of the two
+    * cohorts' top-k term lists. Top-list churn is the cheap early-
+    * warning a pipeline checks before retraining a tokenizer — the
+    * full-vocabulary divergence needs a float KL; the top-k overlap is
+    * exact integers end-to-end.
+    *
+    * Scale: one tokenize pass collapses to (cohort, term) counts at
+    * vocabulary cardinality; the per-cohort top-k is a
+    * WindowGroupLimit cut (count DESC, term tie-break — total order,
+    * both engines agree); membership flags aggregate the ≤2k-row top
+    * relation to ONE driver row. The corpus is scanned once — both
+    * cohorts ride the same pass via conditional flags, not two
+    * filtered branches.
+    */
+  def vocabDriftTopk(docs: DataFrame, k: Int): DataFrame = {
+    val top = docs
+      .select(
+        when(col("lang") === "en", "a").otherwise("b").as("cohort"),
+        explode(wsTokens(lower(col("text")))).as("term"))
+      .groupBy("cohort", "term")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort").orderBy(col("cnt").desc, col("term"))))
+      .where(col("rk") <= k)
+    top
+      .groupBy("term")
+      .agg(
+        max(when(col("cohort") === "a", 1L).otherwise(0L)).as("in_a"),
+        max(when(col("cohort") === "b", 1L).otherwise(0L)).as("in_b"))
+      .agg(sum(col("in_a") * col("in_b")).as("n_common"))
+      .select(
+        lit(k.toLong).as("k"),
+        col("n_common"),
+        expr(s"(1000 * n_common) div (${2 * k} - n_common)").as("jaccard_permille"))
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized text (exact
     * content identity) plus a winnowing-style shingle fingerprint — the
     * minimum md5 over all 8-char shingles (robust to local edits; it is
@@ -615,6 +653,28 @@ object TextAnalysis {
               |    // (2 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)) AS BIGINT)
               |    AS auc_permille
               |FROM c""".stripMargin),
+    ),
+    EngineQuery(
+      "vocab_drift_topk",
+      (s, dir) => vocabDriftTopk(Tables.documents(s, dir), k = 20),
+      Some("""WITH t AS (SELECT
+             |  CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS cohort,
+             |  unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+             |  FROM documents),
+             |g AS (SELECT cohort, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |r AS (SELECT cohort, term,
+             |  row_number() OVER (PARTITION BY cohort ORDER BY cnt DESC, term) AS rk
+             |  FROM g),
+             |s AS (SELECT term,
+             |  max(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS in_a,
+             |  max(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS in_b
+             |  FROM r WHERE rk <= 20 GROUP BY 1)
+             |SELECT CAST(20 AS BIGINT) AS k,
+             |  CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+             |  CAST((1000 * CAST(sum(in_a * in_b) AS BIGINT))
+             |    // (40 - CAST(sum(in_a * in_b) AS BIGINT)) AS BIGINT) AS jaccard_permille
+             |FROM s""".stripMargin),
     ),
     EngineQuery(
       "doc_fingerprint",

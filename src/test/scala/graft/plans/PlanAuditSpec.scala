@@ -949,6 +949,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("Window")
   }
 
+  test("embedding centroid shift: pairing joins the (label,dim) aggregate, never vectors") {
+    val p = plan("embedding_centroid_shift")
+    p should not include "CartesianProduct"
+    p should include("partial_sum")   // map-side combine under the explode
+    // the only hash exchanges key on the collapsed (label, dim)
+    // relation — no vec_id join back for the label
+    val keys = "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    keys should contain("label")
+    keys should not contain "vec_id"
+  }
+
+  test("vocab drift: one corpus scan carries both cohorts; top-k is a WindowGroupLimit cut") {
+    val p = plan("vocab_drift_topk")
+    p should include("WindowGroupLimit")
+    // conditional cohort flags, not two filtered corpus branches
+    "Scan parquet|FileScan parquet".r.findAllMatchIn(p).size shouldBe 1
+  }
+
   test("corpus drift: one map-side-combined aggregate; windows at bin cardinality") {
     val p = plan("corpus_drift_bins")
     p should include("partial_sum")
