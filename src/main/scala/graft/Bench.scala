@@ -92,9 +92,9 @@ object Bench {
       "concurrent_sessions_peak" -> 1.35,
       // r11 closing add: the composed events dashboard
       "events_kpi_snapshot" -> 1.71,
-      // r12 promotion: window-formulated retention matrix (min-of-5
-      // ad-hoc builder run of the pre-upgrade shape; same magnitude)
-      "cohort_retention" -> 0.36)
+      // r12 promotions: retention matrix (one-shuffle collect_set
+      // shape) and the 6-table Q5 star join; min-of-5 ad-hoc builder runs
+      "cohort_retention" -> 0.41, "sql_q5_local_supplier" -> 1.18)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

@@ -343,6 +343,91 @@ object Relational {
              |                AND l.l_shipdate > o.o_orderdate)
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     ),
+    // TPC-H Q5 analog: the 6-table star join (local supplier volume).
+    // The densest join graph in the registry — customer⋈orders⋈lineitem
+    // on the fact spine, supplier attached on BOTH l_suppkey and the
+    // c_nationkey=s_nationkey locality condition, nation/region pruning
+    // the supplier side. The region/nation/supplier dims broadcast;
+    // the only big exchanges are the fact-spine keys, and the date band
+    // pushes to the orders scan. This is the join-reorder stress case:
+    // Catalyst must put the selective region→nation→supplier chain on
+    // the build side, never shuffle the fact table per-dim.
+    EngineQuery(
+      "sql_q5_local_supplier",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        Tables.region(s, dir).createOrReplaceTempView("region_v")
+        s.sql("""SELECT n_name,
+                |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+                |FROM customer_v
+                |JOIN orders_v ON c_custkey = o_custkey
+                |JOIN lineitem_v ON l_orderkey = o_orderkey
+                |JOIN supplier_v ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                |JOIN nation_v ON s_nationkey = n_nationkey
+                |JOIN region_v ON n_regionkey = r_regionkey
+                |WHERE r_name = 'ASIA'
+                |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                |  AND o_orderdate < TIMESTAMP '1997-01-01'
+                |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      headline = true,
+    ),
+    // TPC-H Q10 analog: returned-item reporting — per-customer revenue
+    // lost to returns in a quarter, top 20. The quarter band prunes
+    // orders at the scan, the returnflag filter prunes lineitem at the
+    // scan, and the final top-20 is a TakeOrderedAndProject over the
+    // per-customer aggregate (no global sort of customers).
+    EngineQuery(
+      "sql_q10_returned_items",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        s.sql("""SELECT c_custkey, c_name, n_name,
+                |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+                |FROM customer_v
+                |JOIN orders_v ON c_custkey = o_custkey
+                |JOIN lineitem_v ON l_orderkey = o_orderkey
+                |JOIN nation_v ON c_nationkey = n_nationkey
+                |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                |  AND o_orderdate < TIMESTAMP '1996-04-01'
+                |  AND l_returnflag = 'R'
+                |GROUP BY c_custkey, c_name, n_name
+                |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+    ),
     // TPC-H Q13 analog: orders-per-customer distribution — the LEFT
     // OUTER join keeps zero-order customers in the c_count=0 bucket,
     // then a second (tiny) aggregation over counts.

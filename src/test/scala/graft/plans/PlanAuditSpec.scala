@@ -949,6 +949,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("Window")
   }
 
+  test("Q5 star join: dimension chain broadcasts; the fact spine never reshuffles per-dim") {
+    val p = plan("sql_q5_local_supplier")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // region→nation→supplier (and at this SF customer/orders too) ride
+    // the build side as broadcasts; lineitem is never hash-exchanged
+    // for a dimension attach
+    "BroadcastHashJoin".r.findAllMatchIn(p).size should be >= 3
+    // the date band reaches the orders scan
+    p should include regex "PushedFilters: \\[.*o_orderdate"
+  }
+
+  test("Q10 returned items: scan-pruned filters and a top-k without a global sort") {
+    val p = plan("sql_q10_returned_items")
+    p should include("TakeOrderedAndProject")
+    p should include regex "PushedFilters: \\[.*l_returnflag"
+  }
+
   test("embedding centroid shift: pairing joins the (label,dim) aggregate, never vectors") {
     val p = plan("embedding_centroid_shift")
     p should not include "CartesianProduct"
