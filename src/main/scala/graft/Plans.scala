@@ -150,6 +150,10 @@ object Plans {
       "Threshold-free classifier eval: ONE tokenize pass collapses the corpus to per-SCORE (pos, neg) counts — score cardinality is max stopword hits, a few hundred — so the Mann-Whitney prefix window runs at score cardinality over a single tiny partition, never on the corpus, and the driver receives one exact-integer row (n_pos, n_neg, auc_x2, auc_permille). Ties get the standard half-credit via the 2·below+at identity, all in int64.",
     "sql_q5_local_supplier" ->
       "The 6-table TPC-H Q5 star: the selective region→nation→supplier chain and the dims broadcast onto the fact spine (BroadcastHashJoin ≥3; lineitem never hash-exchanges for a dimension attach), the date band pushes to the orders scan, and the locality condition c_nationkey=s_nationkey rides the supplier join as a post-probe filter instead of a second shuffle. At cluster scale the customer/orders joins degrade gracefully to spine-keyed shuffles while the region/nation/supplier chain stays broadcast — the query text doesn't change.",
+    "sql_q7_volume_shipping" ->
+      "Volume shipping between a nation pair: the same tiny nation dim broadcasts TWICE under different aliases (supplier side / customer side), the symmetric OR-pair filter prunes right above those attaches before the (nation, nation, year) aggregate, and ship-year is exact integer year() in both engines. No fact-side exchange for any dimension.",
+    "sql_q18_large_orders" ->
+      "Large-volume orders: the HAVING pre-aggregation reduces lineitem to qualifying order keys BEFORE customer/orders attach (the wide table never joins unfiltered), quantities sum in exact DECIMAL, and the top-20 is a TakeOrderedAndProject over the joined result — no global sort.",
     "sql_q10_returned_items" ->
       "Returned-item reporting: quarter band and returnflag both reach their scans as PushedFilters, the per-customer aggregate shuffles once on the group key, and the top-20 is a TakeOrderedAndProject (per-partition heaps, driver merge) — no global sort of the customer aggregate.",
     "embedding_centroid_shift" ->

@@ -428,6 +428,86 @@ object Relational {
              |GROUP BY c_custkey, c_name, n_name
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
     ),
+    // TPC-H Q7 analog: volume shipping between a nation pair. Two
+    // broadcast attaches of the SAME tiny nation dim under different
+    // aliases (supplier side and customer side); the symmetric OR pair
+    // filter sits right above them, pruning the fact stream before the
+    // (nation, nation, year) aggregate. Ship-year is an exact integer.
+    EngineQuery(
+      "sql_q7_volume_shipping",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        s.sql("""SELECT supp_nation, cust_nation, l_year,
+                |  CAST(sum(volume_dec) AS DOUBLE) AS revenue
+                |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                |    CAST(l_extendedprice AS DECIMAL(12,2))
+                |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume_dec
+                |  FROM supplier_v
+                |  JOIN lineitem_v ON s_suppkey = l_suppkey
+                |  JOIN orders_v ON o_orderkey = l_orderkey
+                |  JOIN customer_v ON c_custkey = o_custkey
+                |  JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
+                |  JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
+                |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+                |GROUP BY supp_nation, cust_nation, l_year
+                |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(sum(volume_dec) AS DOUBLE) AS revenue
+             |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |    CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume_dec
+             |  FROM supplier
+             |  JOIN lineitem ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+    ),
+    // TPC-H Q18 analog: large-volume orders. The HAVING pre-aggregation
+    // shrinks lineitem to the qualifying order keys BEFORE any customer
+    // or orders attach — the wide table never joins unfiltered — and the
+    // top-20 is a TakeOrderedAndProject. Quantities sum in DECIMAL
+    // (exact), surfacing as double only at the end.
+    EngineQuery(
+      "sql_q18_large_orders",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT c_custkey, c_name, o_orderkey,
+                |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                |  CAST(sq AS DOUBLE) AS sum_qty
+                |FROM customer_v
+                |JOIN orders_v ON c_custkey = o_custkey
+                |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+                |      FROM lineitem_v GROUP BY l_orderkey
+                |      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300) q
+                |  ON o_orderkey = l_orderkey
+                |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+             |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             |  CAST(sq AS DOUBLE) AS sum_qty
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300) q
+             |  ON o_orderkey = l_orderkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
+    ),
     // TPC-H Q13 analog: orders-per-customer distribution — the LEFT
     // OUTER join keeps zero-order customers in the c_count=0 bucket,
     // then a second (tiny) aggregation over counts.

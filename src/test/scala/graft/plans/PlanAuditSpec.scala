@@ -967,6 +967,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include regex "PushedFilters: \\[.*l_returnflag"
   }
 
+  test("Q7 nation-pair volume: both nation attaches broadcast; no cartesian from the OR pair") {
+    val p = plan("sql_q7_volume_shipping")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    "BroadcastHashJoin".r.findAllMatchIn(p).size should be >= 2
+  }
+
+  test("Q18 large orders: the HAVING aggregate gates the join; top-k is TakeOrderedAndProject") {
+    val p = plan("sql_q18_large_orders")
+    p should include("TakeOrderedAndProject")
+    // the quantity-sum aggregate (with its HAVING filter) sits below
+    // the customer/orders joins — lineitem never joins unfiltered
+    p should include regex "(?s)Join.*HashAggregate.*Scan.*lineitem"
+  }
+
   test("embedding centroid shift: pairing joins the (label,dim) aggregate, never vectors") {
     val p = plan("embedding_centroid_shift")
     p should not include "CartesianProduct"
