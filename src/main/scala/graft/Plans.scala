@@ -160,6 +160,8 @@ object Plans {
       "Embedding-space drift: one corpus pass quantizes inline (label carried — no vec_id join back) and collapses to (label, dim) partial+final sums, ≤|labels|·64 rows over the exchange; the cohort pairing self-joins at that collapsed cardinality and the exact-rational centroid L1 (|s_a·n_b − s_b·n_a| summed over dims before ONE integer division) never materializes a float mean.",
     "vocab_drift_topk" ->
       "Vocabulary churn: ONE tokenize pass carries both cohorts via conditional flags (no two filtered corpus branches), collapses to (cohort, term) counts at vocab cardinality, per-cohort top-k is a WindowGroupLimit cut with a total (cnt DESC, term) order, and the ≤2k-row top relation folds to one driver row of exact-integer Jaccard.",
+    "snapshot_acceptance" ->
+      "The composed promote/reject report: TV distance, top-k vocab overlap, exact-dup leakage of B into A, and the alpha-quality gap fuse by 1-row broadcast carriers (the events_kpi_snapshot pattern), so the report costs exactly the sum of its audited parts. The dup check carries both cohorts as flags through ONE md5-keyed aggregation — no A-vs-B equi-join, no second corpus scan for the incumbent side.",
     "corpus_drift_bins" ->
       "Distribution-shift audit: the corpus collapses to ≤64 per-length-bin cohort counts in one map-side-combined aggregate (bin = length(bin(n_chars)), pure integer); totals are a global window at bin cardinality and the signed ppm gap divides AFTER taking |d| (Spark div truncates, DuckDB // floors — the sign must not ride the division).",
     "phrase_mining_pmi" ->

@@ -1001,6 +1001,18 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Scan parquet|FileScan parquet".r.findAllMatchIn(p).size shouldBe 1
   }
 
+  test("snapshot acceptance: three 1-row carrier attaches; md5 dup check is one aggregation") {
+    val p = plan("snapshot_acceptance")
+    // tv ⨯ vocab ⨯ dup ⨯ quality — all broadcast loops over 1-row sides
+    "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size shouldBe 3
+    p should not include "CartesianProduct"
+    // the duplicate check never equi-joins cohort A against B: both
+    // ride one md5-keyed aggregation as flags
+    val keys = "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    keys should contain("h")
+  }
+
   test("corpus drift: one map-side-combined aggregate; windows at bin cardinality") {
     val p = plan("corpus_drift_bins")
     p should include("partial_sum")
