@@ -148,6 +148,8 @@ object Plans {
       "Growth-analytics cohort matrix: the event stream collapses FIRST to distinct (user, week) — the big partial+final reduction — then the first-seen minimum is a WINDOW over the collapsed relation reusing the user_id exchange the distinct established (no Join operator in the plan; the former min-then-self-join paid a second shuffle and a join for the same answer). The permille division runs on the |weeks|²-row matrix; week bucketing is exact integer epoch-ms division so both engines agree.",
     "langid_auc" ->
       "Threshold-free classifier eval: ONE tokenize pass collapses the corpus to per-SCORE (pos, neg) counts — score cardinality is max stopword hits, a few hundred — so the Mann-Whitney prefix window runs at score cardinality over a single tiny partition, never on the corpus, and the driver receives one exact-integer row (n_pos, n_neg, auc_x2, auc_permille). Ties get the standard half-credit via the 2·below+at identity, all in int64.",
+    "skew_join_preagg" ->
+      "Eager aggregation through the skewed join: both sides collapse to per-key aggregates BEFORE joining and the counts multiply back (Σ o_cnt·li_cnt), so the hot bucket's |li|×|o| cross product — quadratic under scale, and INVISIBLE to AQE's skew split because the bucket's map-output bytes stay tiny while its join OUTPUT explodes — is never enumerated. The gate's oracle is deliberately the naive pair-enumerating SQL: eager aggregation ≡ the cross product it avoids, proven exact. skew_join_hot_key remains the bench-scale AQE stress; this is the formulation a 100 TB job runs.",
     "sql_q5_local_supplier" ->
       "The 6-table TPC-H Q5 star: the selective region→nation→supplier chain and the dims broadcast onto the fact spine (BroadcastHashJoin ≥3; lineitem never hash-exchanges for a dimension attach), the date band pushes to the orders scan, and the locality condition c_nationkey=s_nationkey rides the supplier join as a post-probe filter instead of a second shuffle. At cluster scale the customer/orders joins degrade gracefully to spine-keyed shuffles while the region/nation/supplier chain stays broadcast — the query text doesn't change.",
     "sql_q7_volume_shipping" ->

@@ -91,7 +91,17 @@ object ScaleProbe {
     "events_kpi_snapshot", "funnel_three_step",
     "ccnet_perplexity_buckets", "curation_funnel",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
-    "salted_group_count", "skew_join_hot_key",
+    // skew_join_hot_key is deliberately NOT probed at ≥30× (r12
+    // finding): copy scaling grows the hot bucket on BOTH sides, so its
+    // pair mass is quadratic-by-construction (≈8·10⁹ pairs at 30×) while
+    // the bucket's shuffle INPUT stays a few MB — under AQE's
+    // skewedPartitionThresholdInBytes — so OptimizeSkewedJoin (keyed on
+    // map-output bytes, not join output) never splits it and one reducer
+    // streams the cross product ~20 min/pass. The stress query stays in
+    // the sf0.1 bench (where the split is spec-asserted); the probed
+    // 100 TB formulation is the eager-aggregation twin below, which
+    // keeps the identical relation at |keys| work.
+    "salted_group_count", "skew_join_preagg",
     // r12 additions: cohort retention rides the deepened trajectories
     // (user_id unshifted -> per-user week SETS grow with copies: the
     // collect_set bound under stress); AUC and drift ride the 30×

@@ -64,6 +64,44 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), sum(col("qty")).cast("double").as("qty"))
   }
 
+  /** Eager-aggregation twin of [[skewedJoinStats]]: the identical
+    * relation with the hot-key pair mass made VIRTUAL. Both sides
+    * collapse to per-key aggregates BEFORE the join, and the joined
+    * counts multiply back (Σ o_cnt·li_cnt per priority), so the hot
+    * key's |li|×|o| cross product is never enumerated.
+    *
+    * Why this twin exists (r12 probe finding): at 30× facts the hot
+    * bucket's pair mass grows quadratically with scale (180k×45k ≈
+    * 8·10⁹ pairs) while its SHUFFLE INPUT stays a few MB — below
+    * `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes` —
+    * so AQE's OptimizeSkewedJoin (which triggers on map-output sizes,
+    * not join output) never splits it, and one reducer streams the
+    * whole cross product through a DECIMAL aggregate (~20 min/pass
+    * measured). AQE's split is the right fix when the INPUT is skewed;
+    * when the OUTPUT is the skew, pushing the aggregate through the
+    * join is — pair mass drops from |li|×|o| to |keys| with the same
+    * exact answer. [[skewedJoinStats]] stays as the deliberate
+    * AQE-split stress at bench scale; THIS is the 100 TB formulation.
+    */
+  def skewedJoinStatsPreagg(
+      lineitem: DataFrame, orders: DataFrame, hotModulus: Int = 100): DataFrame = {
+    def hot(c: org.apache.spark.sql.Column) =
+      when(c % hotModulus === 0, lit(0L)).otherwise(c)
+    val li = lineitem
+      .select(hot(col("l_orderkey")).as("hot_key"), dec("l_quantity").as("qty"))
+      .groupBy("hot_key")
+      .agg(count(lit(1)).as("li_cnt"), sum(col("qty")).as("li_qty"))
+    val o = orders
+      .select(hot(col("o_orderkey")).as("hot_key"), col("o_orderpriority"))
+      .groupBy("hot_key", "o_orderpriority")
+      .agg(count(lit(1)).as("o_cnt"))
+    o.join(li, Seq("hot_key"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(col("o_cnt") * col("li_cnt")).as("cnt"),
+        sum(col("o_cnt") * col("li_qty")).cast("double").as("qty"))
+  }
+
   /** Typed array-valued aggregate: per-customer sorted order-key list.
     * One partial+final hash-agg shuffle on o_custkey; sort_array makes
     * the list deterministic regardless of partitioning.
@@ -1113,6 +1151,27 @@ object Relational {
              |FROM li JOIN o USING (hot_key)
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       headline = true,
+    ),
+    // Same relation, pair mass virtual — see skewedJoinStatsPreagg.
+    // The oracle is intentionally the naive pair-enumerating SQL: the
+    // gate proves eager aggregation ≡ the cross product it avoids.
+    EngineQuery(
+      "skew_join_preagg",
+      (s, dir) =>
+        skewedJoinStatsPreagg(Tables.lineitem(s, dir), Tables.orders(s, dir))
+          .orderBy("o_orderpriority"),
+      Some("""WITH li AS (
+             |  SELECT CASE WHEN l_orderkey % 100 = 0 THEN 0 ELSE l_orderkey END AS hot_key,
+             |    CAST(l_quantity AS DECIMAL(12,2)) AS qty
+             |  FROM lineitem),
+             |o AS (
+             |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN 0 ELSE o_orderkey END AS hot_key,
+             |    o_orderpriority
+             |  FROM orders)
+             |SELECT o_orderpriority, count(*) AS cnt,
+             |  CAST(sum(qty) AS DOUBLE) AS qty
+             |FROM li JOIN o USING (hot_key)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     ),
     // Array-valued aggregation: per-customer sorted order-key list.
     // collect_list is order-nondeterministic under parallelism, so the

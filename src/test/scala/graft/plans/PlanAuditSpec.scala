@@ -1001,6 +1001,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Scan parquet|FileScan parquet".r.findAllMatchIn(p).size shouldBe 1
   }
 
+  test("skew preagg twin: both join inputs are aggregates — the pair mass is never enumerated") {
+    val p = plan("skew_join_preagg")
+    // per-key aggregates sit BELOW the join on both sides; the naive
+    // shape (join, then aggregate) has no HashAggregate under the join
+    p should include regex "(?s)Join.*HashAggregate.*Scan parquet.*lineitem"
+    p should include regex "(?s)Join.*HashAggregate.*Scan parquet.*orders"
+    p should not include "CartesianProduct"
+  }
+
   test("snapshot acceptance: three 1-row carrier attaches; md5 dup check is one aggregation") {
     val p = plan("snapshot_acceptance")
     // tv ⨯ vocab ⨯ dup ⨯ quality — all broadcast loops over 1-row sides
