@@ -546,6 +546,36 @@ object Relational {
              |  ON o_orderkey = l_orderkey
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
     ),
+    // TPC-H Q19 analog: disjunctive join predicate (discounted revenue
+    // over three OR'd brand/size/quantity bands). The optimizer stress:
+    // the common `p_partkey = l_partkey` conjunct must be FACTORED OUT
+    // of the disjunction into the join key (a naive plan falls back to
+    // a nested-loop over the whole OR), with the per-branch residual
+    // evaluated as a post-probe filter, and the branch-common l_quantity
+    // bound pushed to the lineitem scan.
+    EngineQuery(
+      "sql_q19_brand_bands",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        s.sql("""SELECT
+                |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+                |  count(*) AS n_lines
+                |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+                |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+                |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+                |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+      },
+      Some("""SELECT
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_lines
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+    ),
     // TPC-H Q13 analog: orders-per-customer distribution — the LEFT
     // OUTER join keeps zero-order customers in the c_count=0 bucket,
     // then a second (tiny) aggregation over counts.

@@ -1001,6 +1001,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Scan parquet|FileScan parquet".r.findAllMatchIn(p).size shouldBe 1
   }
 
+  test("Q19 disjunctive bands: the common partkey conjunct factors into a hash join") {
+    val p = plan("sql_q19_brand_bands")
+    // a plan that fails to factor p_partkey=l_partkey out of the OR
+    // falls back to a nested-loop over the whole disjunction
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include regex "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+  }
+
   test("skew preagg twin: both join inputs are aggregates — the pair mass is never enumerated") {
     val p = plan("skew_join_preagg")
     // per-key aggregates sit BELOW the join on both sides; the naive
