@@ -93,8 +93,12 @@ object Bench {
       // r11 closing add: the composed events dashboard
       "events_kpi_snapshot" -> 1.71,
       // r12 promotions: retention matrix (one-shuffle collect_set
-      // shape) and the 6-table Q5 star join; min-of-5 ad-hoc builder runs
-      "cohort_retention" -> 0.41, "sql_q5_local_supplier" -> 1.18)
+      // shape), the 6-table Q5 star join, the eager-aggregation skew
+      // twin (the round's probe-finding fix — its trend is the
+      // evidence the fix holds), and the composed drift report;
+      // min-of-5 ad-hoc builder runs
+      "cohort_retention" -> 0.41, "sql_q5_local_supplier" -> 1.18,
+      "skew_join_preagg" -> 0.96, "snapshot_acceptance" -> 0.62)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

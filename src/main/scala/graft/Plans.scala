@@ -148,6 +148,8 @@ object Plans {
       "Growth-analytics cohort matrix: the event stream collapses FIRST to distinct (user, week) — the big partial+final reduction — then the first-seen minimum is a WINDOW over the collapsed relation reusing the user_id exchange the distinct established (no Join operator in the plan; the former min-then-self-join paid a second shuffle and a join for the same answer). The permille division runs on the |weeks|²-row matrix; week bucketing is exact integer epoch-ms division so both engines agree.",
     "langid_auc" ->
       "Threshold-free classifier eval: ONE tokenize pass collapses the corpus to per-SCORE (pos, neg) counts — score cardinality is max stopword hits, a few hundred — so the Mann-Whitney prefix window runs at score cardinality over a single tiny partition, never on the corpus, and the driver receives one exact-integer row (n_pos, n_neg, auc_x2, auc_permille). Ties get the standard half-credit via the 2·below+at identity, all in int64.",
+    "sample_apportioned" ->
+      "Exact-total (Hamilton largest-remainder) mixture sampling: the corpus collapses to |sources| stratum counts, the apportionment arithmetic windows over that tiny relation and broadcasts the quotas back, and the pick is an md5-rank window PARTITIONED by source cut at quota — exactly `budget` rows out, no global sort, no RNG state. Rate-based stratified sampling can miss a fixed budget by rounding; mixtures are specified by exact budgets.",
     "sql_q19_brand_bands" ->
       "Disjunctive join predicate: the common p_partkey=l_partkey conjunct factors OUT of the three OR'd brand/size/quantity bands into the hash-join key (a non-factoring plan nested-loops the whole disjunction), the per-branch residual evaluates as a post-probe filter, and the part dim broadcasts. The classic Q19 optimizer stress.",
     "skew_join_preagg" ->

@@ -772,7 +772,67 @@ object Curation {
       .select(col("s.stage"), col("s.stage_name"), col("s.n_out"))
   }
 
+  /** Exact-total proportional sampling — largest-remainder (Hamilton)
+    * apportionment: pick EXACTLY `budget` docs across source strata,
+    * quotas proportional to stratum size (floor, then the leftover
+    * seats go to the largest remainders, remainder DESC + source
+    * tie-break — a total order, so both engines apportion
+    * identically), then the per-source pick is the established
+    * md5-rank cut. Rate-based stratified sampling
+    * ([[stratifiedSample]]) can miss a fixed budget by rounding;
+    * training-data mixtures are specified by exact token/doc budgets,
+    * and this closes that gap with pure integer arithmetic.
+    *
+    * Scale: stratum stats are one grouped pass collapsing to
+    * |sources| rows; the apportionment windows run over that tiny
+    * relation and broadcast back; the pick is a rank window
+    * PARTITIONED by source (parallel), cut at quota — no global sort
+    * of the corpus.
+    */
+  def apportionedSample(docs: DataFrame, budget: Int): DataFrame = {
+    val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", expr("sum(n_docs) over ()"))
+      .withColumn("base", expr(s"(${budget}L * n_docs) div total"))
+      .withColumn("rem", expr(s"(${budget}L * n_docs) % total"))
+      .withColumn("leftover", expr(s"${budget}L - sum(base) over ()"))
+      .withColumn("rrank",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"),
+        (col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+    docs.join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .where(col("rk") <= col("quota"))
+      .select("source", "doc_id", "rk")
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "sample_apportioned",
+      (s, dir) => apportionedSample(Tables.documents(s, dir), budget = 200)
+        .orderBy("source", "rk"),
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT source, n_docs,
+             |  CAST(sum(n_docs) OVER () AS BIGINT) AS total FROM s),
+             |q0 AS (SELECT source, n_docs, total,
+             |  CAST((200 * n_docs) // total AS BIGINT) AS base,
+             |  CAST((200 * n_docs) % total AS BIGINT) AS rem FROM t),
+             |l AS (SELECT source, base, rem,
+             |  CAST(200 - sum(base) OVER () AS BIGINT) AS leftover,
+             |  row_number() OVER (ORDER BY rem DESC, source) AS rrank FROM q0),
+             |q AS (SELECT source,
+             |  CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             |    AS quota FROM l),
+             |r AS (SELECT d.source, d.doc_id,
+             |  CAST(row_number() OVER (PARTITION BY d.source
+             |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) AS rk
+             |  FROM documents d)
+             |SELECT r.source, r.doc_id, r.rk FROM r JOIN q USING (source)
+             |WHERE rk <= quota ORDER BY source, rk""".stripMargin),
+    ),
     EngineQuery(
       "dsir_importance_select",
       (s, dir) => dsirImportanceSelect(Tables.documents(s, dir), "src0", k = 30),

@@ -174,6 +174,7 @@ object Drift {
              |SELECT n_a, n_b, len_tv_ppm, vocab_jaccard_permille,
              |  dup_b_in_a_permille, alpha_gap_pm
              |FROM tvq, vq, dq, qq""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "corpus_drift_tv",

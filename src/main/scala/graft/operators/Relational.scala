@@ -1202,6 +1202,7 @@ object Relational {
              |  CAST(sum(qty) AS DOUBLE) AS qty
              |FROM li JOIN o USING (hot_key)
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      headline = true,
     ),
     // Array-valued aggregation: per-customer sorted order-key list.
     // collect_list is order-nondeterministic under parallelism, so the

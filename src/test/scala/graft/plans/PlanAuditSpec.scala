@@ -1001,6 +1001,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Scan parquet|FileScan parquet".r.findAllMatchIn(p).size shouldBe 1
   }
 
+  test("apportioned sample: quotas broadcast back; the pick window partitions by source") {
+    val p = plan("sample_apportioned")
+    p should include("BroadcastHashJoin")   // quota attach, never a shuffle join
+    p should not include "CartesianProduct"
+    // the pick rank partitions by source (parallel); the quota bound is
+    // a column, so no WindowGroupLimit — the per-source sort is the cut
+    p should include regex "Window.*row_number.*source"
+  }
+
   test("Q19 disjunctive bands: the common partkey conjunct factors into a hash join") {
     val p = plan("sql_q19_brand_bands")
     // a plan that fails to factor p_partkey=l_partkey out of the OR
