@@ -150,6 +150,16 @@ object Plans {
       "Threshold-free classifier eval: ONE tokenize pass collapses the corpus to per-SCORE (pos, neg) counts — score cardinality is max stopword hits, a few hundred — so the Mann-Whitney prefix window runs at score cardinality over a single tiny partition, never on the corpus, and the driver receives one exact-integer row (n_pos, n_neg, auc_x2, auc_permille). Ties get the standard half-credit via the 2·below+at identity, all in int64.",
     "sample_apportioned" ->
       "Exact-total (Hamilton largest-remainder) mixture sampling: the corpus collapses to |sources| stratum counts, the apportionment arithmetic windows over that tiny relation and broadcasts the quotas back, and the pick is an md5-rank window PARTITIONED by source cut at quota — exactly `budget` rows out, no global sort, no RNG state. Rate-based stratified sampling can miss a fixed budget by rounding; mixtures are specified by exact budgets.",
+    "sql_q8_market_share" ->
+      "The widest join graph in the registry (8 relations, nation twice under aliases): all seven joins plan as BroadcastHashJoin at this SF (orders fits the threshold too); at scale the lineitem⋈orders spine becomes the one shuffle join while the true dims keep broadcasting — the plan adapts, the query doesn't change. The market share is a conditional aggregate over ONE fact pass (a per-nation/total split would scan lineitem twice), and the date band pushes to the orders scan.",
+    "sql_q11_important_parts" ->
+      "Global-threshold screen: the filtered supplier-region relation aggregates twice (per-part and the one-row global sum), but the threshold side collapses to a single row that broadcasts into the HAVING filter — the per-part aggregate is never re-scanned per group, and the comparison is cross-multiplied int64 (no division at the decision boundary).",
+    "sql_q15_top_supplier" ->
+      "Derived aggregate view consumed twice (join side + scalar max): Spark inlines the CTE into both consumers, but each side prunes to the same 3-column scan with the quarter band pushed down, and the per-supplier aggregate is supplier-cardinality tiny — the max side reduces to ONE scalar row, never a per-row probe. Exact-integer revenue (e4 units) makes the max-equality deterministic — a float formulation could drop or duplicate tie rows across engines.",
+    "sql_q17_small_qty_rev" ->
+      "Correlated scalar aggregate (each line vs 0.2× its own part's mean quantity): Catalyst decorrelates into ONE per-part average + an equi-join on partkey — the plan must show an Aggregate feeding a join, never a per-row subquery re-execution. The brand filter prunes the probe side at the part scan before the join.",
+    "sql_q21_waiting_suppliers" ->
+      "The EXISTS/NOT EXISTS double correlation on the same fact table becomes a LeftSemi plus a LeftAnti hash join on l_orderkey (the anti side carrying the outer o_orderdate lateness predicate as a join condition) — no nested-loop and no per-row re-execution; the region→nation→supplier chain broadcasts, and the top-20 is a TakeOrderedAndProject, not a global sort.",
     "sql_q19_brand_bands" ->
       "Disjunctive join predicate: the common p_partkey=l_partkey conjunct factors OUT of the three OR'd brand/size/quantity bands into the hash-join key (a non-factoring plan nested-loops the whole disjunction), the per-branch residual evaluates as a post-probe filter, and the part dim broadcasts. The classic Q19 optimizer stress.",
     "skew_join_preagg" ->

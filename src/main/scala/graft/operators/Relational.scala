@@ -576,6 +576,364 @@ object Relational {
              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
     ),
+    // TPC-H Q8 analog: national market share — the widest join graph in
+    // the registry (lineitem⋈part⋈orders⋈customer⋈nation⋈region⋈supplier
+    // ⋈nation again): nation joins TWICE under aliases (customer's and
+    // supplier's), every dim broadcasts, and the share is a conditional
+    // aggregate over one fact pass (never two scans split by nation).
+    // Volumes are exact e4-scaled integers; the permille share is
+    // integer division (both operands positive, so Spark's truncating
+    // `div` and DuckDB's flooring `//` agree).
+    EngineQuery(
+      "sql_q8_market_share",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        Tables.region(s, dir).createOrReplaceTempView("region_v")
+        s.sql("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN v.vol_e4 ELSE 0 END) * 1000
+                |       div sum(v.vol_e4) AS BIGINT) AS mkt_share_permille,
+                |  CAST(sum(v.vol_e4) AS BIGINT) AS total_vol_e4
+                |FROM (SELECT l_orderkey, l_suppkey, l_partkey,
+                |        CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                |          * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) AS vol_e4
+                |      FROM lineitem_v) v
+                |JOIN part_v ON p_partkey = v.l_partkey
+                |JOIN orders_v ON o_orderkey = v.l_orderkey
+                |JOIN customer_v ON c_custkey = o_custkey
+                |JOIN nation_v n1 ON c_nationkey = n1.n_nationkey
+                |JOIN region_v ON n1.n_regionkey = r_regionkey
+                |JOIN supplier_v ON s_suppkey = v.l_suppkey
+                |JOIN nation_v n2 ON s_nationkey = n2.n_nationkey
+                |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+                |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                |  AND o_orderdate < TIMESTAMP '1998-01-01'
+                |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin)
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN v.vol_e4 ELSE 0 END) * 1000
+             |       // sum(v.vol_e4) AS BIGINT) AS mkt_share_permille,
+             |  CAST(sum(v.vol_e4) AS BIGINT) AS total_vol_e4
+             |FROM (SELECT l_orderkey, l_suppkey, l_partkey,
+             |        CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |          * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) AS vol_e4
+             |      FROM lineitem) v
+             |JOIN part ON p_partkey = v.l_partkey
+             |JOIN orders ON o_orderkey = v.l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |JOIN supplier ON s_suppkey = v.l_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin),
+    ),
+    // TPC-H Q9 analog: product-type profit by supplier nation and year.
+    // The harness has no partsupp, so supply cost stands in as 60% of
+    // p_retailprice — which keeps Q9's real content: a LIKE-filtered
+    // part dim pruning the fact scan, a 5-table join, and a profit
+    // expression mixing fact and dim columns. All arithmetic is exact
+    // e4-scaled int64 (price·(1−disc) is integral at scale 4; the cost
+    // term is 60·retail_cents·qty — no decimal subtraction whose
+    // intermediate precision the two engines could type differently).
+    EngineQuery(
+      "sql_q9_product_profit",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        s.sql("""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)
+                |      - 60 * CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                |           * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_e4
+                |FROM lineitem_v
+                |JOIN part_v ON p_partkey = l_partkey
+                |JOIN supplier_v ON s_suppkey = l_suppkey
+                |JOIN nation_v ON s_nationkey = n_nationkey
+                |JOIN orders_v ON o_orderkey = l_orderkey
+                |WHERE p_name LIKE '%widget%'
+                |GROUP BY n_name, year(o_orderdate) ORDER BY n_name, o_year""".stripMargin)
+      },
+      Some("""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)
+             |      - 60 * CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             |           * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_e4
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |WHERE p_name LIKE '%widget%'
+             |GROUP BY n_name, year(o_orderdate) ORDER BY n_name, o_year""".stripMargin),
+    ),
+    // TPC-H Q11 analog: important-stock screen — per-part value vs a
+    // GLOBAL scalar threshold over the same filtered relation (no
+    // partsupp in the harness, so lineitem value from EUROPE-region
+    // suppliers stands in for supply value). The load-bearing plan
+    // property: the filtered relation is aggregated TWICE (per-part and
+    // globally) but the threshold side collapses to one row broadcast
+    // into the HAVING — never a per-group re-scan. Cross-multiplied
+    // integer comparison (×1200), no division at the boundary.
+    EngineQuery(
+      "sql_q11_important_parts",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        Tables.region(s, dir).createOrReplaceTempView("region_v")
+        s.sql("""WITH v AS (SELECT l_partkey,
+                |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) AS vol_e4
+                |  FROM lineitem_v JOIN supplier_v ON s_suppkey = l_suppkey
+                |  JOIN nation_v ON s_nationkey = n_nationkey
+                |  JOIN region_v ON n_regionkey = r_regionkey
+                |  WHERE r_name = 'EUROPE')
+                |SELECT l_partkey, CAST(sum(vol_e4) AS BIGINT) AS value_e4
+                |FROM v GROUP BY l_partkey
+                |HAVING sum(vol_e4) * 1200 > (SELECT sum(vol_e4) FROM v)
+                |ORDER BY value_e4 DESC, l_partkey""".stripMargin)
+      },
+      Some("""WITH v AS (SELECT l_partkey,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT) AS vol_e4
+             |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE')
+             |SELECT l_partkey, CAST(sum(vol_e4) AS BIGINT) AS value_e4
+             |FROM v GROUP BY l_partkey
+             |HAVING sum(vol_e4) * 1200 > (SELECT sum(vol_e4) FROM v)
+             |ORDER BY value_e4 DESC, l_partkey""".stripMargin),
+    ),
+    // TPC-H Q12 analog: shipping-mode priority counts — the harness
+    // lineitem has no shipmode/commitdate, so linestatus buckets the
+    // rows and "late" is ship > order + 60 days (same join-then-
+    // conditional-aggregate shape: ONE fact pass produces both the
+    // high- and low-priority counts via CASE, never two filtered scans).
+    EngineQuery(
+      "sql_q12_late_priority",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_linestatus,
+                |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+                |FROM orders_v JOIN lineitem_v ON o_orderkey = l_orderkey
+                |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                |  AND l_shipdate < TIMESTAMP '1997-01-01'
+                |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+    ),
+    // TPC-H Q15 analog: top supplier by quarterly revenue — a derived
+    // aggregate view consumed TWICE (join side + scalar max). The
+    // load-bearing plan property: the quarter band prunes lineitem at
+    // the scan, the per-supplier aggregate computes once and the max
+    // side is one broadcast row; the equality is exact-integer (e4
+    // units), so ties surface deterministically instead of hinging on
+    // float rounding.
+    EngineQuery(
+      "sql_q15_top_supplier",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        s.sql("""WITH revenue AS (
+                |  SELECT l_suppkey,
+                |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)) AS BIGINT)
+                |      AS total_rev_e4
+                |  FROM lineitem_v
+                |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                |    AND l_shipdate < TIMESTAMP '1996-04-01'
+                |  GROUP BY l_suppkey)
+                |SELECT s_suppkey, s_name, total_rev_e4
+                |FROM supplier_v JOIN revenue ON s_suppkey = l_suppkey
+                |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+                |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)) AS BIGINT)
+             |      AS total_rev_e4
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_rev_e4
+             |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+             |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin),
+    ),
+    // TPC-H Q16 analog: supplier diversity per part attribute triple —
+    // count(DISTINCT supplier) grouped by (brand, type, size) with a
+    // NOT IN exclusion subquery (negative-balance suppliers stand in
+    // for Q16's complaint filter; lineitem's (part, supplier) pairs
+    // stand in for partsupp). The exclusion rewrites to an anti-join
+    // against a broadcast-tiny relation, never a per-row probe.
+    EngineQuery(
+      "sql_q16_supplier_cnt",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        s.sql("""SELECT p_brand, p_type, p_size,
+                |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+                |FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+                |WHERE p_brand <> 'Brand#13' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+                |  AND l_suppkey NOT IN
+                |    (SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0.0)
+                |GROUP BY p_brand, p_type, p_size
+                |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#13' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+             |  AND l_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    ),
+    // TPC-H Q17 analog: small-quantity revenue — each line compared to
+    // 0.2× ITS OWN PART's average quantity via a correlated scalar
+    // aggregate. Catalyst decorrelates into one per-part aggregate +
+    // equi-join (the plan pin asserts no per-row re-execution). The avg
+    // divides an exact int64 sum by an int64 count — one IEEE division,
+    // bit-identical in both engines — and revenue is integer cents.
+    EngineQuery(
+      "sql_q17_small_qty_rev",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        s.sql("""SELECT CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                |         AS BIGINT)) AS BIGINT) AS small_qty_rev_cents,
+                |  count(*) AS n_lines
+                |FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+                |WHERE p.p_brand = 'Brand#5'
+                |  AND l.l_quantity < 0.2 * (SELECT avg(CAST(l2.l_quantity AS BIGINT))
+                |                            FROM lineitem_v l2
+                |                            WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+      },
+      Some("""SELECT CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+             |         AS BIGINT)) AS BIGINT) AS small_qty_rev_cents,
+             |  count(*) AS n_lines
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_brand = 'Brand#5'
+             |  AND l.l_quantity < 0.2 * (SELECT avg(CAST(l2.l_quantity AS BIGINT))
+             |                            FROM lineitem l2
+             |                            WHERE l2.l_partkey = l.l_partkey)""".stripMargin),
+    ),
+    // TPC-H Q20 analog: supplier pre-qualification — a nested IN whose
+    // subquery is a GROUPED aggregate with HAVING (suppliers that moved
+    // >400 units of 'small%' parts in the year; availqty doesn't exist
+    // in the harness, so shipped volume is the stand-in). The IN
+    // rewrites to a semi-join against the aggregated relation; the
+    // region chain broadcasts onto the 100-row supplier dim.
+    EngineQuery(
+      "sql_q20_qualified_suppliers",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        Tables.region(s, dir).createOrReplaceTempView("region_v")
+        s.sql("""SELECT s_suppkey, s_name
+                |FROM supplier_v JOIN nation_v ON s_nationkey = n_nationkey
+                |JOIN region_v ON n_regionkey = r_regionkey
+                |WHERE r_name = 'EUROPE'
+                |  AND s_suppkey IN (
+                |    SELECT l_suppkey FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+                |    WHERE p_name LIKE 'small%'
+                |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+                |      AND l_shipdate < TIMESTAMP '1997-01-01'
+                |    GROUP BY l_suppkey HAVING sum(CAST(l_quantity AS BIGINT)) > 400)
+                |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'EUROPE'
+             |  AND s_suppkey IN (
+             |    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+             |    WHERE p_name LIKE 'small%'
+             |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |      AND l_shipdate < TIMESTAMP '1997-01-01'
+             |    GROUP BY l_suppkey HAVING sum(CAST(l_quantity AS BIGINT)) > 400)
+             |ORDER BY s_suppkey""".stripMargin),
+    ),
+    // TPC-H Q21 analog: suppliers who kept orders waiting — the classic
+    // EXISTS + NOT EXISTS double correlation on the SAME fact table
+    // ("another supplier contributed to the order" / "no other supplier
+    // was ALSO late"). Late = ship > order + 60 days (no receipt/commit
+    // dates in the harness). Catalyst turns the pair into a left-semi
+    // and a left-anti join on l_orderkey — the NOT EXISTS correlates on
+    // o_orderdate from the OUTER orders table, the stress case for
+    // nested-correlation rewrites. Top-20 via TakeOrderedAndProject.
+    EngineQuery(
+      "sql_q21_waiting_suppliers",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        Tables.region(s, dir).createOrReplaceTempView("region_v")
+        s.sql("""SELECT s_name, count(*) AS numwait
+                |FROM supplier_v
+                |JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
+                |JOIN orders_v o ON o.o_orderkey = l1.l_orderkey
+                |JOIN nation_v ON s_nationkey = n_nationkey
+                |JOIN region_v ON n_regionkey = r_regionkey
+                |WHERE o.o_orderstatus = 'F' AND r_name = 'ASIA'
+                |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                |  AND EXISTS (SELECT 1 FROM lineitem_v l2
+                |              WHERE l2.l_orderkey = l1.l_orderkey
+                |                AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+                |                  WHERE l3.l_orderkey = l1.l_orderkey
+                |                    AND l3.l_suppkey <> l1.l_suppkey
+                |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier
+             |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+             |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE o.o_orderstatus = 'F' AND r_name = 'ASIA'
+             |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin),
+    ),
     // TPC-H Q13 analog: orders-per-customer distribution — the LEFT
     // OUTER join keeps zero-order customers in the c_count=0 bucket,
     // then a second (tiny) aggregation over counts.

@@ -1010,6 +1010,51 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include regex "Window.*row_number.*source"
   }
 
+  test("Q8 market share: every dim broadcasts, one conditional-agg fact pass, one lineitem scan") {
+    val p = plan("sql_q8_market_share")
+    "BroadcastHashJoin".r.findAllMatchIn(p).size shouldBe 7
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the share comes from CASE inside the aggregate, never two scans
+    "lineitem\\.parquet".r.findAllMatchIn(p).size shouldBe 1
+  }
+
+  test("Q17 correlated scalar avg decorrelates to a per-part aggregate + equi-join") {
+    val p = plan("sql_q17_small_qty_rev")
+    // the per-part mean is ONE grouped aggregate joined back on partkey,
+    // with the 0.2x comparison as the join condition — never a per-row
+    // scalar subquery execution (no Subquery node survives decorrelation)
+    p should include("avg(")
+    p should not include "Subquery"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("Q21 double correlation plans as LeftSemi + LeftAnti hash joins, top-20 as TakeOrdered") {
+    val p = plan("sql_q21_waiting_suppliers")
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    // the anti side carries the outer-correlated lateness predicate as a
+    // join condition, not a post-hoc filter re-executing per row
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("Q15 top supplier: scalar max reduces to one subquery row, no nested loop") {
+    val p = plan("sql_q15_top_supplier")
+    p should include("Subquery")        // the scalar max, evaluated once
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("Q11 global threshold: cross-multiplied HAVING against a one-row scalar subquery") {
+    val p = plan("sql_q11_important_parts")
+    p should include("Subquery")
+    p should include("* 1200")          // integer cross-multiply, no division
+    p should not include "CartesianProduct"
+  }
+
   test("Q19 disjunctive bands: the common partkey conjunct factors into a hash join") {
     val p = plan("sql_q19_brand_bands")
     // a plan that fails to factor p_partkey=l_partkey out of the OR
