@@ -808,7 +808,67 @@ object Curation {
       .select("source", "doc_id", "rk")
   }
 
+  /** Temperature-scaled (α = 0.5) mixture sampling — the standard LLM
+    * data-mixture move: sampling weights ∝ n_i^α flatten the source
+    * distribution (α<1 up-weights small sources, α=1 is proportional,
+    * α=0 uniform), then the SAME largest-remainder apportionment as
+    * [[apportionedSample]] turns the weights into exact integer quotas
+    * summing to `budget`. Weights are floor(sqrt(n)·1000) — sqrt is
+    * IEEE-correctly-rounded in both engines and floor pins the one
+    * float op to an exact integer, so the apportionment replays
+    * bit-identically; budget·w stays < 2^63 through n ~ 10^12 docs.
+    *
+    * Scale: identical to [[apportionedSample]] — the corpus collapses
+    * once to |sources| stratum counts, the quota arithmetic runs on
+    * that tiny relation, the pick is a per-source md5-rank window cut.
+    */
+  def temperatureSample(docs: DataFrame, budget: Int): DataFrame = {
+    val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+      .withColumn("wtot", expr("sum(w) over ()"))
+      .withColumn("base", expr(s"(${budget}L * w) div wtot"))
+      .withColumn("rem", expr(s"(${budget}L * w) % wtot"))
+      .withColumn("leftover", expr(s"${budget}L - sum(base) over ()"))
+      .withColumn("rrank",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"),
+        (col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+    docs.join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .where(col("rk") <= col("quota"))
+      .select("source", "doc_id", "rk")
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "sample_temperature_mix",
+      (s, dir) => temperatureSample(Tables.documents(s, dir), budget = 200)
+        .orderBy("source", "rk"),
+      Some("""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY 1),
+             |w0 AS (SELECT source, n_docs,
+             |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT) AS w FROM s),
+             |t AS (SELECT source, w,
+             |  CAST(sum(w) OVER () AS BIGINT) AS wtot FROM w0),
+             |q0 AS (SELECT source, w, wtot,
+             |  CAST((200 * w) // wtot AS BIGINT) AS base,
+             |  CAST((200 * w) % wtot AS BIGINT) AS rem FROM t),
+             |l AS (SELECT source, base, rem,
+             |  CAST(200 - sum(base) OVER () AS BIGINT) AS leftover,
+             |  row_number() OVER (ORDER BY rem DESC, source) AS rrank FROM q0),
+             |q AS (SELECT source,
+             |  CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             |    AS quota FROM l),
+             |r AS (SELECT d.source, d.doc_id,
+             |  CAST(row_number() OVER (PARTITION BY d.source
+             |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) AS rk
+             |  FROM documents d)
+             |SELECT r.source, r.doc_id, r.rk FROM r JOIN q USING (source)
+             |WHERE rk <= quota ORDER BY source, rk""".stripMargin),
+    ),
     EngineQuery(
       "sample_apportioned",
       (s, dir) => apportionedSample(Tables.documents(s, dir), budget = 200)

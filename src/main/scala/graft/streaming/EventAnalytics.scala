@@ -211,6 +211,72 @@ object EventAnalytics {
     spark.table(qn)
   }
 
+  /** Stream-stream LEFT OUTER interval join — the "views that never
+    * converted" shape. Unlike the inner join ([[runStreamingIntervalJoin]]),
+    * the null-extended rows can only emit once the WATERMARK passes
+    * `v_ts + 30min` (before that, a matching purchase could still
+    * arrive), so a finite quiet source would withhold the tail forever.
+    * The fix is the production pattern: a HEARTBEAT branch — the
+    * purchase stream unioned with a far-future shifted copy on
+    * never-matching negative keys — advances the event-time watermark
+    * past all real data, flushing every unmatched view. (On a real
+    * cluster the heartbeat is a scheduled synthetic event per quiet
+    * partition; same semantics.) State stays bounded either way: views
+    * evict as soon as the watermark clears their interval.
+    */
+  def runStreamingLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.ensureLegacyParquetConf(spark)
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = Tables.normalizeEventsTs(spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .load(sfDir))
+    // The join's effective watermark is the MIN across all inputs, so
+    // BOTH sides need the heartbeat — a far-future shifted copy on
+    // never-matching negative keys. The view-side heartbeat rows would
+    // surface as unmatched output, so the post-join filter drops the
+    // negative keys again (stateless, after the stateful join).
+    val viewSrc = src.where(col("event_type") === "view")
+    val views = viewSrc
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .union(viewSrc.select(
+        (col("user_id") * -1 - 2000000L).as("v_user"),
+        (col("ts") + expr("INTERVAL 2000 HOURS")).as("v_ts"),
+        col("event_id").as("view_id")))
+      .withWatermark("v_ts", "1 hour")
+    def purch = src.where(col("event_type") === "purchase")
+    val purchases = purch
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .union(purch.select(
+        (col("user_id") * -1 - 1000000L).as("p_user"),
+        (col("ts") + expr("INTERVAL 2000 HOURS")).as("p_ts"),
+        col("event_id").as("purchase_id")))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(
+      purchases,
+      expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 30 minutes"),
+      "left_outer")
+      // drops the view-side heartbeat rows (always unmatched, negative
+      // key). The disjunction references BOTH join sides, so Catalyst
+      // cannot push it below the join — a bare v_user >= 0 would push
+      // through the watermark node and strip the heartbeat before it
+      // ever advances the clock.
+      .where(col("v_user") >= 0 || col("purchase_id").isNotNull)
+      .select(
+        col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
+    val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn)
+  }
+
   /** Production-shaped streaming dedup: `dropDuplicatesWithinWatermark`
     * bounds the dedup state by event time (a key is remembered only
     * until the watermark passes it), unlike [[runStreamingDedup]]'s
@@ -262,6 +328,19 @@ object EventAnalytics {
              | AND v.event_type = 'view' AND p.event_type = 'purchase'
              | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
              |ORDER BY v.user_id, view_id, purchase_id""".stripMargin),
+    ),
+    EngineQuery(
+      "streaming_left_outer_join",
+      (s, dir) =>
+        runStreamingLeftOuterJoin(s, dir)
+          .orderBy(col("user_id"), col("view_id"), col("purchase_id").asc_nulls_first),
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             |  epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON v.user_id = p.user_id
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+             |ORDER BY v.user_id, view_id, purchase_id NULLS FIRST""".stripMargin),
     ),
     EngineQuery(
       "streaming_dedup_counts",
