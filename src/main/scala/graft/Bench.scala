@@ -98,7 +98,11 @@ object Bench {
       // evidence the fix holds), and the composed drift report;
       // min-of-5 ad-hoc builder runs
       "cohort_retention" -> 0.41, "sql_q5_local_supplier" -> 1.18,
-      "skew_join_preagg" -> 0.96, "snapshot_acceptance" -> 0.62)
+      "skew_join_preagg" -> 0.96, "snapshot_acceptance" -> 0.62,
+      // r12 closing promotions: the suite-completing TPC-H adds with
+      // the two hardest plan shapes (8-relation star; EXISTS+NOT EXISTS
+      // double correlation); min-of-5 ad-hoc builder runs
+      "sql_q8_market_share" -> 0.88, "sql_q21_waiting_suppliers" -> 1.15)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

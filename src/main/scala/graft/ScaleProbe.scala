@@ -107,7 +107,13 @@ object ScaleProbe {
     // collect_set bound under stress); AUC and drift ride the 30×
     // corpus — both claim post-scan work at score/bin cardinality, so
     // their ratio should track the pure scan ratio.
-    "cohort_retention", "langid_auc", "corpus_drift_bins")
+    "cohort_retention", "langid_auc", "corpus_drift_bins",
+    // r12 closing additions: the two hardest TPC-H plan shapes. Q8's
+    // 8-relation star rides the copy-scaled fact spine (dims stay
+    // broadcast-size); Q21's semi/anti joins correlate on l_orderkey,
+    // which SHIFTS per copy — per-order line groups stay bounded, so
+    // the semi/anti probe mass must grow linearly, not quadratically.
+    "sql_q8_market_share", "sql_q21_waiting_suppliers")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

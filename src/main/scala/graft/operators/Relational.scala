@@ -633,6 +633,7 @@ object Relational {
              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1998-01-01'
              |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin),
+      headline = true,
     ),
     // TPC-H Q9 analog: product-type profit by supplier nation and year.
     // The harness has no partsupp, so supply cost stands in as 60% of
@@ -933,6 +934,7 @@ object Relational {
              |                    AND l3.l_suppkey <> l1.l_suppkey
              |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin),
+      headline = true,
     ),
     // TPC-H Q13 analog: orders-per-customer distribution — the LEFT
     // OUTER join keeps zero-order customers in the c_count=0 bucket,

@@ -1002,12 +1002,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
   }
 
   test("apportioned sample: quotas broadcast back; the pick window partitions by source") {
-    val p = plan("sample_apportioned")
-    p should include("BroadcastHashJoin")   // quota attach, never a shuffle join
-    p should not include "CartesianProduct"
-    // the pick rank partitions by source (parallel); the quota bound is
-    // a column, so no WindowGroupLimit — the per-source sort is the cut
-    p should include regex "Window.*row_number.*source"
+    for (name <- Seq("sample_apportioned", "sample_temperature_mix")) {
+      val p = plan(name)
+      p should include("BroadcastHashJoin")   // quota attach, never a shuffle join
+      p should not include "CartesianProduct"
+      // the pick rank partitions by source (parallel); the quota bound is
+      // a column, so no WindowGroupLimit — the per-source sort is the cut
+      p should include regex "Window.*row_number.*source"
+    }
   }
 
   test("Q8 market share: every dim broadcasts, one conditional-agg fact pass, one lineitem scan") {
