@@ -148,6 +148,10 @@ object Plans {
       "Growth-analytics cohort matrix: the event stream collapses FIRST to distinct (user, week) — the big partial+final reduction — then the first-seen minimum is a WINDOW over the collapsed relation reusing the user_id exchange the distinct established (no Join operator in the plan; the former min-then-self-join paid a second shuffle and a join for the same answer). The permille division runs on the |weeks|²-row matrix; week bucketing is exact integer epoch-ms division so both engines agree.",
     "langid_auc" ->
       "Threshold-free classifier eval: ONE tokenize pass collapses the corpus to per-SCORE (pos, neg) counts — score cardinality is max stopword hits, a few hundred — so the Mann-Whitney prefix window runs at score cardinality over a single tiny partition, never on the corpus, and the driver receives one exact-integer row (n_pos, n_neg, auc_x2, auc_permille). Ties get the standard half-credit via the 2·below+at identity, all in int64.",
+    "ewma_revenue_daily" ->
+      "Exact-integer EWMA (α=1/2, 20-day kernel): ONE fact aggregation collapses orders to day cardinality and is localCheckpointed (by dump time its four consumers — bounds, spine fill, convolution, final join — are `Scan ExistingRDD` leaves; the un-checkpointed plan re-scanned orders 5×). Everything after runs at |days| rows. The EWMA recurrence would be a sequential float fold — non-distributable and engine-divergent; the power-of-two truncated kernel makes it an integer convolution both engines replay bit-identically.",
+    "gram_power_iteration" ->
+      "PCA power iteration on sufficient statistics: the corpus pays the Gram generate+aggregate ONCE, localCheckpointed (by dump time the seven consumers — two mirror branches × three iterations — are `Scan ExistingRDD` leaves; un-checkpointed, the plan re-ran the corpus pass 6×). Every iteration is a 64×64-matrix⋈broadcast-64-row-vector join, so iterating is free at 100 TB and there is no driver-side linear algebra. Rescaling divides the ABSOLUTE value and reapplies the sign outside, because Spark div truncates while DuckDB // floors on negatives.",
     "sample_apportioned" ->
       "Exact-total (Hamilton largest-remainder) mixture sampling: the corpus collapses to |sources| stratum counts, the apportionment arithmetic windows over that tiny relation and broadcasts the quotas back, and the pick is an md5-rank window PARTITIONED by source cut at quota — exactly `budget` rows out, no global sort, no RNG state. Rate-based stratified sampling can miss a fixed budget by rounding; mixtures are specified by exact budgets.",
     "sql_q8_market_share" ->

@@ -433,7 +433,77 @@ object Ann {
       .groupBy(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"))
       .agg(sum(col("c.p")).as("s"))
 
+  /** Top principal direction by POWER ITERATION over the Gram matrix —
+    * the PCA step on top of [[gramMatrixUpper]]. The corpus pays
+    * exactly one pass (the Gram generate+aggregate); every iteration
+    * after that runs at MATRIX cardinality (64×64 rows joined against
+    * a broadcast 64-row vector), so iterating is free at 100 TB — the
+    * classic "collapse to sufficient statistics, then iterate on the
+    * tiny relation" shape, kept fully declarative (no driver-side
+    * linear algebra). Determinism across engines: each step rescales
+    * by `abs(u) div (max|u| div 1000 + 1)` — division on the ABSOLUTE
+    * value with the sign reapplied outside, because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors (they differ on
+    * negatives); the divisor form also keeps `abs(u)·1` in range with
+    * no ·1000 blow-up, overflow-safe through sf100.
+    */
+  def gramPowerIteration(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    // the Gram pass is the only corpus-scale work and SEVEN subtrees
+    // consume it (two mirror branches × three iterations + the final);
+    // without the checkpoint each re-runs the generate+aggregate (the
+    // dumped plan had 6 embeddings scans) — materialize the 2080-row
+    // statistic once, iterations scan executor-local blocks
+    val gU = gramMatrixUpper(embeddings).localCheckpoint()
+    val g = gU.union(gU.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("s")))
+    val v0 = spark.range(Dedup.Dim.toLong)
+      .select(col("id").as("dim"), lit(1000L).as("v"))
+    (1 to iters).foldLeft(v0) { (v, _) =>
+      g.join(broadcast(v), g("j") === v("dim"))
+        .groupBy(g("i")).agg(sum(col("s") * col("v")).as("u"))
+        .select(col("i").as("dim"), col("u"))
+        .withColumn("m", expr("max(abs(u)) OVER ()"))
+        .select(col("dim"),
+          expr("(CASE WHEN u < 0 THEN -1 ELSE 1 END) * (abs(u) div (m div 1000 + 1))")
+            .cast("long").as("v"))
+    }
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "gram_power_iteration",
+      (s, dir) => gramPowerIteration(Tables.embeddings(s, dir)).orderBy("dim"),
+      Some("""WITH qx AS (
+             |  SELECT list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+             |  FROM embeddings),
+             |gu AS (
+             |  SELECT CAST(g1.i AS BIGINT) AS i, CAST(g2.j AS BIGINT) AS j,
+             |    CAST(sum(q[CAST(g1.i AS INT) + 1] * q[CAST(g2.j AS INT) + 1]) AS BIGINT) AS s
+             |  FROM qx, range(64) g1(i), range(64) g2(j)
+             |  WHERE g2.j >= g1.i GROUP BY 1, 2),
+             |g AS (SELECT i, j, s FROM gu
+             |  UNION ALL SELECT j AS i, i AS j, s FROM gu WHERE i <> j),
+             |v0 AS (SELECT CAST(t.i AS BIGINT) AS dim, CAST(1000 AS BIGINT) AS v
+             |  FROM range(64) t(i)),
+             |u1 AS (SELECT g.i AS dim, CAST(sum(g.s * v.v) AS BIGINT) AS u
+             |  FROM g JOIN v0 v ON g.j = v.dim GROUP BY 1),
+             |v1 AS (SELECT dim, CAST((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             |  * (abs(u) // ((SELECT max(abs(u)) FROM u1) // 1000 + 1)) AS BIGINT) AS v
+             |  FROM u1),
+             |u2 AS (SELECT g.i AS dim, CAST(sum(g.s * v.v) AS BIGINT) AS u
+             |  FROM g JOIN v1 v ON g.j = v.dim GROUP BY 1),
+             |v2 AS (SELECT dim, CAST((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             |  * (abs(u) // ((SELECT max(abs(u)) FROM u2) // 1000 + 1)) AS BIGINT) AS v
+             |  FROM u2),
+             |u3 AS (SELECT g.i AS dim, CAST(sum(g.s * v.v) AS BIGINT) AS u
+             |  FROM g JOIN v2 v ON g.j = v.dim GROUP BY 1),
+             |v3 AS (SELECT dim, CAST((CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             |  * (abs(u) // ((SELECT max(abs(u)) FROM u3) // 1000 + 1)) AS BIGINT) AS v
+             |  FROM u3)
+             |SELECT dim, v FROM v3 ORDER BY dim""".stripMargin),
+    ),
     EngineQuery(
       "embedding_gram_upper",
       (s, dir) => gramMatrixUpper(Tables.embeddings(s, dir)).orderBy("i", "j"),

@@ -1057,6 +1057,25 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("EWMA convolution: the fact table pays exactly one scan; all else is day cardinality") {
+    val p = plan("ewma_revenue_daily")
+    // the day-aggregate is checkpointed — its four consumers scan the
+    // materialization, not the orders parquet
+    "orders\\.parquet".r.findAllMatchIn(p).size shouldBe 0
+    "Scan ExistingRDD".r.findAllMatchIn(p).size should be >= 2
+    p should not include "WindowExec"
+  }
+
+  test("power iteration: the Gram pass is checkpointed; iterations never re-scan the corpus") {
+    val p = plan("gram_power_iteration")
+    "embeddings\\.parquet".r.findAllMatchIn(p).size shouldBe 0
+    "Scan ExistingRDD".r.findAllMatchIn(p).size should be >= 2
+    // every matrix×vector step joins the broadcast vector — tiny side
+    // broadcast, matrix side never shuffles wide
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("Q19 disjunctive bands: the common partkey conjunct factors into a hash join") {
     val p = plan("sql_q19_brand_bands")
     // a plan that fails to factor p_partkey=l_partkey out of the OR
