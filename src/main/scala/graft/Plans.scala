@@ -148,6 +148,8 @@ object Plans {
       "Growth-analytics cohort matrix: the event stream collapses FIRST to distinct (user, week) — the big partial+final reduction — then the first-seen minimum is a WINDOW over the collapsed relation reusing the user_id exchange the distinct established (no Join operator in the plan; the former min-then-self-join paid a second shuffle and a join for the same answer). The permille division runs on the |weeks|²-row matrix; week bucketing is exact integer epoch-ms division so both engines agree.",
     "langid_auc" ->
       "Threshold-free classifier eval: ONE tokenize pass collapses the corpus to per-SCORE (pos, neg) counts — score cardinality is max stopword hits, a few hundred — so the Mann-Whitney prefix window runs at score cardinality over a single tiny partition, never on the corpus, and the driver receives one exact-integer row (n_pos, n_neg, auc_x2, auc_permille). Ties get the standard half-credit via the 2·below+at identity, all in int64.",
+    "decontaminate_semantic" ->
+      "Embedding-space decontamination (the paraphrase-proof complement of the word-n-gram family): the eval-set side is benchmark-sized and BROADCASTS; the sign-LSH bucket is the equi-join key so each corpus vector meets only same-bucket benchmark vectors — the corpus is never shuffled and never self-joined. Cosine verification is the codegen'd exact-integer dot_i64 over quantized components; the one float op (sqrt-norm division) is bit-identical in both engines.",
     "ewma_revenue_daily" ->
       "Exact-integer EWMA (α=1/2, 20-day kernel): ONE fact aggregation collapses orders to day cardinality and is localCheckpointed (by dump time its four consumers — bounds, spine fill, convolution, final join — are `Scan ExistingRDD` leaves; the un-checkpointed plan re-scanned orders 5×). Everything after runs at |days| rows. The EWMA recurrence would be a sequential float fold — non-distributable and engine-divergent; the power-of-two truncated kernel makes it an integer convolution both engines replay bit-identically.",
     "gram_power_iteration" ->

@@ -752,6 +752,40 @@ object Dedup {
       .select("bucket", "vec_a", "vec_b", "sim")
   }
 
+  /** SEMANTIC decontamination — the embedding-space analog of the
+    * word-n-gram decontaminate family: flag corpus vectors whose
+    * cosine similarity to ANY held-out benchmark vector clears the
+    * threshold (eval-set contamination that paraphrasing hides from
+    * exact n-gram matching). Label 0 stands in as the benchmark
+    * cohort. Asymmetric two-relation shape: the benchmark side is
+    * eval-set-sized and BROADCASTS (never a corpus shuffle); the
+    * sign-LSH bucket is the join key, so each corpus vector compares
+    * only against same-bucket benchmark vectors (documented recall<1,
+    * the LSH trade — the oracle carries the identical bucket
+    * condition). The cosine is the exact-integer `dot_i64` over
+    * quantized components divided by stored integer norms — one IEEE
+    * division/sqrt per candidate, bit-identical across engines.
+    */
+  def semanticDecontaminate(
+      embeddings: DataFrame, bits: Int = 6, simThreshold: Double = 0.25): DataFrame = {
+    graft.GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.select(
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("nrm", expr("dot_i64(q, q)"))
+      .withColumn("bucket", hyperplaneBucket("q", bits))
+    val corpus = q.where(col("label") =!= 0)
+      .select(col("vec_id"), col("q").as("qc"), col("nrm").as("nc"), col("bucket"))
+    val bench = q.where(col("label") === 0)
+      .select(col("q").as("qe"), col("nrm").as("ne"), col("bucket"))
+    corpus.join(broadcast(bench), Seq("bucket"))
+      .withColumn("sim", expr("dot_i64(qc, qe)").cast("double") /
+        (sqrt(col("nc").cast("double")) * sqrt(col("ne").cast("double"))))
+      .where(col("sim") >= simThreshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_matches"), max(col("sim")).as("best_sim"))
+  }
+
   // --------------------------------------------------------------- oracles
 
   /** DuckDB CTE for k-shingles per doc (multiset — matches docShingles). */
@@ -1255,6 +1289,26 @@ object Dedup {
              |WHERE (1000 * inter) // sa.sz >= 200
              |ORDER BY doc_a, doc_b""".stripMargin),
       headline = true,
+    ),
+    EngineQuery(
+      "decontaminate_semantic",
+      (s, dir) => semanticDecontaminate(Tables.embeddings(s, dir)).orderBy("vec_id"),
+      Some {
+        s"""WITH qx AS (
+           |  SELECT vec_id, label,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, label, q, ${duckHyperplaneBucket("q", 6)} AS bucket,
+           |  CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS nrm FROM qx),
+           |cand AS (
+           |  SELECT c.vec_id,
+           |    CAST(list_sum(list_transform(list_zip(c.q, e.q), p -> p[1] * p[2])) AS BIGINT)
+           |      / (sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))) AS sim
+           |  FROM n c JOIN n e ON c.bucket = e.bucket
+           |  WHERE c.label <> 0 AND e.label = 0)
+           |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches, max(sim) AS best_sim
+           |FROM cand WHERE sim >= 0.25 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
     ),
     EngineQuery(
       "embedding_neardup_pairs",

@@ -1076,6 +1076,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "CartesianProduct"
   }
 
+  test("semantic decontamination: the benchmark side broadcasts; bucket equi-join, no product") {
+    val p = plan("decontaminate_semantic")
+    p should include("BroadcastExchange")
+    p should include("BroadcastHashJoin")   // bucket-keyed, corpus never shuffles
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("Q19 disjunctive bands: the common partkey conjunct factors into a hash join") {
     val p = plan("sql_q19_brand_bands")
     // a plan that fails to factor p_partkey=l_partkey out of the OR
