@@ -23,10 +23,13 @@ import graft.{EngineQuery, Tables}
   * map-side-combined aggregation — bins are floor(log2(n_chars))+1 via
   * `length(bin(x))`, pure integer ops, ≤ 64 of them — and everything
   * after the first shuffle (global-window totals, the ppm division)
-  * runs at bin cardinality. The cross-multiplied numerators stay under
-  * int64 through ~3·10⁹ docs per cohort; past that, the per-bin gap
-  * switches to ppm-of-cohort terms (gap of two int64 ppm values) with
-  * one extra integer division — same plan shape.
+  * runs at bin cardinality. The cross-multiplied-and-ppm-scaled
+  * numerators (10⁶·|n_a·N_b − n_b·N_a| ≤ 10⁶·N²) would wrap int64 at
+  * only ~3·10⁶ docs per cohort, so the whole numerator lane runs in
+  * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact integers to 10³⁸,
+  * i.e. ~10¹⁵ docs per cohort — and only the final ≤10⁶ ppm value is
+  * cast back to BIGINT. All of this happens at bin cardinality (≤64
+  * rows), so the wide lane costs nothing measurable.
   */
 object Drift {
 
@@ -47,26 +50,47 @@ object Drift {
     * AFTER the magnitude division: Spark `div` truncates toward zero
     * while DuckDB `//` floors, so a signed numerator would disagree on
     * negative gaps — |gap| div totals is engine-portable, the sign is a
-    * separate exact factor.
+    * separate exact factor. The numerator lane is DECIMAL(38,0): int64
+    * would wrap at ~3·10⁶ docs per cohort once the 10⁶ ppm scale is
+    * applied (see the object scaladoc); `div` (IntegralDivide) accepts
+    * decimals and returns BIGINT. An empty cohort makes the divisor 0 —
+    * `greatest(…, 1)` keeps Spark (NULL) and DuckDB (error) agreeing on
+    * gap 0, since the numerator is 0 whenever a total is.
+    *
+    * Exposed on a pre-binned (len_bin, n_a, n_b) frame so the wide-lane
+    * arithmetic is unit-testable at synthetic 10¹⁰-count scales without
+    * 10¹⁰ rows ([[DriftSpec]]).
     */
-  def driftBins(docs: DataFrame): DataFrame =
-    withTotals(binned(docs))
-      .withColumn("d", expr("n_a * nb_tot - n_b * na_tot"))
+  private[curation] def gapPpm(bins: DataFrame): DataFrame =
+    withTotals(bins)
+      .withColumn("d",
+        expr("CAST(n_a AS DECIMAL(38,0)) * nb_tot - CAST(n_b AS DECIMAL(38,0)) * na_tot"))
       .withColumn("gap_ppm",
-        expr("if(d < 0, -1L, 1L) * ((1000000 * abs(d)) div (na_tot * nb_tot))"))
+        expr("""if(d < 0, -1L, 1L) *
+          ((1000000 * abs(d)) div greatest(CAST(na_tot AS DECIMAL(38,0)) * nb_tot, 1))"""))
       .select("len_bin", "n_a", "n_b", "gap_ppm")
+
+  def driftBins(docs: DataFrame): DataFrame = gapPpm(binned(docs))
 
   /** Total variation distance between the two cohorts' length-bin
     * distributions, exact ppm, one summary row (n_a, n_b, tv_ppm).
+    * Same DECIMAL(38,0) numerator lane and empty-cohort divisor guard
+    * as [[gapPpm]]; split out on the binned frame for the same
+    * synthetic-scale unit test.
     */
-  def driftTv(docs: DataFrame): DataFrame =
-    withTotals(binned(docs))
+  private[curation] def tvPpm(bins: DataFrame): DataFrame =
+    withTotals(bins)
       .agg(
         max(col("na_tot")).as("n_a"),
         max(col("nb_tot")).as("n_b"),
-        sum(abs(expr("n_a * nb_tot - n_b * na_tot"))).as("absdiff"))
-      .withColumn("tv_ppm", expr("(1000000 * absdiff) div (2 * n_a * n_b)"))
+        sum(abs(expr(
+          "CAST(n_a AS DECIMAL(38,0)) * nb_tot - CAST(n_b AS DECIMAL(38,0)) * na_tot")))
+          .as("absdiff"))
+      .withColumn("tv_ppm",
+        expr("(1000000 * absdiff) div greatest(2 * CAST(n_a AS DECIMAL(38,0)) * n_b, 1)"))
       .select("n_a", "n_b", "tv_ppm")
+
+  def driftTv(docs: DataFrame): DataFrame = tvPpm(binned(docs))
 
   /** One-row snapshot acceptance report — the composed go/no-go a
     * pipeline reads before promoting a candidate cohort B against the
@@ -97,7 +121,10 @@ object Drift {
       .agg(
         sum(col("nb") * col("in_a")).as("dup_b"),
         sum(col("nb")).as("tot_b"))
-      .select(expr("(1000 * dup_b) div tot_b").as("dup_b_in_a_permille"))
+      // greatest(tot_b, 1): an all-A corpus makes tot_b 0 — Spark div
+      // would return NULL where DuckDB `//` errors out; the numerator
+      // is 0 whenever tot_b is, so the guard pins both engines to 0.
+      .select(expr("(1000 * dup_b) div greatest(tot_b, 1)").as("dup_b_in_a_permille"))
     val quality = docs
       .select(
         when(col("lang") === "en", 1L).otherwise(0L).as("in_a"),
@@ -110,7 +137,10 @@ object Drift {
         sum(col("in_a")).as("c_a"),
         sum((lit(1L) - col("in_a")) * col("alpha_pm")).as("s_b"),
         sum(lit(1L) - col("in_a")).as("c_b"))
-      .select(expr("(s_a div c_a) - (s_b div c_b)").as("alpha_gap_pm"))
+      // Same empty-cohort guard: sums are 0 whenever counts are, so a
+      // missing cohort contributes mean 0 instead of NULL-vs-error.
+      .select(expr("(s_a div greatest(c_a, 1)) - (s_b div greatest(c_b, 1))")
+        .as("alpha_gap_pm"))
     tv.crossJoin(vocab).crossJoin(dup).crossJoin(quality)
   }
 
@@ -129,8 +159,10 @@ object Drift {
       (s, dir) => driftBins(Tables.documents(s, dir)).orderBy("len_bin"),
       Some(s"""$duckBins
              |SELECT len_bin, n_a, n_b,
-             |  CAST((CASE WHEN n_a * nb_tot - n_b * na_tot < 0 THEN -1 ELSE 1 END)
-             |    * ((1000000 * abs(n_a * nb_tot - n_b * na_tot)) // (na_tot * nb_tot))
+             |  CAST((CASE WHEN CAST(n_a AS HUGEINT) * nb_tot - CAST(n_b AS HUGEINT) * na_tot < 0
+             |      THEN -1 ELSE 1 END)
+             |    * ((1000000 * abs(CAST(n_a AS HUGEINT) * nb_tot - CAST(n_b AS HUGEINT) * na_tot))
+             |       // greatest(CAST(na_tot AS HUGEINT) * nb_tot, 1))
              |    AS BIGINT) AS gap_ppm
              |FROM t ORDER BY len_bin""".stripMargin),
     ),
@@ -140,8 +172,8 @@ object Drift {
       Some(s"""$duckBins,
              |tvq AS (SELECT CAST(max(na_tot) AS BIGINT) AS n_a,
              |  CAST(max(nb_tot) AS BIGINT) AS n_b,
-             |  CAST((1000000 * CAST(sum(abs(n_a * nb_tot - n_b * na_tot)) AS BIGINT))
-             |    // (2 * CAST(max(na_tot) AS BIGINT) * CAST(max(nb_tot) AS BIGINT))
+             |  CAST((1000000 * sum(abs(CAST(n_a AS HUGEINT) * nb_tot - CAST(n_b AS HUGEINT) * na_tot)))
+             |    // greatest(2 * CAST(max(na_tot) AS HUGEINT) * CAST(max(nb_tot) AS HUGEINT), 1)
              |    AS BIGINT) AS len_tv_ppm FROM t),
              |vt AS (SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS cohort,
              |  unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -163,14 +195,14 @@ object Drift {
              |dh AS (SELECT h, max(in_a) AS in_a,
              |  CAST(sum(1 - in_a) AS BIGINT) AS nb FROM dg GROUP BY 1),
              |dq AS (SELECT CAST((1000 * CAST(sum(nb * in_a) AS BIGINT))
-             |  // CAST(sum(nb) AS BIGINT) AS BIGINT) AS dup_b_in_a_permille FROM dh),
+             |  // greatest(CAST(sum(nb) AS BIGINT), 1) AS BIGINT) AS dup_b_in_a_permille FROM dh),
              |qg AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a,
              |  (1000 * (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))))
              |    // greatest(length(text), 1) AS alpha_pm FROM documents),
              |qq AS (SELECT CAST((CAST(sum(in_a * alpha_pm) AS BIGINT)
-             |    // CAST(sum(in_a) AS BIGINT))
+             |    // greatest(CAST(sum(in_a) AS BIGINT), 1))
              |  - (CAST(sum((1 - in_a) * alpha_pm) AS BIGINT)
-             |    // CAST(sum(1 - in_a) AS BIGINT)) AS BIGINT) AS alpha_gap_pm FROM qg)
+             |    // greatest(CAST(sum(1 - in_a) AS BIGINT), 1)) AS BIGINT) AS alpha_gap_pm FROM qg)
              |SELECT n_a, n_b, len_tv_ppm, vocab_jaccard_permille,
              |  dup_b_in_a_permille, alpha_gap_pm
              |FROM tvq, vq, dq, qq""".stripMargin),
@@ -182,8 +214,8 @@ object Drift {
       Some(s"""$duckBins
              |SELECT CAST(max(na_tot) AS BIGINT) AS n_a,
              |  CAST(max(nb_tot) AS BIGINT) AS n_b,
-             |  CAST((1000000 * CAST(sum(abs(n_a * nb_tot - n_b * na_tot)) AS BIGINT))
-             |    // (2 * CAST(max(na_tot) AS BIGINT) * CAST(max(nb_tot) AS BIGINT))
+             |  CAST((1000000 * sum(abs(CAST(n_a AS HUGEINT) * nb_tot - CAST(n_b AS HUGEINT) * na_tot)))
+             |    // greatest(2 * CAST(max(na_tot) AS HUGEINT) * CAST(max(nb_tot) AS HUGEINT), 1)
              |    AS BIGINT) AS tv_ppm
              |FROM t""".stripMargin),
     ),

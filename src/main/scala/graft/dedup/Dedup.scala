@@ -740,8 +740,11 @@ object Dedup {
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame, bits: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
+    // nrm > 0: a zero-quantized vector has no direction — its cosine is
+    // NaN in Spark vs NULL in DuckDB (see [[semanticDecontaminate]]).
     val q = capByKey(
-      quantized(embeddings).withColumn("bucket", hyperplaneBucket("q", bits)),
+      quantized(embeddings).where(col("nrm") > 0)
+        .withColumn("bucket", hyperplaneBucket("q", bits)),
       Seq("bucket"), maxBucketSize)
     val a = q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na"), col("bucket"))
     val b = q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb"), col("bucket"))
@@ -757,7 +760,13 @@ object Dedup {
     * cosine similarity to ANY held-out benchmark vector clears the
     * threshold (eval-set contamination that paraphrasing hides from
     * exact n-gram matching). Label 0 stands in as the benchmark
-    * cohort. Asymmetric two-relation shape: the benchmark side is
+    * cohort. Zero-norm vectors (every component quantizing to 0) are
+    * filtered on BOTH sides before the cosine: Spark's non-ANSI double
+    * division would yield NaN/Inf — which compare GREATEST, silently
+    * passing the `sim >= threshold` cut — while DuckDB yields NULL and
+    * drops the row; a zero vector has no defined direction, so dropping
+    * it is the correct semantics, applied identically in the oracle.
+    * Asymmetric two-relation shape: the benchmark side is
     * eval-set-sized and BROADCASTS (never a corpus shuffle); the
     * sign-LSH bucket is the join key, so each corpus vector compares
     * only against same-bucket benchmark vectors (documented recall<1,
@@ -773,6 +782,7 @@ object Dedup {
         col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .withColumn("nrm", expr("dot_i64(q, q)"))
+      .where(col("nrm") > 0)
       .withColumn("bucket", hyperplaneBucket("q", bits))
     val corpus = q.where(col("label") =!= 0)
       .select(col("vec_id"), col("q").as("qc"), col("nrm").as("nc"), col("bucket"))
@@ -1305,7 +1315,7 @@ object Dedup {
            |    CAST(list_sum(list_transform(list_zip(c.q, e.q), p -> p[1] * p[2])) AS BIGINT)
            |      / (sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))) AS sim
            |  FROM n c JOIN n e ON c.bucket = e.bucket
-           |  WHERE c.label <> 0 AND e.label = 0)
+           |  WHERE c.label <> 0 AND e.label = 0 AND c.nrm > 0 AND e.nrm > 0)
            |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches, max(sim) AS best_sim
            |FROM cand WHERE sim >= 0.25 GROUP BY vec_id ORDER BY vec_id""".stripMargin
       },
@@ -1324,6 +1334,7 @@ object Dedup {
            |  CAST(CAST(list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
            |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS sim
            |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE a.nrm > 0 AND b.nrm > 0
            |ORDER BY bucket, vec_a, vec_b""".stripMargin
       },
     ),

@@ -237,11 +237,19 @@ object EventAnalytics {
     // never-matching negative keys. The view-side heartbeat rows would
     // surface as unmatched output, so the post-join filter drops the
     // negative keys again (stateless, after the stateful join).
+    //
+    // Key scheme: view heartbeats take -2·user_id - 2 (even-negative),
+    // purchase heartbeats -2·user_id - 1 (odd-negative). The parities
+    // differ for EVERY pair of user_ids, so a view heartbeat can never
+    // equi-join a purchase heartbeat — an additive offset scheme
+    // (-u - C₁ vs -u - C₂) collides whenever two real users sit
+    // exactly C₁-C₂ apart, emitting a phantom matched row that the
+    // v_user >= 0 filter cannot catch (its purchase_id is non-null).
     val viewSrc = src.where(col("event_type") === "view")
     val views = viewSrc
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
       .union(viewSrc.select(
-        (col("user_id") * -1 - 2000000L).as("v_user"),
+        (col("user_id") * -2 - 2L).as("v_user"),
         (col("ts") + expr("INTERVAL 2000 HOURS")).as("v_ts"),
         col("event_id").as("view_id")))
       .withWatermark("v_ts", "1 hour")
@@ -249,7 +257,7 @@ object EventAnalytics {
     val purchases = purch
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
       .union(purch.select(
-        (col("user_id") * -1 - 1000000L).as("p_user"),
+        (col("user_id") * -2 - 1L).as("p_user"),
         (col("ts") + expr("INTERVAL 2000 HOURS")).as("p_ts"),
         col("event_id").as("purchase_id")))
       .withWatermark("p_ts", "1 hour")

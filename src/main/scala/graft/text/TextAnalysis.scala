@@ -214,7 +214,10 @@ object TextAnalysis {
     * window runs at score cardinality, never on the corpus; the driver
     * sees a single row. auc_x2 ≤ 2·P·N overflows int64 only past ~2·10⁹
     * docs per class — at that scale the eval runs on a sampled holdout,
-    * as every published pipeline does.
+    * as every published pipeline does. The permille lane (1000·auc_x2)
+    * would wrap 1000× earlier, so it runs in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — the 2·10⁹-per-class headroom above is governed
+    * by the BIGINT auc_x2 output column alone.
     */
   def langidAuc(docs: DataFrame): DataFrame = {
     val toks = wsTokens(lower(col("text")))
@@ -230,7 +233,9 @@ object TextAnalysis {
         sum(col("np")).as("n_pos"),
         sum(col("nn")).as("n_neg"),
         sum(col("np") * (col("cnb") * 2 + col("nn"))).as("auc_x2"))
-      .withColumn("auc_permille", expr("(1000 * auc_x2) div (2 * n_pos * n_neg)"))
+      .withColumn("auc_permille",
+        expr("""(1000 * CAST(auc_x2 AS DECIMAL(38,0)))
+          div greatest(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 1)"""))
       .select("n_pos", "n_neg", "auc_x2", "auc_permille")
   }
 
@@ -649,9 +654,9 @@ object TextAnalysis {
               |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
               |  CAST(sum(nn) AS BIGINT) AS n_neg,
               |  CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS auc_x2,
-              |  CAST((1000 * CAST(sum(np * (2 * cnb + nn)) AS BIGINT))
-              |    // (2 * CAST(sum(np) AS BIGINT) * CAST(sum(nn) AS BIGINT)) AS BIGINT)
-              |    AS auc_permille
+              |  CAST((1000 * sum(CAST(np AS HUGEINT) * (2 * cnb + nn)))
+              |    // greatest(2 * CAST(sum(np) AS HUGEINT) * CAST(sum(nn) AS HUGEINT), 1)
+              |    AS BIGINT) AS auc_permille
               |FROM c""".stripMargin),
     ),
     EngineQuery(

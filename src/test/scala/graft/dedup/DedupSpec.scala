@@ -149,6 +149,39 @@ class DedupSpec extends AnyFunSuite with Matchers {
     pairs((1L, 2L)) shouldBe 1.0
   }
 
+  test("semantic decontaminate drops zero-norm vectors instead of NaN-matching them") {
+    // components in [0, 0.001) quantize to 0 — the cosine denominator is
+    // 0 and Spark's non-ANSI division yields NaN, which compares GREATEST
+    // and used to pass the sim >= threshold cut (DuckDB returns NULL and
+    // drops the row — engine/oracle divergence). Both sides now filter.
+    val normal = Array.fill(64)(0.5f)
+    val zeroish = Array.fill(64)(0.0005f)
+    val emb = Seq(
+      (1L, normal, 0),  // benchmark vector
+      (2L, normal, 1),  // corpus dup of the benchmark -> must match, sim 1.0
+      (3L, zeroish, 1), // zero-norm corpus vector -> must NOT match anything
+      (4L, zeroish, 0), // zero-norm benchmark vector -> must contaminate nothing
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticDecontaminate(emb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.keySet shouldBe Set(2L)
+    out(2L) shouldBe 1.0
+    out.values.foreach(v => v.isNaN shouldBe false)
+  }
+
+  test("embedding near-dup pairs never emit a zero-norm (NaN-cosine) side") {
+    val emb = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(0.5f)),
+      (3L, Array.fill(64)(0.0005f)), // quantizes to the zero vector
+      (4L, Array.fill(64)(0.0005f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3)))
+    pairs.map(_._1).toSet shouldBe Set((1L, 2L))
+    pairs.foreach { case (_, sim) => sim.isNaN shouldBe false }
+  }
+
   test("connected components merge transitively linked pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val comps = Dedup.connectedComponents(pairs)

@@ -78,4 +78,38 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     val rows = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getString(1))).sorted
     rows shouldBe Array((1L, "a"), (2L, "b"), (3L, "c"))
   }
+
+  test("left-outer heartbeat key spaces cannot collide for user_id >= 1e6") {
+    // Regression: the old additive scheme (view hb -u-2e6, purchase hb
+    // -u-1e6) collided whenever two real users sat exactly 1e6 apart —
+    // user 1's view heartbeat equi-joined user 1000001's purchase
+    // heartbeat, and the phantom matched row survived the
+    // `v_user >= 0 OR purchase_id IS NOT NULL` filter because its
+    // purchase_id is non-null. Parity-disjoint keys (-2u-2 vs -2u-1)
+    // make collision impossible for ANY pair of user_ids.
+    import org.apache.commons.io.FileUtils
+    val dir = graft.OutDir.base + "/test_lojoin_collision"
+    val stage = graft.OutDir.base + "/test_lojoin_collision_stage"
+    FileUtils.deleteQuietly(new java.io.File(dir))
+    FileUtils.deleteQuietly(new java.io.File(stage))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(minutes: Int) = new java.sql.Timestamp(t0.getTime + minutes * 60000L)
+    val rows = Seq(
+      (1L, at(0), 1L, "view", 1.0, "{}"),          // never converts -> null-extended
+      (2L, at(10), 1000001L, "purchase", 5.0, "{}"), // old-scheme phantom partner of event 1
+      (3L, at(0), 2L, "view", 1.0, "{}"),
+      (4L, at(5), 2L, "purchase", 2.0, "{}"),      // real conversion of event 3
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // single-file layout, like the harness tables (pathGlobFilter
+    // matches the literal file name events.parquet)
+    rows.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    FileUtils.copyFile(part, new java.io.File(dir + "/events.parquet"))
+    val out = EventAnalytics.runStreamingLeftOuterJoin(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    out shouldBe Set((1L, 1L, -1L), (2L, 3L, 4L))
+  }
 }
