@@ -185,7 +185,13 @@ object Plans {
     "snapshot_acceptance" ->
       "The composed promote/reject report: TV distance, top-k vocab overlap, exact-dup leakage of B into A, and the alpha-quality gap fuse by 1-row broadcast carriers (the events_kpi_snapshot pattern), so the report costs exactly the sum of its audited parts. The dup check carries both cohorts as flags through ONE md5-keyed aggregation — no A-vs-B equi-join, no second corpus scan for the incumbent side.",
     "corpus_drift_bins" ->
-      "Distribution-shift audit: the corpus collapses to ≤64 per-length-bin cohort counts in one map-side-combined aggregate (bin = length(bin(n_chars)), pure integer); totals are a global window at bin cardinality and the signed ppm gap divides AFTER taking |d| (Spark div truncates, DuckDB // floors — the sign must not ride the division).",
+      "Distribution-shift audit: the corpus collapses to ≤64 per-length-bin cohort counts in one map-side-combined aggregate (bin = length(bin(n_chars)), pure integer); totals are a global window at bin cardinality and the signed ppm gap divides AFTER taking |d| (Spark div truncates, DuckDB // floors — the sign must not ride the division). The 10⁶-scaled cross-multiplied numerators run in DECIMAL(38,0) (int64 wraps at ~3·10⁶ docs/cohort) — the wide lane exists only at bin cardinality.",
+    "corpus_drift_ks" ->
+      "Kolmogorov–Smirnov companion to the TV distance: the corpus collapses map-side to per-LENGTH cohort counts (distinct n_chars cardinality); the CDF prefix windows and the argmax over |cum_a·N_b − cum_b·N_a| run at that cardinality on a single documented tiny partition (the langid_auc score-window shape); the peak location resolves ties by min length (total order) and the one division happens after the DECIMAL(38,0) max.",
+    "kmv_cohort_overlap" ->
+      "Join-free corpus overlap: ONE map-side-combined distinct on (cohort, content-hash) — the same exchange exact dedup pays — then the per-cohort k-smallest cut runs as WindowGroupLimit (≤k rows per cohort leave each map partition; the sketch, not the corpus, crosses the second exchange). The merged-sketch estimate and the exact flag-aggregated Jaccard ride the same hash relation; no A-vs-B join anywhere. At 100 TB the k-row sketches are the only thing two corpora ever exchange.",
+    "snm_neardup_pairs" ->
+      "Sorted-neighborhood blocking: the global sort rank is bucket-decomposed and bounds-invariant (approx_percentile range bounds → per-bucket counts → broadcast offsets + per-bucket row_number ≡ global row_number for ANY bounds) — no single-partition window touches the corpus. Candidates come from an equi-join on rank+o (o ∈ 1..w): rank is a permutation, so the join shuffle is perfectly balanced — the anti-skew ideal — and output is hard-bounded at w·N pairs. Per-candidate Levenshtein on the 32-char normalized prefix verifies; no CartesianProduct, no BroadcastNestedLoopJoin.",
     "phrase_mining_pmi" ->
       "Word2vec phrase promotion: one token pass → vocab-scale unigram counts, one bigram pass → corpus-supported pair counts with the minCount cut applied BEFORE the cnta/cntb attach joins (the pair table shrinks before it ever joins), single-row total via broadcast cross, TakeOrderedAndProject for the top-k. The PMI-ish score is a monotone exact-integer surrogate — ranking is the contract, so DuckDB agrees without float discipline.",
     "ccnet_perplexity_buckets" ->

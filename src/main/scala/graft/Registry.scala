@@ -57,6 +57,8 @@ object Registry {
       dedup.EditDistJoin.engineQueries ++
       curation.Curation.engineQueries ++
       curation.Drift.engineQueries ++
+      curation.SketchOverlap.engineQueries ++
+      dedup.SortedNeighborhood.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       similarity.Pq.engineQueries ++

@@ -113,7 +113,14 @@ object ScaleProbe {
     // broadcast-size); Q21's semi/anti joins correlate on l_orderkey,
     // which SHIFTS per copy — per-order line groups stay bounded, so
     // the semi/anti probe mass must grow linearly, not quadratically.
-    "sql_q8_market_share", "sql_q21_waiting_suppliers")
+    "sql_q8_market_share", "sql_q21_waiting_suppliers",
+    // r13 additions over the 30× documents corpus: KMV's claim is that
+    // only sketch rows cross the second exchange (work should track the
+    // distinct-hash aggregation, i.e. the dedup_exact ratio); SNM's
+    // claim is the bounds-invariant decomposed rank + a perfectly
+    // balanced rank equi-join, output hard-bounded at w·N; KS rides the
+    // same per-length collapse as corpus_drift_bins.
+    "kmv_cohort_overlap", "snm_neardup_pairs", "corpus_drift_ks")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

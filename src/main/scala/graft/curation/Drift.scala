@@ -92,6 +92,53 @@ object Drift {
 
   def driftTv(docs: DataFrame): DataFrame = tvPpm(binned(docs))
 
+  /** Exact Kolmogorov–Smirnov distance between the two cohorts'
+    * doc-length distributions: max over lengths of |CDF_a − CDF_b|,
+    * in exact ppm, plus the length where the divergence peaks (min
+    * such length on ties — total order). KS complements [[driftTv]]:
+    * TV sums per-bin gaps (sensitive to everywhere-small drift), KS
+    * takes the worst single threshold (sensitive to one concentrated
+    * shift) — the two standard accept/reject distances a snapshot
+    * gate reads together.
+    *
+    * Integer-exact via the same cross-multiplied DECIMAL(38,0)/HUGEINT
+    * lane as [[gapPpm]]: dev(x) = |cum_a(x)·N_b − cum_b(x)·N_a|, one
+    * division at the end. Scale: the corpus collapses to per-LENGTH
+    * cohort counts map-side (distinct n_chars cardinality, bounded by
+    * max doc length); the CDF prefix windows and the argmax run at
+    * that cardinality — same shape as [[graft.text.TextAnalysis.langidAuc]]'s
+    * score-cardinality window, documented single tiny partition.
+    */
+  private[curation] def ksPpm(counts: DataFrame): DataFrame = {
+    val cum = counts
+      .withColumn("cum_a", expr("sum(n_a) over (order by n_chars)"))
+      .withColumn("cum_b", expr("sum(n_b) over (order by n_chars)"))
+      .withColumn("na_tot", expr("sum(n_a) over ()"))
+      .withColumn("nb_tot", expr("sum(n_b) over ()"))
+      .withColumn("dev", abs(expr(
+        "CAST(cum_a AS DECIMAL(38,0)) * nb_tot - CAST(cum_b AS DECIMAL(38,0)) * na_tot")))
+    val m = cum.agg(
+      max(col("na_tot")).as("n_a"),
+      max(col("nb_tot")).as("n_b"),
+      max(col("dev")).as("maxdev"))
+    cum.select("n_chars", "dev").crossJoin(m)
+      .where(col("dev") === col("maxdev"))
+      .groupBy("n_a", "n_b", "maxdev")
+      .agg(min(col("n_chars")).as("ks_at_n_chars"))
+      .select(
+        col("n_a"), col("n_b"),
+        expr("CAST((1000000 * maxdev) div greatest(CAST(n_a AS DECIMAL(38,0)) * n_b, 1) AS BIGINT)")
+          .as("ks_ppm"),
+        col("ks_at_n_chars"))
+  }
+
+  def driftKs(docs: DataFrame): DataFrame =
+    ksPpm(docs.select(
+        col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("in_a"))
+      .groupBy("n_chars")
+      .agg(sum(col("in_a")).as("n_a"), sum(lit(1L) - col("in_a")).as("n_b")))
+
   /** One-row snapshot acceptance report — the composed go/no-go a
     * pipeline reads before promoting a candidate cohort B against the
     * incumbent A: length-distribution TV distance, top-k vocabulary
@@ -207,6 +254,28 @@ object Drift {
              |  dup_b_in_a_permille, alpha_gap_pm
              |FROM tvq, vq, dq, qq""".stripMargin),
       headline = true,
+    ),
+    EngineQuery(
+      "corpus_drift_ks",
+      (s, dir) => driftKs(Tables.documents(s, dir)),
+      Some("""WITH c AS (SELECT n_chars,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+             |  FROM documents GROUP BY 1),
+             |cum AS (SELECT n_chars,
+             |  CAST(sum(n_a) OVER (ORDER BY n_chars) AS HUGEINT) AS cum_a,
+             |  CAST(sum(n_b) OVER (ORDER BY n_chars) AS HUGEINT) AS cum_b,
+             |  CAST(sum(n_a) OVER () AS HUGEINT) AS na_tot,
+             |  CAST(sum(n_b) OVER () AS HUGEINT) AS nb_tot FROM c),
+             |d AS (SELECT n_chars, na_tot, nb_tot,
+             |  abs(cum_a * nb_tot - cum_b * na_tot) AS dev FROM cum),
+             |m AS (SELECT max(dev) AS maxdev FROM d)
+             |SELECT CAST(max(na_tot) AS BIGINT) AS n_a,
+             |  CAST(max(nb_tot) AS BIGINT) AS n_b,
+             |  CAST((1000000 * max(maxdev)) // greatest(max(na_tot) * max(nb_tot), 1) AS BIGINT)
+             |    AS ks_ppm,
+             |  min(n_chars) AS ks_at_n_chars
+             |FROM d, m WHERE dev = maxdev""".stripMargin),
     ),
     EngineQuery(
       "corpus_drift_tv",

@@ -59,6 +59,35 @@ class DriftSpec extends AnyFunSuite with Matchers {
     tv.getLong(2) shouldBe 0L
   }
 
+  test("ksPpm: exact KS distance, argmax length, wide counts, tie -> min length") {
+    // per-length cohort counts; CDFs cross-multiplied in the wide lane
+    val counts = Seq(
+      (10L, 4000000000L, 1000000000L),
+      (20L, 0L, 3000000000L),
+      (30L, 1000000000L, 1000000000L)).toDF("n_chars", "n_a", "n_b")
+    val naTot = BigInt(5000000000L); val nbTot = BigInt(5000000000L)
+    // dev(10) = |4e9*5e9 - 1e9*5e9| = 15e18 (wraps int64 pre-scale already)
+    // dev(20) = |4e9*5e9 - 4e9*5e9| = 0; dev(30) = 0
+    val maxdev = BigInt(4000000000L) * nbTot - BigInt(1000000000L) * naTot
+    assert((ppm * maxdev).bitLength > 63)
+    val expected = ((ppm * maxdev) / (naTot * nbTot)).toLong
+    val r = Drift.ksPpm(counts).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe
+      ((5000000000L, 5000000000L, expected, 10L))
+  }
+
+  test("driftKs: end-to-end on a tiny corpus matches the hand CDF walk") {
+    val docs = Seq(
+      (1L, "en", 5L), (2L, "en", 5L), (3L, "en", 9L),
+      (4L, "de", 9L), (5L, "de", 9L), (6L, "de", 9L)
+    ).toDF("doc_id", "lang", "n_chars")
+    // lengths: 5 -> (a=2, b=0); 9 -> (a=1, b=3). CDF gap at 5: |2*3-0*3|=6
+    // -> 6e6/(3*3)=666666 ppm; at 9 gap 0. KS = 666666 at length 5.
+    val r = Drift.driftKs(docs).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) shouldBe
+      ((3L, 3L, 666666L, 5L))
+  }
+
   test("wide lane agrees with the int64 result where int64 was still exact") {
     // counts small enough that the old formulation was correct — the
     // DECIMAL(38,0) lane must be a pure widening, not a semantic change

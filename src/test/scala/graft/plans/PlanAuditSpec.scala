@@ -1122,4 +1122,32 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
       .map(_.group(1)).toSet shouldBe Set("len_bin")
   }
+
+  test("KS drift: corpus collapses map-side to length counts; no corpus-side join") {
+    val p = plan("corpus_drift_ks")
+    p should include("partial_sum")
+    // the argmax attach is the 1-row carrier pattern, never a real join
+    p should not include "SortMergeJoin"
+    p should not include "ShuffledHashJoin"
+    // corpus-keyed exchange is on n_chars only (everything after runs
+    // at distinct-length cardinality)
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("n_chars")
+  }
+
+  test("KMV overlap: per-cohort k-smallest cut is a WindowGroupLimit; no A-vs-B join") {
+    val p = plan("kmv_cohort_overlap")
+    p should include("WindowGroupLimit")
+    p should include("partial_count") // exact side combines map-side
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("SNM blocking: rank join is a hash equi-join, offsets broadcast, no product") {
+    val p = plan("snm_neardup_pairs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // bucket offsets attach by broadcast (bucket-cardinality relation)
+    p should include("BroadcastHashJoin")
+  }
 }
