@@ -40,16 +40,26 @@ object GraphRank {
 
   private val Scale = 1000000000L // nano-rank: 1.0 ≡ 1e9
 
-  /** Distinct symmetric co-purchase edges (src, dst), src ≠ dst. */
-  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+  /** Within-order co-purchase pairs (src, dst), src ≠ dst, NOT yet
+    * deduplicated across orders — the raw expansion stream. Callers
+    * that need the distinct edge set either call [[coPurchaseEdges]]
+    * (exchange on (src, dst)) or, when they are about to repartition
+    * on src anyway, repartition FIRST and distinct partition-locally
+    * (a partitioning on src satisfies the (src, dst) clustering, so
+    * the dedup aggregate plans no second exchange — [[pagerank]]).
+    */
+  def rawCoPurchasePairs(lineitem: DataFrame): DataFrame = {
     val op = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     op.as("a")
       .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
   }
+
+  /** Distinct symmetric co-purchase edges (src, dst), src ≠ dst. */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame =
+    rawCoPurchasePairs(lineitem).distinct()
 
   /** k iterations of integer-scaled PageRank (damping 0.85) over the
     * edge list; returns (node, pr_scaled). Nodes = endpoints of edges.
@@ -64,10 +74,39 @@ object GraphRank {
     * would leak one edge materialization into the storage pool (the
     * leak Checkpoints documents; it showed up as pass-over-pass
     * slowdown in the r11 bench of this very query).
+    *
+    * Partitioning discipline (the Pregel shape, r13): the raw pair
+    * stream pays ONE explicit `repartition(N, src)`; everything after
+    * it is distribution-preserving — the cross-order dedup runs as a
+    * partition-local aggregate (hash partitioning on src satisfies the
+    * (src, dst) clustering), and outdeg attaches via a src-partitioned
+    * window instead of a join (WindowExec also leaves the rows SORTED
+    * by src). The materialization then goes through
+    * `PartitionedCheckpoint.localEagerDeclared`, which re-declares
+    * `HashPartitioning(src, N)` + the src sort order on the persisted
+    * blocks — plain `localCheckpoint` under AQE forgets both
+    * (`UnknownPartitioning`), which is why the pre-r13 version
+    * re-shuffled AND re-sorted all edges in every unrolled iteration.
+    * Per iteration the only exchanged data is |nodes|-sized: the rank
+    * table moving to the edge partitioning plus the map-side-combined
+    * partial sums of the dst aggregation. The edge relation — the
+    * only corpus-scale relation — crosses the wire exactly twice ever
+    * (pair-expansion exchange, repartition), independent of iteration
+    * count.
+    *
+    * `edges0` need not be distinct: the pipeline dedups after the
+    * repartition. [[topByPagerank]] feeds the raw expansion stream.
     */
   def pagerank(edges0: DataFrame, iters: Int): DataFrame = {
-    val deg0 = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val (edges, releaseEdges) = graft.Checkpoints.localEager(edges0.join(deg0, "src"))
+    val shuffleParts = edges0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val withDeg = edges0
+      .repartition(shuffleParts, col("src"))
+      .distinct()
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+    val (edges, releaseEdges) =
+      org.apache.spark.sql.graftplan.PartitionedCheckpoint.localEagerDeclared(
+        withDeg, Seq("src"), shuffleParts, sortedByKeys = true)
     val (nodes, releaseNodes) = graft.Checkpoints.localEager(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct())
@@ -90,7 +129,7 @@ object GraphRank {
 
   /** Top-k parts by 3-iteration PageRank over the co-purchase graph. */
   def topByPagerank(lineitem: DataFrame, k: Int): DataFrame =
-    pagerank(coPurchaseEdges(lineitem), iters = 3)
+    pagerank(rawCoPurchasePairs(lineitem), iters = 3)
       .orderBy(col("pr").desc, col("node"))
       .limit(k)
       .select(col("node").as("part_key"), col("pr").as("pr_scaled"))

@@ -42,6 +42,15 @@ object MarketBasket {
 
   /** Association rules a→b with support ≥ minSup:
     * (antecedent, consequent, support, conf_permille, lift_permille).
+    *
+    * Pair support is SYMMETRIC (both items of an unordered pair appear
+    * in the same orders), so the expansion joins on `a.pk < b.pk`,
+    * aggregates each unordered pair ONCE, applies the support floor,
+    * and only then mirrors the surviving pairs into both rule
+    * directions — the pair exchange and the aggregation hash table
+    * carry half the rows of the naive `a.pk <> b.pk` formulation,
+    * and the (tiny) post-floor relation is what gets doubled. Output
+    * is row-identical to the naive form.
     */
   def assocRules(lineitem: DataFrame, minSup: Long, maxBasket: Int = 64): DataFrame = {
     val op = baskets(lineitem, maxBasket)
@@ -49,10 +58,15 @@ object MarketBasket {
       .agg(count(lit(1)).as("n_orders"))
     val itemCnt = op.groupBy("pk").agg(count(lit(1)).as("n_item"))
     val pairCnt = op.as("a")
-      .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .groupBy(col("a.pk").as("antecedent"), col("b.pk").as("consequent"))
+      .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("lo"), col("b.pk").as("hi"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSup)
+      .select(explode(array(
+        struct(col("lo").as("antecedent"), col("hi").as("consequent")),
+        struct(col("hi").as("antecedent"), col("lo").as("consequent")))).as("p"),
+        col("support"))
+      .select(col("p.antecedent"), col("p.consequent"), col("support"))
     pairCnt
       .join(broadcast(itemCnt.withColumnRenamed("pk", "antecedent")
         .withColumnRenamed("n_item", "n_a")), "antecedent")
