@@ -105,7 +105,10 @@ object Bench {
       "sql_q8_market_share" -> 0.88, "sql_q21_waiting_suppliers" -> 1.15,
       // r13 promotions: the join-free KMV sketch overlap and the
       // sorted-neighborhood blocking rank join; min-of-3 ad-hoc runs
-      "kmv_cohort_overlap" -> 0.38, "snm_neardup_pairs" -> 1.15)
+      "kmv_cohort_overlap" -> 0.38, "snm_neardup_pairs" -> 1.15,
+      // r13: winnowing fingerprint extraction (map-stage selection);
+      // min-of-5 ad-hoc builder run
+      "winnow_fingerprint_stats" -> 0.83)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

@@ -30,6 +30,22 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Number].intValue())
     },
+    // rolling_hashes(text, k[, keepMod]): all k-window hashes, or the
+    // content-defined h % keepMod == 0 sample filtered INSIDE the
+    // generator (discarded windows never become rows)
+    "rolling_hashes" -> { exprs =>
+      text.RollingHashGenerator(
+        exprs.head, exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        winnowW = 0,
+        keepMod =
+          if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Number].intValue() else 1)
+    },
+    "winnow_fingerprints" -> { exprs =>
+      text.RollingHashGenerator(
+        exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue(),
+        exprs(2).eval(null).asInstanceOf[Number].intValue())
+    },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
     "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
     // Spark ships these sketch expressions for its own runtime join

@@ -59,6 +59,7 @@ object Registry {
       curation.Drift.engineQueries ++
       curation.SketchOverlap.engineQueries ++
       dedup.SortedNeighborhood.engineQueries ++
+      dedup.Winnow.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       similarity.Pq.engineQueries ++

@@ -120,7 +120,12 @@ object ScaleProbe {
     // claim is the bounds-invariant decomposed rank + a perfectly
     // balanced rank equi-join, output hard-bounded at w·N; KS rides the
     // same per-length collapse as corpus_drift_bins.
-    "kmv_cohort_overlap", "snm_neardup_pairs", "corpus_drift_ks")
+    "kmv_cohort_overlap", "snm_neardup_pairs", "corpus_drift_ks",
+    // r13 winnowing: extraction+selection happen in the map stage, so
+    // the probe ratio should track the pure corpus scan; the pair join
+    // is per-fingerprint-capped (rotated probe copies keep fingerprints
+    // distinct, so candidate mass must stay linear).
+    "winnow_fingerprint_stats", "winnow_dup_pairs")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

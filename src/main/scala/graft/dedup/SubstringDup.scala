@@ -13,16 +13,21 @@ import graft.{EngineQuery, Tables}
   *
   *  1. each doc hashes ALL of its length-`k` character windows, then
   *     keeps only grams whose hash falls in a fixed fraction of hash
-  *     space (low `sampleBits` bits of the last md5 nibble are zero →
-  *     keep probability 2^-sampleBits). Selection is CONTENT-DEFINED:
-  *     it depends only on the window's bytes, so two verbatim copies of
-  *     a span select the exact same grams no matter how the copies are
+  *     space (low `sampleBits` bits zero → keep probability
+  *     2^-sampleBits). Selection is CONTENT-DEFINED: it depends only
+  *     on the window's characters, so two verbatim copies of a span
+  *     select the exact same grams no matter how the copies are
   *     aligned within their documents — unlike fixed-stride position
   *     sampling, which only matches copies at equal offsets mod stride.
   *     A copied span of length L contains L-k+1 grams, each kept with
   *     p = 2^-sampleBits; at the defaults (k=40, sampleBits=3) a span
   *     of k+39 chars is missed with probability (7/8)^40 ≈ 0.5%, and
   *     the miss probability halves every ~5 extra chars of span.
+  *     The window hash is the O(1)-per-window two-lane polynomial
+  *     rolling hash of [[graft.text.RollingHash]] (r13; previously
+  *     md5, whose O(k) digest per position made this query ~40× more
+  *     CPU than its scan — same selection semantics, same oracle
+  *     replayability, 62-bit collision space).
   *  2. one hash-partitioned aggregation finds kept grams spanning >= 2
   *     distinct docs;
   *  3. grams join back (left join, same key — AQE reuses the
@@ -46,23 +51,17 @@ import graft.{EngineQuery, Tables}
 object SubstringDup {
 
   def substringDupStats(docs: DataFrame, k: Int = 40, sampleBits: Int = 3): DataFrame = {
-    require(k >= 1 && k <= graft.kmer.Kmers.MaxK,
-      s"k must be in [1, ${graft.kmer.Kmers.MaxK}], got $k")
+    require(k >= 1 && k <= graft.text.RollingHash.MaxK,
+      s"k must be in [1, ${graft.text.RollingHash.MaxK}], got $k")
     require(sampleBits >= 0 && sampleBits <= 4, s"sampleBits must be 0..4, got $sampleBits")
     graft.GraftFunctions.register(docs.sparkSession)
-    // hex chars of the final md5 nibble whose low `sampleBits` bits are 0
-    val keepNibbles = (0 until 16)
-      .filter(n => (n & ((1 << sampleBits) - 1)) == 0)
-      .map(n => n.toHexString)
-    // windows stream lazily from the positional KmerGenerator (no O(len)
-    // position array or window array per row — a multi-MB document costs
-    // zero transient allocation in the map stage); p is the 1-based char
-    // offset, matching substr semantics in the oracle
+    // the rolling-hash generator emits (1-based pos, 62-bit hash) per
+    // window in one O(len) map-stage pass; the keep test reads the low
+    // bits (the combined hash ≡ lane-2 mod 2^sampleBits, uniform over
+    // text), so only the kept 2^-sampleBits fraction ever leaves the row
     val grams = graft.Partitioning.fanOut(docs)
       .where(length(col("text")) >= k)
-      .selectExpr("doc_id", s"kmer_windows_pos(text, $k) AS (pos, w)")
-      .select(col("doc_id"), (col("pos") + 1).as("p"), md5(col("w")).as("h"))
-      .where(substring(col("h"), 32, 1).isin(keepNibbles: _*))
+      .selectExpr("doc_id", s"rolling_hashes(text, $k, ${1 << sampleBits}) AS (p, h)")
     val dupHashes = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") > 1)
@@ -87,12 +86,12 @@ object SubstringDup {
     EngineQuery(
       "substring_dup_stats",
       (s, dir) => substringDupStats(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some("""WITH allgrams AS (
-             |  SELECT doc_id, p, md5(substr(text, CAST(p AS INT), 40)) AS h
+      Some(s"""WITH allgrams AS (
+             |  SELECT doc_id, p, ${graft.text.RollingHash.duckWindowHash("text", "p", 40)} AS h
              |  FROM documents, unnest(generate_series(1, length(text) - 39)) AS g(p)
              |  WHERE length(text) >= 40),
              |grams AS (
-             |  SELECT * FROM allgrams WHERE substr(h, 32, 1) IN ('0', '8')),
+             |  SELECT * FROM allgrams WHERE h % 8 = 0),
              |duph AS (
              |  SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) > 1),
              |perdoc AS (

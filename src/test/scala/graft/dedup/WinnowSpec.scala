@@ -1,0 +1,106 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+import graft.text.RollingHash
+
+class WinnowSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference winnow: enumerate every w-window, take its rightmost
+    * minimum, union — the definition, O(n·w).
+    */
+  private def naiveWinnow(hs: Array[Long], w: Int): Seq[Int] = {
+    if (hs.length < w) return Seq.empty
+    (0 to hs.length - w).map { i =>
+      val win = hs.slice(i, i + w)
+      val m = win.min
+      i + win.lastIndexWhere(_ == m)
+    }.distinct.sorted
+  }
+
+  test("deque selection equals the every-window definition (randomized)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 200) {
+      val n = rnd.nextInt(40)
+      // small value domain to force ties (the rightmost rule must bite)
+      val hs = Array.fill(n)(rnd.nextInt(5).toLong)
+      for (w <- Seq(1, 2, 3, 4, 8)) {
+        withClue(s"trial=$trial n=$n w=$w hs=${hs.mkString(",")}: ") {
+          RollingHash.winnowSelect(hs, w).toSeq shouldBe naiveWinnow(hs, w)
+        }
+      }
+    }
+  }
+
+  test("rolling window hashes equal the direct per-window fold") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val s = scala.util.Random.alphanumeric.take(rnd.nextInt(80)).mkString
+      val cp = s.codePoints().toArray()
+      for (k <- Seq(1, 3, 16)) {
+        val rolled = RollingHash.windowHashes(cp, k)
+        val direct = (0 to cp.length - k).map { p =>
+          val h1 = cp.slice(p, p + k).foldLeft(0L)((h, c) => (h * RollingHash.B1 + c) % RollingHash.M1)
+          val h2 = cp.slice(p, p + k).foldLeft(0L)((h, c) => (h * RollingHash.B2 + c) % RollingHash.M1)
+          h1 * RollingHash.Combine + h2
+        }
+        rolled.toSeq shouldBe direct
+      }
+    }
+  }
+
+  test("winnowing guarantee: a shared span of k+w-1 chars always yields a shared fingerprint") {
+    val rnd = new scala.util.Random(23)
+    val span = scala.util.Random.alphanumeric.take(Winnow.K + Winnow.W - 1).mkString
+    def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, noise(50) + span + noise(30)),
+      (2L, noise(17) + span + noise(61)), // different alignment
+    ).toDF("doc_id", "text")
+    val byDoc = Winnow.fingerprints(docs)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    (byDoc(1L) intersect byDoc(2L)) should not be empty
+  }
+
+  test("density is near 2/(w+1) and stats are self-consistent") {
+    val text = scala.util.Random.alphanumeric.take(4000).mkString
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Winnow.fingerprintStats(docs).collect().head
+    val nWindows = r.getAs[Long]("n_windows")
+    val nSel = r.getAs[Long]("n_selected")
+    nWindows shouldBe (4000 - Winnow.K + 1).toLong
+    val density = nSel.toDouble / nWindows
+    // E = 2/(w+1) = 0.2222 at w=8; generous band for one sample
+    density should be > 0.15
+    density should be < 0.30
+    r.getAs[Long]("density_permille") shouldBe (1000 * nSel) / nWindows
+  }
+
+  test("docs shorter than k emit zero windows and zero fingerprints") {
+    val docs = Seq((1L, "short"), (2L, "x" * (Winnow.K - 1))).toDF("doc_id", "text")
+    val rows = Winnow.fingerprintStats(docs).collect()
+    rows.foreach { r =>
+      r.getAs[Long]("n_windows") shouldBe 0L
+      r.getAs[Long]("n_selected") shouldBe 0L
+      r.getAs[Long]("density_permille") shouldBe 0L
+    }
+  }
+
+  test("verbatim near-dups pair; disjoint docs do not") {
+    val rnd = new scala.util.Random(5)
+    def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = noise(200)
+    val docs = Seq(
+      (1L, shared + noise(40)),
+      (2L, noise(25) + shared),
+      (3L, noise(240)),
+    ).toDF("doc_id", "text")
+    val pairs = Winnow.dupPairs(docs)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    pairs should contain((1L, 2L))
+    pairs.foreach { case (a, b) => Set(a, b) should not contain 3L }
+  }
+}
