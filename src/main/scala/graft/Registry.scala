@@ -60,6 +60,7 @@ object Registry {
       curation.SketchOverlap.engineQueries ++
       dedup.SortedNeighborhood.engineQueries ++
       dedup.Winnow.engineQueries ++
+      operators.ExactQuantile.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       similarity.Pq.engineQueries ++
