@@ -60,6 +60,7 @@ object Registry {
       curation.SketchOverlap.engineQueries ++
       dedup.SortedNeighborhood.engineQueries ++
       dedup.Winnow.engineQueries ++
+      dedup.FellegiSunter.engineQueries ++
       operators.ExactQuantile.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
