@@ -108,7 +108,10 @@ object Bench {
       "kmv_cohort_overlap" -> 0.38, "snm_neardup_pairs" -> 1.15,
       // r13: winnowing fingerprint extraction (map-stage selection);
       // min-of-5 ad-hoc builder run
-      "winnow_fingerprint_stats" -> 0.83)
+      "winnow_fingerprint_stats" -> 0.83,
+      // r13: Aho-Corasick blocklist scan (dictionary-size-free map
+      // stage) and the bounded-state exact percentile; min-of-5 ad-hoc
+      "blocklist_match_stats" -> 0.88, "percentile_exact_twopass" -> 0.90)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

@@ -46,6 +46,10 @@ object GraftFunctions {
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
         exprs(2).eval(null).asInstanceOf[Number].intValue())
     },
+    // ac_matches(text, 'p1|p2|…'): every occurrence of every literal
+    // pattern (overlapping included) via a per-executor-cached
+    // Aho-Corasick automaton — O(text + matches), dictionary-size-free
+    "ac_matches" -> { exprs => text.AhoCorasickGenerator(exprs.head, exprs(1)) },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
     "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
     // Spark ships these sketch expressions for its own runtime join

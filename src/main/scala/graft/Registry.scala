@@ -61,6 +61,7 @@ object Registry {
       dedup.SortedNeighborhood.engineQueries ++
       dedup.Winnow.engineQueries ++
       dedup.FellegiSunter.engineQueries ++
+      text.Blocklist.engineQueries ++
       operators.ExactQuantile.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++

@@ -125,7 +125,13 @@ object ScaleProbe {
     // the probe ratio should track the pure corpus scan; the pair join
     // is per-fingerprint-capped (rotated probe copies keep fingerprints
     // distinct, so candidate mass must stay linear).
-    "winnow_fingerprint_stats", "winnow_dup_pairs")
+    "winnow_fingerprint_stats", "winnow_dup_pairs",
+    // r13: the AC blocklist scan claims dictionary-size-free map-stage
+    // work (ratio should track the corpus scan); the two-phase exact
+    // percentile claims bucket-bounded state — its phase-2 re-scan mass
+    // is corpus/buckets, so the ratio must track the plain scan, never
+    // the exact-percentile buffering curve.
+    "blocklist_match_stats", "percentile_exact_twopass")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

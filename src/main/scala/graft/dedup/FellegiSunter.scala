@@ -37,7 +37,13 @@ import graft.{EngineQuery, Tables}
   *    partial+final aggregate per field (three tiny single-row scalar
   *    carriers broadcast into the pair stream). Nothing driver-side,
   *    nothing quadratic beyond the per-block candidate set the blocking
-  *    key itself defines.
+  *    key itself defines. At 100 TB the blocking key's cardinality must
+  *    grow with the corpus — a fixed-cardinality key makes every block
+  *    corpus/|keys| and the within-block join quadratic; the scale path
+  *    is to feed FS candidates from [[SortedNeighborhood]] windows or
+  *    MinHash bands and keep THIS operator purely as the scorer (gate
+  *    keeps the name-block join because the harness name vocabulary is
+  *    64 values over a bounded corpus).
   */
 object FellegiSunter {
 

@@ -117,6 +117,7 @@ object ExactQuantile {
              |  min(CASE WHEN cum >= (99 * tot + 99) // 100 THEN c END) AS p99_cents,
              |  CAST(min(tot) AS BIGINT) AS cnt
              |FROM cum GROUP BY g ORDER BY o_orderpriority""".stripMargin),
+      headline = true,
     ),
   )
 }
