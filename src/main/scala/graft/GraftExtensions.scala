@@ -50,6 +50,9 @@ object GraftFunctions {
     // pattern (overlapping included) via a per-executor-cached
     // Aho-Corasick automaton — O(text + matches), dictionary-size-free
     "ac_matches" -> { exprs => text.AhoCorasickGenerator(exprs.head, exprs(1)) },
+    // topk_pairs(score, id, k): bounded-heap per-group top-k aggregate
+    // (k-sized state, map-side-combinable) — the no-window-sort top-N
+    "topk_pairs" -> { exprs => functions.TopKPairs(exprs(0), exprs(1), exprs(2)) },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
     "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
     // Spark ships these sketch expressions for its own runtime join

@@ -63,6 +63,7 @@ object Registry {
       dedup.FellegiSunter.engineQueries ++
       text.Blocklist.engineQueries ++
       operators.ExactQuantile.engineQueries ++
+      operators.TopK.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       similarity.Pq.engineQueries ++
