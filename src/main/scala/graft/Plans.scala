@@ -304,6 +304,18 @@ object Plans {
       "80/20 analysis without a customer-cardinality sort: per-customer revenue collapses into value buckets (the lang_adaptive_cut histogram discipline), the descending cumulative windows run at BUCKET cardinality, and the crossing test cross-multiplies (5·cum ≥ 4·total). Resolution = one bucket width — the knob — instead of a single-task rank over every customer at 100 TB.",
     "contrastive_triplets" ->
       "Training-triplet mining on top of the audited MinHash band path: positives are the banded candidate pairs (never all-pairs), and the deterministic md5-keyed negative is a pure projection — the only addition to the pair plan is the 1-row n_docs broadcast carrier.",
+    "winnow_fingerprint_stats" ->
+      "Winnowing (MOSS) fingerprints with extraction AND selection inside the map stage: the `Generate rollinghashgenerator` codegen node emits only the ~2/(w+1) winnow-selected minority — the O(n) rolling pass, the ring-buffer min-deque, and the discarded majority never exist as rows, so the first exchange carries fingerprints, not windows. Per-doc stats are one partial+final aggregate on doc_id.",
+    "winnow_dup_pairs" ->
+      "The deterministic-recall exact-substring pair join: distinct (doc, fingerprint) feeds a df-capped equi-join on the 62-bit fingerprint value (the MinHash-band discipline — a boilerplate fingerprint shared by 10^6 docs is dropped, never expanded into 10^12 pairs). Every exchange keys on the fingerprint; no similarity computation happens outside the capped candidate set.",
+    "percentile_exact_twopass" ->
+      "Exact percentiles with bounded state: phase 1 aggregates (group, cents DIV 2^16) — the corpus collapses to <=~763 buckets per group before any window runs — and phase 2 re-scans only candidate buckets via a broadcast semi-join, grouping by exact value WITHIN one bucket (<=2^16 distinct values). Neither pass buffers a group's value set, unlike the exact `percentile` aggregate; the rank arithmetic is pure integer.",
+    "fs_linkage_scores" ->
+      "Fellegi-Sunter scoring as pure dataflow: three single-row u-statistic carriers (decimal-lane sums of squared counts) broadcast into the block equi-join, per-field likelihood ratios in BIGINT permyriad lanes, and the match gate as exact integer cross-multiplication (num >= T*den) — no float decides a row, and the only corpus-scale exchange is the block-key join itself.",
+    "blocklist_match_stats" ->
+      "Aho-Corasick dictionary scan: one `Generate ahocorasickgenerator` codegen pass per document emits every overlapping occurrence — O(text+matches) regardless of dictionary size, where a per-pattern contains loop pays O(text*patterns). The automaton compiles once per executor (cached by pattern-set key, rides the closure); per-doc stats are one partial+final aggregate and the left join back to documents keeps zero-hit docs.",
+    "topk_agg_orders" ->
+      "Per-group top-N without a window sort: `ObjectHashAggregate` over the bounded-heap topk_pairs aggregate — per-(group,partition) state is k pairs, partials combine map-side, and the exchange carries <=k rows per group per partition instead of the group's full row set (the window-rank twin sorts a hot group's entire history in one task). No Window or corpus-scale Sort node in the plan.",
   )
 
   def main(args: Array[String]): Unit = {
