@@ -66,6 +66,7 @@ object Registry {
       operators.TopK.engineQueries ++
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
+      similarity.Dbscan.engineQueries ++
       similarity.Pq.engineQueries ++
       similarity.SemDedup.engineQueries ++
       similarity.Quantize.engineQueries ++
