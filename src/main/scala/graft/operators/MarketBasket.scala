@@ -31,13 +31,27 @@ import graft.{EngineQuery, Tables}
   */
 object MarketBasket {
 
-  /** Distinct (order, item) basket rows, mega-baskets capped out. */
+  /** Distinct (order, item) basket rows, mega-baskets capped out.
+    *
+    * One explicit repartition on the order key up front; everything
+    * downstream — the (ok, pk) dedup, the basket-size window, and the
+    * pair self-join — is distribution-preserving on that partitioning
+    * (the [[GraphRank.pagerank]] discipline), so the basket relation
+    * crosses the wire once, not once per operator. The size cap rides
+    * a window count instead of a groupBy+semi-join: same partition-
+    * local pass, no second relation.
+    */
   def baskets(lineitem: DataFrame, maxBasket: Int): DataFrame = {
-    val op = lineitem
+    val shuffleParts =
+      lineitem.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .repartition(shuffleParts, col("ok"))
       .distinct()
-    val sized = op.groupBy("ok").agg(count(lit(1)).as("bsz"))
-    op.join(sized.where(col("bsz") <= maxBasket).select("ok"), "ok")
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+      .where(col("bsz") <= maxBasket)
+      .select("ok", "pk")
   }
 
   /** Association rules a→b with support ≥ minSup:

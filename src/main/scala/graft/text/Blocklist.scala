@@ -71,6 +71,46 @@ object Blocklist {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
+  private var sinkCounter = 0
+
+  /** Streaming twin: the same automaton scan as a Structured Streaming
+    * query — documents arrive as a stream, the per-pattern hit totals
+    * are maintained as a complete-mode aggregate (bounded state: one
+    * row per dictionary pattern), and the generator runs in the
+    * stream's map stage exactly as in batch. Draining the finite gate
+    * corpus must reproduce the batch per-pattern totals row for row
+    * (n_docs needs a distinct aggregate, which streaming aggregation
+    * rejects — the twin carries the n_hits lane; the batch query gates
+    * both).
+    */
+  def runStreamingPatternFreq(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val src = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(sfDir)
+    val agg = src
+      .selectExpr("doc_id", s"ac_matches(text, '$spec') AS (pid, pos)")
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n_hits"))
+    val qn = synchronized { sinkCounter += 1; s"graft_blocklist_sink_$sinkCounter" }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val pats = {
+      import spark.implicits._
+      Patterns.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pid", "pat")
+    }
+    pats.join(spark.table(qn), Seq("pid"), "left_outer")
+      .select(col("pid"), col("pat"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   private def duckHitsCte: String = {
     val values = Patterns.zipWithIndex
       .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
@@ -108,6 +148,15 @@ object Blocklist {
              |SELECT p.pid, p.pat,
              |  coalesce(h.n_hits, 0) AS n_hits,
              |  coalesce(h.n_docs, 0) AS n_docs
+             |FROM pats p LEFT JOIN perpat h USING (pid)
+             |ORDER BY p.pid""".stripMargin),
+    ),
+    EngineQuery(
+      "streaming_blocklist_freq",
+      (s, dir) => runStreamingPatternFreq(s, dir).orderBy("pid"),
+      Some(s"""WITH $duckHitsCte,
+             |perpat AS (SELECT pid, count(*) AS n_hits FROM hits GROUP BY 1)
+             |SELECT p.pid, p.pat, coalesce(h.n_hits, 0) AS n_hits
              |FROM pats p LEFT JOIN perpat h USING (pid)
              |ORDER BY p.pid""".stripMargin),
     ),

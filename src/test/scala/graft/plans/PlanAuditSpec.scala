@@ -269,9 +269,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     val keys = "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p).map(_.group(1)).toSet
     keys.subsetOf(Set("h", "doc_id")) shouldBe true
     p should not include "BroadcastNestedLoopJoin"
-    // the 1/8 keep-filter is a plain Filter on the md5 nibble, map-side
-    // (projection collapse inlines the md5 under the substring)
-    p should include regex """substring\(md5\(.*\), 32, 1\) IN \(0,8\)"""
+    // r13: the 1/8 content-defined keep runs INSIDE the rolling-hash
+    // generator (keepMod=8) — discarded windows never materialize as
+    // rows, so there is no separate keep Filter and no md5 anywhere
+    p should include("rollinghashgenerator(text")
+    p should include regex """rollinghashgenerator\(text#\d+, 40, 0, 8\)"""
+    p should not include "md5"
   }
 
   test("line dedup: only hash exchanges are the line-hash agg and per-doc rebuild") {
