@@ -88,7 +88,7 @@ object Bench {
       "cusum_revenue_shift" -> 0.65, "graph_kcore_nodes" -> 2.49,
       "hybrid_search_rrf" -> 2.66,
       // r11 final adds, min-of-5 ad-hoc builder run
-      "assoc_rules_lift" -> 1.57, "containment_dup_pairs" -> 2.27,
+      "assoc_rules_lift" -> 1.57, "containment_dup_pairs" -> 1.79,
       "concurrent_sessions_peak" -> 1.35,
       // r11 closing add: the composed events dashboard
       "events_kpi_snapshot" -> 1.71,

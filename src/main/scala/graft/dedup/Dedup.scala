@@ -633,7 +633,11 @@ object Dedup {
     * intersect/df/size counts only need gram equality, never the text.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, maxDf: Int = 50, minJaccard: Double = 0.05): DataFrame = {
-    val grams = wordNgramHashesRaw(docs, n).distinct()
+    // same single-gh-repartition discipline as [[containmentPairs]]
+    val grams = wordNgramHashesRaw(docs, n)
+      .repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("gh"))
+      .distinct()
     val rare = grams.groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
     val g = grams.join(rare.select("gh"), Seq("gh"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -663,7 +667,17 @@ object Dedup {
     * of each candidate pair.
     */
   def containmentPairs(docs: DataFrame, n: Int = 5, maxDf: Int = 50, minPermille: Long = 200): DataFrame = {
-    val grams = wordNgramHashesRaw(docs, n).distinct()
+    // One explicit repartition on the gram hash (the basket/pagerank
+    // discipline): the (doc, gh) dedup, the df cap, and BOTH sides of
+    // the candidate join are then partition-local on the same reused
+    // exchange — the gram stream crosses the wire once instead of once
+    // per consumer. Only the per-doc size aggregate needs a doc-keyed
+    // exchange, and it ships map-side-combined partial counts.
+    val shuffleParts =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val grams = wordNgramHashesRaw(docs, n)
+      .repartition(shuffleParts, col("gh"))
+      .distinct()
     val rare = grams.groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") <= maxDf)
     val g = grams.join(rare.select("gh"), Seq("gh"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
