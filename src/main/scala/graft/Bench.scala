@@ -111,7 +111,9 @@ object Bench {
       "winnow_fingerprint_stats" -> 0.83,
       // r13: Aho-Corasick blocklist scan (dictionary-size-free map
       // stage) and the bounded-state exact percentile; min-of-5 ad-hoc
-      "blocklist_match_stats" -> 0.88, "percentile_exact_twopass" -> 0.90)
+      "blocklist_match_stats" -> 0.88, "percentile_exact_twopass" -> 0.90,
+      // r13: WordPiece greedy inference (trie in the map stage)
+      "wordpiece_stats" -> 1.06)
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
     // shouldn't require editing headline flags first. Without the env

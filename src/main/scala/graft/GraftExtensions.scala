@@ -50,6 +50,9 @@ object GraftFunctions {
     // pattern (overlapping included) via a per-executor-cached
     // Aho-Corasick automaton — O(text + matches), dictionary-size-free
     "ac_matches" -> { exprs => text.AhoCorasickGenerator(exprs.head, exprs(1)) },
+    // wordpiece_pieces(word, 'p1|p2|…'): greedy longest-match subword
+    // segmentation against a per-executor-cached trie; pid -1 = UNK
+    "wordpiece_pieces" -> { exprs => text.WordPieceGenerator(exprs.head, exprs(1)) },
     // topk_pairs(score, id, k): bounded-heap per-group top-k aggregate
     // (k-sized state, map-side-combinable) — the no-window-sort top-N
     "topk_pairs" -> { exprs => functions.TopKPairs(exprs(0), exprs(1), exprs(2)) },

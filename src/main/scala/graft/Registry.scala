@@ -62,6 +62,7 @@ object Registry {
       dedup.Winnow.engineQueries ++
       dedup.FellegiSunter.engineQueries ++
       text.Blocklist.engineQueries ++
+      text.WordPiece.engineQueries ++
       operators.ExactQuantile.engineQueries ++
       operators.TopK.engineQueries ++
       dedup.Dedup.engineQueries ++
