@@ -77,7 +77,13 @@ object Winnow {
     * (boilerplate) fingerprints capped out: (doc_a, doc_b, n_shared).
     */
   def dupPairs(docs: DataFrame): DataFrame = {
-    val fp = fingerprints(docs).select("doc_id", "h").distinct()
+    // single fingerprint-keyed repartition (the containmentPairs
+    // discipline): the (doc, h) dedup, the hot cap, and both join
+    // sides are partition-local on one reused exchange
+    val fp = fingerprints(docs).select("doc_id", "h")
+      .repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("h"))
+      .distinct()
     val keepable = fp.groupBy("h")
       .agg(count(lit(1)).as("nd"))
       .where(col("nd") <= HotCap)
