@@ -131,7 +131,10 @@ object ScaleProbe {
     // percentile claims bucket-bounded state — its phase-2 re-scan mass
     // is corpus/buckets, so the ratio must track the plain scan, never
     // the exact-percentile buffering curve.
-    "blocklist_match_stats", "percentile_exact_twopass")
+    "blocklist_match_stats", "percentile_exact_twopass",
+    // r13: WordPiece inference is trie-in-map-stage work — its ratio
+    // must track the corpus scan like the other generator families.
+    "wordpiece_stats")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")
