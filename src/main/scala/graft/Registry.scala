@@ -58,6 +58,7 @@ object Registry {
       curation.Curation.engineQueries ++
       curation.Drift.engineQueries ++
       curation.SketchOverlap.engineQueries ++
+      curation.MaxCover.engineQueries ++
       dedup.SortedNeighborhood.engineQueries ++
       dedup.Winnow.engineQueries ++
       dedup.FellegiSunter.engineQueries ++
