@@ -316,6 +316,12 @@ object Plans {
       "Aho-Corasick dictionary scan: one `Generate ahocorasickgenerator` codegen pass per document emits every overlapping occurrence — O(text+matches) regardless of dictionary size, where a per-pattern contains loop pays O(text*patterns). The automaton compiles once per executor (cached by pattern-set key, rides the closure); per-doc stats are one partial+final aggregate and the left join back to documents keeps zero-hit docs.",
     "topk_agg_orders" ->
       "Per-group top-N without a window sort: `ObjectHashAggregate` over the bounded-heap topk_pairs aggregate — per-(group,partition) state is k pairs, partials combine map-side, and the exchange carries <=k rows per group per partition instead of the group's full row set (the window-rank twin sorts a hot group's entire history in one task). No Window or corpus-scale Sort node in the plan.",
+    "dbscan_clusters" ->
+      "Grid-blocked density clustering: candidate neighbors come from a 3x3 adjacent-cell equi-join on the eps-width grid of the 2-D integer projection (complete by construction in 2-D; each pair matches exactly one offset, so no distinct) — never an all-pairs distance join. The CC labeling is materialized through the audited checkpoint-released loop before this final assembly plan, which only left-joins |points|-sized label relations.",
+    "wordpiece_stats" ->
+      "WordPiece inference in the map stage: explode words, then the `Generate wordpiecegenerator` codegen node walks the per-executor-cached trie — greedy longest-match backtracking per position, O(word x max_piece_len), no join against a vocabulary relation anywhere. Downstream is one doc-keyed partial+final aggregate and the zero-piece left join.",
+    "maxcover_select" ->
+      "The greedy coverage loop's per-round plan (this is round k's assembly; earlier rounds materialized through checkpoint-released covered sets): a gram-keyed LeftAnti against the covered relation, then a doc-keyed count whose one-row argmax is a TakeOrderedAndProject — the corpus-scale shingle relation is checkpointed once and re-joined per round, the BPE-loop discipline.",
   )
 
   def main(args: Array[String]): Unit = {
