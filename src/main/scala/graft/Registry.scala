@@ -69,6 +69,7 @@ object Registry {
       dedup.Dedup.engineQueries ++
       similarity.Ann.engineQueries ++
       similarity.Dbscan.engineQueries ++
+      similarity.KCenter.engineQueries ++
       similarity.Pq.engineQueries ++
       similarity.SemDedup.engineQueries ++
       similarity.Quantize.engineQueries ++
