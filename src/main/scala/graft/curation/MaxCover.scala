@@ -78,6 +78,115 @@ object MaxCover {
     picks.toSeq.toDF("step", "doc_id", "gain")
   }
 
+  /** Doc-local gain probes the most recent [[selectLazy]] issued —
+    * diagnostics for `MaxCoverSpec`'s laziness assertion (each probe is
+    * one doc's shingle set anti-joined against the covered set, never a
+    * corpus-scale aggregate).
+    */
+  @volatile var lastLazyProbes: Int = -1
+
+  /** CELF lazy-greedy twin of [[select]] (Leskovec et al. 2007,
+    * "Cost-effective Outbreak Detection"): submodularity makes every
+    * round-r marginal gain an UPPER BOUND on the same document's
+    * round-(r+1) gain, so stale gains from earlier rounds are valid
+    * priorities. Only round 1 pays a corpus-scale aggregate (exact
+    * initial gains = per-doc distinct shingle counts); every later step
+    * pops the max-bound candidate (a distributed TakeOrdered over the
+    * doc-scale bounds relation) and FRESH-evaluates just that one
+    * document — an anti-join of ITS shingle set against the covered
+    * set, |shingles(doc)|-bounded work — accepting when the fresh gain
+    * still beats the runner-up's bound under the (gain DESC, doc_id
+    * ASC) order. The trajectory is provably identical to [[select]]'s;
+    * the selection budget k no longer multiplies corpus-scale rounds
+    * (the r13 verdict watch item).
+    *
+    * Driver state per probe is ≤ 2 rows (the popped candidate and the
+    * runner-up bound); stale-bound overrides accumulate driver-side and
+    * fold into a fresh executor-held checkpoint once they exceed a
+    * small cap, so the bounds relation's plan stays O(cap) deep while
+    * the relation itself never leaves the executors.
+    */
+  def selectLazy(docs: DataFrame, k: Int = K): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (g, releaseG) = graft.Checkpoints.localEager(
+      graft.dedup.Dedup.wordNgramHashesRaw(docs, N).distinct())
+    // Round-1 bounds are EXACT gains (nothing covered yet) — the only
+    // corpus-scale aggregate of the whole selection.
+    var (base, freeBase) = graft.Checkpoints.localEager(
+      g.groupBy("doc_id").agg(count(lit(1)).as("ub")))
+    // Driver-side deltas on the checkpointed base: picked/rejected docs'
+    // fresh bounds. Folded back into a new checkpoint past FoldCap so
+    // the rebuilt plan never grows unboundedly.
+    val FoldCap = 64
+    var overrides = Map.empty[Long, Long]
+    var removed = Set.empty[Long]
+    def bounds: DataFrame = {
+      val keep = base.where(
+        if (removed.isEmpty && overrides.isEmpty) lit(true)
+        else !col("doc_id").isInCollection(removed ++ overrides.keySet))
+      if (overrides.isEmpty) keep
+      else keep.union(overrides.toSeq.toDF("doc_id", "ub"))
+    }
+    def foldIfDeep(): Unit =
+      if (overrides.size + removed.size > FoldCap) {
+        val (next, freeNext) = graft.Checkpoints.localEager(bounds)
+        freeBase(); freeBase = freeNext; base = next
+        overrides = Map.empty; removed = Set.empty
+      }
+    val picks = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    var covered: Option[DataFrame] = None
+    var freeCov: () => Unit = () => ()
+    var probes = 0
+    var step = 1L
+    var done = false
+    while (!done && step <= k) {
+      var accepted = false
+      while (!accepted && !done) {
+        val top2 = bounds.orderBy(col("ub").desc, col("doc_id")).limit(2).collect()
+        if (top2.isEmpty || top2(0).getLong(1) <= 0L)
+          done = true // all true gains are 0 — greedy stops, like select
+        else {
+          val d = top2(0).getLong(0)
+          val ub = top2(0).getLong(1)
+          val fresh: Long = covered match {
+            case None => ub // bounds are exact until the first pick
+            case Some(c) =>
+              probes += 1
+              g.where(col("doc_id") === d).join(c, Seq("gh"), "left_anti").count()
+          }
+          // Accept iff d still wins (gain DESC, doc_id ASC) against the
+          // runner-up's bound: the bound only overestimates, and doc_id
+          // ties fall to d exactly when d is the smaller id.
+          val runnerBeats = top2.length > 1 && {
+            val nd = top2(1).getLong(0); val nub = top2(1).getLong(1)
+            nub > fresh || (nub == fresh && nd < d)
+          }
+          if (fresh > 0 && !runnerBeats) {
+            picks += ((step, d, fresh))
+            val newCov = covered match {
+              case None => g.where(col("doc_id") === d).select("gh")
+              case Some(c) =>
+                c.union(g.where(col("doc_id") === d).select("gh")).distinct()
+            }
+            val (pinned, freeNext) = graft.Checkpoints.localEager(newCov)
+            freeCov(); freeCov = freeNext
+            covered = Some(pinned)
+            removed += d; overrides -= d
+            step += 1
+            accepted = true
+          } else {
+            overrides += (d -> fresh) // stale bound refreshed; re-pop
+          }
+          foldIfDeep()
+        }
+      }
+    }
+    freeCov(); freeBase(); releaseG()
+    lastLazyProbes = probes
+    picks.toSeq.toDF("step", "doc_id", "gain")
+  }
+
   /** Unrolled k-step greedy in nested CTEs over the gram STRINGS —
     * structurally independent of the hash-carrying engine loop.
     */
@@ -111,6 +220,12 @@ object MaxCover {
     EngineQuery(
       "maxcover_select",
       (s, dir) => select(Tables.documents(s, dir)).orderBy("step"),
+      Some(duckGreedySql(K)),
+    ),
+    // The CELF twin must land on the IDENTICAL trajectory — same oracle.
+    EngineQuery(
+      "maxcover_select_lazy",
+      (s, dir) => selectLazy(Tables.documents(s, dir)).orderBy("step"),
       Some(duckGreedySql(K)),
     ),
   )

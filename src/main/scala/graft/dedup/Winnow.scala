@@ -73,16 +73,16 @@ object Winnow {
           .as("density_permille"))
   }
 
-  /** Document pairs sharing ≥ `MinShared` distinct fingerprints, hot
-    * (boilerplate) fingerprints capped out: (doc_a, doc_b, n_shared).
+  /** Pair join over a (doc_id, h) fingerprint relation — the shared
+    * core of the batch and incremental paths. Single fingerprint-keyed
+    * repartition (the containmentPairs discipline): the (doc, h) dedup,
+    * the hot cap, and both join sides are partition-local on one reused
+    * exchange.
     */
-  def dupPairs(docs: DataFrame): DataFrame = {
-    // single fingerprint-keyed repartition (the containmentPairs
-    // discipline): the (doc, h) dedup, the hot cap, and both join
-    // sides are partition-local on one reused exchange
-    val fp = fingerprints(docs).select("doc_id", "h")
+  private def pairsFromFingerprints(fp0: DataFrame): DataFrame = {
+    val fp = fp0
       .repartition(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("h"))
+        fp0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("h"))
       .distinct()
     val keepable = fp.groupBy("h")
       .agg(count(lit(1)).as("nd"))
@@ -95,6 +95,36 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= MinShared)
   }
+
+  /** Document pairs sharing ≥ `MinShared` distinct fingerprints, hot
+    * (boilerplate) fingerprints capped out: (doc_a, doc_b, n_shared).
+    */
+  def dupPairs(docs: DataFrame): DataFrame =
+    pairsFromFingerprints(fingerprints(docs).select("doc_id", "h"))
+
+  /** The persisted fingerprint index a production pipeline maintains
+    * between crawl snapshots: distinct (doc_id, h).
+    */
+  def fingerprintIndex(docs: DataFrame): DataFrame =
+    fingerprints(docs).select("doc_id", "h").distinct()
+
+  /** Incremental twin of [[dupPairs]] — the crawl-snapshot ingestion
+    * shape: a new batch is fingerprinted FRESH (the O(chars) rolling
+    * map stage runs only over the batch) and probes the EXISTING
+    * corpus's persisted fingerprint index; the corpus itself is never
+    * re-fingerprinted. The hot cap applies over the combined fingerprint
+    * population (a boilerplate fingerprint is boilerplate regardless of
+    * which snapshot its docs arrived in — and a fingerprint an incoming
+    * batch pushes past the cap correctly retracts its existing-only
+    * pairs too), so the result is BIT-IDENTICAL to running [[dupPairs]]
+    * over the union corpus: incremental ≡ batch, gated by the same
+    * oracle. At 100 TB the saving is the extraction pass — the
+    * fingerprint join itself stays index ∪ batch sized, hash-partitioned
+    * on the fingerprint value.
+    */
+  def incrementalDupPairs(index: DataFrame, incoming: DataFrame): DataFrame =
+    pairsFromFingerprints(
+      index.select("doc_id", "h").union(fingerprintIndex(incoming)))
 
   /** Shared oracle prefix: all window hashes, per-doc counts, and the
     * winnow selection — the declarative replay of the generator.
@@ -137,6 +167,28 @@ object Winnow {
     EngineQuery(
       "winnow_dup_pairs",
       (s, dir) => dupPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $duckSelCtes,
+             |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+             |ok AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= $HotCap),
+             |fpk AS (SELECT fp.doc_id, fp.h FROM fp JOIN ok USING (h))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= $MinShared
+             |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    // The incremental path must reproduce the batch relation exactly:
+    // even-id docs play the existing corpus (their fingerprint index is
+    // "precomputed" — materialized before the incremental call), odd-id
+    // docs the new crawl snapshot; the oracle is the BATCH oracle.
+    EngineQuery(
+      "winnow_incremental_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val index = fingerprintIndex(docs.where(col("doc_id") % 2 === 0))
+        incrementalDupPairs(index, docs.where(col("doc_id") % 2 =!= 0))
+          .orderBy("doc_a", "doc_b")
+      },
       Some(s"""WITH $duckSelCtes,
              |fp AS (SELECT DISTINCT doc_id, h FROM sel),
              |ok AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= $HotCap),

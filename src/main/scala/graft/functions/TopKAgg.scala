@@ -96,14 +96,15 @@ case class TopKPairs(
     containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (score.dataType, id.dataType) match {
-      case (LongType, LongType) if kExpr.foldable &&
-        kExpr.eval(null) != null &&
-        kExpr.eval(null).asInstanceOf[Number].intValue() >= 1 &&
-        kExpr.eval(null).asInstanceOf[Number].intValue() <= (1 << 20) =>
+    // Pattern-match the folded k against Number BEFORE intValue(): a
+    // non-numeric foldable k (e.g. topk_pairs(s, id, 'x')) must fail
+    // analysis with this TypeCheckFailure, not a ClassCastException.
+    (score.dataType, id.dataType, if (kExpr.foldable) kExpr.eval(null) else null) match {
+      case (LongType, LongType, n: Number)
+          if n.intValue() >= 1 && n.intValue() <= (1 << 20) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        "topk_pairs needs (BIGINT score, BIGINT id, foldable k in [1, 2^20])")
+        "topk_pairs needs (BIGINT score, BIGINT id, foldable integral k in [1, 2^20])")
     }
 
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)

@@ -58,8 +58,21 @@ object Dbscan {
         col("vec_id"),
         expr(s"dot_i64(q, ${planeLit(0)})").as("p1"),
         expr(s"dot_i64(q, ${planeLit(1)})").as("p2"))
-      .withColumn("cx", expr(s"(p1 + $Pos) DIV $CellW"))
-      .withColumn("cy", expr(s"(p2 + $Pos) DIV $CellW"))
+      // Bounds guard on the cell-key packing below (cell = cx*M + cy):
+      // a projection outside ±Pos (embedding magnitude ≳16k after the
+      // ×1000 quantization) or a cell index ≥ M would alias or go
+      // negative and silently DROP neighbor pairs — raise instead.
+      // greatest/least keep the guard one codegen'd branch per row.
+      .withColumn("cx", expr(
+        s"""IF(p1 >= -$Pos AND p1 < ${(M - 1) * CellW - Pos},
+           |   (p1 + $Pos) DIV $CellW,
+           |   CAST(raise_error(concat('dbscan: projection p1 out of grid range: ',
+           |        CAST(p1 AS STRING))) AS BIGINT))""".stripMargin))
+      .withColumn("cy", expr(
+        s"""IF(p2 >= -$Pos AND p2 < ${(M - 1) * CellW - Pos},
+           |   (p2 + $Pos) DIV $CellW,
+           |   CAST(raise_error(concat('dbscan: projection p2 out of grid range: ',
+           |        CAST(p2 AS STRING))) AS BIGINT))""".stripMargin))
 
   /** Directed neighbor pairs (vec_a ≠ vec_b, dist² ≤ eps²) via the
     * 3×3 adjacent-cell join — each pair matches on exactly one cell

@@ -123,12 +123,31 @@ final class ACAutomaton(patterns: Array[Array[Int]]) extends Serializable {
 object AhoCorasick {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, ACAutomaton]()
 
+  /** '|' is the spec delimiter with NO escape mechanism: a pattern that
+    * itself contains '|' cannot be represented — it would silently split
+    * into two wrong patterns. Spec builders must join '|'-free patterns
+    * (the empty-pattern require below is what such a split usually trips,
+    * and its message documents the limitation for SQL callers of
+    * `ac_matches`/`wordpiece_pieces`).
+    */
   def automaton(patsSpec: String): ACAutomaton =
     cache.computeIfAbsent(patsSpec, spec => {
       val pats = spec.split('|').map(_.codePoints().toArray)
-      require(pats.nonEmpty && pats.forall(_.nonEmpty), "empty pattern in ac_matches spec")
+      require(
+        pats.nonEmpty && pats.forall(_.nonEmpty),
+        "empty pattern in ac_matches spec ('|' delimits patterns and has no " +
+          "escape — a pattern containing '|' cannot be represented)")
       new ACAutomaton(pats)
     })
+
+  /** Builder-side guard for the unescapable delimiter above. */
+  def joinSpec(patterns: Seq[String]): String = {
+    require(
+      patterns.nonEmpty && patterns.forall(p => p.nonEmpty && !p.contains("|")),
+      "ac_matches patterns must be non-empty and '|'-free (the spec " +
+        "delimiter has no escape mechanism)")
+    patterns.mkString("|")
+  }
 
   /** Static entry the generated code calls: rows (pid, pos). Null
     * text yields zero rows here rather than relying on the caller's

@@ -31,7 +31,7 @@ object Blocklist {
 
   val FlagThreshold = 10L
 
-  private def spec: String = Patterns.mkString("|")
+  private def spec: String = AhoCorasick.joinSpec(Patterns)
 
   /** (doc_id, pid, pos) for every occurrence. */
   def matches(docs: DataFrame): DataFrame = {

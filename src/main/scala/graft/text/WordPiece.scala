@@ -130,7 +130,7 @@ object WordPiece {
     new ACMatchRows(pids, poss)
   }
 
-  private def spec: String = Vocab.mkString("|")
+  private def spec: String = AhoCorasick.joinSpec(Vocab)
 
   /** (doc_id, pid, pos) piece stream; pid = −1 is UNK. */
   def pieces(docs: DataFrame): DataFrame = {
@@ -170,6 +170,54 @@ object WordPiece {
       .select(col("pid"), col("piece"),
         coalesce(col("n_uses"), lit(0L)).as("n_uses"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
+  private var sinkCounter = 0
+
+  /** Streaming tokenizer-fertility twin (the `streaming_blocklist_freq`
+    * shape): documents arrive as a stream, the trie generator tokenizes
+    * in the stream's map stage exactly as in batch, and per-language
+    * fertility counters are maintained as a complete-mode aggregate —
+    * bounded state, one row per language. A word's piece stream starts
+    * at pos 1, so `n_words` is the count of pos=1 rows — no distinct
+    * aggregate (which streaming rejects). Draining the finite gate
+    * corpus must reproduce the batch oracle's per-language totals
+    * exactly; fertility (pieces per word) is the exact-integer permille
+    * plus one final IEEE division, the [[graft.text.BigramLm]] lane
+    * discipline.
+    */
+  def runStreamingFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val src = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(sfDir)
+    val agg = src
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .selectExpr("lang", s"wordpiece_pieces(w, '$spec') AS (pid, pos)")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        sum(when(col("pid") === -1, 1L).otherwise(0L)).as("n_unk"),
+        sum(when(col("pos") === 1, 1L).otherwise(0L)).as("n_words"))
+    val qn = synchronized { sinkCounter += 1; s"graft_wordpiece_sink_$sinkCounter" }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn)
+      .select(
+        col("lang"), col("n_words"), col("n_pieces"), col("n_unk"),
+        expr("(1000 * n_pieces) div greatest(n_words, CAST(1 AS BIGINT))").as("fertility_permille"))
+      .withColumn("fertility",
+        col("n_pieces").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"))
   }
 
   /** Shared oracle prefix: greedy-advance recursion + piece
@@ -235,6 +283,28 @@ object WordPiece {
            |FROM vid v LEFT JOIN perpiece f USING (piece)
            |ORDER BY v.pid""".stripMargin
       },
+    ),
+    // Streaming twin: drains the finite corpus as a stream; must equal
+    // the batch recursion's per-language totals exactly.
+    EngineQuery(
+      "streaming_wordpiece_fertility",
+      (s, dir) => runStreamingFertility(s, dir).orderBy("lang"),
+      Some(s"""WITH RECURSIVE $duckPieceCtes,
+             |wcnt AS (
+             |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words
+             |  FROM words w JOIN documents d USING (doc_id) GROUP BY 1),
+             |pcnt AS (
+             |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_pieces,
+             |    CAST(sum(CASE WHEN is_unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+             |  FROM pieces p JOIN documents d USING (doc_id) GROUP BY 1)
+             |SELECT w.lang, w.n_words,
+             |  coalesce(p.n_pieces, 0) AS n_pieces,
+             |  coalesce(p.n_unk, 0) AS n_unk,
+             |  (1000 * coalesce(p.n_pieces, 0)) // greatest(w.n_words, 1) AS fertility_permille,
+             |  CAST(coalesce(p.n_pieces, 0) AS DOUBLE)
+             |    / CAST(greatest(w.n_words, 1) AS DOUBLE) AS fertility
+             |FROM wcnt w LEFT JOIN pcnt p USING (lang)
+             |ORDER BY lang""".stripMargin),
     ),
   )
 }

@@ -69,6 +69,17 @@ object PartitionedCheckpoint {
     // out of their per-partition buffers before persisting.
     val rdd = qe.toRdd.map(_.copy()).persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count() // eager
+    // Cheap invariant guard on the caller contract above: the declared
+    // partition COUNT must match the materialized layout. It catches the
+    // likeliest contract drift (a call site whose plan stopped ending in
+    // the expected repartition, or AQE re-planning the exchange width) —
+    // a false declaration here would make later co-partitioned joins
+    // silently drop matches, so fail loudly instead.
+    require(
+      rdd.getNumPartitions == numPartitions,
+      s"PartitionedCheckpoint: plan materialized ${rdd.getNumPartitions} partitions " +
+        s"but caller declared HashPartitioning($keys, $numPartitions) — " +
+        "the call site's plan no longer ends in the expected repartition")
     val attrs = qe.analyzed.output
     val keyAttrs = keys.map { k =>
       attrs.find(_.name == k).getOrElse(

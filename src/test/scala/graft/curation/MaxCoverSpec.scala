@@ -62,4 +62,41 @@ class MaxCoverSpec extends AnyFunSuite with Matchers {
     val docs = Seq((7L, "a b c"), (4L, "d e f")).toDF("doc_id", "text")
     MaxCover.select(docs, k = 1).collect().head.getLong(1) shouldBe 4L
   }
+
+  test("CELF lazy-greedy lands on the identical trajectory (randomized)") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    for (trial <- 1 to 6) {
+      val docs = (0L until 30L).map { id =>
+        id -> Array.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val df = docs.toDF("doc_id", "text")
+      val eager = MaxCover.select(df, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val lazyT = MaxCover.selectLazy(df, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      withClue(s"trial=$trial: ") { lazyT shouldBe eager }
+    }
+  }
+
+  test("CELF stops early and matches select when nothing adds coverage") {
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z w"), (3L, "p q r")).toDF("doc_id", "text")
+    val got = MaxCover.selectLazy(docs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    got shouldBe Array((1L, 1L, 2L), (2L, 3L, 1L))
+  }
+
+  test("CELF probes are doc-local and bounded (laziness is real)") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0L until 40L).map { id =>
+      id -> Array.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    MaxCover.selectLazy(docs.toDF("doc_id", "text"), k = 4).collect()
+    // worst case would be ~n_docs probes per pick; CELF should do far
+    // fewer — assert it stays under one full re-evaluation sweep total
+    MaxCover.lastLazyProbes should be >= 1
+    MaxCover.lastLazyProbes should be < 40
+  }
 }

@@ -103,4 +103,29 @@ class WinnowSpec extends AnyFunSuite with Matchers {
     pairs should contain((1L, 2L))
     pairs.foreach { case (a, b) => Set(a, b) should not contain 3L }
   }
+
+  test("incremental index probe reproduces the batch pair relation exactly") {
+    val rnd = new scala.util.Random(11)
+    def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = noise(180)
+    val boiler = noise(120)
+    // cross-side dups (1↔2), intra-batch dups (3↔5), and a fingerprint
+    // population where the batch's arrivals shift per-h doc counts
+    val docs = Seq(
+      (0L, shared + noise(30)),           // existing
+      (1L, noise(20) + shared),           // batch: pairs with 0
+      (2L, boiler + noise(50)),           // existing
+      (3L, boiler + noise(45)),           // batch: pairs with 2 via boiler
+      (4L, noise(200)),                   // existing, disjoint
+      (5L, noise(15) + boiler + noise(10)), // batch: also pairs via boiler
+    ).toDF("doc_id", "text")
+    val batch = Winnow.dupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    val index = Winnow.fingerprintIndex(docs.where($"doc_id" % 2 === 0))
+      .localCheckpoint(true) // "precomputed": materialized before the probe
+    val inc = Winnow.incrementalDupPairs(index, docs.where($"doc_id" % 2 =!= 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(identity).toSeq
+    batch should not be empty
+    inc shouldBe batch
+  }
 }
