@@ -50,6 +50,7 @@ object Registry {
       text.CountMin.engineQueries ++
       text.Bm25.engineQueries ++
       text.Bpe.engineQueries ++
+      text.Unigram.engineQueries ++
       text.BigramLm.engineQueries ++
       text.Mojibake.engineQueries ++
       dedup.SubstringDup.engineQueries ++

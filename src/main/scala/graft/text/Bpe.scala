@@ -52,7 +52,7 @@ object Bpe {
   /** Lowercased whitespace words of the corpus, one row per occurrence,
     * keyed by document.
     */
-  private def docWords(docs: DataFrame): DataFrame =
+  private[text] def docWords(docs: DataFrame): DataFrame =
     graft.Partitioning.fanOut(docs)
       .select(
         col("doc_id"),
@@ -60,7 +60,7 @@ object Bpe {
       .where(col("w") =!= "")
 
   /** (word, count) vocabulary — the corpus's only full pass. */
-  private def wordCounts(docs: DataFrame): DataFrame =
+  private[text] def wordCounts(docs: DataFrame): DataFrame =
     docWords(docs).groupBy("w").agg(count(lit(1)).as("c"))
 
   /** Adjacent-symbol pairs of a symbol-array column as (a, b) structs;
@@ -272,13 +272,13 @@ object Bpe {
   // ---- oracles ------------------------------------------------------
 
   /** DuckDB per-occurrence word CTE body: (doc_id, w). */
-  private val duckWords =
+  private[text] val duckWords =
     """SELECT doc_id, unnest(CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
       |              ELSE string_split_regex(trim(lower(text)), '\s+') END) AS w
       |FROM documents""".stripMargin
 
   /** DuckDB vocabulary CTE body: (w, c) distinct lowercased words. */
-  private val duckWc =
+  private[text] val duckWc =
     s"""SELECT w, count(*) AS c FROM ($duckWords) WHERE w <> '' GROUP BY w"""
 
   /** The unrolled learn-merges oracle: `n` chained CTE steps, each
