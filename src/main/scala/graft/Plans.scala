@@ -322,6 +322,14 @@ object Plans {
       "WordPiece inference in the map stage: explode words, then the `Generate wordpiecegenerator` codegen node walks the per-executor-cached trie — greedy longest-match backtracking per position, O(word x max_piece_len), no join against a vocabulary relation anywhere. Downstream is one doc-keyed partial+final aggregate and the zero-piece left join.",
     "maxcover_select" ->
       "The greedy coverage loop's per-round plan (this is round k's assembly; earlier rounds materialized through checkpoint-released covered sets): a gram-keyed LeftAnti against the covered relation, then a doc-keyed count whose one-row argmax is a TakeOrderedAndProject — the corpus-scale shingle relation is checkpointed once and re-joined per round, the BPE-loop discipline.",
+    "maxcover_select_lazy" ->
+      "The CELF twin's final assembly (the trajectory relation itself is driver-composed from bounded pops): the ONLY corpus-scale aggregate of the whole selection is the round-1 per-doc gain count this plan shows — every later step is a TakeOrdered(2) over the doc-scale bounds relation plus a ONE-document anti-join probe, so the selection budget k multiplies doc-local work, never corpus rounds (the r13 watch item).",
+    "unigram_tokenize_stats" ->
+      "Unigram-LM apply: every EM round and the final tokenize run on the DISTINCT-WORD relation — substring Generate, a BroadcastHashJoin against the scored piece vocabulary, one (w,c) map regroup, and the Viterbi DP + backwalk as codegen'd aggregate folds in the projection (no Window, no per-position join). The corpus-scale work is exactly two equi-joins: the histogram groupBy and the final word-keyed stats join.",
+    "winnow_incremental_pairs" ->
+      "Snapshot ingestion for the winnowing index: only the incoming batch runs the rolling-hash Generate (the existing corpus arrives as its persisted (doc,h) index), and the union feeds the SAME single fingerprint-keyed repartition as the batch plan — dedup, hot-cap window, and both self-join sides all partition-local on one reused exchange.",
+    "ann_recall_curve" ->
+      "Recall calibration without repeated corpus passes: ONE trained-centroid broadcast assignment of the corpus (crn = 1) and ONE of the queries at max(nprobe), sliced per curve point by a crn filter; the multi-probe points share one bucketed corpus relation. Truth is the same broadcast crossJoin + WindowGroupLimit as ann_brute_topk; the curve itself aggregates at settings cardinality.",
   )
 
   def main(args: Array[String]): Unit = {

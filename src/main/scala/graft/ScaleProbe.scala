@@ -134,7 +134,21 @@ object ScaleProbe {
     "blocklist_match_stats", "percentile_exact_twopass",
     // r13: WordPiece inference is trie-in-map-stage work — its ratio
     // must track the corpus scan like the other generator families.
-    "wordpiece_stats")
+    "wordpiece_stats",
+    // r14: the unigram learner pays the corpus once (word histogram)
+    // and runs EM on the distinct-word relation — its ratio must track
+    // the bpe_tokenize_stats shape (histogram + word-keyed stats join),
+    // never a per-position blowup (the DP is a fold per DISTINCT word,
+    // and rotated copies multiply distinct words by ~copies).
+    "unigram_tokenize_stats",
+    // r14: the incremental winnow path must scale like the batch pair
+    // join it shares (per-fingerprint-capped candidates), with only the
+    // batch half paying extraction.
+    "winnow_incremental_pairs",
+    // r14: CELF's claim is that k multiplies DOC-LOCAL probes, not
+    // corpus rounds — at 30× the probed wall must track the round-1
+    // gain aggregate (the maxcover shingle pass), not k× it.
+    "maxcover_select_lazy")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -227,6 +227,7 @@ object MaxCover {
       "maxcover_select_lazy",
       (s, dir) => selectLazy(Tables.documents(s, dir)).orderBy("step"),
       Some(duckGreedySql(K)),
+      headline = true,
     ),
   )
 }

@@ -185,7 +185,11 @@ object Winnow {
       "winnow_incremental_pairs",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // materialize the index first — the production shape is a
+        // PERSISTED index, so only the batch side runs the rolling
+        // fingerprint Generate (pinned in PlanAuditSpec)
         val index = fingerprintIndex(docs.where(col("doc_id") % 2 === 0))
+          .localCheckpoint(true)
         incrementalDupPairs(index, docs.where(col("doc_id") % 2 =!= 0))
           .orderBy("doc_a", "doc_b")
       },
@@ -198,6 +202,7 @@ object Winnow {
              |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING count(*) >= $MinShared
              |ORDER BY doc_a, doc_b""".stripMargin),
+      headline = true,
     ),
   )
 }

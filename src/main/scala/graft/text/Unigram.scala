@@ -242,6 +242,27 @@ object Unigram {
       .agg(sum(col("n_pieces")).as("n_tokens"), count(lit(1)).as("n_words"))
   }
 
+  /** Per-language unigram fertility (pieces per word — the
+    * tokenizer-equity rollup, [[Bpe.bpeFertilityByLang]]'s twin for
+    * this family): same plan as [[unigramTokenizeStats]] with the
+    * rollup keyed on lang via a doc_id-keyed attach; the one IEEE
+    * division happens after exact integer sums.
+    */
+  def unigramFertilityByLang(docs: DataFrame): DataFrame = {
+    val (vocab, allSubs, release) = learn(docs)
+    val nPieces = segmented(allSubs, withScores(vocab))
+      .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
+      .localCheckpoint(true)
+    release()
+    Bpe.docWords(docs)
+      .join(nPieces, Seq("w"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum(col("n_pieces")).as("n_tokens"), count(lit(1)).as("n_words"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
   // ---- oracles ----------------------------------------------------------
 
   /** The per-round DP/backwalk CTE block: dp as a linear recursion over
@@ -342,6 +363,21 @@ object Unigram {
        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  private def duckFertilityByLang(rounds: Int): String = {
+    val fin = rounds + 1
+    s"""WITH RECURSIVE ${duckEmCtes(rounds)},
+       |${duckRound(fin, s"scores$rounds")},
+       |npieces AS MATERIALIZED (
+       |  SELECT w, CAST(length(ps) AS BIGINT) AS n_pieces FROM walk$fin WHERE j = 0)
+       |SELECT d2.lang, CAST(sum(t.n_pieces) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(t.n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+       |FROM (${Bpe.duckWords}) d JOIN npieces t ON d.w = t.w
+       |JOIN documents d2 ON d.doc_id = d2.doc_id
+       |WHERE d.w <> ''
+       |GROUP BY d2.lang ORDER BY d2.lang""".stripMargin
+  }
+
   val engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
       "unigram_learn",
@@ -352,6 +388,12 @@ object Unigram {
       "unigram_tokenize_stats",
       (s, dir) => unigramTokenizeStats(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(duckTokenizeStats(Rounds)),
+      headline = true,
+    ),
+    EngineQuery(
+      "unigram_fertility_by_lang",
+      (s, dir) => unigramFertilityByLang(Tables.documents(s, dir)).orderBy("lang"),
+      Some(duckFertilityByLang(Rounds)),
     ),
   )
 }

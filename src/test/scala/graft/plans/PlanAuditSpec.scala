@@ -1153,4 +1153,37 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // bucket offsets attach by broadcast (bucket-cardinality relation)
     p should include("BroadcastHashJoin")
   }
+
+  test("unigram apply: scored vocab broadcasts, Viterbi runs as a fold — no Window, no product") {
+    val p = plan("unigram_tokenize_stats")
+    p should include("BroadcastHashJoin")   // piece-score attach
+    p should not include "Window"           // the DP is a projection fold, not a window sort
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("winnow incremental: only the batch side runs the fingerprint generator") {
+    // The pair-join subtree prints the fingerprint relation several
+    // times pre-AQE (self-join + hot-cap; ReusedExchange dedups at
+    // runtime — the minhash_lsh_pairs note). The pin is RELATIVE: the
+    // incremental plan carries half the batch plan's Generate copies
+    // (the existing corpus arrives as a checkpoint scan, never a
+    // second rolling-hash Generate) plus the index's RDD scan.
+    // the incremental union (index scan + batch generate) prints with
+    // the same subtree multiplicity as the batch plan's fingerprint
+    // relation, so equal counts = ONE generate per copy (the batch
+    // half); re-fingerprinting the index side inline would double it.
+    def gens(p: String) = "rollinghashgenerator".r.findAllIn(p.toLowerCase).size
+    val inc = plan("winnow_incremental_pairs")
+    val batch = plan("winnow_dup_pairs")
+    gens(inc) should be > 0
+    gens(inc) shouldBe gens(batch)
+    inc should include("Scan ExistingRDD")
+  }
+
+  test("ann recall curve: rank cuts run as WindowGroupLimit; no cartesian product") {
+    val p = plan("ann_recall_curve")
+    p should include("WindowGroupLimit")
+    p should not include "CartesianProduct"
+  }
 }
