@@ -164,6 +164,8 @@ object Plans {
       "Derived aggregate view consumed twice (join side + scalar max): Spark inlines the CTE into both consumers, but each side prunes to the same 3-column scan with the quarter band pushed down, and the per-supplier aggregate is supplier-cardinality tiny — the max side reduces to ONE scalar row, never a per-row probe. Exact-integer revenue (e4 units) makes the max-equality deterministic — a float formulation could drop or duplicate tie rows across engines.",
     "sql_q17_small_qty_rev" ->
       "Correlated scalar aggregate (each line vs 0.2× its own part's mean quantity): Catalyst decorrelates into ONE per-part average + an equi-join on partkey — the plan must show an Aggregate feeding a join, never a per-row subquery re-execution. The brand filter prunes the probe side at the part scan before the join.",
+    "sql_q2_min_cost_supplier" ->
+      "Correlated scalar-min over the derived offers relation (the partsupp stand-in): Catalyst decorrelates into ONE regional per-part min aggregate + a p_partkey equi-join back to the outer side — no per-row subquery re-execution. The inlined offers CTE appears twice (outer + min side), but each copy prunes to a 3-column lineitem scan feeding a partial+final (l_partkey, l_suppkey) aggregate — distinct-pairs cardinality, not the row stream, crosses each wire — and the supplier→nation→region chain broadcasts on both sides. Completes the 22-query TPC-H suite.",
     "sql_q21_waiting_suppliers" ->
       "The EXISTS/NOT EXISTS double correlation on the same fact table becomes a LeftSemi plus a LeftAnti hash join on l_orderkey (the anti side carrying the outer o_orderdate lateness predicate as a join condition) — no nested-loop and no per-row re-execution; the region→nation→supplier chain broadcasts, and the top-20 is a TakeOrderedAndProject, not a global sort.",
     "sql_q19_brand_bands" ->

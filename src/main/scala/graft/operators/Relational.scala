@@ -788,6 +788,72 @@ object Relational {
              |WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
              |ORDER BY s_suppkey""".stripMargin),
     ),
+    // TPC-H Q2 analog: minimum-cost supplier — the classic correlated
+    // scalar-min subquery over the supply relation, restricted to one
+    // region. The harness has no partsupp, so the supply offers come
+    // from lineitem: cost(part, supplier) = min extendedprice that
+    // supplier ever charged for that part (exact DECIMAL — no float
+    // min). Catalyst decorrelates the per-part regional min into ONE
+    // aggregate over the offers relation + an equi-join back on
+    // p_partkey; the supplier→nation→region chain broadcasts onto both
+    // sides, so only the offers aggregation shuffles (on l_partkey,
+    // l_suppkey) — the same exchange both the outer and the subquery
+    // side reuse. Completes the 22-query TPC-H suite (Q1,Q3–Q22 were
+    // already in the registry).
+    EngineQuery(
+      "sql_q2_min_cost_supplier",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+        Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+        Tables.region(s, dir).createOrReplaceTempView("region_v")
+        s.sql("""WITH offers AS (
+                |  SELECT l_partkey, l_suppkey,
+                |    min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+                |  FROM lineitem_v GROUP BY l_partkey, l_suppkey)
+                |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+                |  CAST(o.cost AS DOUBLE) AS supplycost
+                |FROM part_v p
+                |JOIN offers o ON o.l_partkey = p.p_partkey
+                |JOIN supplier_v s ON s.s_suppkey = o.l_suppkey
+                |JOIN nation_v n ON s.s_nationkey = n.n_nationkey
+                |JOIN region_v r ON n.n_regionkey = r.r_regionkey
+                |WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+                |  AND r.r_name = 'EUROPE'
+                |  AND o.cost = (
+                |    SELECT min(o2.cost)
+                |    FROM offers o2
+                |    JOIN supplier_v s2 ON s2.s_suppkey = o2.l_suppkey
+                |    JOIN nation_v n2 ON s2.s_nationkey = n2.n_nationkey
+                |    JOIN region_v r2 ON n2.n_regionkey = r2.r_regionkey
+                |    WHERE o2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+                |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+                |LIMIT 100""".stripMargin)
+      },
+      Some("""WITH offers AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+             |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+             |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+             |  CAST(o.cost AS DOUBLE) AS supplycost
+             |FROM part p
+             |JOIN offers o ON o.l_partkey = p.p_partkey
+             |JOIN supplier s ON s.s_suppkey = o.l_suppkey
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+             |  AND r.r_name = 'EUROPE'
+             |  AND o.cost = (
+             |    SELECT min(o2.cost)
+             |    FROM offers o2
+             |    JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+             |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+             |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+             |    WHERE o2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+             |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+             |LIMIT 100""".stripMargin),
+    ),
     // TPC-H Q16 analog: supplier diversity per part attribute triple —
     // count(DISTINCT supplier) grouped by (brand, type, size) with a
     // NOT IN exclusion subquery (negative-balance suppliers stand in

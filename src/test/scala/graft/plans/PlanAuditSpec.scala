@@ -1046,6 +1046,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("TakeOrderedAndProject")
   }
 
+  test("Q2 correlated scalar min decorrelates to a regional per-part aggregate + equi-join") {
+    val p = plan("sql_q2_min_cost_supplier")
+    // the regional min is ONE grouped aggregate equi-joined back on
+    // p_partkey with the cost equality as the join condition — never a
+    // per-row scalar subquery execution over the offers relation
+    p should include("min(")
+    p should not include "Subquery"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // dims broadcast on both the outer and the min side
+    "BroadcastHashJoin".r.findAllMatchIn(p).size should be >= 5
+  }
+
   test("Q15 top supplier: scalar max reduces to one subquery row, no nested loop") {
     val p = plan("sql_q15_top_supplier")
     p should include("Subquery")        // the scalar max, evaluated once
