@@ -45,6 +45,7 @@ object Registry {
       text.TextAnalysis.engineQueries ++
       text.QualityFilters.engineQueries ++
       text.HashedLinear.engineQueries ++
+      text.Perceptron.engineQueries ++
       text.LineDedup.engineQueries ++
       text.HeavyHitters.engineQueries ++
       text.CountMin.engineQueries ++

@@ -1,0 +1,238 @@
+package graft.text
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Checkpoints, EngineQuery, Tables}
+
+/** Distributed full-batch perceptron learner over hashed token-count
+  * features — the LEARN half of the fastText-style linear text filter
+  * whose apply half is [[HashedLinear]] (which scores with fixed
+  * hash-derived weights). Web-scale curation pipelines train exactly
+  * this shape on-cluster: distill an expensive labeling function into a
+  * cheap linear model (CCNet's fastText LM filter, the RedPajama
+  * "looks-like-Wikipedia" classifier), then sweep the corpus with the
+  * learned weights. The harness label distills the length quality
+  * filter — y = +1 iff n_chars ≥ 305 (the sf0.01 median) — because the
+  * synthetic corpus draws every document from ONE uniform 31-word
+  * vocabulary, so length is the only signal a content feature can carry;
+  * the learner never reads the label's definition, only (features, y).
+  *
+  * Training is a full-batch perceptron with geometric step decay, kept
+  * EXACT end to end:
+  *  - features: md5-hashed unigram token COUNTS (D = 512 buckets) plus
+  *    a constant bias feature of value 20 in bucket D (count features
+  *    are non-negative, so the "length > θ" separator needs a large
+  *    negative bias — the scaled bias feature is the standard trick
+  *    that lets the bias coordinate move at gradient speed);
+  *  - round t of T: margin_i = y_i·⟨w, x_i⟩ (integer), misclassified
+  *    when margin ≤ 0, then w += 2^(T−t) · Σ_miscl y_i·x_i. The
+  *    power-of-two decay is what makes the FULL-batch iteration
+  *    converge (unit-step batch updates overshoot and oscillate; the
+  *    halving schedule is a binary search over the update direction)
+  *    while staying integer-exact — train accuracy reaches 97–99% at
+  *    every harness SF.
+  * All-integer arithmetic makes every round order-independent and
+  * bit-identical in DuckDB — the unrolled per-round oracle replays the
+  * identical updates (the `bpe_learn_merges` oracle discipline).
+  *
+  * Scale shape (100 TB): the corpus pays one tokenize+hash
+  * featurization (two doc-keyed aggregations) into a checkpointed
+  * (doc_id, y, feats) relation; each round is a map-side codegen'd fold
+  * for the margins (weights travel as a 513-literal broadcast array —
+  * nothing joins) plus one bucket-keyed partial+final aggregation over
+  * the misclassified slice whose post-shuffle cardinality is ≤ D+1
+  * rows. Driver state per round is the weight vector and one count —
+  * the audited bounded-collect loop discipline ([[Bpe.learn]],
+  * `similarity.KCenter`). Learned weight MAGNITUDES scale with corpus
+  * size (no normalization — it would break integer exactness);
+  * classification is sign-based, so the model is scale-free.
+  */
+object Perceptron {
+
+  /** Hashed feature buckets — small enough that the per-round literal
+    * weight array stays cheap, large enough that bucket collisions
+    * don't swamp the signal. The bias feature lives in bucket D.
+    */
+  val Buckets = 512
+
+  /** Constant value of the always-on bias feature (bucket D). */
+  val BiasValue = 20L
+
+  /** Length-filter label cut (chars). */
+  val LabelCut = 305L
+
+  /** Fixed round count keeps the oracle statically unrollable; the
+    * round-t update scales by 2^(T−t).
+    */
+  val Rounds = 8
+
+  /** md5 lane 0 mod D — the [[HashedLinear]] bucket convention. */
+  private def bucket(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long") % Buckets
+
+  /** (doc_id, y, feats) — feats is the sorted (b, c) token-count array
+    * plus the trailing bias struct (D, 20). Docs with no tokens carry
+    * just the bias feature (their margin is w_bias·20, so the empty doc
+    * is classified by the learned bias sign, not pinned to a class).
+    */
+  private[text] def featurized(docs: DataFrame): DataFrame = {
+    val base = graft.Partitioning.fanOut(docs)
+      .select(
+        col("doc_id"),
+        when(col("n_chars") >= LabelCut, 1L).otherwise(-1L).as("y"),
+        col("text"))
+    val counts = base
+      .select(col("doc_id"), col("y"),
+        explode(filter(TextAnalysis.wsTokens(lower(col("text"))), w => w =!= "")).as("w"))
+      .select(col("doc_id"), col("y"), bucket(col("w")).as("b"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "y")
+      .agg(array_sort(collect_list(struct(col("b"), col("c")))).as("feats0"))
+    base.select("doc_id", "y")
+      .join(counts, Seq("doc_id", "y"), "left_outer")
+      .select(
+        col("doc_id"), col("y"),
+        concat(
+          coalesce(col("feats0"), array().cast("array<struct<b:bigint,c:bigint>>")),
+          array(struct(lit(Buckets.toLong).as("b"), lit(BiasValue).as("c")))).as("feats"))
+  }
+
+  private def wArrayLit(w: Array[Long]): Column = array(w.map(lit(_)): _*)
+
+  /** ⟨w, x⟩ as one codegen'd fold over the doc's (bucket, count) array —
+    * the weights ride the plan as a literal array, so the margin pass is
+    * shuffle-free.
+    */
+  private def scoreCol(wArr: Column, feats: Column): Column =
+    aggregate(feats, lit(0L),
+      (acc, f) => acc + element_at(wArr, (f.getField("b") + lit(1L)).cast("int")) * f.getField("c"))
+
+  /** Run the learner: per-round (round, errors, w_l1, w_nonzero) where
+    * errors counts margins ≤ 0 under the PREVIOUS round's weights and
+    * the norms describe the weights AFTER the round's scaled update;
+    * returns the final weight vector alongside.
+    */
+  def learn(docs: DataFrame, rounds: Int = Rounds): (Seq[(Long, Long, Long, Long)], Array[Long]) = {
+    val (feat, free) = Checkpoints.localEager(featurized(docs))
+    val w = Array.fill(Buckets + 1)(0L)
+    val stats = ListBuffer.empty[(Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val scale = 1L << (rounds - r)
+      val miscl = feat
+        .select(col("y"), col("feats"),
+          (col("y") * scoreCol(wArrayLit(w), col("feats"))).as("margin"))
+        .where(col("margin") <= 0)
+      val errors = miscl.count()
+      miscl.select(explode(col("feats")).as("f"), col("y"))
+        .groupBy(col("f.b").as("b")).agg(sum(col("y") * col("f.c")).as("g"))
+        .collect() // bounded: ≤ Buckets+1 rows
+        .foreach(row => w(row.getLong(0).toInt) += row.getLong(1) * scale)
+      stats += ((r.toLong, errors, w.map(math.abs).sum, w.count(_ != 0).toLong))
+    }
+    free()
+    (stats.toList, w)
+  }
+
+  /** Gate view of [[learn]]'s trajectory. */
+  def learnRounds(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learn(docs, rounds)._1.toDF("round", "errors", "w_l1", "w_nonzero").orderBy("round")
+  }
+
+  /** Final-model confusion matrix: one row per (y, pred) cell with its
+    * exact count and exact score sum — the acceptance evidence a
+    * pipeline checks before sweeping a corpus with the learned filter.
+    */
+  def confusion(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val (_, w) = learn(docs, rounds)
+    featurized(docs)
+      .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
+      .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+      .orderBy("y", "pred")
+  }
+
+  /** The unrolled-round oracle prelude: fb = per-doc (bucket, count)
+    * features incl. the bias row, then the w/m chain replaying the
+    * engine's rounds (round-t update scale 2^(T−t)).
+    */
+  private def oracleRounds(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH tok AS (
+         |  SELECT doc_id, CASE WHEN n_chars >= $LabelCut THEN 1 ELSE -1 END AS y,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |docs0 AS (SELECT doc_id, y FROM tok),
+         |fb AS MATERIALIZED (
+         |  SELECT doc_id, y, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % $Buckets AS b,
+         |    count(*) AS c
+         |  FROM (SELECT doc_id, y, unnest(toks) AS w FROM tok) u
+         |  WHERE w <> '' GROUP BY doc_id, y, b
+         |  UNION ALL
+         |  SELECT doc_id, y, $Buckets AS b, $BiasValue AS c FROM docs0),
+         |w1 AS MATERIALIZED (SELECT b, CAST(sum(y * c) * ${1L << (rounds - 1)} AS BIGINT) AS wv
+         |  FROM fb GROUP BY b)""".stripMargin
+    for (t <- 1 until rounds) {
+      val scale = 1L << (rounds - 1 - t)
+      sb ++=
+        s""",
+           |s$t AS (SELECT fb.doc_id, CAST(sum(w$t.wv * fb.c) AS BIGINT) AS sc
+           |  FROM fb JOIN w$t USING (b) GROUP BY fb.doc_id),
+           |m$t AS MATERIALIZED (SELECT d.doc_id, d.y, d.y * coalesce(s$t.sc, 0) AS margin
+           |  FROM docs0 d LEFT JOIN s$t ON s$t.doc_id = d.doc_id),
+           |u$t AS (SELECT fb.b, CAST(sum(fb.y * fb.c) * $scale AS BIGINT) AS dlt
+           |  FROM fb JOIN m$t ON m$t.doc_id = fb.doc_id
+           |  WHERE m$t.margin <= 0 GROUP BY fb.b),
+           |w${t + 1} AS MATERIALIZED (SELECT coalesce(w$t.b, u$t.b) AS b,
+           |    coalesce(w$t.wv, 0) + coalesce(u$t.dlt, 0) AS wv
+           |  FROM w$t FULL OUTER JOIN u$t ON u$t.b = w$t.b)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def learnOracle(rounds: Int): String = {
+    val stats = (1 to rounds).map { t =>
+      val errors =
+        if (t == 1) "(SELECT count(*) FROM docs0)"
+        else s"(SELECT count(*) FROM m${t - 1} WHERE margin <= 0)"
+      s"""  SELECT CAST($t AS BIGINT) AS round, $errors AS errors,
+         |    CAST((SELECT coalesce(sum(abs(wv)), 0) FROM w$t) AS BIGINT) AS w_l1,
+         |    (SELECT count(*) FROM w$t WHERE wv <> 0) AS w_nonzero""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${oracleRounds(rounds)}
+       |SELECT * FROM (
+       |$stats
+       |) t ORDER BY round""".stripMargin
+  }
+
+  private def confusionOracle(rounds: Int): String =
+    s"""${oracleRounds(rounds)},
+       |se AS (SELECT fb.doc_id, CAST(sum(w$rounds.wv * fb.c) AS BIGINT) AS sc
+       |  FROM fb JOIN w$rounds USING (b) GROUP BY fb.doc_id),
+       |ev AS (SELECT d.y, coalesce(se.sc, 0) AS score
+       |  FROM docs0 d LEFT JOIN se ON se.doc_id = d.doc_id)
+       |SELECT CAST(y AS BIGINT) AS y,
+       |  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  count(*) AS n_docs, CAST(sum(score) AS BIGINT) AS sum_score
+       |FROM ev GROUP BY y, pred ORDER BY y, pred""".stripMargin
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "perceptron_learn_rounds",
+      (s, dir) => learnRounds(Tables.documents(s, dir)),
+      Some(learnOracle(Rounds)),
+      headline = true,
+    ),
+    EngineQuery(
+      "perceptron_confusion",
+      (s, dir) => confusion(Tables.documents(s, dir)),
+      Some(confusionOracle(Rounds)),
+    ),
+  )
+}

@@ -1,0 +1,101 @@
+package graft.text
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.TestSpark
+
+/** [[Perceptron]] must reproduce the single-machine full-batch
+  * perceptron (geometric step decay, margin ≤ 0 counted misclassified)
+  * exactly: the reference below is the textbook loop over in-memory
+  * (features, y) pairs. Differential-tested on corpora stressing the
+  * edges — empty/whitespace-only docs (bias-only feature vectors),
+  * repeated tokens (count features, not presence), labels exactly at
+  * the length cut, and the all-misclassified first round — plus a
+  * convergence check on the real harness table.
+  */
+class PerceptronSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5Bucket(w: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8"))
+    val hex = d.take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % Perceptron.Buckets).toInt
+  }
+
+  /** In-memory reference: (per-round stats, final weights, confusion
+    * cells keyed (y, pred) → (n_docs, sum_score)).
+    */
+  private def reference(
+      docs: Seq[(Long, String, Long)], // (doc_id, text, n_chars)
+      rounds: Int): (Seq[(Long, Long, Long, Long)], Map[(Long, Long), (Long, Long)]) = {
+    val feat = docs.map { case (_, text, nChars) =>
+      val cnt = mutable.Map.empty[Int, Long]
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .foreach(w => { val b = md5Bucket(w); cnt(b) = cnt.getOrElse(b, 0L) + 1L })
+      cnt(Perceptron.Buckets) = Perceptron.BiasValue
+      val y = if (nChars >= Perceptron.LabelCut) 1L else -1L
+      (y, cnt.toMap)
+    }
+    val w = mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    def score(c: Map[Int, Long]): Long = c.iterator.map { case (b, v) => w(b) * v }.sum
+    val stats = mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val scale = 1L << (rounds - r)
+      val miscl = feat.filter { case (y, c) => y * score(c) <= 0 }
+      val g = mutable.Map.empty[Int, Long].withDefaultValue(0L)
+      miscl.foreach { case (y, c) => c.foreach { case (b, v) => g(b) += y * v } }
+      g.foreach { case (b, v) => w(b) += v * scale }
+      stats += ((r.toLong, miscl.size.toLong,
+        w.values.map(math.abs).sum, w.values.count(_ != 0).toLong))
+    }
+    val conf = mutable.Map.empty[(Long, Long), (Long, Long)]
+    feat.foreach { case (y, c) =>
+      val s = score(c)
+      val k = (y, if (s > 0) 1L else -1L)
+      val (n, ss) = conf.getOrElse(k, (0L, 0L))
+      conf(k) = (n + 1, ss + s)
+    }
+    (stats.toList, conf.toMap)
+  }
+
+  private def toDocsDf(docs: Seq[(Long, String, Long)]) =
+    docs.toDF("doc_id", "text", "n_chars")
+
+  private val edgeDocs: Seq[(Long, String, Long)] = Seq(
+    (0L, "alpha beta alpha alpha beta gamma", 400L),    // repeated tokens, long
+    (1L, "alpha beta", 100L),                           // short
+    (2L, "", 0L),                                       // empty: bias-only
+    (3L, "   ", 310L),                                  // whitespace-only, above cut
+    (4L, "gamma delta epsilon zeta", Perceptron.LabelCut), // exactly at cut → +1
+    (5L, "alpha alpha alpha alpha alpha alpha alpha", 304L), // one below cut → −1
+    (6L, "beta gamma delta beta gamma delta beta", 350L),
+    (7L, "zeta", 10L),
+  )
+
+  test("learn trajectory matches the in-memory reference on edge-case docs") {
+    val (refStats, _) = reference(edgeDocs, Perceptron.Rounds)
+    val got = Perceptron.learnRounds(toDocsDf(edgeDocs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe refStats
+  }
+
+  test("confusion matrix matches the in-memory reference on edge-case docs") {
+    val (_, refConf) = reference(edgeDocs, Perceptron.Rounds)
+    val got = Perceptron.confusion(toDocsDf(edgeDocs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    got shouldBe refConf
+  }
+
+  test("learner converges on the harness corpus (distills the length filter)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val stats = Perceptron.learn(docs)._1
+    val n = docs.count()
+    stats.head._2 shouldBe n // round 1: w=0, every margin is 0 → all misclassified
+    // geometric decay converges: final train errors under 5% of docs
+    stats.last._2.toDouble should be < n.toDouble * 0.05
+  }
+}
