@@ -263,6 +263,52 @@ object Unigram {
         col("n_tokens").cast("double") / col("n_words").cast("double"))
   }
 
+  private var sinkCounter = 0
+
+  /** Streaming tokenizer-fertility twin for the unigram family (the
+    * `streaming_wordpiece_fertility` shape, with one structural
+    * difference worth having both of: WordPiece tokenizes INSIDE the
+    * stream's map stage via the trie generator, while the unigram model
+    * is learned batch-side first and the stream attaches it as a
+    * STREAM–STATIC broadcast equi-join on the word — the deployment
+    * shape for any learned tokenizer/scorer swept over a live crawl).
+    * Per-language fertility counters are a complete-mode aggregate —
+    * bounded state, one row per language; draining the finite gate
+    * corpus must reproduce the batch oracle's totals exactly.
+    */
+  def runStreamingFertility(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (vocab, allSubs, release) = learn(docs)
+    val nPieces = segmented(allSubs, withScores(vocab))
+      .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
+      .localCheckpoint(true)
+    release()
+    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val src = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(sfDir)
+    val agg = src
+      .select(col("lang"),
+        explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(nPieces), Seq("w")) // stream–static model attach
+      .groupBy("lang")
+      .agg(sum(col("n_pieces")).as("n_tokens"), count(lit(1)).as("n_words"))
+    val qn = synchronized { sinkCounter += 1; s"graft_unigram_sink_$sinkCounter" }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn)
+      .select(col("lang"), col("n_tokens"), col("n_words"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double")).as("fertility"))
+  }
+
   // ---- oracles ----------------------------------------------------------
 
   /** The per-round DP/backwalk CTE block: dp as a linear recursion over
@@ -393,6 +439,12 @@ object Unigram {
     EngineQuery(
       "unigram_fertility_by_lang",
       (s, dir) => unigramFertilityByLang(Tables.documents(s, dir)).orderBy("lang"),
+      Some(duckFertilityByLang(Rounds)),
+    ),
+    // Streaming twin: must equal the batch rollup exactly (same oracle).
+    EngineQuery(
+      "streaming_unigram_fertility",
+      (s, dir) => runStreamingFertility(s, dir).orderBy("lang"),
       Some(duckFertilityByLang(Rounds)),
     ),
   )
