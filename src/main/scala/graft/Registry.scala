@@ -46,6 +46,7 @@ object Registry {
       text.QualityFilters.engineQueries ++
       text.HashedLinear.engineQueries ++
       text.Perceptron.engineQueries ++
+      text.CharEntropy.engineQueries ++
       text.LineDedup.engineQueries ++
       text.HeavyHitters.engineQueries ++
       text.CountMin.engineQueries ++

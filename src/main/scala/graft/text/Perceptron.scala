@@ -156,6 +156,49 @@ object Perceptron {
       .orderBy("y", "pred")
   }
 
+  private var sinkCounter = 0
+
+  /** Streaming sweep twin: learn batch-side, then score the document
+    * stream ENTIRELY in the map stage — the score is linear in token
+    * counts, so a per-token fold over the row's own token array equals
+    * the count-feature dot product without building count arrays or
+    * per-doc streaming aggregates (which would need a second,
+    * unsupported aggregation level). One complete-mode (y, pred)
+    * aggregate maintains the 4-cell confusion matrix — bounded state.
+    * Draining the finite gate corpus must equal batch
+    * [[confusion]] exactly (integer sums — order-free).
+    */
+  def runStreamingConfusion(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val (_, w) = learn(Tables.documents(spark, sfDir))
+    val bias = w(Buckets) * BiasValue
+    val wArr = wArrayLit(w)
+    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val src = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(sfDir)
+    val agg = src
+      .select(
+        when(col("n_chars") >= LabelCut, 1L).otherwise(-1L).as("y"),
+        (aggregate(
+          filter(TextAnalysis.wsTokens(lower(col("text"))), t => t =!= ""),
+          lit(bias),
+          (acc, t) => acc + element_at(wArr, (bucket(t) + lit(1L)).cast("int"))))
+          .as("score"))
+      .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+    val qn = synchronized { sinkCounter += 1; s"graft_perceptron_sink_$sinkCounter" }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn).select("y", "pred", "n_docs", "sum_score")
+  }
+
   /** The unrolled-round oracle prelude: fb = per-doc (bucket, count)
     * features incl. the bias row, then the w/m chain replaying the
     * engine's rounds (round-t update scale 2^(T−t)).
@@ -232,6 +275,12 @@ object Perceptron {
     EngineQuery(
       "perceptron_confusion",
       (s, dir) => confusion(Tables.documents(s, dir)),
+      Some(confusionOracle(Rounds)),
+    ),
+    // Streaming twin: must equal the batch confusion exactly (same oracle).
+    EngineQuery(
+      "streaming_perceptron_confusion",
+      (s, dir) => runStreamingConfusion(s, dir).orderBy("y", "pred"),
       Some(confusionOracle(Rounds)),
     ),
   )

@@ -67,7 +67,7 @@ object Unigram {
   // to 20 bits. Packing a = x·512 + fracbits keeps the whole fold one
   // BIGINT lane (x² ≤ 2^44). Valid for 1 ≤ c < 2^43.
 
-  private def sparkQlog2(c: String): String =
+  private[text] def sparkQlog2(c: String): String =
     s"""(CAST(length(bin($c)) - 1 AS BIGINT) * 256 +
        | aggregate(sequence(1, 8),
        |   ((($c) * CAST(1048576 AS BIGINT)) div shiftleft(CAST(1 AS BIGINT), length(bin($c)) - 1)) * 512,
@@ -76,7 +76,7 @@ object Unigram {
        |     ELSE (((a div 512) * (a div 512)) div 1048576) * 512 + (a % 512) * 2 END
        | ) % 512)""".stripMargin
 
-  private def duckQlog2(c: String): String =
+  private[text] def duckQlog2(c: String): String =
     s"""(CAST(length(bin($c)) - 1 AS BIGINT) * 256 +
        | list_reduce(
        |   list_prepend(((($c) * 1048576) // (CAST(1 AS BIGINT) << (length(bin($c)) - 1))) * 512,
