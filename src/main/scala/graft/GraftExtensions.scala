@@ -58,6 +58,10 @@ object GraftFunctions {
     "topk_pairs" -> { exprs => functions.TopKPairs(exprs(0), exprs(1), exprs(2)) },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
     "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
+    // char_entropy_q(text): (n, nd, hq) — the fixed-point entropy lane
+    // as one tight code-point histogram loop per row (HOF lambdas
+    // interpret per element; see functions.CharEntropyQ)
+    "char_entropy_q" -> { exprs => functions.CharEntropyQ(exprs.head) },
     // Spark ships these sketch expressions for its own runtime join
     // filters but leaves them out of the public registry; the engine
     // exposes them under the upstream names for bounded-size semi-join

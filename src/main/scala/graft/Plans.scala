@@ -104,6 +104,8 @@ object Plans {
       "Count-Min build: the ×4 cell explode collapses to ≤ d·w=16384 rows per partition via partial aggregation BEFORE the one exchange — shuffle volume is the grid, not the token stream. The gate query builds the grid WEIGHTED from the exact per-token counts it needs anyway (cell accumulates sum(cnt) — identical grid by associativity, but md5 per DISTINCT token instead of per occurrence, and the token-count aggregate subplan is shared with the top-k branch). The finished sketch is a single row crossed in by broadcast; point estimates are four `element_at` scalar projections per key.",
     "hashed_linear_score" ->
       "fastText-style scoring is a pure map stage: tokenize → bigram → hash → integer weight-sum all inside one array-lambda projection; the plan has NO hash exchange (the only exchange is the gate's output ORDER BY). At 100 TB this is scan-bound — the ideal shape for corpus-wide classifier sweeps.",
+    "char_entropy_quality" ->
+      "Character-entropy filtering is a pure map stage like hashed_linear_score: per-row alphabet-bounded char histogram + fixed-point qlog2 folds, all array-lambda projections inside one codegen span; NO hash exchange (the only exchange is the gate's output ORDER BY) — scan-bound at 100 TB, the zero-shuffle floor for corpus quality sweeps.",
     "profile_lineitem" ->
       "ANALYZE in one pass: every column's null/distinct/min/max aggregates in a SINGLE aggregation (the multiple exact COUNT(DISTINCT)s plan as one `Expand`-based aggregate — one shuffle, map-side ×(ncols+1) expansion). No per-column scans. The 100 TB knob is swapping exact distinct for `approx_count_distinct`, which drops the Expand.",
     "cdc_merge_upsert" ->

@@ -148,7 +148,16 @@ object ScaleProbe {
     // r14: CELF's claim is that k multiplies DOC-LOCAL probes, not
     // corpus rounds — at 30× the probed wall must track the round-1
     // gain aggregate (the maxcover shingle pass), not k× it.
-    "maxcover_select_lazy")
+    "maxcover_select_lazy",
+    // r14: the perceptron learner pays one featurization plus T rounds
+    // of (map-side margin fold + ≤D+1-row aggregate over the
+    // misclassified slice) — its ratio must track the corpus scan times
+    // a constant, never grow with rounds × corpus re-reads (the
+    // checkpointed feature relation is the only thing rounds re-scan).
+    "perceptron_learn_rounds",
+    // r14: char entropy is pure in-row work (alphabet-bounded histogram
+    // + qlog2 folds) — its ratio is the zero-shuffle floor.
+    "char_entropy_quality")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -89,7 +89,7 @@ object Unigram {
   /** JVM reference of the same fold — `UnigramSpec`'s differential
     * oracle for the SQL expression.
     */
-  private[text] def qlog2Ref(c: Long): Long = {
+  private[graft] def qlog2Ref(c: Long): Long = {
     require(c >= 1 && c < (1L << 43), s"qlog2 domain: $c")
     val b = 63 - java.lang.Long.numberOfLeadingZeros(c)
     var x = (c * 1048576L) / (1L << b)

@@ -386,6 +386,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
   }
 
+  test("char entropy is a pure map stage (no hash exchange)") {
+    val p = plan("char_entropy_quality")
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+  }
+
   test("profile: one Expand-based aggregate pass, no per-column scans") {
     val p = plan("profile_lineitem")
     "FileScan parquet".r.findAllIn(p).size shouldBe 1
