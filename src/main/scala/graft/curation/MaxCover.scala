@@ -85,42 +85,64 @@ object MaxCover {
     */
   @volatile var lastLazyProbes: Int = -1
 
+  /** Full bound-refreshes the most recent [[selectLazy]] escalated to —
+    * each one is exactly one [[select]]-style corpus round.
+    */
+  @volatile var lastLazyRefreshes: Int = -1
+
   /** CELF lazy-greedy twin of [[select]] (Leskovec et al. 2007,
     * "Cost-effective Outbreak Detection"): submodularity makes every
     * round-r marginal gain an UPPER BOUND on the same document's
     * round-(r+1) gain, so stale gains from earlier rounds are valid
     * priorities. Only round 1 pays a corpus-scale aggregate (exact
-    * initial gains = per-doc distinct shingle counts); every later step
-    * pops the max-bound candidate (a distributed TakeOrdered over the
-    * doc-scale bounds relation) and FRESH-evaluates just that one
-    * document — an anti-join of ITS shingle set against the covered
-    * set, |shingles(doc)|-bounded work — accepting when the fresh gain
-    * still beats the runner-up's bound under the (gain DESC, doc_id
-    * ASC) order. The trajectory is provably identical to [[select]]'s;
-    * the selection budget k no longer multiplies corpus-scale rounds
-    * (the r13 verdict watch item).
+    * initial gains = per-doc distinct shingle counts); later picks pop
+    * the max-bound candidates and fresh-evaluate only them, accepting
+    * a candidate exactly when its EXACT gain tops every remaining
+    * bound under the (gain DESC, doc_id ASC) order — bounds only
+    * overestimate, so the accepted doc is the true argmax and the
+    * trajectory is provably identical to [[select]]'s.
     *
-    * Driver state per probe is ≤ 2 rows (the popped candidate and the
-    * runner-up bound); stale-bound overrides accumulate driver-side and
-    * fold into a fresh executor-held checkpoint once they exceed a
-    * small cap, so the bounds relation's plan stays O(cap) deep while
-    * the relation itself never leaves the executors.
+    * Two shapes bound the cost on overlap-heavy corpora (the r14
+    * probe lesson: one-candidate-per-job CELF degenerated to 63s at
+    * 30× while FIVE eager rounds cost 7s — per-candidate probes pay a
+    * full scan of the shingle relation each, so a deep stale cascade
+    * after a pick turns the "lazy" path into hundreds of scans):
+    *  - probes are BATCHED: the top `ProbeBatch` stale candidates
+    *    fresh-evaluate in ONE anti-join + doc-keyed aggregate job
+    *    (already-fresh candidates from this pick's earlier batches are
+    *    never re-evaluated — their override IS exact for the current
+    *    covered set, so a fresh candidate reaching the top of the
+    *    bounds order is accepted without re-probing);
+    *  - a pick that stays unaccepted past `RefreshLimit` popped
+    *    candidates ESCALATES to one full bound refresh — exactly one
+    *    eager round recomputing every remaining doc's exact gain into
+    *    a new checkpointed base — capping any pick's worst case at the
+    *    eager algorithm's per-round cost.
+    *
+    * Driver state stays bounded: batch gains (≤ ProbeBatch rows),
+    * stale-bound overrides folded into a fresh executor-held
+    * checkpoint past a small cap, and the picks list.
     */
   def selectLazy(docs: DataFrame, k: Int = K): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val (g, releaseG) = graft.Checkpoints.localEager(
       graft.dedup.Dedup.wordNgramHashesRaw(docs, N).distinct())
-    // Round-1 bounds are EXACT gains (nothing covered yet) — the only
-    // corpus-scale aggregate of the whole selection.
+    // Round-1 bounds are EXACT gains (nothing covered yet).
     var (base, freeBase) = graft.Checkpoints.localEager(
       g.groupBy("doc_id").agg(count(lit(1)).as("ub")))
     // Driver-side deltas on the checkpointed base: picked/rejected docs'
     // fresh bounds. Folded back into a new checkpoint past FoldCap so
     // the rebuilt plan never grows unboundedly.
     val FoldCap = 64
+    val ProbeBatch = 8
+    val RefreshLimit = 24
     var overrides = Map.empty[Long, Long]
     var removed = Set.empty[Long]
+    var picked = Set.empty[Long]
+    // true ⇔ every current bounds entry equals its true marginal gain
+    // for the CURRENT covered set (initially, and after a refresh)
+    var boundsExact = true
     def bounds: DataFrame = {
       val keep = base.where(
         if (removed.isEmpty && overrides.isEmpty) lit(true)
@@ -138,52 +160,70 @@ object MaxCover {
     var covered: Option[DataFrame] = None
     var freeCov: () => Unit = () => ()
     var probes = 0
+    var refreshes = 0
     var step = 1L
     var done = false
+    def accept(d: Long, gain: Long): Unit = {
+      picks += ((step, d, gain))
+      val newCov = covered match {
+        case None => g.where(col("doc_id") === d).select("gh")
+        case Some(c) =>
+          c.union(g.where(col("doc_id") === d).select("gh")).distinct()
+      }
+      val (pinned, freeNext) = graft.Checkpoints.localEager(newCov)
+      freeCov(); freeCov = freeNext
+      covered = Some(pinned)
+      picked += d; removed += d; overrides -= d
+      boundsExact = false
+      step += 1
+    }
+    def fullRefresh(): Unit = {
+      refreshes += 1
+      val c = covered.get // never escalates before the first pick
+      val exact = g.where(!col("doc_id").isInCollection(picked))
+        .join(c, Seq("gh"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("ub"))
+      val (next, freeNext) = graft.Checkpoints.localEager(exact)
+      freeBase(); freeBase = freeNext; base = next
+      overrides = Map.empty; removed = Set.empty
+      boundsExact = true
+    }
     while (!done && step <= k) {
+      var freshThisPick = Set.empty[Long]
+      var poppedTotal = 0
       var accepted = false
       while (!accepted && !done) {
-        val top2 = bounds.orderBy(col("ub").desc, col("doc_id")).limit(2).collect()
-        if (top2.isEmpty || top2(0).getLong(1) <= 0L)
+        val top = bounds.orderBy(col("ub").desc, col("doc_id")).limit(ProbeBatch + 1).collect()
+        if (top.isEmpty || top(0).getLong(1) <= 0L)
           done = true // all true gains are 0 — greedy stops, like select
-        else {
-          val d = top2(0).getLong(0)
-          val ub = top2(0).getLong(1)
-          val fresh: Long = covered match {
-            case None => ub // bounds are exact until the first pick
-            case Some(c) =>
-              probes += 1
-              g.where(col("doc_id") === d).join(c, Seq("gh"), "left_anti").count()
+        else if (boundsExact || freshThisPick(top(0).getLong(0))) {
+          // the top bound is an exact gain and bounds only overestimate
+          // — (ub DESC, doc_id ASC) pop order IS the greedy tie rule
+          accept(top(0).getLong(0), top(0).getLong(1))
+          accepted = true
+        } else {
+          val toEval = top.take(ProbeBatch)
+            .map(r => (r.getLong(0), r.getLong(1)))
+            .filter { case (id, ub) => ub > 0 && !freshThisPick(id) }
+            .map(_._1).toSeq
+          poppedTotal += toEval.size
+          if (poppedTotal > RefreshLimit) fullRefresh()
+          else {
+            probes += toEval.size
+            val gains = g.where(col("doc_id").isInCollection(toEval))
+              .join(covered.get, Seq("gh"), "left_anti")
+              .groupBy("doc_id").agg(count(lit(1)).as("fresh"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            toEval.foreach(id => overrides += (id -> gains.getOrElse(id, 0L)))
+            freshThisPick ++= toEval
+            foldIfDeep()
           }
-          // Accept iff d still wins (gain DESC, doc_id ASC) against the
-          // runner-up's bound: the bound only overestimates, and doc_id
-          // ties fall to d exactly when d is the smaller id.
-          val runnerBeats = top2.length > 1 && {
-            val nd = top2(1).getLong(0); val nub = top2(1).getLong(1)
-            nub > fresh || (nub == fresh && nd < d)
-          }
-          if (fresh > 0 && !runnerBeats) {
-            picks += ((step, d, fresh))
-            val newCov = covered match {
-              case None => g.where(col("doc_id") === d).select("gh")
-              case Some(c) =>
-                c.union(g.where(col("doc_id") === d).select("gh")).distinct()
-            }
-            val (pinned, freeNext) = graft.Checkpoints.localEager(newCov)
-            freeCov(); freeCov = freeNext
-            covered = Some(pinned)
-            removed += d; overrides -= d
-            step += 1
-            accepted = true
-          } else {
-            overrides += (d -> fresh) // stale bound refreshed; re-pop
-          }
-          foldIfDeep()
         }
       }
     }
     freeCov(); freeBase(); releaseG()
     lastLazyProbes = probes
+    lastLazyRefreshes = refreshes
     picks.toSeq.toDF("step", "doc_id", "gain")
   }
 
