@@ -300,6 +300,92 @@ object Curation {
         expr(s"($totalBudget * w) div tw").as("budget_tokens"))
   }
 
+  /** DoReMi-style multiplicative-weights domain reweighting
+    * (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining" — the exponentiated-gradient loop,
+    * here with a static per-domain loss proxy instead of a proxy-model
+    * loss). Each round every domain's weight is multiplied by
+    * 1 + η·(loss_d − weighted-mean loss) and the weights are
+    * renormalized — domains whose loss sits above the current weighted
+    * mean gain mass, domains below lose it, and the loop converges
+    * toward the high-excess-loss domains exactly like DoReMi's
+    * reference behavior.
+    *
+    * INTEGER-EXACT so the DuckDB oracle hash-matches: weights live in
+    * ppm (Σ = 10⁶ after each renormalization), the loss proxy is
+    * clamped chars-per-token ppm (`least(…, 10·10⁶)` — whitespace-free
+    * scripts like zh would otherwise blow the lane), and the update
+    * factor is 10⁶ + sign(excess)·(|excess| div η⁻¹) — magnitude-first
+    * division because Spark `div` truncates toward zero while DuckDB
+    * `//` floors, which disagree on negative values (the Drift sign
+    * rule). With loss ≤ 10⁷ and η⁻¹ = 20 the factor stays in
+    * [0.5·10⁶, 1.5·10⁶], so weights stay positive and every product
+    * fits comfortably in BIGINT (≤ 10⁶·1.5·10⁶ = 1.5·10¹²; the
+    * weighted-loss numerator ≤ |domains|·10⁶·10⁷ ≈ 5·10¹³).
+    *
+    * Scale (100 TB): the corpus collapses to |domains| rows in ONE
+    * map-side-combined aggregation; every round after that runs window
+    * sums over that single tiny partition — round count never touches
+    * corpus-scale data. No checkpoint needed: the unrolled plan is
+    * ~5 window ops per round on ≤ a few hundred rows.
+    */
+  def doremiWeights(docs: DataFrame, rounds: Int, invEta: Long = 20L): DataFrame = {
+    val per = docs.select(
+        col("lang"),
+        col("n_chars"),
+        size(graft.text.TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(col("n_tok")).cast("long").as("sum_tokens"))
+      .withColumn("loss_ppm",
+        least(expr("(1000000 * sum_chars) div greatest(sum_tokens, 1)"), lit(10000000L)))
+    var w = per.withColumn("w_ppm", lit(1000000L))
+    (1 to rounds).foreach { _ =>
+      w = w
+        .withColumn("wavg", expr(
+          "(sum(w_ppm * loss_ppm) over ()) div greatest(sum(w_ppm) over (), 1)"))
+        .withColumn("f", expr(
+          """1000000 + CASE WHEN loss_ppm >= wavg
+            |  THEN (loss_ppm - wavg) div """.stripMargin + invEta +
+            " ELSE -((wavg - loss_ppm) div " + invEta + ") END"))
+        .withColumn("w_raw", expr("(w_ppm * f) div 1000000"))
+        .withColumn("w_ppm", expr("(w_raw * 1000000) div greatest(sum(w_raw) over (), 1)"))
+        .select("lang", "sum_chars", "sum_tokens", "loss_ppm", "w_ppm")
+    }
+    w.select(col("lang"), col("sum_tokens"), col("loss_ppm"), col("w_ppm").as("weight_ppm"))
+  }
+
+  /** Unrolled DuckDB mirror of [[doremiWeights]]. */
+  private def duckDoremi(rounds: Int, invEta: Long): String = {
+    val head =
+      """WITH per AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE length(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY lang),
+        |w0 AS (SELECT lang, sum_chars, sum_tokens,
+        |  least((1000000 * sum_chars) // greatest(sum_tokens, 1), 10000000) AS loss_ppm,
+        |  CAST(1000000 AS BIGINT) AS w_ppm FROM per)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      val p = s"w${i - 1}"
+      s"""r$i AS (SELECT lang, sum_chars, sum_tokens, loss_ppm, w_ppm,
+         |  (sum(w_ppm * loss_ppm) OVER ()) // greatest(sum(w_ppm) OVER (), 1) AS wavg
+         |  FROM $p),
+         |u$i AS (SELECT lang, sum_chars, sum_tokens, loss_ppm,
+         |  (w_ppm * (1000000 + CASE WHEN loss_ppm >= wavg
+         |     THEN (loss_ppm - wavg) // $invEta
+         |     ELSE -((wavg - loss_ppm) // $invEta) END)) // 1000000 AS w_raw
+         |  FROM r$i),
+         |w$i AS (SELECT lang, sum_chars, sum_tokens, loss_ppm,
+         |  (w_raw * 1000000) // greatest(sum(w_raw) OVER (), 1) AS w_ppm FROM u$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT lang, sum_tokens, loss_ppm, CAST(w_ppm AS BIGINT) AS weight_ppm
+       |FROM w$rounds ORDER BY lang""".stripMargin
+  }
+
   /** Corpus snapshot diff: classify every doc_id across two table
     * versions as added / removed / changed / same (content compared by
     * md5). One full-outer join on the key — the reproducibility audit
@@ -1100,6 +1186,12 @@ object Curation {
              |  FROM documents WHERE lang IN ('en', 'de', 'zh'))
              |SELECT doc_id, lang, rk FROM r JOIN t USING (lang)
              |WHERE rk <= target ORDER BY doc_id""".stripMargin),
+    ),
+    // 5 multiplicative-weights rounds over the per-lang loss proxy.
+    EngineQuery(
+      "mixture_doremi_weights",
+      (s, dir) => doremiWeights(Tables.documents(s, dir), rounds = 5).orderBy("lang"),
+      Some(duckDoremi(rounds = 5, invEta = 20L)),
     ),
     EngineQuery(
       "length_trim_p99",

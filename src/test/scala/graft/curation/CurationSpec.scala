@@ -91,6 +91,27 @@ class CurationSpec extends AnyFunSuite with Matchers {
     a shouldBe b
   }
 
+  test("doremi weights shift mass toward the high-excess-loss domain") {
+    // Two domains with very different chars-per-token: 'b' has long
+    // tokens (high loss proxy) so multiplicative updates must move
+    // weight from 'a' to 'b', and the ppm total must stay ~1e6.
+    val d = Seq(
+      (1L, "aa bb cc dd", "a", 11L),
+      (2L, "ee ff gg hh", "a", 11L),
+      (3L, "supercalifragilistic expialidocious", "b", 35L),
+      (4L, "pneumonoultramicroscopic silicovolcanoconiosis", "b", 46L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val w = Curation.doremiWeights(d, rounds = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    w("b") should be > w("a")
+    (w("a") + w("b")) should (be > 999990L and be <= 1000000L)
+    // round 0 is uniform; more rounds = more concentration
+    val w1 = Curation.doremiWeights(d, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    w("b") should be > w1("b")
+    w1("b") should be > 500000L
+  }
+
   test("snapshot diff classifies added/removed/changed/same") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val v2 = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("doc_id", "text")
