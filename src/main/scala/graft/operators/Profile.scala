@@ -239,6 +239,78 @@ object Profile {
         (col("class_size") >= k).cast("long").as("k_anonymous"),
         (col("l_distinct") >= l).cast("long").as("l_diverse"))
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007): the third
+    * rung of the privacy ladder after k-anonymity and l-diversity. An
+    * l-diverse class can still leak — if a class's sensitive-value
+    * DISTRIBUTION differs sharply from the table-wide one, membership
+    * alone is informative. Per QI class, report the total-variation
+    * distance between its sensitive distribution and the global one;
+    * classes with tv_ppm above the t threshold are the leak surface.
+    *
+    * INTEGER-EXACT (the Drift cross-multiplication rule): for class g
+    * of size N_g over table size N, per sensitive value v the
+    * proportion gap |c_gv/N_g − c_v/N| is carried as the exact
+    * numerator |c_gv·N − c_v·N_g|, summed over v, and divided ONCE:
+    * tv_ppm = 10⁶·Σ_v|…| div (2·N_g·N). One late division (not per-v)
+    * keeps truncation from accumulating; all quantities are
+    * nonnegative, so Spark `div` and DuckDB `//` agree. The numerator
+    * lane runs in DECIMAL(38,0)/HUGEINT — c_gv·N wraps int64 at only
+    * ~3·10⁹ rows, the same wall Drift documents.
+    *
+    * Scale (100 TB): the table collapses to (QI, v) counts in one
+    * map-side-combined aggregation; the class×value completion (absent
+    * values still contribute c_v·N_g) is a broadcast cross join at
+    * |classes|·|values| cardinality, corpus-independent.
+    */
+  def tClosenessAudit(customer: DataFrame): DataFrame = {
+    val base = customer.select(
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as long) div 100000").as("bal_band"))
+    val gv = base.groupBy("nation", "segment", "bal_band").agg(count(lit(1)).as("c_gv"))
+    val g = base.groupBy("nation", "segment").agg(count(lit(1)).as("class_size"))
+    val v = base.groupBy("bal_band").agg(count(lit(1)).as("c_v"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    g.crossJoin(broadcast(v))
+      .join(gv, Seq("nation", "segment", "bal_band"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("nation"), col("segment"), col("class_size"),
+        abs(coalesce(col("c_gv"), lit(0L)).cast("decimal(38,0)") * col("n_total")
+          - col("c_v").cast("decimal(38,0)") * col("class_size")).as("num"),
+        col("n_total"))
+      .groupBy("nation", "segment", "class_size", "n_total")
+      .agg(sum(col("num")).as("num_sum"))
+      .select(
+        col("nation"), col("segment"), col("class_size"),
+        expr("(1000000 * num_sum) div greatest(2 * cast(class_size as decimal(38,0)) * n_total, 1)")
+          .cast("long").as("tv_ppm"))
+  }
+
+  private val DuckTCloseness =
+    """WITH t AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS bal_band
+      |  FROM customer),
+      |gv AS (SELECT nation, segment, bal_band, CAST(count(*) AS BIGINT) AS c_gv
+      |       FROM t GROUP BY nation, segment, bal_band),
+      |g AS (SELECT nation, segment, CAST(count(*) AS BIGINT) AS class_size
+      |      FROM t GROUP BY nation, segment),
+      |v AS (SELECT bal_band, CAST(count(*) AS BIGINT) AS c_v FROM t GROUP BY bal_band),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t),
+      |x AS (
+      |  SELECT g.nation, g.segment, g.class_size, tot.n_total,
+      |    abs(CAST(coalesce(gv.c_gv, 0) AS HUGEINT) * tot.n_total
+      |        - CAST(v.c_v AS HUGEINT) * g.class_size) AS num
+      |  FROM g CROSS JOIN v CROSS JOIN tot
+      |  LEFT JOIN gv ON gv.nation = g.nation AND gv.segment = g.segment
+      |    AND gv.bal_band = v.bal_band)
+      |SELECT nation, segment, class_size,
+      |  CAST((1000000 * sum(num))
+      |    // greatest(2 * CAST(class_size AS HUGEINT) * n_total, 1) AS BIGINT) AS tv_ppm
+      |FROM x GROUP BY nation, segment, class_size, n_total
+      |ORDER BY nation, segment""".stripMargin
+
   /** Pipeline telemetry via the `Observation` API — named metrics that
     * ride THE SAME job as the transformation they audit (production
     * shape: a 100 TB filter stage reports its input/selectivity counts
@@ -326,6 +398,11 @@ object Profile {
              |  CAST(CASE WHEN count(*) >= 10 THEN 1 ELSE 0 END AS BIGINT) AS k_anonymous,
              |  CAST(CASE WHEN count(DISTINCT bal_band) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS l_diverse
              |FROM t GROUP BY nation, segment ORDER BY nation, segment""".stripMargin),
+    ),
+    EngineQuery(
+      "t_closeness_audit",
+      (s, dir) => tClosenessAudit(Tables.customer(s, dir)).orderBy("nation", "segment"),
+      Some(DuckTCloseness),
     ),
     EngineQuery(
       "benford_first_digit",

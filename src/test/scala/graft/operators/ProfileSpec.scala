@@ -61,6 +61,28 @@ class ProfileSpec extends AnyFunSuite with Matchers {
     out((2L, "B")) shouldBe ((1L, 1L, 0L, 0L))
   }
 
+  test("t-closeness: skewed class far from global, mirror class at zero") {
+    // Global bands over 4 rows: band0 x2, band1 x2. Class (1,'A') holds
+    // both band-0 rows -> its distribution (1,0) vs global (0.5,0.5):
+    // tv = 0.5 -> 500000 ppm. Class (2,'B') mirrors with both band-1
+    // rows -> also 500000. A class matching the global split would be 0.
+    val cust = Seq(
+      (1, "A", 100.00), (1, "A", 200.00),
+      (2, "B", 1100.00), (2, "B", 1200.00),
+    ).toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = Profile.tClosenessAudit(cust)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    out((1L, "A")) shouldBe ((2L, 500000L))
+    out((2L, "B")) shouldBe ((2L, 500000L))
+
+    // A class whose distribution equals the global one scores 0.
+    val uniform = Seq(
+      (1, "A", 100.00), (1, "A", 1100.00),
+      (2, "B", 100.00), (2, "B", 1100.00),
+    ).toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    Profile.tClosenessAudit(uniform).collect().foreach(r => r.getLong(3) shouldBe 0L)
+  }
+
   test("observe metrics ride the job and agree with the filtered result") {
     val orders = Seq(
       ("1-URGENT", 1.0), ("3-MEDIUM", 2.0), ("1-URGENT", 3.0), ("5-LOW", 4.0),
