@@ -304,6 +304,92 @@ object GraphRank {
     core
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
+    * customer→part purchase graph: a part's authority is the summed hub
+    * score of the customers buying it; a customer's hub score is the
+    * summed authority of the parts they buy. The mutual reinforcement
+    * surfaces "parts bought by broad-basket customers" — a different
+    * signal from PageRank's co-purchase centrality.
+    *
+    * INTEGER-EXACT: scores live at 10⁹ scale and every round
+    * renormalizes by the score total with a single truncating division
+    * (all values nonnegative, so Spark `div` ≡ DuckDB `//`). The
+    * normalization product a_raw·10⁹ reaches 10⁹·10⁹·deg — far past
+    * int64 — so the product/total lane runs in DECIMAL(38,0)/HUGEINT
+    * and only the normalized ≤10⁹ score is cast back to BIGINT.
+    *
+    * Scale discipline (the [[pagerank]] shape, doubled): HITS joins the
+    * edge relation on BOTH endpoints — once on c (authority step), once
+    * on p (hub step) — so the edge list is materialized TWICE, each
+    * layout declared-partitioned on its join side
+    * (`PartitionedCheckpoint.localEagerDeclared`). The corpus-scale
+    * relation crosses the wire a constant number of times (expansion +
+    * two repartitions), independent of round count; per round only
+    * node-sized rank tables and map-side-combined partial sums move.
+    */
+  def hits(custPartEdges: DataFrame, rounds: Int): DataFrame = {
+    val spark = custPartEdges.sparkSession
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val (edgesByC, releaseC) =
+      org.apache.spark.sql.graftplan.PartitionedCheckpoint.localEagerDeclared(
+        custPartEdges.repartition(shuffleParts, col("c")).distinct(),
+        Seq("c"), shuffleParts)
+    val (edgesByP, releaseP) =
+      org.apache.spark.sql.graftplan.PartitionedCheckpoint.localEagerDeclared(
+        edgesByC.repartition(shuffleParts, col("p")),
+        Seq("p"), shuffleParts)
+    var h = edgesByC.select(col("c")).distinct().withColumn("h", lit(Scale))
+    var a: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val aRaw = edgesByC.join(h, "c").groupBy("p").agg(sum("h").as("a_raw"))
+      val aTot = aRaw.agg(sum(col("a_raw").cast("decimal(38,0)")).as("at"))
+      a = aRaw.crossJoin(broadcast(aTot))
+        .select(col("p"),
+          expr(s"(cast(a_raw as decimal(38,0)) * $Scale) div at").cast("long").as("a"))
+      val hRaw = edgesByP.join(a, "p").groupBy("c").agg(sum("a").as("h_raw"))
+      val hTot = hRaw.agg(sum(col("h_raw").cast("decimal(38,0)")).as("ht"))
+      h = hRaw.crossJoin(broadcast(hTot))
+        .select(col("c"),
+          expr(s"(cast(h_raw as decimal(38,0)) * $Scale) div ht").cast("long").as("h"))
+    }
+    val (pinned, _) = graft.Checkpoints.localEager(a)
+    releaseC(); releaseP()
+    pinned
+  }
+
+  /** Top-k parts by authority after [[hits]] rounds over orders⋈lineitem. */
+  def topAuthorities(lineitem: DataFrame, orders: DataFrame, rounds: Int, k: Int): DataFrame = {
+    val edges = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"), col("l_partkey").cast("long").as("p"))
+    hits(edges, rounds)
+      .orderBy(col("a").desc, col("p"))
+      .limit(k)
+      .select(col("p").as("part_key"), col("a").as("auth_scaled"))
+  }
+
+  /** One unrolled HITS oracle round: aN/hN from hM. */
+  private def duckHitsIter(i: Int): String = {
+    val prev = s"h${i - 1}"
+    s"""ar$i AS (SELECT p, CAST(sum(h) AS HUGEINT) AS a_raw
+       |  FROM bedges JOIN $prev USING (c) GROUP BY p),
+       |a$i AS (SELECT p, CAST((a_raw * 1000000000)
+       |  // (SELECT sum(a_raw) FROM ar$i) AS BIGINT) AS a FROM ar$i),
+       |hr$i AS (SELECT c, CAST(sum(a) AS HUGEINT) AS h_raw
+       |  FROM bedges JOIN a$i USING (p) GROUP BY c),
+       |h$i AS (SELECT c, CAST((h_raw * 1000000000)
+       |  // (SELECT sum(h_raw) FROM hr$i) AS BIGINT) AS h FROM hr$i)""".stripMargin
+  }
+
+  private def duckHits(rounds: Int, k: Int): String =
+    s"""WITH bedges AS (
+       |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c, CAST(l.l_partkey AS BIGINT) AS p
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST(1000000000 AS BIGINT) AS h FROM bedges),
+       |${(1 to rounds).map(duckHitsIter).mkString(",\n")}
+       |SELECT p AS part_key, a AS auth_scaled FROM a$rounds
+       |ORDER BY a DESC, p LIMIT $k""".stripMargin
+
   /** Shared oracle CTE prefix: edges/nodes/outdegrees of the
     * co-purchase graph, mirroring [[coPurchaseEdges]] exactly.
     */
@@ -338,6 +424,12 @@ object GraphRank {
              |SELECT node AS part_key, pr AS pr_scaled FROM pr3
              |ORDER BY pr DESC, node LIMIT 20""".stripMargin),
       headline = true,
+    ),
+    EngineQuery(
+      "graph_hits_authorities",
+      (s, dir) =>
+        topAuthorities(Tables.lineitem(s, dir), Tables.orders(s, dir), rounds = 3, k = 20),
+      Some(duckHits(rounds = 3, k = 20)),
     ),
     EngineQuery(
       "graph_triangle_counts",

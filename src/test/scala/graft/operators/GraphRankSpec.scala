@@ -79,6 +79,26 @@ class GraphRankSpec extends AnyFunSuite with Matchers {
     got(3L) should be > got(4L)
   }
 
+  test("HITS: one round on a tiny bipartite graph is exact") {
+    // c1 buys {p1,p2,p3}, c2 buys {p1} (duplicate edge must dedup).
+    // a_raw: p1=2e9, p2=1e9, p3=1e9; total 4e9 ->
+    // a: p1 = 500000000, p2 = p3 = 250000000.
+    val edges = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 10L))
+      .toDF("c", "p")
+    val a = GraphRank.hits(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a shouldBe Map(10L -> 500000000L, 20L -> 250000000L, 30L -> 250000000L)
+
+    // Round 2 concentrates further on the shared part: h1(c1)=666666666,
+    // h1(c2)=333333333; a_raw2: p1=999999999, p2=p3=666666666;
+    // total=2333333331 -> a2(p1)=428571428 > a2(p2)=285714285.
+    val a2 = GraphRank.hits(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a2(10L) shouldBe 428571428L
+    a2(20L) shouldBe 285714285L
+    a2(10L) should be < a(10L) + 1L // normalized scale stays ~1e9 total
+  }
+
   test("degree histogram over the tiny graph") {
     val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
       .toDF("l_orderkey", "l_partkey")
