@@ -37,6 +37,24 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
     out shouldBe Set((100L, 5L), (200L, 3L), (400L, 1L))
   }
 
+  test("Theil-Sen: lower median of quantized pairwise slopes, exact by hand") {
+    // days 0..3, cents 100,200,400,300. Six slopes (micro-cents/day):
+    // 100e6, 150e6, 66666666 (200/3 truncated), 200e6, 50e6, -100e6.
+    // Sorted rank (6+1) div 2 = 3 -> 66666666.
+    val orders = Seq(1.00, 2.00, 4.00, 3.00).zipWithIndex.map { case (p, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)), p)
+    }.toDF("o_orderdate", "o_totalprice")
+    val r = Analytic.theilSenTrend(orders).collect().head
+    (r.getLong(0), r.getLong(1)) shouldBe ((6L, 66666666L))
+
+    // A declining series must yield a negative median slope (the
+    // sign-rule lane): cents 400,300,200,100 -> every slope -100e6.
+    val down = Seq(4.00, 3.00, 2.00, 1.00).zipWithIndex.map { case (p, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)), p)
+    }.toDF("o_orderdate", "o_totalprice")
+    Analytic.theilSenTrend(down).collect().head.getLong(1) shouldBe -100000000L
+  }
+
   test("MAD outliers: robust center ignores the spike; doubled-integer arithmetic exact") {
     val prices = Seq(1.00, 1.02, 1.04, 1.06, 2.00)
     val orders = prices.zipWithIndex.map { case (p, i) =>
