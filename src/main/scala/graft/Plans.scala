@@ -334,6 +334,14 @@ object Plans {
       "Snapshot ingestion for the winnowing index: only the incoming batch runs the rolling-hash Generate (the existing corpus arrives as its persisted (doc,h) index), and the union feeds the SAME single fingerprint-keyed repartition as the batch plan — dedup, hot-cap window, and both self-join sides all partition-local on one reused exchange.",
     "ann_recall_curve" ->
       "Recall calibration without repeated corpus passes: ONE trained-centroid broadcast assignment of the corpus (crn = 1) and ONE of the queries at max(nprobe), sliced per curve point by a crn filter; the multi-probe points share one bucketed corpus relation. Truth is the same broadcast crossJoin + WindowGroupLimit as ann_brute_topk; the curve itself aggregates at settings cardinality.",
+    "mixture_doremi_weights" ->
+      "DoReMi multiplicative-weights reweighting: the corpus pays ONE (lang, chars, tokens) map-side-combined aggregation; all 5 update rounds are window ops over that |domains|-row relation on a single driver-sized partition (the plan's one `Exchange SinglePartition` is |langs| rows by construction) — round count never multiplies corpus passes. All update arithmetic is sign-ruled integer ppm, so the unrolled DuckDB CTE chain agrees bit-for-bit.",
+    "t_closeness_audit" ->
+      "Distribution-level privacy audit: the table collapses to (QI, band) counts in one pass; the class×value completion (absent bands still contribute) is a broadcast cross of the ≤|bands|-row value relation against the |classes|-row class relation — corpus-independent cardinality — and the TV numerator lane runs in DECIMAL(38,0) with ONE late division per class (no per-band truncation accumulation, Spark div ≡ DuckDB // on the nonnegative lane).",
+    "graph_hits_authorities" ->
+      "HITS over the bipartite purchase graph — the pagerank loop discipline with TWO edge layouts: the edge relation is declared-partition-checkpointed on c AND on p (`PartitionedCheckpoint.localEagerDeclared`), so the authority step's c-keyed join and the hub step's p-keyed join are each co-partitioned with their layout and the corpus-scale relation crosses the wire a constant number of times (expansion + two repartitions), independent of round count. Per round only node-sized rank tables and map-side partial sums move; normalization totals are 1-row DECIMAL(38,0) broadcast carriers. The returned frame is the post-loop checkpoint scan (kmeans_step discipline) cut by TakeOrderedAndProject.",
+    "theilsen_revenue_trend" ->
+      "Theil–Sen robust trend: orders collapse to |days| rows first, so the pairwise-slope expansion is CALENDAR-bounded (|days|²/2), never corpus-bounded, and the non-equi self-join is a broadcast nested-loop over the tiny daily relation — the one place BNLJ is the RIGHT plan. The median is the ExactQuantile two-phase selection: a 2²⁰-micro-wide histogram locates the rank-k bucket (single-partition windows only at BUCKET cardinality), and the re-scan confined to that bucket picks the exact quantized slope — no |days|²-row single-partition sort.",
   )
 
   def main(args: Array[String]): Unit = {

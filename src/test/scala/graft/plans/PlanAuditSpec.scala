@@ -1204,4 +1204,33 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("WindowGroupLimit")
     p should not include "CartesianProduct"
   }
+
+  test("doremi: one corpus scan, lang is the only hash-exchange key, rounds are window-only") {
+    val p = plan("mixture_doremi_weights")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1 // 5 rounds never rescan
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("lang")
+    p should not include "Join" // updates are windows over the tiny frame
+  }
+
+  test("t-closeness: completion joins are broadcast; nothing sort-merges") {
+    val p = plan("t_closeness_audit")
+    p should include("BroadcastHashJoin")    // the gv count attach
+    p should not include "SortMergeJoin"     // all sides are class/band-sized
+    p should not include "CartesianProduct"  // crosses are 1-row/band broadcast carriers
+  }
+
+  test("HITS returns the post-loop checkpoint cut by TakeOrderedAndProject") {
+    val p = plan("graph_hits_authorities")
+    p should include("Scan ExistingRDD")     // kmeans_step discipline
+    p should include("TakeOrderedAndProject") // no global sort for top-k
+    p should not include "Scan parquet"      // loop work happened at checkpoint time
+  }
+
+  test("Theil-Sen: calendar-bounded BNLJ over the checkpointed daily relation; selection has no corpus sort") {
+    val p = plan("theilsen_revenue_trend")
+    p should include("BroadcastNestedLoopJoin") // the RIGHT plan: |days| broadcast side
+    p should include("TakeOrderedAndProject")
+    p should not include "Scan parquet" // both phases read the daily checkpoint
+  }
 }
