@@ -157,7 +157,19 @@ object ScaleProbe {
     "perceptron_learn_rounds",
     // r14: char entropy is pure in-row work (alphabet-bounded histogram
     // + qlog2 folds) — its ratio is the zero-shuffle floor.
-    "char_entropy_quality")
+    "char_entropy_quality",
+    // r14 late adds. DoReMi pays ONE corpus aggregation; the 5 update
+    // rounds run at |langs| cardinality, so its ratio must track the
+    // pure scan. Theil–Sen's claim is calendar-boundedness: 30× orders
+    // collapse to the SAME |days| relation, so the |days|² pair mass is
+    // CONSTANT and the ratio must track the daily aggregation alone.
+    // HITS rides the densified bipartite graph (cust/part keys
+    // unshifted): edge mass grows with copies and the claim is that
+    // rounds move only node-sized tables over the two checkpointed
+    // layouts. t_closeness_audit is NOT probed: customer stays 1× by
+    // design (dimension-table family).
+    "mixture_doremi_weights", "theilsen_revenue_trend",
+    "graph_hits_authorities")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

