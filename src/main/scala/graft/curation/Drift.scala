@@ -92,6 +92,36 @@ object Drift {
 
   def driftTv(docs: DataFrame): DataFrame = tvPpm(binned(docs))
 
+  private var sinkCounter = 0
+
+  /** Streaming twin of [[driftTv]] — the shape a live ingest gate runs:
+    * the per-length-bin cohort counts are maintained as a complete-mode
+    * streaming aggregation (bounded state: ≤64 bin rows regardless of
+    * stream volume — the same bounded-state argument as
+    * `streaming_blocklist_freq`), and the TV summary is computed
+    * post-stream on that tiny maintained table with the SAME
+    * DECIMAL(38,0) ppm lane as the batch operator. Gate result ≡ the
+    * batch oracle exactly — drift monitoring needs no second batch scan
+    * of data the stream already counted.
+    */
+  def runStreamingDriftTv(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val src = spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .option("pathGlobFilter", "documents.parquet")
+      .load(sfDir)
+    val qn = synchronized { sinkCounter += 1; s"graft_drift_sink_$sinkCounter" }
+    val q = binned(src).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    tvPpm(spark.table(qn))
+  }
+
   /** Exact Kolmogorov–Smirnov distance between the two cohorts'
     * doc-length distributions: max over lengths of |CDF_a − CDF_b|,
     * in exact ppm, plus the length where the divergence peaks (min
@@ -280,6 +310,20 @@ object Drift {
     EngineQuery(
       "corpus_drift_tv",
       (s, dir) => driftTv(Tables.documents(s, dir)),
+      Some(s"""$duckBins
+             |SELECT CAST(max(na_tot) AS BIGINT) AS n_a,
+             |  CAST(max(nb_tot) AS BIGINT) AS n_b,
+             |  CAST((1000000 * sum(abs(CAST(n_a AS HUGEINT) * nb_tot - CAST(n_b AS HUGEINT) * na_tot)))
+             |    // greatest(2 * CAST(max(na_tot) AS HUGEINT) * CAST(max(nb_tot) AS HUGEINT), 1)
+             |    AS BIGINT) AS tv_ppm
+             |FROM t""".stripMargin),
+    ),
+    // Streaming twin: the bin counts maintained by a complete-mode
+    // streaming aggregation, TV computed on the maintained table —
+    // must equal the batch oracle exactly.
+    EngineQuery(
+      "streaming_drift_tv",
+      (s, dir) => runStreamingDriftTv(s, dir),
       Some(s"""$duckBins
              |SELECT CAST(max(na_tot) AS BIGINT) AS n_a,
              |  CAST(max(nb_tot) AS BIGINT) AS n_b,

@@ -88,6 +88,15 @@ class DriftSpec extends AnyFunSuite with Matchers {
       ((3L, 3L, 666666L, 5L))
   }
 
+  test("streaming TV twin equals the batch operator on the real corpus") {
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = Drift.driftTv(graft.Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = Drift.runStreamingDriftTv(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    streamed shouldBe batch
+  }
+
   test("wide lane agrees with the int64 result where int64 was still exact") {
     // counts small enough that the old formulation was correct — the
     // DECIMAL(38,0) lane must be a pure widening, not a semantic change
