@@ -509,7 +509,91 @@ object QualityFilters {
           .as("n_valid"))
   }
 
+  /** Cohen's kappa agreement between two quality filters — the
+    * filter-consolidation question a pipeline asks before stacking
+    * gates: does filter B reject anything filter A doesn't already
+    * (kappa → 1: drop one), or do they disagree beyond chance (keep
+    * both)? Here A = the Gopher word-count rule, B = a char-length
+    * floor — two length-family rules whose high-but-imperfect kappa is
+    * the expected readout.
+    *
+    * INTEGER-EXACT: kappa = (p_o − p_e)/(1 − p_e) cross-multiplies to
+    * (n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0)) — all
+    * counts from ONE aggregation pass; the n² lane runs in
+    * DECIMAL(38,0)/HUGEINT (wraps int64 at ~3·10⁹ docs) and the one
+    * division is sign-ruled ppm (Spark div ≡ DuckDB // on the
+    * magnitude). Scale: the corpus collapses to a 2×2 confusion in one
+    * map-side-combined aggregate; everything after is a single-row
+    * projection.
+    */
+  def filterAgreementKappa(
+      docs: DataFrame,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minChars: Long = 300L): DataFrame = {
+    val nWords = size(TextAnalysis.wsTokens(col("text"))).cast("long")
+    docs
+      .select(
+        (nWords >= minWords && nWords <= maxWords).cast("long").as("a"),
+        (col("n_chars") >= minChars).cast("long").as("b"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .select(
+        col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(1000000 * (n11 + n00)) div greatest(n_docs, 1)").as("po_ppm"),
+        expr("""(1000000 * ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+          |      + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))))
+          |  div greatest(CAST(n_docs AS DECIMAL(38,0)) * n_docs, 1)""".stripMargin)
+          .cast("long").as("pe_ppm"),
+        expr("""CASE WHEN CAST(n_docs AS DECIMAL(38,0)) * (n11 + n00)
+          |        >= (n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+          |           + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0)) THEN 1 ELSE -1 END
+          |* ((1000000 * abs(CAST(n_docs AS DECIMAL(38,0)) * (n11 + n00)
+          |     - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+          |        + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0)))))
+          |   div greatest(CAST(n_docs AS DECIMAL(38,0)) * n_docs
+          |     - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+          |        + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))), 1))""".stripMargin)
+          .cast("long").as("kappa_ppm"))
+  }
+
+  private val DuckKappa =
+    """WITH t AS (
+      |  SELECT CASE WHEN length(string_split_regex(trim(text), '\s+'))
+      |    BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(a * b) AS BIGINT) AS n11,
+      |  CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |  CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |  CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00 FROM t)
+      |SELECT n_docs, n11, n10, n01, n00,
+      |  CAST((1000000 * (n11 + n00)) // greatest(n_docs, 1) AS BIGINT) AS po_ppm,
+      |  CAST((1000000 * ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+      |         + (n01 + n00) * CAST(n10 + n00 AS HUGEINT)))
+      |    // greatest(CAST(n_docs AS HUGEINT) * n_docs, 1) AS BIGINT) AS pe_ppm,
+      |  CAST((CASE WHEN CAST(n_docs AS HUGEINT) * (n11 + n00)
+      |          >= (n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+      |             + (n01 + n00) * CAST(n10 + n00 AS HUGEINT) THEN 1 ELSE -1 END)
+      |  * ((1000000 * abs(CAST(n_docs AS HUGEINT) * (n11 + n00)
+      |       - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+      |          + (n01 + n00) * CAST(n10 + n00 AS HUGEINT))))
+      |     // greatest(CAST(n_docs AS HUGEINT) * n_docs
+      |       - ((n11 + n10) * CAST(n11 + n01 AS HUGEINT)
+      |          + (n01 + n00) * CAST(n10 + n00 AS HUGEINT)), 1)) AS BIGINT) AS kappa_ppm
+      |FROM c""".stripMargin
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "filter_agreement_kappa",
+      (s, dir) => filterAgreementKappa(Tables.documents(s, dir)),
+      Some(DuckKappa),
+    ),
     EngineQuery(
       "luhn_pii_scan",
       (s, dir) => luhnPiiScan(withSyntheticCards(Tables.documents(s, dir))).orderBy("doc_id"),

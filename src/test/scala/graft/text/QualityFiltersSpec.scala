@@ -176,6 +176,25 @@ class QualityFiltersSpec extends AnyFunSuite with Matchers {
     lines0(1) should include("javascript")
     lines0(2) should include("{code}")
   }
+  test("Cohen's kappa: independence -> 0, identity -> 1e6, inversion -> -1e6") {
+    def kappa(rows: Seq[(String, Long)]): (Long, Long, Long) = {
+      val df = rows.toDF("text", "n_chars")
+      val r = QualityFilters
+        .filterAgreementKappa(df, minWords = 2L, maxWords = 10L, minChars = 10L)
+        .collect().head
+      (r.getAs[Long]("po_ppm"), r.getAs[Long]("pe_ppm"), r.getAs[Long]("kappa_ppm"))
+    }
+    // one doc per 2x2 cell: observed = chance -> kappa exactly 0
+    kappa(Seq(("w w w", 20L), ("w w w", 5L), ("w", 20L), ("w", 5L))) shouldBe
+      ((500000L, 500000L, 0L))
+    // flags coincide on every doc -> kappa 1e6 despite pe = 0.5
+    kappa(Seq(("w w w", 20L), ("w w w", 20L), ("w", 5L), ("w", 5L))) shouldBe
+      ((1000000L, 500000L, 1000000L))
+    // flags invert on every doc -> kappa -1e6 (the sign-rule lane)
+    kappa(Seq(("w w w", 5L), ("w w w", 5L), ("w", 20L), ("w", 20L))) shouldBe
+      ((0L, 500000L, -1000000L))
+  }
+
   test("code detection separates a source snippet from prose") {
     val code = "def main(args):\n    import sys\n    x_val = {1: 2};\n    return x_val[1]\n"
     val prose = "the quick brown fox jumps over the lazy dog and keeps on running home"
