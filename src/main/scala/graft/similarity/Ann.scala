@@ -636,7 +636,94 @@ object Ann {
     }
   }
 
+  /** Per-label centroid silhouette — the cluster-quality audit for a
+    * labeled/clustered embedding corpus (is the labeling geometrically
+    * coherent, or should the mixture/clustering step re-run?). The
+    * simplified (centroid) silhouette of Hruschka et al.: per vector,
+    * s = (d_other − d_own) / max(d_own, d_other) with d = SQUARED
+    * distance to the truncated-integer label centroids — O(N·L)
+    * instead of exact silhouette's O(N²) pairwise distances, the only
+    * formulation that scales.
+    *
+    * INTEGER-EXACT: quantized vectors (×1000 floor), centroids as
+    * floor(sum/n) per dim (the [[rebuildCentroids]] portability rule —
+    * floor of one IEEE double division), distances via the codegen'd
+    * dot_i64 identity d² = |x|² − 2x·c + |c|², and the silhouette
+    * ratio as sign-ruled integer ppm. The per-label mean's numerator
+    * runs in DECIMAL(38,0) (|Σ sil| ≤ 10⁶·N wraps int64 at ~10¹² rows).
+    *
+    * Scale: one (label, dim) aggregation (map-side combined) builds
+    * the ≤|labels|·D centroid relation; the corpus meets it ONCE via a
+    * broadcast cross (L rows per vector, a map-stage fan-out), and the
+    * per-vector min over other labels collapses in the same vec-keyed
+    * aggregate — nothing quadratic in N anywhere.
+    */
+  def centroidSilhouette(embeddings: DataFrame): DataFrame = {
+    val q = graft.dedup.Dedup.quantized(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+    val cents = q
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cv", floor(col("s").cast("double") / col("n").cast("double")).cast("long"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("label").as("clabel"), transform(col("pairs"), p => p.getField("cv")).as("cq"))
+      .withColumn("cnrm", expr("aggregate(cq, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+    val d2 = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (col("nrm") - lit(2L) * expr("dot_i64(q, cq)") + col("cnrm")).as("d2"))
+    val own = d2.where(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("d2").as("d_own"))
+    val other = d2.where(col("label") =!= col("clabel"))
+      .groupBy("vec_id").agg(min(col("d2")).as("d_other"))
+    own.join(other, "vec_id")
+      .select(col("label"),
+        (when(col("d_other") >= col("d_own"), 1L).otherwise(-1L) *
+          expr("(1000000 * abs(d_other - d_own)) div greatest(greatest(d_own, d_other), 1)"))
+          .as("sil"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sil").cast("decimal(38,0)")).as("silsum"))
+      .select(col("label"), col("n_vecs"),
+        expr("""(CASE WHEN silsum >= 0 THEN 1 ELSE -1 END)
+          |* (abs(silsum) div greatest(n_vecs, 1))""".stripMargin)
+          .cast("long").as("mean_sil_ppm"))
+  }
+
+  private val DuckSilhouette =
+    """WITH qx AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, label, t.i AS dim, q[t.i + 1] AS v FROM qx, range(64) t(i)),
+      |cd AS (SELECT label, dim,
+      |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(DISTINCT vec_id)) AS BIGINT) AS cv
+      |  FROM e GROUP BY label, dim),
+      |d AS (
+      |  SELECT e.vec_id, e.label, cd.label AS clabel,
+      |    CAST(sum((e.v - cd.cv) * (e.v - cd.cv)) AS BIGINT) AS d2
+      |  FROM e JOIN cd ON e.dim = cd.dim GROUP BY 1, 2, 3),
+      |own AS (SELECT vec_id, label, d2 AS d_own FROM d WHERE label = clabel),
+      |oth AS (SELECT vec_id, CAST(min(d2) AS BIGINT) AS d_other
+      |        FROM d WHERE label <> clabel GROUP BY 1),
+      |s AS (
+      |  SELECT o.label,
+      |    (CASE WHEN x.d_other >= o.d_own THEN 1 ELSE -1 END)
+      |      * ((1000000 * abs(x.d_other - o.d_own))
+      |         // greatest(greatest(o.d_own, x.d_other), 1)) AS sil
+      |  FROM own o JOIN oth x USING (vec_id))
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST((CASE WHEN sum(sil) >= 0 THEN 1 ELSE -1 END)
+      |    * (abs(CAST(sum(sil) AS HUGEINT)) // greatest(count(*), 1)) AS BIGINT) AS mean_sil_ppm
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "embedding_silhouette",
+      (s, dir) => centroidSilhouette(Tables.embeddings(s, dir)).orderBy("label"),
+      Some(DuckSilhouette),
+    ),
     EngineQuery(
       "gram_power_iteration",
       (s, dir) => gramPowerIteration(Tables.embeddings(s, dir)).orderBy("dim"),

@@ -51,6 +51,24 @@ class AnnSpec extends AnyFunSuite with Matchers {
     out.find(_._2 == 2L).get._3 shouldBe 1.0 +- 1e-12
   }
 
+  test("centroid silhouette: separated labels -> 1e6; a vector sitting on the other centroid -> negative mean") {
+    def vec(a: Float, b: Float) =
+      Array.tabulate(64)(i => if (i == 0) a else if (i == 1) b else 0.0f)
+    // label 0: (1,0) and (0,1) -> centroid (500,500); label 1: (0,1) x2
+    // -> centroid (0,1000). x2 sits exactly ON label 1's centroid:
+    // d_own=500000, d_other=0 -> sil -1e6; x1: (2e6-5e5)/2e6 -> 750000.
+    // label-0 mean = (750000-1000000)/2 = -125000. label 1: both at own
+    // centroid (d_own=0, d_other=500000) -> mean 1e6.
+    val e = Seq(
+      (1L, vec(1f, 0f), 0), (2L, vec(0f, 1f), 0),
+      (3L, vec(0f, 1f), 1), (4L, vec(0f, 1f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.centroidSilhouette(e)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(0L) shouldBe ((2L, -125000L))
+    out(1L) shouldBe ((2L, 1000000L))
+  }
+
   test("gram matrix: upper triangle of sum of outer products, exact") {
     import spark.implicits._
     // two vectors, constant 1.0 and alternating ±2.0 (quantized 1000 / ±2000)
