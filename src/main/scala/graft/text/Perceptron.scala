@@ -156,6 +156,56 @@ object Perceptron {
       .orderBy("y", "pred")
   }
 
+  /** Reliability (calibration) bins for the learned scores — does a
+    * higher margin actually mean a higher positive rate? Each score bin
+    * reports its document count, positive count, and exact positive
+    * rate; a monotone pos_ppm curve is the acceptance evidence for
+    * using the margin as a soft quality SCORE (sampling weight,
+    * threshold sweep) rather than a hard sign classifier.
+    *
+    * Bins are sign-ruled score div 2¹⁸ (magnitude-first so Spark `div`
+    * and DuckDB `//` agree on negative margins; bin 0 spans (−W, W) —
+    * wider, but the bucketing stays monotone-contiguous, the Theil–Sen
+    * bucket argument). ONE aggregation pass over the scored corpus —
+    * map-side combined, bin-cardinality output.
+    */
+  def reliabilityBins(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val (_, w) = learn(docs, rounds)
+    featurized(docs)
+      .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
+      .groupBy((when(col("score") >= 0, 1L).otherwise(-1L) *
+        expr(s"abs(score) div $ReliabilityBinWidth")).as("score_bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .select(col("score_bin"), col("n_docs"), col("n_pos"),
+        expr("(1000000 * n_pos) div greatest(n_docs, 1)").as("pos_ppm"),
+        col("min_score"), col("max_score"))
+  }
+
+  /** Reliability bin width (score units). */
+  val ReliabilityBinWidth = 262144L
+
+  private def reliabilityOracle(rounds: Int): String =
+    s"""${oracleRounds(rounds)},
+       |se AS (SELECT fb.doc_id, CAST(sum(w$rounds.wv * fb.c) AS BIGINT) AS sc
+       |  FROM fb JOIN w$rounds USING (b) GROUP BY fb.doc_id),
+       |ev AS (SELECT d.y, coalesce(se.sc, 0) AS score
+       |  FROM docs0 d LEFT JOIN se ON se.doc_id = d.doc_id),
+       |bins AS (
+       |  SELECT (CASE WHEN score >= 0 THEN 1 ELSE -1 END)
+       |      * (abs(score) // $ReliabilityBinWidth) AS score_bin,
+       |    count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    min(score) AS min_score, max(score) AS max_score
+       |  FROM ev GROUP BY 1)
+       |SELECT CAST(score_bin AS BIGINT) AS score_bin, n_docs, n_pos,
+       |  CAST((1000000 * n_pos) // greatest(n_docs, 1) AS BIGINT) AS pos_ppm,
+       |  min_score, max_score
+       |FROM bins ORDER BY score_bin""".stripMargin
+
   private var sinkCounter = 0
 
   /** Streaming sweep twin: learn batch-side, then score the document
@@ -276,6 +326,11 @@ object Perceptron {
       "perceptron_confusion",
       (s, dir) => confusion(Tables.documents(s, dir)),
       Some(confusionOracle(Rounds)),
+    ),
+    EngineQuery(
+      "perceptron_reliability",
+      (s, dir) => reliabilityBins(Tables.documents(s, dir)).orderBy("score_bin"),
+      Some(reliabilityOracle(Rounds)),
     ),
     // Streaming twin: must equal the batch confusion exactly (same oracle).
     EngineQuery(

@@ -90,6 +90,26 @@ class PerceptronSpec extends AnyFunSuite with Matchers {
     got shouldBe refConf
   }
 
+  test("reliability bins partition the corpus and order positives above negatives") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val bins = Perceptron.reliabilityBins(docs).orderBy("score_bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    bins.map(_._2).sum shouldBe docs.count() // partition: every doc in one bin
+    bins.foreach { case (_, n, np, ppm, mn, mx) =>
+      np should be <= n
+      ppm shouldBe (1000000L * np) / n
+      mn should be <= mx
+    }
+    // bins are monotone in score: each bin's min exceeds the previous max
+    bins.sliding(2).foreach { case Array(a, b) => a._6 should be < b._5; case _ => }
+    // a converged learner calibrates: mean pos rate over positive-score
+    // bins far exceeds the negative-score bins
+    def rate(f: ((Long, Long, Long, Long, Long, Long)) => Boolean) = {
+      val s = bins.filter(f); s.map(_._3).sum.toDouble / s.map(_._2).sum.toDouble
+    }
+    rate(_._1 > 0) should be > rate(_._1 < 0) + 0.5
+  }
+
   test("learner converges on the harness corpus (distills the length filter)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val stats = Perceptron.learn(docs)._1
