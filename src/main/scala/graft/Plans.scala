@@ -340,6 +340,12 @@ object Plans {
       "Distribution-level privacy audit: the table collapses to (QI, band) counts in one pass; the class×value completion (absent bands still contribute) is a broadcast cross of the ≤|bands|-row value relation against the |classes|-row class relation — corpus-independent cardinality — and the TV numerator lane runs in DECIMAL(38,0) with ONE late division per class (no per-band truncation accumulation, Spark div ≡ DuckDB // on the nonnegative lane).",
     "graph_hits_authorities" ->
       "HITS over the bipartite purchase graph — the pagerank loop discipline with TWO edge layouts: the edge relation is declared-partition-checkpointed on c AND on p (`PartitionedCheckpoint.localEagerDeclared`), so the authority step's c-keyed join and the hub step's p-keyed join are each co-partitioned with their layout and the corpus-scale relation crosses the wire a constant number of times (expansion + two repartitions), independent of round count. Per round only node-sized rank tables and map-side partial sums move; normalization totals are 1-row DECIMAL(38,0) broadcast carriers, and each round's a/h tables are pinned with the previous generation released (the Lloyd-loop discipline) — the total shares the raw-score subtree, so an unpinned unroll re-executes every prior round's joins exponentially (26.4→5.3s at sf0.1 for 3 rounds once pinned; 30× probe 1.4×). The returned frame is the post-loop checkpoint scan (kmeans_step discipline) cut by TakeOrderedAndProject.",
+    "filter_agreement_kappa" ->
+      "Filter-consolidation audit: both flags are per-row projections, so the corpus collapses to the 2×2 confusion in ONE map-side-combined aggregate (the plan's only exchange is the single-partition final merge of 5-value partials) and the kappa cross-multiplication is a 1-row projection in the DECIMAL(38,0) lane. Zero joins, zero corpus-scale wide work — the cheapest possible audit of whether two gates are redundant.",
+    "embedding_silhouette" ->
+      "Cluster-quality audit at O(N·L): the (label, dim) centroid aggregate collapses the corpus map-side; the ≤|labels|-row centroid-array relation broadcasts into the corpus cross (L rows per vector, a map-stage fan-out scored by the codegen'd dot_i64 identity d² = |x|² − 2x·c + |c|²); the nearest-other min and the per-label mean are vec- and label-keyed aggregates. Exact silhouette's O(N²) pairwise half is replaced by the centroid formulation — the only one that scales — and every lane is exact integer ppm.",
+    "perceptron_reliability" ->
+      "Score-calibration curve: the learned weights ride as a literal broadcast array, the margin is a codegen'd per-row fold (no join), and the corpus collapses to sign-ruled score bins in ONE map-side-combined aggregate — bin cardinality output, the quality_threshold_sweep shape applied to a learned model's margins.",
     "theilsen_revenue_trend" ->
       "Theil–Sen robust trend: orders collapse to |days| rows first, so the pairwise-slope expansion is CALENDAR-bounded (|days|²/2), never corpus-bounded, and the non-equi self-join is a broadcast nested-loop over the tiny daily relation — the one place BNLJ is the RIGHT plan. It runs ONCE: the slope relation is pinned (|days|²/2 longs), and both median phases read the checkpoint (the dump's ExistingRDD leaves; unpinned, histogram + bucket re-scan each re-ran the expansion — 13.0→6.1s at sf0.1). The median is the ExactQuantile two-phase selection: a 2²⁰-micro-wide histogram locates the rank-k bucket (single-partition windows only at BUCKET cardinality), and the re-scan confined to that bucket picks the exact quantized slope — no |days|²-row single-partition sort. 30× probe: 1.4× wall (days don't scale with corpus).",
   )

@@ -659,8 +659,13 @@ object Ann {
     * aggregate — nothing quadratic in N anywhere.
     */
   def centroidSilhouette(embeddings: DataFrame): DataFrame = {
-    val q = graft.dedup.Dedup.quantized(embeddings)
-      .join(embeddings.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+    graft.GraftFunctions.register(embeddings.sparkSession)
+    // label carried through the quantization projection — joining the
+    // Dedup.quantized view back on vec_id would self-join the table
+    val q = embeddings.select(
+        col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("nrm", expr("dot_i64(q, q)"))
     val cents = q
       .select(col("label"), posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
@@ -673,11 +678,13 @@ object Ann {
     val d2 = q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("clabel"),
         (col("nrm") - lit(2L) * expr("dot_i64(q, cq)") + col("cnrm")).as("d2"))
-    val own = d2.where(col("label") === col("clabel"))
-      .select(col("vec_id"), col("label"), col("d2").as("d_own"))
-    val other = d2.where(col("label") =!= col("clabel"))
-      .groupBy("vec_id").agg(min(col("d2")).as("d_other"))
-    own.join(other, "vec_id")
+    // own and other distances fold in ONE vec-keyed aggregate (an
+    // own/other split-and-rejoin would re-run the distance fan-out)
+    d2.groupBy("vec_id")
+      .agg(
+        max(col("label")).as("label"), // constant per vec
+        max(when(col("label") === col("clabel"), col("d2"))).as("d_own"),
+        min(when(col("label") =!= col("clabel"), col("d2"))).as("d_other"))
       .select(col("label"),
         (when(col("d_other") >= col("d_own"), 1L).otherwise(-1L) *
           expr("(1000000 * abs(d_other - d_own)) div greatest(greatest(d_own, d_other), 1)"))

@@ -1227,6 +1227,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should not include "Scan parquet"      // loop work happened at checkpoint time
   }
 
+  test("kappa: one aggregate pass, no joins, no corpus-scale wide work") {
+    val p = plan("filter_agreement_kappa")
+    p should not include "Join"
+    "HashAggregate".r.findAllIn(p).size shouldBe 2 // partial + final, once
+  }
+
+  test("silhouette: centroids broadcast; the corpus never joins or self-joins") {
+    val p = plan("embedding_silhouette")
+    p should include("BroadcastExchange") // the L-row centroid relation
+    // label rides the quantization projection; own/other fold in one
+    // vec-keyed aggregate — two scans total (centroid build + distance)
+    "Scan parquet".r.findAllIn(p).size should be <= 2
+    p should not include "SortMergeJoin"
+  }
+
+  test("perceptron reliability: margins fold in the map stage — the weights never join") {
+    val p = plan("perceptron_reliability")
+    // the only exchanges belong to the featurization (doc-keyed) and
+    // the bin aggregate — no bucket-keyed weight join anywhere
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("doc_id", "_groupingexpression")
+  }
+
   test("Theil-Sen: both phases read the pinned slope relation; selection has no corpus sort") {
     val p = plan("theilsen_revenue_trend")
     // the calendar-bounded BNLJ expansion ran ONCE at checkpoint time;
