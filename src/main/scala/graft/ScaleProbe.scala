@@ -169,7 +169,15 @@ object ScaleProbe {
     // layouts. t_closeness_audit is NOT probed: customer stays 1× by
     // design (dimension-table family).
     "mixture_doremi_weights", "theilsen_revenue_trend",
-    "graph_hits_authorities")
+    "graph_hits_authorities",
+    // r14 batch 4. Kappa is one conditional-aggregate pass (the
+    // zero-join floor — ratio must track the scan); the reliability
+    // curve re-runs the perceptron learn plus ONE binning pass (ratio
+    // must track perceptron_learn_rounds); the streaming drift twin's
+    // claim is ≤64 rows of complete-mode state at ANY stream volume.
+    // embedding_silhouette is NOT probed: embeddings stay 1× by design.
+    "filter_agreement_kappa", "perceptron_reliability",
+    "streaming_drift_tv")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")
