@@ -605,7 +605,86 @@ object Analytic {
       .select(col("n_pairs"), col("s").as("median_slope_micro"))
   }
 
+  /** STL-lite additive decomposition of the daily-revenue series:
+    * cents = trend + seasonal + residual. Trend is the centered 7-day
+    * moving average (NULL at the ≤3-day boundaries — no partial-window
+    * bias); the weekly seasonal is the per-weekday mean of the
+    * detrended series, RE-CENTERED so the seven seasonals sum to ~0
+    * (the standard identifiability constraint); the residual is what
+    * anomaly detection should consume — `mad_outlier_days` on raw
+    * cents flags every Sunday, on the residual only true anomalies.
+    *
+    * INTEGER-EXACT: every division is a sign-ruled truncating div
+    * (detrended values are signed — the Drift rule keeps Spark `div`
+    * and DuckDB `//` agreeing), so decomposition is bit-identical in
+    * both engines. Scale: the corpus collapses to |days| rows in one
+    * map-side-combined aggregation; the trend window, weekday means,
+    * and recentering all run at day/weekday cardinality.
+    */
+  def stlDecomposeDaily(orders: DataFrame): DataFrame = {
+    def sdiv(num: String, den: String) =
+      s"IF($num >= 0, $num div $den, -((-($num)) div $den))"
+    val daily = orders
+      .groupBy(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("day_no"))
+      .agg((sum(dec("o_totalprice")) * 100).cast("long").as("cents"))
+    val w = Window.orderBy("day_no").rangeBetween(-3, 3)
+    val trended = daily
+      .withColumn("w_sum", sum(col("cents")).over(w))
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("w_n") === 7, expr(sdiv("w_sum", "7"))).otherwise(lit(null)))
+      .withColumn("detr", col("cents") - col("trend"))
+      .select("day_no", "cents", "trend", "detr")
+    val weekly = trended.where(col("detr").isNotNull)
+      .groupBy((col("day_no") % 7).as("wd"))
+      .agg(sum(col("detr")).as("s"), count(lit(1)).as("n"))
+      .withColumn("s_raw", expr(sdiv("s", "n")))
+      .withColumn("s_mean_num", expr("sum(s_raw) over ()"))
+      .withColumn("seasonal", col("s_raw") - expr(sdiv("s_mean_num", "7")))
+      .select("wd", "seasonal")
+    trended
+      .join(broadcast(weekly), (col("day_no") % 7) === col("wd"))
+      .select(
+        col("day_no"), col("cents"), col("trend"), col("seasonal"),
+        (col("cents") - col("trend") - col("seasonal")).as("residual"))
+  }
+
+  private val DuckStl =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |tr AS (
+      |  SELECT day_no, cents,
+      |    CASE WHEN count(*) OVER win = 7 THEN
+      |      CASE WHEN sum(cents) OVER win >= 0 THEN (sum(cents) OVER win) // 7
+      |           ELSE -((-(sum(cents) OVER win)) // 7) END
+      |    END AS trend
+      |  FROM daily
+      |  WINDOW win AS (ORDER BY day_no RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (SELECT day_no, cents, trend, cents - trend AS detr FROM tr),
+      |wk0 AS (
+      |  SELECT day_no % 7 AS wd,
+      |    CAST(sum(detr) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      |  FROM dt WHERE detr IS NOT NULL GROUP BY 1),
+      |wk1 AS (SELECT wd,
+      |    CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS s_raw FROM wk0),
+      |wk AS (SELECT wd, s_raw,
+      |    CAST(sum(s_raw) OVER () AS BIGINT) AS m FROM wk1),
+      |sea AS (SELECT wd,
+      |    s_raw - (CASE WHEN m >= 0 THEN m // 7 ELSE -((-m) // 7) END) AS seasonal FROM wk)
+      |SELECT d.day_no, d.cents, CAST(d.trend AS BIGINT) AS trend,
+      |  CAST(s.seasonal AS BIGINT) AS seasonal,
+      |  CAST(d.cents - d.trend - s.seasonal AS BIGINT) AS residual
+      |FROM dt d JOIN sea s ON d.day_no % 7 = s.wd
+      |ORDER BY d.day_no""".stripMargin
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "stl_decompose_daily",
+      (s, dir) => stlDecomposeDaily(Tables.orders(s, dir)).orderBy("day_no"),
+      Some(DuckStl),
+    ),
     EngineQuery(
       "theilsen_revenue_trend",
       (s, dir) => theilSenTrend(Tables.orders(s, dir)),

@@ -37,6 +37,28 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
     out shouldBe Set((100L, 5L), (200L, 3L), (400L, 1L))
   }
 
+  test("STL-lite: weekly bump decomposes into seasonal, residual exactly 0") {
+    // 14 days, $7.00 daily with a +$0.70 bump every day%7==0. For the
+    // fully-windowed days 3..10: trend = (6*700+770) div 7 = 710;
+    // detrended = +60 on the bump weekday, -10 elsewhere; seasonal
+    // means re-center to exactly {wd0: 60, others: -10}; residual 0.
+    val orders = (0 until 14).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)),
+        if (i % 7 == 0) 7.70 else 7.00)
+    }.toDF("o_orderdate", "o_totalprice")
+    val rows = Analytic.stlDecomposeDaily(orders).orderBy("day_no").collect()
+    rows.length shouldBe 14
+    val mid = rows.filter(r => r.getLong(0) >= 3 && r.getLong(0) <= 10)
+    mid.foreach { r =>
+      r.getLong(2) shouldBe 710L // trend
+      r.getLong(3) shouldBe (if (r.getLong(0) % 7 == 0) 60L else -10L) // seasonal
+      r.getLong(4) shouldBe 0L // residual
+    }
+    // boundary days: no full window -> NULL trend and residual
+    rows.filter(r => r.getLong(0) < 3 || r.getLong(0) > 10)
+      .foreach(r => assert(r.isNullAt(2) && r.isNullAt(4)))
+  }
+
   test("Theil-Sen: lower median of quantized pairwise slopes, exact by hand") {
     // days 0..3, cents 100,200,400,300. Six slopes (micro-cents/day):
     // 100e6, 150e6, 66666666 (200/3 truncated), 200e6, 50e6, -100e6.
