@@ -250,7 +250,142 @@ object EventFlow {
       |  row_number() OVER (PARTITION BY user_id, session_id ORDER BY tms, event_id) AS rn
       |  FROM s)""".stripMargin
 
+  /** Markov removal-effect attribution (the data-driven alternative to
+    * first/last-touch, `attribution_touch_revenue`): build the
+    * first-order journey chain START → channels… → CONV/NULL per user
+    * (truncated at the first purchase — the purchase event itself IS
+    * the CONV transition), then each channel's credit is how much the
+    * fixed-horizon conversion probability DROPS when every transition
+    * into that channel is redirected to NULL. Absorption is evaluated
+    * at a fixed `steps` horizon (exact integer power iteration) rather
+    * than by matrix inversion — rationals under inversion blow up
+    * unboundedly, while the T-step ppm iteration is bit-portable.
+    *
+    * INTEGER-EXACT: transition probabilities are ppm
+    * ((10⁶·n) div out_src, computed on the UNFILTERED matrix so removal
+    * mass flows to NULL), each iteration is v(s) = (Σ p·v(dst)) div 10⁶
+    * — nonnegative throughout, so Spark/Scala truncation ≡ DuckDB
+    * floor — and the removal drop is a plain subtraction (no signed
+    * division anywhere).
+    *
+    * Scale: ONE user-keyed window pass collapses the stream to the
+    * ≤(|types|+1)² transition matrix; the driver collects that matrix
+    * (bounded by the event-type vocabulary — the audited
+    * bounded-collect loop discipline) and replays 8 ppm iterations per
+    * variant in exact Long arithmetic. The unrolled DuckDB oracle
+    * replays the identical chains.
+    */
+  def markovRemovalAttribution(events: DataFrame, steps: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    val cumB = w.rowsBetween(Window.unboundedPreceding, -1)
+    val e = ev(events)
+    val kept = e
+      .withColumn("pp", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(cumB), lit(0L)))
+      .where(col("pp") === 0 && col("event_type") =!= "purchase")
+    val chains = kept
+      .withColumn("src", coalesce(lag(col("event_type"), 1).over(w), lit("START")))
+      .select(col("src"), col("event_type").as("dst"))
+    val pu = e.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    val lk = kept.groupBy("user_id")
+      .agg(max(struct(col("tms"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("last_type"))
+    val term = pu.join(lk, Seq("user_id"), "left_outer")
+      .select(coalesce(col("last_type"), lit("START")).as("src"),
+        when(col("conv") === 1L, lit("CONV")).otherwise(lit("NULL")).as("dst"))
+    val matrix = chains.union(term).groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("p", expr("(1000000 * n) div (sum(n) over (partition by src))"))
+      .select("src", "dst", "p")
+      .collect() // bounded: ≤ (|types|+1)·(|types|+2) rows
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val transientStates = matrix.map(_._1).distinct.sorted.toSeq
+    def horizonConv(drop: Option[String]): Long = {
+      val p = matrix.filter(r => drop.forall(c => r._1 != c && r._2 != c))
+      var v = transientStates.map(_ -> 0L).toMap
+      for (_ <- 1 to steps) {
+        v = transientStates.map { s =>
+          val tot = p.iterator.filter(_._1 == s).map { case (_, d, pp) =>
+            pp * (if (d == "CONV") 1000000L else if (d == "NULL") 0L else v.getOrElse(d, 0L))
+          }.sum
+          s -> tot / 1000000L
+        }.toMap
+      }
+      v.getOrElse("START", 0L)
+    }
+    val base = horizonConv(None)
+    val channels = matrix.map(_._2).filter(d => d != "CONV" && d != "NULL").distinct.sorted.toSeq
+    channels.map { c =>
+      val removed = horizonConv(Some(c))
+      (c, base, removed, base - removed)
+    }.toDF("channel", "conv_base_ppm", "conv_removed_ppm", "removal_drop_ppm")
+  }
+
+  /** Unrolled DuckDB mirror of [[markovRemovalAttribution]]: the
+    * harness event-type vocabulary is static, so the four channel
+    * variants unroll statically like the perceptron's rounds.
+    */
+  private def duckMarkov(steps: Int, channels: Seq[String]): String = {
+    def variant(tag: String, filter: String): String = {
+      val v0 = s"v${tag}0 AS (SELECT s, CAST(0 AS BIGINT) AS v FROM st)"
+      val its = (1 to steps).map { t =>
+        s"""v$tag$t AS (
+           |  SELECT st.s, coalesce(CAST(sum(p.p * CASE WHEN p.dst = 'CONV' THEN 1000000
+           |      WHEN p.dst = 'NULL' THEN 0 ELSE coalesce(pv.v, 0) END) // 1000000 AS BIGINT), 0) AS v
+           |  FROM st LEFT JOIN p ON p.src = st.s $filter
+           |  LEFT JOIN v$tag${t - 1} pv ON pv.s = p.dst
+           |  GROUP BY st.s)""".stripMargin
+      }
+      (v0 +: its).mkString(",\n")
+    }
+    val variants = variant("B", "") +: channels.map(c =>
+      variant(c.toUpperCase, s"AND p.src <> '$c' AND p.dst <> '$c'"))
+    val res = channels.map(c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT v FROM vB$steps WHERE s = 'START') AS conv_base_ppm,
+         |  (SELECT v FROM v${c.toUpperCase}$steps WHERE s = 'START') AS conv_removed_ppm""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id FROM events),
+       |k AS (SELECT user_id, event_type, tms, event_id,
+       |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY tms, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pp
+       |  FROM e),
+       |kept AS (SELECT user_id, event_type, tms, event_id
+       |  FROM k WHERE pp = 0 AND event_type <> 'purchase'),
+       |chains AS (SELECT
+       |    coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY tms, event_id),
+       |      'START') AS src,
+       |    event_type AS dst FROM kept),
+       |pu AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM e GROUP BY 1),
+       |lk AS (SELECT user_id, event_type AS last_type FROM (
+       |    SELECT user_id, event_type,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY tms DESC, event_id DESC) AS rn
+       |    FROM kept) WHERE rn = 1),
+       |term AS (SELECT coalesce(lk.last_type, 'START') AS src,
+       |    CASE WHEN pu.conv = 1 THEN 'CONV' ELSE 'NULL' END AS dst
+       |  FROM pu LEFT JOIN lk USING (user_id)),
+       |m AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT * FROM chains UNION ALL SELECT * FROM term) GROUP BY 1, 2),
+       |p AS (SELECT src, dst,
+       |    CAST((1000000 * n) // (sum(n) OVER (PARTITION BY src)) AS BIGINT) AS p FROM m),
+       |st AS (SELECT DISTINCT src AS s FROM p),
+       |${variants.mkString(",\n")}
+       |SELECT channel, conv_base_ppm, conv_removed_ppm,
+       |  conv_base_ppm - conv_removed_ppm AS removal_drop_ppm
+       |FROM ($res) ORDER BY channel""".stripMargin
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "markov_attribution",
+      (s, dir) => markovRemovalAttribution(Tables.events(s, dir)),
+      Some(duckMarkov(8, Seq("click", "error", "signup", "view"))),
+    ),
     EngineQuery(
       "event_transition_matrix",
       (s, dir) => transitionMatrix(Tables.events(s, dir))

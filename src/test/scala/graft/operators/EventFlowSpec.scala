@@ -26,6 +26,24 @@ class EventFlowSpec extends AnyFunSuite with Matchers {
       ("b", "a") -> ((1L, 1000L)))
   }
 
+  test("Markov removal attribution: hand-computed 3-user journey set") {
+    // u1: view->click->purchase; u2: view (no conversion); u3: purchase
+    // first. Matrix ppm: START->{view 666666, CONV 333333},
+    // view->{click 500000, NULL 500000}, click->CONV 1e6. The 8-step
+    // horizon converges to base 666666; removing click kills the
+    // view path (-> 333333); removing view leaves only the direct
+    // conversion (-> 333333).
+    val e = events(Seq(
+      (1L, "view", 100L, 1L), (1L, "click", 200L, 2L), (1L, "purchase", 300L, 3L),
+      (2L, "view", 100L, 4L),
+      (3L, "purchase", 100L, 5L)))
+    val out = EventFlow.markovRemovalAttribution(e)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out.keySet shouldBe Set("view", "click")
+    out("click") shouldBe ((666666L, 333333L, 333333L))
+    out("view") shouldBe ((666666L, 333333L, 333333L))
+  }
+
   test("session paths group identical truncated sequences across sessions") {
     // user 1: a,b,c in one session; user 2: a,b; user 3: a,b twice with
     // a >gap break between — "a>b" counts 3 sessions
