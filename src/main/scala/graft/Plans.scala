@@ -346,6 +346,10 @@ object Plans {
       "Cluster-quality audit at O(N·L): the (label, dim) centroid aggregate collapses the corpus map-side; the ≤|labels|-row centroid-array relation broadcasts into the corpus cross (L rows per vector, a map-stage fan-out scored by the codegen'd dot_i64 identity d² = |x|² − 2x·c + |c|²); the nearest-other min and the per-label mean are vec- and label-keyed aggregates. Exact silhouette's O(N²) pairwise half is replaced by the centroid formulation — the only one that scales — and every lane is exact integer ppm.",
     "perceptron_reliability" ->
       "Score-calibration curve: the learned weights ride as a literal broadcast array, the margin is a codegen'd per-row fold (no join), and the corpus collapses to sign-ruled score bins in ONE map-side-combined aggregate — bin cardinality output, the quality_threshold_sweep shape applied to a learned model's margins.",
+    "stl_decompose_daily" ->
+      "STL-lite decomposition: orders collapse to |days| rows in one map-side-combined aggregation; the centered 7-day trend is a value-RANGE window at day cardinality, the weekly seasonal collapses to 7 weekday rows (its recentering window runs over those 7), and the seasonal attaches back by broadcast — every division is sign-ruled truncating div, so the decomposition is bit-identical in DuckDB. The residual lane is what mad_outlier_days should consume at scale — anomaly detection after seasonality removal.",
+    "markov_attribution" ->
+      "Data-driven attribution: ONE user-keyed window pass (purchase-truncation prefix count + lag chain + last-event rank share the same partitioning) collapses the stream to the ≤(|types|+1)² transition matrix; the driver collects that bounded relation (type-vocabulary cardinality — the audited bounded-collect discipline) and replays the 8-step ppm power iteration per removal variant in exact Long arithmetic. Fixed-horizon absorption instead of matrix inversion keeps the arithmetic integer-portable; the unrolled DuckDB oracle replays the identical 5 variant chains.",
     "theilsen_revenue_trend" ->
       "Theil–Sen robust trend: orders collapse to |days| rows first, so the pairwise-slope expansion is CALENDAR-bounded (|days|²/2), never corpus-bounded, and the non-equi self-join is a broadcast nested-loop over the tiny daily relation — the one place BNLJ is the RIGHT plan. It runs ONCE: the slope relation is pinned (|days|²/2 longs), and both median phases read the checkpoint (the dump's ExistingRDD leaves; unpinned, histogram + bucket re-scan each re-ran the expansion — 13.0→6.1s at sf0.1). The median is the ExactQuantile two-phase selection: a 2²⁰-micro-wide histogram locates the rank-k bucket (single-partition windows only at BUCKET cardinality), and the re-scan confined to that bucket picks the exact quantized slope — no |days|²-row single-partition sort. 30× probe: 1.4× wall (days don't scale with corpus).",
   )

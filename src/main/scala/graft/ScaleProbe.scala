@@ -177,7 +177,14 @@ object ScaleProbe {
     // claim is ≤64 rows of complete-mode state at ANY stream volume.
     // embedding_silhouette is NOT probed: embeddings stay 1× by design.
     "filter_agreement_kappa", "perceptron_reliability",
-    "streaming_drift_tv")
+    "streaming_drift_tv",
+    // r14 batch 5. STL is calendar-bounded like theilsen (30× orders,
+    // same |days| — ratio must track the daily aggregation); Markov
+    // attribution rides the 30× events stream with user_id unshifted
+    // (deeper trajectories stress the purchase-truncation window) and
+    // its post-collect arithmetic is matrix-sized, so the ratio must
+    // track the one window pass.
+    "stl_decompose_daily", "markov_attribution")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

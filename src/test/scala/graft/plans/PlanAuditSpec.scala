@@ -1250,6 +1250,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("doc_id", "_groupingexpression")
   }
 
+  test("STL: one orders scan; the seasonal attaches by broadcast") {
+    val p = plan("stl_decompose_daily")
+    "Scan parquet".r.findAllIn(p).size shouldBe 2 // daily subtree feeds trend + weekday branches pre-AQE
+    p should include("BroadcastHashJoin") // 7-row seasonal attach
+    p should not include "SortMergeJoin"
+  }
+
+  test("markov attribution: the collected matrix is bounded; result is a local relation") {
+    // the corpus-scale work ran at matrix-collect time through one
+    // user-keyed window pass; the returned frame is the driver-built
+    // attribution table
+    val p = plan("markov_attribution")
+    p should include("LocalTableScan")
+  }
+
   test("Theil-Sen: both phases read the pinned slope relation; selection has no corpus sort") {
     val p = plan("theilsen_revenue_trend")
     // the calendar-bounded BNLJ expansion ran ONCE at checkpoint time;
