@@ -179,13 +179,25 @@ object Unigram {
   private def learn(docs: DataFrame): (DataFrame, DataFrame, () => Unit) = {
     val wc = Bpe.wordCounts(docs)
     val (allSubs, freeSubs) = Checkpoints.localEager(subPieces(wc))
-    val seed = allSubs.groupBy("piece").agg(sum(col("c")).as("cnt"))
-    val (chars0, freeChars) = Checkpoints.localEager(
-      seed.where(length(col("piece")) === 1))
-    val (multi0, freeMulti) = Checkpoints.localEager(
-      seed.where(length(col("piece")) > 1)
-        .orderBy(col("cnt").desc, col("piece")).limit(SeedMulti))
-    var (vocab, freeV) = Checkpoints.localEager(chars0.union(multi0))
+    // Seed selection in ONE checkpointed job (chars + top-SeedMulti
+    // multis used to be three separate eager materializations — the
+    // per-job overhead tripled the learner's fixed cost): the rank
+    // window partitions on the char/multi split, so "rk <= SeedMulti
+    // within multis" is exactly the old orderBy-limit pick, and the
+    // round-0 vocabulary plus both per-round views (char floor, multi
+    // prune) filter this single pinned relation.
+    val (seedK, freeSeed) = Checkpoints.localEager(
+      allSubs.groupBy("piece").agg(sum(col("c")).as("cnt"))
+        .withColumn("is_char", length(col("piece")) === 1)
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("is_char")).orderBy(col("cnt").desc, col("piece"))))
+        .where(col("is_char") || col("rk") <= SeedMulti)
+        .select("piece", "cnt", "is_char"))
+    val chars0 = seedK.where(col("is_char")).select("piece", "cnt")
+    val multi0 = seedK.where(!col("is_char")).select("piece", "cnt")
+    var vocab: DataFrame = seedK.select("piece", "cnt")
+    var freeV: () => Unit = () => () // round-0 vocab rides the seed checkpoint
     for (_ <- 1 to Rounds) {
       val counts = segmented(allSubs, withScores(vocab))
         .select(explode(col("pieces")).as("piece"), col("c"))
@@ -202,7 +214,7 @@ object Unigram {
       val (v2, freeV2) = Checkpoints.localEager(next)
       freeV(); vocab = v2; freeV = freeV2
     }
-    val release = () => { freeSubs(); freeChars(); freeMulti(); freeV() }
+    val release = () => { freeSubs(); freeSeed(); freeV() }
     (vocab, allSubs, release)
   }
 
