@@ -323,6 +323,105 @@ object EventFlow {
     }.toDF("channel", "conv_base_ppm", "conv_removed_ppm", "removal_drop_ppm")
   }
 
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"): the per-arm post-period metric is
+    * adjusted by θ·(x̄_arm − x̄) where x is the PRE-period covariate and
+    * θ = cov(x,y)/var(x) is fit pooled — same expected means, strictly
+    * smaller variance, the standard lever for detecting small effects
+    * without more traffic. Pre/post split at the data-derived midpoint
+    * timestamp; x = pre-period event count, y = post-period purchase
+    * count, arm = user_id % 2 (the `ab_test_chi2` convention).
+    *
+    * INTEGER-EXACT: θ quantizes ONCE to sign-ruled ppm
+    * (θ_ppm = sign·(10⁶·|n·Σxy − Σx·Σy|) div (n·Σx² − (Σx)²) — the
+    * moment lanes run in DECIMAL(38,0)), then every adjustment is a
+    * single sign-ruled division of ppm quantities — no compounding
+    * rational denominators, which is what would overflow any fixed
+    * lane at corpus scale. θ at ppm resolution is the documented
+    * quantization (one part in 10⁶ of the covariate scale).
+    *
+    * Scale: one user-keyed aggregation collapses the stream; the
+    * pooled moments and per-arm sums are two single-row/two-row
+    * aggregates over the user relation joined by broadcast carriers.
+    */
+  def cupedReadout(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = ev(events)
+    val cut = e.agg(expr("(min(tms) + max(tms)) div 2").as("cut"))
+    val perUser = e.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("tms") < col("cut"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("tms") >= col("cut") && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("long"))
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"))
+    val arms = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_a"),
+        sum(col("x").cast(d38)).as("sx_a"),
+        sum(col("y").cast(d38)).as("sy_a"))
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("tnum", expr("n * sxy - sx * sy"))
+      .withColumn("tden", expr("greatest(n * sxx - sx * sx, 1)"))
+      .withColumn("theta_ppm", expr(
+        "CASE WHEN tnum >= 0 THEN (1000000 * tnum) div tden ELSE -((1000000 * -tnum) div tden) END")
+        .cast("long"))
+      .withColumn("mean_y_ppm", expr("(1000000 * sy_a) div greatest(n_a, 1)").cast("long"))
+      .withColumn("dx_ppm", expr(
+        "(1000000 * sx_a) div greatest(n_a, 1) - (1000000 * sx) div greatest(n, 1)").cast("long"))
+      .withColumn("adj_ppm", expr(
+        """CASE WHEN theta_ppm * dx_ppm >= 0
+          |  THEN (theta_ppm * dx_ppm) div 1000000
+          |  ELSE -((-(theta_ppm * dx_ppm)) div 1000000) END""".stripMargin).cast("long"))
+      .select(
+        col("variant"), col("n_a").as("n_users"), col("mean_y_ppm"),
+        col("theta_ppm"),
+        (col("mean_y_ppm") - col("adj_ppm")).as("cuped_mean_ppm"))
+  }
+
+  private val DuckCuped =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+      |cut AS (SELECT (min(tms) + max(tms)) // 2 AS cut FROM e),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN tms < cut THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN tms >= cut AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(user_id % 2 AS BIGINT) AS variant
+      |  FROM e CROSS JOIN cut GROUP BY user_id),
+      |pool AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x * y) AS HUGEINT) AS sxy, CAST(sum(x * x) AS HUGEINT) AS sxx
+      |  FROM pu),
+      |arms AS (
+      |  SELECT variant, CAST(count(*) AS HUGEINT) AS n_a,
+      |    CAST(sum(x) AS HUGEINT) AS sx_a, CAST(sum(y) AS HUGEINT) AS sy_a
+      |  FROM pu GROUP BY variant),
+      |j AS (
+      |  SELECT variant, n_a, sx_a, sy_a, n, sx, sy, sxy, sxx,
+      |    n * sxy - sx * sy AS tnum, greatest(n * sxx - sx * sx, 1) AS tden
+      |  FROM arms CROSS JOIN pool),
+      |q AS (
+      |  SELECT variant, n_a,
+      |    CAST(CASE WHEN tnum >= 0 THEN (1000000 * tnum) // tden
+      |         ELSE -((1000000 * -tnum) // tden) END AS BIGINT) AS theta_ppm,
+      |    CAST((1000000 * sy_a) // greatest(n_a, 1) AS BIGINT) AS mean_y_ppm,
+      |    CAST((1000000 * sx_a) // greatest(n_a, 1)
+      |       - (1000000 * sx) // greatest(n, 1) AS BIGINT) AS dx_ppm
+      |  FROM j)
+      |SELECT variant, CAST(n_a AS BIGINT) AS n_users, mean_y_ppm, theta_ppm,
+      |  mean_y_ppm - (CASE WHEN CAST(theta_ppm AS HUGEINT) * dx_ppm >= 0
+      |    THEN CAST((CAST(theta_ppm AS HUGEINT) * dx_ppm) // 1000000 AS BIGINT)
+      |    ELSE -CAST(((-(CAST(theta_ppm AS HUGEINT) * dx_ppm)) // 1000000) AS BIGINT) END)
+      |  AS cuped_mean_ppm
+      |FROM q ORDER BY variant""".stripMargin
+
   /** Unrolled DuckDB mirror of [[markovRemovalAttribution]]: the
     * harness event-type vocabulary is static, so the four channel
     * variants unroll statically like the perceptron's rounds.
@@ -385,6 +484,11 @@ object EventFlow {
       "markov_attribution",
       (s, dir) => markovRemovalAttribution(Tables.events(s, dir)),
       Some(duckMarkov(8, Seq("click", "error", "signup", "view"))),
+    ),
+    EngineQuery(
+      "ab_cuped_readout",
+      (s, dir) => cupedReadout(Tables.events(s, dir)).orderBy("variant"),
+      Some(DuckCuped),
     ),
     EngineQuery(
       "event_transition_matrix",

@@ -26,6 +26,25 @@ class EventFlowSpec extends AnyFunSuite with Matchers {
       ("b", "a") -> ((1L, 1000L)))
   }
 
+  test("CUPED: theta and adjusted arm means exact by hand") {
+    // cut = (0+1000) div 2 = 500. x = pre-count, y = post purchases:
+    // u0(v0): x=2,y=1; u1(v1): x=4,y=1; u2(v0): x=0,y=0; u3(v1): x=2,y=0.
+    // theta = (4*6-8*2)/(4*24-64) = 8/32 -> 250000 ppm. Raw means both
+    // 500000; dx = -/+1e6 -> CUPED means 750000 (v0), 250000 (v1):
+    // the covariate explains the arms' equal raw rates apart.
+    val e = events(Seq(
+      (0L, "view", 0L, 1L), (0L, "click", 100L, 2L), (0L, "purchase", 600L, 3L),
+      (1L, "view", 50L, 4L), (1L, "view", 60L, 5L), (1L, "view", 70L, 6L),
+      (1L, "view", 80L, 7L), (1L, "purchase", 1000L, 8L),
+      (2L, "view", 900L, 9L),
+      (3L, "view", 100L, 10L), (3L, "click", 200L, 11L), (3L, "view", 800L, 12L)))
+    val out = EventFlow.cupedReadout(e).orderBy("variant").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out shouldBe Array(
+      (0L, 2L, 500000L, 250000L, 750000L),
+      (1L, 2L, 500000L, 250000L, 250000L))
+  }
+
   test("Markov removal attribution: hand-computed 3-user journey set") {
     // u1: view->click->purchase; u2: view (no conversion); u3: purchase
     // first. Matrix ppm: START->{view 666666, CONV 333333},
