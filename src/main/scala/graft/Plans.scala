@@ -350,6 +350,8 @@ object Plans {
       "STL-lite decomposition: orders collapse to |days| rows in one map-side-combined aggregation; the centered 7-day trend is a value-RANGE window at day cardinality, the weekly seasonal collapses to 7 weekday rows (its recentering window runs over those 7), and the seasonal attaches back by broadcast — every division is sign-ruled truncating div, so the decomposition is bit-identical in DuckDB. The residual lane is what mad_outlier_days should consume at scale — anomaly detection after seasonality removal.",
     "markov_attribution" ->
       "Data-driven attribution: ONE user-keyed window pass (purchase-truncation prefix count + lag chain + last-event rank share the same partitioning) collapses the stream to the ≤(|types|+1)² transition matrix; the driver collects that bounded relation (type-vocabulary cardinality — the audited bounded-collect discipline) and replays the 8-step ppm power iteration per removal variant in exact Long arithmetic. Fixed-horizon absorption instead of matrix inversion keeps the arithmetic integer-portable; the unrolled DuckDB oracle replays the identical 5 variant chains.",
+    "ab_cuped_readout" ->
+      "Variance-reduced experimentation: the stream collapses to per-user (x, y) in ONE user-keyed aggregate (the midpoint cut is a 1-row broadcast carrier, so pre/post splitting is a projection, not a second scan); pooled moments and per-arm sums are single-row/2-row aggregates over the user relation, joined back by broadcast. θ quantizes once to sign-ruled ppm so no compounding rational denominators ever form — the DECIMAL(38,0) moment lanes are the only wide arithmetic.",
     "theilsen_revenue_trend" ->
       "Theil–Sen robust trend: orders collapse to |days| rows first, so the pairwise-slope expansion is CALENDAR-bounded (|days|²/2), never corpus-bounded, and the non-equi self-join is a broadcast nested-loop over the tiny daily relation — the one place BNLJ is the RIGHT plan. It runs ONCE: the slope relation is pinned (|days|²/2 longs), and both median phases read the checkpoint (the dump's ExistingRDD leaves; unpinned, histogram + bucket re-scan each re-ran the expansion — 13.0→6.1s at sf0.1). The median is the ExactQuantile two-phase selection: a 2²⁰-micro-wide histogram locates the rank-k bucket (single-partition windows only at BUCKET cardinality), and the re-scan confined to that bucket picks the exact quantized slope — no |days|²-row single-partition sort. 30× probe: 1.4× wall (days don't scale with corpus).",
   )

@@ -184,7 +184,11 @@ object ScaleProbe {
     // (deeper trajectories stress the purchase-truncation window) and
     // its post-collect arithmetic is matrix-sized, so the ratio must
     // track the one window pass.
-    "stl_decompose_daily", "markov_attribution")
+    "stl_decompose_daily", "markov_attribution",
+    // CUPED rides the 30× stream (user_id unshifted -> deeper per-user
+    // histories); everything after the one user-keyed aggregate is
+    // moment-cardinality, so the ratio must track that single pass.
+    "ab_cuped_readout")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -1265,6 +1265,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("LocalTableScan")
   }
 
+  test("CUPED: the midpoint cut and pooled moments attach as broadcast carriers") {
+    val p = plan("ab_cuped_readout")
+    p should include("BroadcastNestedLoopJoin") // 1-row cut + pooled carriers
+    p should not include "SortMergeJoin"
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("user_id", "variant")
+  }
+
   test("Theil-Sen: both phases read the pinned slope relation; selection has no corpus sort") {
     val p = plan("theilsen_revenue_trend")
     // the calendar-bounded BNLJ expansion ran ONCE at checkpoint time;
