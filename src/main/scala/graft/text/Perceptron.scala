@@ -125,11 +125,18 @@ object Perceptron {
         .select(col("y"), col("feats"),
           (col("y") * scoreCol(wArrayLit(w), col("feats"))).as("margin"))
         .where(col("margin") <= 0)
-      val errors = miscl.count()
-      miscl.select(explode(col("feats")).as("f"), col("y"))
-        .groupBy(col("f.b").as("b")).agg(sum(col("y") * col("f.c")).as("g"))
+      // ONE action per round: every doc carries exactly one bias
+      // feature (bucket D appended unconditionally in featurized), so
+      // the gradient aggregate's bucket-D row count IS the error count
+      // — the former separate miscl.count() action doubled the round's
+      // job launches for a number the same shuffle already knew.
+      val gathered = miscl.select(explode(col("feats")).as("f"), col("y"))
+        .groupBy(col("f.b").as("b"))
+        .agg(sum(col("y") * col("f.c")).as("g"), count(lit(1)).as("cnt"))
         .collect() // bounded: ≤ Buckets+1 rows
-        .foreach(row => w(row.getLong(0).toInt) += row.getLong(1) * scale)
+      val errors = gathered.find(_.getLong(0) == Buckets.toLong)
+        .map(_.getLong(2)).getOrElse(0L)
+      gathered.foreach(row => w(row.getLong(0).toInt) += row.getLong(1) * scale)
       stats += ((r.toLong, errors, w.map(math.abs).sum, w.count(_ != 0).toLong))
     }
     free()
