@@ -627,6 +627,59 @@ object Curation {
         expr(s"cum_before DIV $budget").as("bin"))
   }
 
+  /** Packing fragmentation report — the operational readout of
+    * [[packSequences]]: in concat-then-chunk packing every document
+    * whose token span straddles a bin boundary gets SPLIT across
+    * training sequences (attention-mask pollution), so the per-language
+    * straddle rate is the metric that decides the packing budget. Also
+    * reports the tail bin's fill (the only bin that can be short).
+    * Exact integers: a doc straddles iff cum_before div budget ≠
+    * (cum_before + n_tokens − 1) div budget (nonneg — div ≡ //); the
+    * rates are single ppm divisions. Runs on the scalable packing
+    * relation, so everything after the pack is one (lang)-keyed
+    * rollup at language cardinality.
+    */
+  def packFragmentationReport(docs: DataFrame, budget: Int): DataFrame =
+    packedWithCum(docs, budget, buckets = 32)
+      .withColumn("end_bin", expr(s"(cum_before + n_tokens - 1) div $budget"))
+      .select(col("lang"), col("n_tokens"), col("bin"), col("end_bin"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        (max(col("end_bin")) + 1L).as("n_bins"),
+        sum(when(col("end_bin") =!= col("bin"), 1L).otherwise(0L)).as("n_straddle"))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens_total"), col("n_bins"),
+        col("n_straddle"),
+        expr("(1000000 * n_straddle) div greatest(n_docs, 1)").as("straddle_ppm"),
+        expr(s"(1000000 * (n_tokens_total % $budget)) div $budget").as("tail_fill_ppm"))
+
+  /** Per-source dedup savings report — the capacity-planning readout a
+    * dedup stage publishes: how many documents (and how many bytes) per
+    * source are exact duplicates, i.e. what the dedup pass will
+    * reclaim. Groups on (source, md5(text)) ONCE (map-side combined),
+    * then rolls up at source cardinality; duplicate bytes are
+    * (count−1)·size per content group, so the keeper is never counted
+    * as savings. All rates exact ppm.
+    */
+  def dedupSavingsBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"), md5(col("text")).as("h"), col("n_chars"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("c"), max(col("n_chars")).as("sz"))
+      .groupBy("source")
+      .agg(
+        sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("sz")).as("total_chars"),
+        sum((col("c") - 1L) * col("sz")).as("dup_chars"))
+      .select(
+        col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dup"),
+        expr("(1000000 * (n_docs - n_distinct)) div greatest(n_docs, 1)").as("dup_ppm"),
+        col("total_chars"), col("dup_chars"),
+        expr("(1000000 * dup_chars) div greatest(total_chars, 1)").as("savings_ppm"))
+
   /** Scale-safe twin of [[packSequences]] — EXACT same relation, no
     * per-language window straggler. `packSequences`'s running total is
     * one window partition per language: at 100 TB an "en" partition is
@@ -644,7 +697,16 @@ object Curation {
     *  4. the per-row prefix is offset + a window over (lang, bucket) —
     *     every window partition is one bucket, all in parallel.
     */
-  def packSequencesScalable(docs: DataFrame, budget: Int, buckets: Int = 32): DataFrame = {
+  def packSequencesScalable(docs: DataFrame, budget: Int, buckets: Int = 32): DataFrame =
+    packedWithCum(docs, budget, buckets)
+      .select("doc_id", "lang", "n_tokens", "bin")
+
+  /** The decomposed packing relation WITH the running total exposed —
+    * [[packSequencesScalable]] is its doc/bin projection and
+    * [[packFragmentationReport]] reads `cum_before` for the straddle
+    * test.
+    */
+  private def packedWithCum(docs: DataFrame, budget: Int, buckets: Int): DataFrame = {
     val toks = docs.select(
       col("doc_id"), col("lang"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
@@ -677,7 +739,7 @@ object Curation {
     bucketed.join(broadcast(offsets), Seq("lang", "b"))
       .withColumn("cum_before", col("offset") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
-        col("doc_id"), col("lang"), col("n_tokens"),
+        col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"),
         expr(s"cum_before DIV $budget").as("bin"))
   }
 
@@ -1186,6 +1248,46 @@ object Curation {
              |  FROM documents WHERE lang IN ('en', 'de', 'zh'))
              |SELECT doc_id, lang, rk FROM r JOIN t USING (lang)
              |WHERE rk <= target ORDER BY doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "pack_fragmentation_report",
+      (s, dir) => packFragmentationReport(Tables.documents(s, dir), budget = 512)
+        .orderBy("lang"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang, n_tokens,
+             |  coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+             |  FROM t),
+             |d AS (SELECT lang, n_tokens, cum // 512 AS bin,
+             |  (cum + n_tokens - 1) // 512 AS end_bin FROM c)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+             |  CAST(max(end_bin) + 1 AS BIGINT) AS n_bins,
+             |  CAST(sum(CASE WHEN end_bin <> bin THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+             |  CAST((1000000 * sum(CASE WHEN end_bin <> bin THEN 1 ELSE 0 END))
+             |    // greatest(count(*), 1) AS BIGINT) AS straddle_ppm,
+             |  CAST((1000000 * (sum(n_tokens) % 512)) // 512 AS BIGINT) AS tail_fill_ppm
+             |FROM d GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
+    EngineQuery(
+      "dedup_savings_by_source",
+      (s, dir) => dedupSavingsBySource(Tables.documents(s, dir)).orderBy("source"),
+      Some("""WITH g AS (
+             |  SELECT source, md5(text) AS h,
+             |    CAST(count(*) AS BIGINT) AS c, CAST(max(n_chars) AS BIGINT) AS sz
+             |  FROM documents GROUP BY source, md5(text))
+             |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_distinct,
+             |  CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+             |  CAST((1000000 * (sum(c) - count(*))) // greatest(sum(c), 1) AS BIGINT) AS dup_ppm,
+             |  CAST(sum(c * sz) AS BIGINT) AS total_chars,
+             |  CAST(sum((c - 1) * sz) AS BIGINT) AS dup_chars,
+             |  CAST((1000000 * sum((c - 1) * sz))
+             |    // greatest(sum(c * sz), 1) AS BIGINT) AS savings_ppm
+             |FROM g GROUP BY source ORDER BY source""".stripMargin),
     ),
     // 5 multiplicative-weights rounds over the per-lang loss proxy.
     EngineQuery(

@@ -91,6 +91,28 @@ class CurationSpec extends AnyFunSuite with Matchers {
     a shouldBe b
   }
 
+  test("pack fragmentation: straddling doc counted, tail fill exact") {
+    // three 300-token docs, budget 512: cum 0/300/600 -> bins 0/0/1,
+    // end bins 0/1/1 -> doc 2 straddles; 900 % 512 = 388 tail tokens.
+    def doc(i: Long) = (i, Seq.fill(300)("w").mkString(" "), "en")
+    val d = Seq(doc(1), doc(2), doc(3)).toDF("doc_id", "text", "lang")
+    val r = Curation.packFragmentationReport(d, budget = 512).collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) shouldBe
+      ((3L, 900L, 2L, 1L, 333333L, (1000000L * 388) / 512))
+  }
+
+  test("dedup savings: keeper never counted, ppm exact") {
+    val d = Seq(
+      (1L, "x", "A", 1L), (2L, "x", "A", 1L), (3L, "y", "A", 1L),
+      (4L, "z", "B", 5L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Curation.dedupSavingsBySource(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    out("A") shouldBe ((3L, 2L, 1L, 333333L, 3L, 1L, 333333L))
+    out("B") shouldBe ((1L, 1L, 0L, 0L, 5L, 0L, 0L))
+  }
+
   test("doremi weights shift mass toward the high-excess-loss domain") {
     // Two domains with very different chars-per-token: 'b' has long
     // tokens (high loss proxy) so multiplicative updates must move
