@@ -350,6 +350,10 @@ object Plans {
       "STL-lite decomposition: orders collapse to |days| rows in one map-side-combined aggregation; the centered 7-day trend is a value-RANGE window at day cardinality, the weekly seasonal collapses to 7 weekday rows (its recentering window runs over those 7), and the seasonal attaches back by broadcast — every division is sign-ruled truncating div, so the decomposition is bit-identical in DuckDB. The residual lane is what mad_outlier_days should consume at scale — anomaly detection after seasonality removal.",
     "markov_attribution" ->
       "Data-driven attribution: ONE user-keyed window pass (purchase-truncation prefix count + lag chain + last-event rank share the same partitioning) collapses the stream to the ≤(|types|+1)² transition matrix; the driver collects that bounded relation (type-vocabulary cardinality — the audited bounded-collect discipline) and replays the 8-step ppm power iteration per removal variant in exact Long arithmetic. Fixed-horizon absorption instead of matrix inversion keeps the arithmetic integer-portable; the unrolled DuckDB oracle replays the identical 5 variant chains.",
+    "pack_fragmentation_report" ->
+      "Packing QA: runs on the decomposed packing relation (pack_sequences_scalable's bucketed offsets — no per-language window straggler), so the straddle test is a per-row projection ((cum + n − 1) div budget ≠ bin) and the report is one lang-keyed rollup at language cardinality. The metric that decides the packing budget: every straddling doc is a split training sequence.",
+    "dedup_savings_by_source" ->
+      "Dedup capacity planning: ONE (source, md5) aggregation (map-side combined — content groups collapse before the exchange), then a source-cardinality rollup; duplicate bytes are (count−1)·size per group so the keeper is never counted. No joins, nothing corpus-quadratic — the report costs one pass.",
     "ab_cuped_readout" ->
       "Variance-reduced experimentation: the stream collapses to per-user (x, y) in ONE user-keyed aggregate (the midpoint cut is a 1-row broadcast carrier, so pre/post splitting is a projection, not a second scan); pooled moments and per-arm sums are single-row/2-row aggregates over the user relation, joined back by broadcast. θ quantizes once to sign-ruled ppm so no compounding rational denominators ever form — the DECIMAL(38,0) moment lanes are the only wide arithmetic.",
     "theilsen_revenue_trend" ->

@@ -188,7 +188,12 @@ object ScaleProbe {
     // CUPED rides the 30× stream (user_id unshifted -> deeper per-user
     // histories); everything after the one user-keyed aggregate is
     // moment-cardinality, so the ratio must track that single pass.
-    "ab_cuped_readout")
+    "ab_cuped_readout",
+    // r14 batch 6: both reports ride the 30× documents corpus — the
+    // fragmentation report adds one projection + rollup on top of the
+    // probed scalable packing, and the savings report is one
+    // (source, md5) aggregation whose ratio must track dedup_exact.
+    "pack_fragmentation_report", "dedup_savings_by_source")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")
