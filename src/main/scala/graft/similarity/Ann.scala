@@ -685,6 +685,9 @@ object Ann {
         max(col("label")).as("label"), // constant per vec
         max(when(col("label") === col("clabel"), col("d2"))).as("d_own"),
         min(when(col("label") =!= col("clabel"), col("d2"))).as("d_other"))
+      // single-label degenerate input: no other centroid exists, so the
+      // silhouette is undefined — drop, matching the oracle's inner join
+      .where(col("d_other").isNotNull)
       .select(col("label"),
         (when(col("d_other") >= col("d_own"), 1L).otherwise(-1L) *
           expr("(1000000 * abs(d_other - d_own)) div greatest(greatest(d_own, d_other), 1)"))

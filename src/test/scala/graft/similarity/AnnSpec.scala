@@ -67,6 +67,11 @@ class AnnSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     out(0L) shouldBe ((2L, -125000L))
     out(1L) shouldBe ((2L, 1000000L))
+
+    // single-label input: silhouette undefined -> empty, not NULL rows
+    val single = Seq((1L, vec(1f, 0f), 0), (2L, vec(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    Ann.centroidSilhouette(single).count() shouldBe 0L
   }
 
   test("gram matrix: upper triangle of sum of outer products, exact") {
