@@ -416,7 +416,58 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Per-source token-distribution Shannon entropy — the vocabulary-
+    * diversity corpus-health metric (a low-entropy source is templated
+    * or spam-heavy; the text-side complement of the events-side
+    * `user_diversity_simpson`). EXACT fixed-point:
+    * H_q = qlog2(N) − (Σ_t c_t·qlog2(c_t)) div N on the [[Unigram]]
+    * qlog2 lane (scale 256 ≡ one bit), alongside the source's maximum
+    * possible entropy qlog2(n_distinct) so the gap reads directly.
+    * The Σ c·qlog2(c) lane runs in DECIMAL(38,0): c·qlog2(c) sums to
+    * ~N·log2(N)·256, past int64 at ~10¹⁵ tokens per source.
+    *
+    * Scale: token stream → (source, token) counts (map-side combined),
+    * then a source-cardinality rollup — the dsir/bm25 vocabulary-pass
+    * shape with an entropy fold on top.
+    */
+  def sourceTokenEntropy(docs: DataFrame): DataFrame =
+    graft.Partitioning.fanOut(docs)
+      .select(col("source"), explode(wsTokens(lower(col("text")))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr(s"cast(c as decimal(38,0)) * (${Unigram.sparkQlog2("c")})")).as("s"))
+      .select(
+        col("source"), col("n_tokens"), col("n_distinct"),
+        (expr(Unigram.sparkQlog2("n_tokens")) - expr("s div n_tokens").cast("long"))
+          .as("entropy_q"),
+        expr(Unigram.sparkQlog2("n_distinct")).as("max_entropy_q"))
+
+  private def duckSourceEntropy: String =
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM t WHERE tok <> '' GROUP BY 1, 2),
+       |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    sum(CAST(c AS HUGEINT) * (${Unigram.duckQlog2("c")})) AS s
+       |  FROM c GROUP BY 1)
+       |SELECT source, n_tokens, n_distinct,
+       |  CAST((${Unigram.duckQlog2("n_tokens")}) - CAST(s // n_tokens AS BIGINT) AS BIGINT)
+       |    AS entropy_q,
+       |  CAST(${Unigram.duckQlog2("n_distinct")} AS BIGINT) AS max_entropy_q
+       |FROM g ORDER BY source""".stripMargin
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "source_token_entropy",
+      (s, dir) => sourceTokenEntropy(Tables.documents(s, dir)).orderBy("source"),
+      Some(duckSourceEntropy),
+    ),
     EngineQuery(
       "phrase_match_docs",
       (s, dir) => phraseMatchDocs(Tables.documents(s, dir)).orderBy("doc_id"),

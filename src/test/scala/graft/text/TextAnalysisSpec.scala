@@ -17,6 +17,22 @@ class TextAnalysisSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe ((0L, 0L))
   }
 
+  test("source token entropy: uniform hits max, skew reads below, qlog2Ref exact") {
+    val d = Seq(
+      (1L, "a a b b", "U"),   // uniform over 2 tokens: H = 1 bit = 256q
+      (2L, "a a a b", "S"))   // skewed: H = 2 - (3*log2 3)/4 bits
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceTokenEntropy(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val q2 = Unigram.qlog2Ref(2) // 256: one exact bit
+    val q4 = Unigram.qlog2Ref(4) // 512
+    out("U") shouldBe ((4L, 2L, q4 - (2 * q2 + 2 * q2) / 4, q2))
+    out("S") shouldBe ((4L, 2L, q4 - (3 * Unigram.qlog2Ref(3)) / 4, q2))
+    out("S")._3 should be < out("U")._3 // skew lowers entropy
+    out("U")._3 shouldBe out("U")._4    // uniform = max
+  }
+
   test("quality score: exact ratios on a known doc") {
     val docs = Seq((1L, "the the the")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityScore(docs).collect()(0)
