@@ -354,6 +354,8 @@ object Plans {
       "Packing QA: runs on the decomposed packing relation (pack_sequences_scalable's bucketed offsets — no per-language window straggler), so the straddle test is a per-row projection ((cum + n − 1) div budget ≠ bin) and the report is one lang-keyed rollup at language cardinality. The metric that decides the packing budget: every straddling doc is a split training sequence.",
     "dedup_savings_by_source" ->
       "Dedup capacity planning: ONE (source, md5) aggregation (map-side combined — content groups collapse before the exchange), then a source-cardinality rollup; duplicate bytes are (count−1)·size per group so the keeper is never counted. No joins, nothing corpus-quadratic — the report costs one pass.",
+    "source_token_entropy" ->
+      "Vocabulary-diversity corpus health: the token stream collapses to (source, token) counts in the first map-side-combined aggregate — the dsir/bm25 vocabulary shape — and the entropy fold (c·qlog2(c) in the DECIMAL(38,0) lane) runs inside the source-cardinality rollup. The fixed-point qlog2 (the Unigram lane, 256 ≡ one bit) is what lets an entropy be oracle-gated at all — a float log2 sum drifts a ulp per term across engines.",
     "ab_cuped_readout" ->
       "Variance-reduced experimentation: the stream collapses to per-user (x, y) in ONE user-keyed aggregate (the midpoint cut is a 1-row broadcast carrier, so pre/post splitting is a projection, not a second scan); pooled moments and per-arm sums are single-row/2-row aggregates over the user relation, joined back by broadcast. θ quantizes once to sign-ruled ppm so no compounding rational denominators ever form — the DECIMAL(38,0) moment lanes are the only wide arithmetic.",
     "theilsen_revenue_trend" ->

@@ -193,7 +193,12 @@ object ScaleProbe {
     // fragmentation report adds one projection + rollup on top of the
     // probed scalable packing, and the savings report is one
     // (source, md5) aggregation whose ratio must track dedup_exact.
-    "pack_fragmentation_report", "dedup_savings_by_source")
+    "pack_fragmentation_report", "dedup_savings_by_source",
+    // r14: the per-source entropy collapses the token stream to
+    // (source, token) counts map-side — rotation mints new distinct
+    // tokens at 30×, so the ratio tracks the dsir/countmin vocabulary
+    // shape, never the stream.
+    "source_token_entropy")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")
