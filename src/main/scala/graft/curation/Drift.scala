@@ -105,19 +105,9 @@ object Drift {
     * of data the stream already counted.
     */
   def runStreamingDriftTv(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    // Harness SF dirs ship documents.parquet as a single FILE (stream
-    // the parent dir with a glob — a bare file path isn't a valid
-    // streaming source); probe dirs ship it as a part-file DIRECTORY,
-    // where the same glob matches no leaf file and silently streams
-    // NOTHING — branch on the layout.
-    val docsPath = new java.io.File(s"$sfDir/documents.parquet")
-    val src =
-      if (docsPath.isDirectory)
-        spark.readStream.schema(rawSchema).format("parquet").load(docsPath.getPath)
-      else
-        spark.readStream.schema(rawSchema).format("parquet")
-          .option("pathGlobFilter", "documents.parquet").load(sfDir)
+    // Layout-branching source (single file vs part-file directory) —
+    // the shared helper, [[graft.sources.StreamingSources]] doc.
+    val src = graft.sources.StreamingSources.docSource(spark, sfDir)
     val qn = synchronized { sinkCounter += 1; s"graft_drift_sink_$sinkCounter" }
     val q = binned(src).writeStream
       .outputMode("complete")

@@ -922,15 +922,10 @@ object Dedup {
     * provably equal to the batch twin's.
     */
   def runStreamingIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val existing = Tables.documents(spark, sfDir).where(col("doc_id") % 3 =!= 0)
     val outDir = s"${graft.OutDir.base}/graft_stream_incdedup/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
-    val stream = spark.readStream
-      .schema(docsSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "documents.parquet")
-      .load(sfDir)
+    val stream = graft.sources.StreamingSources.docSource(spark, sfDir)
       .where(col("doc_id") % 3 === 0)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -206,20 +206,11 @@ object Cdc {
     * Delta/Iceberg `MERGE` per microbatch.)
     */
   def runStreamingCdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
-    // Conf before the raw schema read: a TIMESTAMP(NANOS)-vintage
-    // orders file is unreadable without it in a fresh session (the
-    // Tables.table reads set it, but this query may run first).
-    Tables.ensureLegacyParquetConf(spark)
-    val schema = spark.read.parquet(s"$sfDir/orders.parquet").schema
     val base = Tables.orders(spark, sfDir)
     val outDir =
       s"${graft.OutDir.base}/graft_stream_cdc/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
-    val stream = spark.readStream
-      .schema(schema)
-      .format("parquet")
-      .option("pathGlobFilter", "orders.parquet")
-      .load(sfDir)
+    val stream = graft.sources.StreamingSources.ordersSource(spark, sfDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeUpsert(base, changeFeed(batch))

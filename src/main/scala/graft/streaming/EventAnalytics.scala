@@ -53,18 +53,9 @@ object EventAnalytics {
     * parquet, drain it, and return the result.
     */
   def runStreamingHourlyRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    // The file source needs a *directory*; pathGlobFilter narrows it to the
-    // events file. The user schema must be the RAW on-disk schema (ts may
-    // be INT64 nanos or a plain timestamp depending on harness data vintage
-    // — Tables.events doc), so Tables.normalizeEventsTs is re-applied
-    // inside the streaming path; it branches on the schema it was handed.
-    Tables.ensureLegacyParquetConf(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = Tables.normalizeEventsTs(spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(sfDir))
+    // Layout-branching file source + ts-vintage normalization — the
+    // shared helper ([[graft.sources.StreamingSources]] doc).
+    val stream = graft.sources.StreamingSources.eventsSource(spark, sfDir)
     val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
     val q = hourlyRollup(stream).writeStream
       .outputMode("complete")
@@ -86,13 +77,7 @@ object EventAnalytics {
     * drained for the finite gate corpus.
     */
   def runStreamingEnrichJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.ensureLegacyParquetConf(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(sfDir)
+    val stream = graft.sources.StreamingSources.eventsSource(spark, sfDir)
     val dim = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"))
     val joined = stream
@@ -118,15 +103,9 @@ object EventAnalytics {
     * landed files and aggregates, proving the full ingest loop.
     */
   def runForeachBatchIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.ensureLegacyParquetConf(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val outDir = s"${graft.OutDir.base}/graft_stream_ingest/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(sfDir)
+    val stream = graft.sources.StreamingSources.eventsSource(spark, sfDir)
       .select("event_id", "event_type", "value")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -146,13 +125,7 @@ object EventAnalytics {
     * finite gate corpus.
     */
   def runStreamingDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.ensureLegacyParquetConf(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(sfDir)
+    def src = graft.sources.StreamingSources.eventsSource(spark, sfDir)
       .select("event_id", "event_type")
     val doubled = src.union(src)
     val agg = doubled
@@ -181,13 +154,7 @@ object EventAnalytics {
     * stream-stream joins support.
     */
   def runStreamingIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.ensureLegacyParquetConf(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = Tables.normalizeEventsTs(spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(sfDir))
+    def src = graft.sources.StreamingSources.eventsSource(spark, sfDir)
     val views = src.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
       .withWatermark("v_ts", "1 hour")
@@ -225,13 +192,7 @@ object EventAnalytics {
     * evict as soon as the watermark clears their interval.
     */
   def runStreamingLeftOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.ensureLegacyParquetConf(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = Tables.normalizeEventsTs(spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(sfDir))
+    def src = graft.sources.StreamingSources.eventsSource(spark, sfDir)
     // The join's effective watermark is the MIN across all inputs, so
     // BOTH sides need the heartbeat — a far-future shifted copy on
     // never-matching negative keys. The view-side heartbeat rows would
@@ -293,13 +254,7 @@ object EventAnalytics {
     * in one streaming query.
     */
   def runStreamingDedupWatermarked(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.ensureLegacyParquetConf(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = Tables.normalizeEventsTs(spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(sfDir))
+    def src = graft.sources.StreamingSources.eventsSource(spark, sfDir)
       .select("event_id", "event_type", "ts")
     val doubled = src.union(src)
     val agg = doubled
@@ -396,13 +351,7 @@ object EventAnalytics {
     EngineQuery(
       "streaming_hourly_anomaly",
       (s, dir) => {
-        Tables.ensureLegacyParquetConf(s)
-        val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = Tables.normalizeEventsTs(s.readStream
-          .schema(rawSchema)
-          .format("parquet")
-          .option("pathGlobFilter", "events.parquet")
-          .load(dir))
+        val stream = graft.sources.StreamingSources.eventsSource(s, dir)
         val qn = synchronized { sinkCounter += 1; s"graft_stream_sink_$sinkCounter" }
         val q = graft.operators.Analytic.hourlyEventCounts(stream).writeStream
           .outputMode("complete")

@@ -255,13 +255,7 @@ object StatefulSessions {
     */
   def runStreamingTransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.ensureLegacyParquetConf(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = Tables.normalizeEventsTs(spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "events.parquet")
-      .load(sfDir))
+    val stream = graft.sources.StreamingSources.eventsSource(spark, sfDir)
     val transitions = stream
       .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"), col("event_type"))
       .as[TEv]

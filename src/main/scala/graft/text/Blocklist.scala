@@ -85,12 +85,7 @@ object Blocklist {
     */
   def runStreamingPatternFreq(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val src = spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "documents.parquet")
-      .load(sfDir)
+    val src = graft.sources.StreamingSources.docSource(spark, sfDir)
     val agg = src
       .selectExpr("doc_id", s"ac_matches(text, '$spec') AS (pid, pos)")
       .groupBy("pid")

@@ -229,12 +229,7 @@ object Perceptron {
     val (_, w) = learn(Tables.documents(spark, sfDir))
     val bias = w(Buckets) * BiasValue
     val wArr = wArrayLit(w)
-    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val src = spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "documents.parquet")
-      .load(sfDir)
+    val src = graft.sources.StreamingSources.docSource(spark, sfDir)
     val agg = src
       .select(
         when(col("n_chars") >= LabelCut, 1L).otherwise(-1L).as("y"),

@@ -295,12 +295,7 @@ object Unigram {
       .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
       .localCheckpoint(true)
     release()
-    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val src = spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "documents.parquet")
-      .load(sfDir)
+    val src = graft.sources.StreamingSources.docSource(spark, sfDir)
     val agg = src
       .select(col("lang"),
         explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
@@ -316,6 +311,9 @@ object Unigram {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // The memory sink has materialized; the pinned model is no longer
+    // referenced — release it (the StorageResidueSpec discipline).
+    Checkpoints.release(nPieces)
     spark.table(qn)
       .select(col("lang"), col("n_tokens"), col("n_words"),
         (col("n_tokens").cast("double") / col("n_words").cast("double")).as("fertility"))

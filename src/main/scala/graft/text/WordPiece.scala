@@ -188,12 +188,7 @@ object WordPiece {
     */
   def runStreamingFertility(spark: SparkSession, sfDir: String): DataFrame = {
     graft.GraftFunctions.register(spark)
-    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val src = spark.readStream
-      .schema(rawSchema)
-      .format("parquet")
-      .option("pathGlobFilter", "documents.parquet")
-      .load(sfDir)
+    val src = graft.sources.StreamingSources.docSource(spark, sfDir)
     val agg = src
       .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
