@@ -642,8 +642,12 @@ object Analytic {
       .withColumn("s_mean_num", expr("sum(s_raw) over ()"))
       .withColumn("seasonal", col("s_raw") - expr(sdiv("s_mean_num", "7")))
       .select("wd", "seasonal")
+    // LEFT join: a series too short/gapped for some weekday to appear
+    // in the fully-windowed region must keep those days with NULL
+    // seasonal/residual (the NULL-trend boundary convention) — an inner
+    // join would silently DROP them, the worse failure mode.
     trended
-      .join(broadcast(weekly), (col("day_no") % 7) === col("wd"))
+      .join(broadcast(weekly), (col("day_no") % 7) === col("wd"), "left_outer")
       .select(
         col("day_no"), col("cents"), col("trend"), col("seasonal"),
         (col("cents") - col("trend") - col("seasonal")).as("residual"))
@@ -676,7 +680,7 @@ object Analytic {
       |SELECT d.day_no, d.cents, CAST(d.trend AS BIGINT) AS trend,
       |  CAST(s.seasonal AS BIGINT) AS seasonal,
       |  CAST(d.cents - d.trend - s.seasonal AS BIGINT) AS residual
-      |FROM dt d JOIN sea s ON d.day_no % 7 = s.wd
+      |FROM dt d LEFT JOIN sea s ON d.day_no % 7 = s.wd
       |ORDER BY d.day_no""".stripMargin
 
   def engineQueries: Seq[EngineQuery] = Seq(

@@ -375,10 +375,14 @@ object EventFlow {
       .withColumn("mean_y_ppm", expr("(1000000 * sy_a) div greatest(n_a, 1)").cast("long"))
       .withColumn("dx_ppm", expr(
         "(1000000 * sx_a) div greatest(n_a, 1) - (1000000 * sx) div greatest(n, 1)").cast("long"))
+      // theta_ppm is unbounded when the covariate variance degenerates,
+      // so the ppm x ppm product runs in DECIMAL(38,0) — the oracle's
+      // HUGEINT lane — never in a wrappable BIGINT.
       .withColumn("adj_ppm", expr(
-        """CASE WHEN theta_ppm * dx_ppm >= 0
-          |  THEN (theta_ppm * dx_ppm) div 1000000
-          |  ELSE -((-(theta_ppm * dx_ppm)) div 1000000) END""".stripMargin).cast("long"))
+        s"""CASE WHEN CAST(theta_ppm AS $d38) * CAST(dx_ppm AS $d38) >= 0
+           |  THEN (CAST(theta_ppm AS $d38) * CAST(dx_ppm AS $d38)) div 1000000
+           |  ELSE -((-(CAST(theta_ppm AS $d38) * CAST(dx_ppm AS $d38))) div 1000000) END""".stripMargin)
+        .cast("long"))
       .select(
         col("variant"), col("n_a").as("n_users"), col("mean_y_ppm"),
         col("theta_ppm"),

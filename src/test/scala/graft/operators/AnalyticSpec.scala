@@ -59,6 +59,22 @@ class AnalyticSpec extends AnyFunSuite with Matchers {
       .foreach(r => assert(r.isNullAt(2) && r.isNullAt(4)))
   }
 
+  test("STL-lite: weekdays with no seasonal estimate keep their days (NULL, not dropped)") {
+    // 7 days -> only day 3 is fully windowed, so the weekly table has
+    // ONE weekday. The seasonal attach must be a LEFT join: the other
+    // six days stay in the output with NULL seasonal/residual (the
+    // NULL-trend boundary convention) rather than silently vanishing.
+    val orders = (0 until 7).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i)), 7.00)
+    }.toDF("o_orderdate", "o_totalprice")
+    val rows = Analytic.stlDecomposeDaily(orders).orderBy("day_no").collect()
+    rows.length shouldBe 7
+    val d3 = rows.find(_.getLong(0) == 3L).get
+    (d3.getLong(2), d3.getLong(3), d3.getLong(4)) shouldBe ((700L, 0L, 0L))
+    rows.filter(_.getLong(0) != 3L)
+      .foreach(r => assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("Theil-Sen: lower median of quantized pairwise slopes, exact by hand") {
     // days 0..3, cents 100,200,400,300. Six slopes (micro-cents/day):
     // 100e6, 150e6, 66666666 (200/3 truncated), 200e6, 50e6, -100e6.
