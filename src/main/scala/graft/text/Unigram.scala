@@ -32,13 +32,16 @@ import graft.{Checkpoints, EngineQuery, Tables}
   *    leave the vocabulary) instead of loss-based pruning.
   *
   * Scale shape (100 TB): the corpus pays ONE tokenize pass (the word
-  * histogram — the [[Bpe]] discipline); every EM round runs on the
-  * DISTINCT-WORD relation weighted by count: substring explode (≤ 4·|w|
-  * rows per word), a piece-keyed equi-join against the (small,
-  * broadcastable) scored vocabulary, a per-word map regroup, and the
-  * Viterbi DP + backwalk as ONE codegen'd fold per word — no shuffle
-  * beyond the vocab-scale groupBys, no driver state beyond the round
-  * counter (counts, totals, and scores all stay distributed).
+  * histogram — the [[Bpe]] discipline), pinned with a DECLARED hash
+  * partitioning on the word; every EM round is then PARTITION-LOCAL —
+  * substring Generate (preserves the w-layout), a broadcast hash join
+  * against the |alphabet|+SeedMulti-bounded score relation, the (w, c)
+  * map regroup with no exchange, and the Viterbi DP + backwalk as
+  * codegen'd folds — followed by a piece groupBy whose map-side
+  * combine collapses to ≤ |vocab| rows. Driver state is exactly the
+  * bounded model map (the [[Perceptron]] weights /
+  * [[graft.curation.Curation]] |langs| discipline); the histogram and
+  * every round stay distributed.
   *
   * The DuckDB oracle replays every stage structurally independently:
   * the same qlog2 as a `list_reduce` fold, the Viterbi DP as a linear
@@ -116,14 +119,17 @@ object Unigram {
         col("s.pos").as("pos"), col("s.len").as("len"),
         expr("substring(w, s.pos, s.len)").as("piece"))
 
-  /** (piece, score) under the current (piece, cnt) vocabulary:
-    * score = qlog2(cnt) − qlog2(Σcnt), exact integers.
+  /** piece → score under the current piece → cnt vocabulary:
+    * score = qlog2(cnt) − qlog2(Σcnt), exact integers. Driver-side on
+    * the vocabulary-bounded model map (≤ |alphabet| + SeedMulti
+    * entries); [[qlog2Ref]] is spec-proven identical to the SQL fold,
+    * so the scores match what the oracle's scoresN CTE computes
+    * bit-for-bit.
     */
-  private def withScores(vocab: DataFrame): DataFrame = {
-    val tot = vocab.agg(sum(col("cnt")).as("tot"))
-    vocab.crossJoin(broadcast(tot))
-      .select(col("piece"),
-        expr(s"${sparkQlog2("cnt")} - ${sparkQlog2("tot")}").as("score"))
+  private def scoresOf(vocab: Map[String, Long]): Map[String, Long] = {
+    val tot = vocab.values.sum
+    val qTot = qlog2Ref(tot)
+    vocab.map { case (p, c) => p -> (qlog2Ref(c) - qTot) }
   }
 
   /** Viterbi DP backpointers as one fold per word: best[j] maximizes
@@ -160,11 +166,24 @@ object Unigram {
       |    'ps', concat(acc.ps, array(substring(w, acc.j - element_at(bp, acc.j) + 1, element_at(bp, acc.j)))))),
       |  acc -> acc.ps)""".stripMargin
 
+  /** The driver-side model as a broadcastable (piece, score) relation. */
+  private def scoresDf(spark: org.apache.spark.sql.SparkSession,
+      scores: Map[String, Long]): DataFrame =
+    spark.createDataFrame(scores.toSeq).toDF("piece", "score")
+
   /** Viterbi-segment every histogram word under `scores`:
-    * (w, c, pieces).
+    * (w, c, pieces). `wc` is the DECLARED-partitioned histogram pin
+    * (hash on w), so the whole round is partition-local: the substring
+    * Generate preserves the w-partitioning, the score attach is a
+    * broadcast hash join, and the (w, c) map regroup needs NO exchange
+    * (HashPartitioning(w) satisfies ClusteredDistribution(w, c)) —
+    * through r14 this regroup re-shuffled the full 4·|w| substring
+    * relation EVERY round, the dominant cost of the 5s
+    * unigram_tokenize_stats headline.
     */
-  private def segmented(allSubs: DataFrame, scores: DataFrame): DataFrame =
-    allSubs.join(broadcast(scores), Seq("piece"))
+  private def segmented(wc: DataFrame, scores: Map[String, Long]): DataFrame =
+    subPieces(wc)
+      .join(broadcast(scoresDf(wc.sparkSession, scores)), Seq("piece"))
       .groupBy("w", "c")
       .agg(map_from_entries(collect_list(
         struct((col("pos") * 8 + col("len")).as("k"), col("score").as("v")))).as("m"))
@@ -173,102 +192,115 @@ object Unigram {
       .select("w", "c", "pieces")
 
   /** The shared learner: seed → `Rounds` hard-EM rounds. Returns the
-    * final (piece, cnt) vocabulary, the substring relation (for the
-    * tokenize pass), and a release handle for both checkpoints.
+    * final piece → cnt model (driver-side, bounded by |alphabet| +
+    * SeedMulti entries — the vocabulary-bounded driver-state
+    * discipline), the pinned word histogram (for the tokenize pass),
+    * and its release handle.
+    *
+    * Job shape (r15): pin the histogram, pin the piece counts, ONE
+    * bounded collect for the seed, then one projection job per EM
+    * round whose groupBy output is ≤ |vocab| rows. At 100 TB the
+    * histogram and every round stay fully distributed; the driver only
+    * ever holds the ≤(|alphabet|+SeedMulti)-entry model.
     */
-  private def learn(docs: DataFrame): (DataFrame, DataFrame, () => Unit) = {
-    val wc = Bpe.wordCounts(docs)
-    val (allSubs, freeSubs) = Checkpoints.localEager(subPieces(wc))
-    // Seed selection in ONE checkpointed job (chars + top-SeedMulti
-    // multis used to be three separate eager materializations — the
-    // per-job overhead tripled the learner's fixed cost): the rank
-    // window partitions on the char/multi split, so "rk <= SeedMulti
-    // within multis" is exactly the old orderBy-limit pick, and the
-    // round-0 vocabulary plus both per-round views (char floor, multi
-    // prune) filter this single pinned relation.
-    val (seedK, freeSeed) = Checkpoints.localEager(
-      allSubs.groupBy("piece").agg(sum(col("c")).as("cnt"))
-        .withColumn("is_char", length(col("piece")) === 1)
-        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("is_char")).orderBy(col("cnt").desc, col("piece"))))
-        .where(col("is_char") || col("rk") <= SeedMulti)
-        .select("piece", "cnt", "is_char"))
-    val chars0 = seedK.where(col("is_char")).select("piece", "cnt")
-    val multi0 = seedK.where(!col("is_char")).select("piece", "cnt")
-    var vocab: DataFrame = seedK.select("piece", "cnt")
-    var freeV: () => Unit = () => () // round-0 vocab rides the seed checkpoint
+  private def learn(docs: DataFrame): (Map[String, Long], DataFrame, () => Unit) = {
+    val parts = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val (wc, freeWc) =
+      org.apache.spark.sql.graftplan.PartitionedCheckpoint.localEagerDeclared(
+        Bpe.wordCounts(docs).repartition(parts, col("w")), Seq("w"), parts)
+    val (pc, freePc) = Checkpoints.localEager(
+      subPieces(wc).groupBy("piece").agg(sum(col("c")).as("cnt")))
+    // Chars are all kept; multis are the top SeedMulti by (cnt desc,
+    // piece) as a distributed TakeOrderedAndProject over the pinned
+    // piece counts. (The r14 formulation ranked with a window
+    // partitioned on the char/multi BOOLEAN — every multi-char piece
+    // funneled through ONE sort partition, the straggler shape the
+    // scale discipline forbids.) The collect is bounded by
+    // |alphabet| + SeedMulti rows.
+    val seedRows = pc.where(length(col("piece")) === 1)
+      .unionAll(pc.where(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(SeedMulti))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    freePc()
+    val chars0 = seedRows.filter(_._1.length == 1)
+    val multi0 = seedRows.filter(_._1.length > 1)
+    var vocab: Map[String, Long] = seedRows.toMap
     for (_ <- 1 to Rounds) {
-      val counts = segmented(allSubs, withScores(vocab))
+      // M-step: Viterbi piece counts; the groupBy collapses map-side to
+      // ≤ |vocab| rows per partition, so the collect is model-bounded.
+      val counts = segmented(wc, scoresOf(vocab))
         .select(explode(col("pieces")).as("piece"), col("c"))
         .groupBy("piece").agg(sum(col("c")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // chars are required pieces (floor 1 keeps them scoreable); seed
       // multis that fell out of every Viterbi path are pruned for good
-      val next =
-        chars0.select("piece").join(counts, Seq("piece"), "left_outer")
-          .select(col("piece"),
-            greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt"))
-          .union(
-            multi0.select("piece").join(counts, Seq("piece"))
-              .where(col("cnt") > 0).select(col("piece"), col("cnt")))
-      val (v2, freeV2) = Checkpoints.localEager(next)
-      freeV(); vocab = v2; freeV = freeV2
+      vocab =
+        chars0.map { case (p, _) => p -> math.max(counts.getOrElse(p, 0L), 1L) }.toMap ++
+          multi0.flatMap { case (p, _) => counts.get(p).filter(_ > 0L).map(p -> _) }.toMap
     }
-    val release = () => { freeSubs(); freeSeed(); freeV() }
-    (vocab, allSubs, release)
+    (vocab, wc, freeWc)
   }
 
   /** The learned model: (piece, n_chars, cnt, qscore) — final expected
-    * counts and fixed-point log-prob scores, most frequent first.
+    * counts and fixed-point log-prob scores, most frequent first. The
+    * model map is vocabulary-bounded, so the output assembles from a
+    * local relation; qscore still runs through the SQL qlog2 fold (the
+    * exact expression the oracle replays).
     */
   def unigramLearn(docs: DataFrame): DataFrame = {
     val (vocab, _, release) = learn(docs)
-    val tot = vocab.agg(sum(col("cnt")).as("tot"))
-    val out = vocab.crossJoin(broadcast(tot))
+    release()
+    val spark = docs.sparkSession
+    val tot = vocab.values.sum
+    spark.createDataFrame(vocab.toSeq).toDF("piece", "cnt")
+      .withColumn("tot", lit(tot))
       .select(
         col("piece"),
         length(col("piece")).cast("long").as("n_chars"),
         col("cnt"),
         expr(s"${sparkQlog2("cnt")} - ${sparkQlog2("tot")}").as("qscore"))
       .orderBy(col("cnt").desc, col("piece"))
-      .localCheckpoint(true)
-    release()
-    out
   }
 
-  /** Tokenize the corpus under the final model: (doc_id, n_tokens,
-    * n_words) — per-word Viterbi piece counts from the vocabulary-scale
-    * DP, equi-joined to the corpus word stream (hash-partitions on the
-    * word at scale; the model side broadcasts), one partial+final
-    * rollup per document.
-    */
-  def unigramTokenizeStats(docs: DataFrame): DataFrame = {
-    val (vocab, allSubs, release) = learn(docs)
-    val nPieces = segmented(allSubs, withScores(vocab))
+  /** Per-word Viterbi piece counts under the final model, pinned —
+    * the (w, n_pieces) relation a tokenize pass broadcasts. */
+  private def nPiecesOf(vocab: Map[String, Long], wc: DataFrame): DataFrame =
+    segmented(wc, scoresOf(vocab))
       .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
       .localCheckpoint(true)
+
+  /** Tokenize the corpus under the final model: (doc_id, n_tokens,
+    * n_words) — per-word Viterbi piece counts from the histogram-scale
+    * DP projection, BROADCAST onto the corpus word stream (the corpus
+    * never shuffles for the attach; only the doc_id rollup exchanges),
+    * one partial+final rollup per document.
+    */
+  def unigramTokenizeStats(docs: DataFrame): DataFrame = {
+    val (vocab, wc, release) = learn(docs)
+    val nPieces = nPiecesOf(vocab, wc)
     release()
     Bpe.docWords(docs)
-      .join(nPieces, Seq("w"))
+      .join(broadcast(nPieces), Seq("w"))
       .groupBy("doc_id")
       .agg(sum(col("n_pieces")).as("n_tokens"), count(lit(1)).as("n_words"))
   }
 
   /** Per-language unigram fertility (pieces per word — the
     * tokenizer-equity rollup, [[Bpe.bpeFertilityByLang]]'s twin for
-    * this family): same plan as [[unigramTokenizeStats]] with the
-    * rollup keyed on lang via a doc_id-keyed attach; the one IEEE
-    * division happens after exact integer sums.
+    * this family): lang rides the token explode directly (no doc_id
+    * attach join — it comes off the same corpus row), the model
+    * broadcasts, and the one IEEE division happens after exact integer
+    * sums.
     */
   def unigramFertilityByLang(docs: DataFrame): DataFrame = {
-    val (vocab, allSubs, release) = learn(docs)
-    val nPieces = segmented(allSubs, withScores(vocab))
-      .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
-      .localCheckpoint(true)
+    val (vocab, wc, release) = learn(docs)
+    val nPieces = nPiecesOf(vocab, wc)
     release()
-    Bpe.docWords(docs)
-      .join(nPieces, Seq("w"))
-      .join(docs.select("doc_id", "lang"), "doc_id")
+    graft.Partitioning.fanOut(docs)
+      .select(col("lang"),
+        explode(TextAnalysis.wsTokens(lower(col("text")))).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(nPieces), Seq("w"))
       .groupBy("lang")
       .agg(sum(col("n_pieces")).as("n_tokens"), count(lit(1)).as("n_words"))
       .withColumn("fertility",
@@ -290,10 +322,8 @@ object Unigram {
     */
   def runStreamingFertility(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val (vocab, allSubs, release) = learn(docs)
-    val nPieces = segmented(allSubs, withScores(vocab))
-      .select(col("w"), size(col("pieces")).cast("long").as("n_pieces"))
-      .localCheckpoint(true)
+    val (vocab, wc, release) = learn(docs)
+    val nPieces = nPiecesOf(vocab, wc)
     release()
     val src = graft.sources.StreamingSources.docSource(spark, sfDir)
     val agg = src

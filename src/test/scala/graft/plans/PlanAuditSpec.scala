@@ -1172,12 +1172,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("BroadcastHashJoin")
   }
 
-  test("unigram apply: scored vocab broadcasts, Viterbi runs as a fold — no Window, no product") {
+  test("unigram apply: word-stats model broadcasts, Viterbi runs as a fold — no Window, no product") {
     val p = plan("unigram_tokenize_stats")
-    p should include("BroadcastHashJoin")   // piece-score attach
+    p should include("BroadcastHashJoin")   // (w, n_pieces) model attach — corpus never shuffles for it
     p should not include "Window"           // the DP is a projection fold, not a window sort
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
+    // the corpus-scale exchange is the doc_id rollup alone
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("doc_id")
   }
 
   test("winnow incremental: only the batch side runs the fingerprint generator") {
