@@ -198,7 +198,15 @@ object ScaleProbe {
     // (source, token) counts map-side — rotation mints new distinct
     // tokens at 30×, so the ratio tracks the dsir/countmin vocabulary
     // shape, never the stream.
-    "source_token_entropy")
+    "source_token_entropy",
+    // r15 persistence round-trips: each trains, saves the model
+    // artifact to parquet, reloads it, and applies from the LOADED
+    // artifact — the probe claim is that the save/load hop adds only a
+    // model-cardinality constant, so each ratio must track its
+    // in-process twin (unigram_tokenize_stats / bpe_tokenize_stats /
+    // perceptron_learn_rounds respectively).
+    "unigram_tokenize_from_saved", "bpe_tokenize_from_saved",
+    "perceptron_confusion_from_saved")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

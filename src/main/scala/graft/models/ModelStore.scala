@@ -1,0 +1,54 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet persistence for TRAINED MODELS — the train-once / apply-many
+  * deployment shape a production pipeline actually runs (a tokenizer
+  * vocabulary or quality-filter weight vector is learned once on a
+  * training snapshot, then swept over months of corpus batches; nothing
+  * re-learns per query).
+  *
+  * Every learner family gates a `*_from_saved` round-trip: train →
+  * [[save]] the model artifact → [[load]] it back from disk → apply the
+  * LOADED artifact to the corpus — proven against the SAME DuckDB
+  * oracle as the in-process twin, so the persistence layer demonstrably
+  * loses nothing:
+  *
+  *  - `unigram_tokenize_from_saved` — the (piece, cnt) vocabulary
+  *    ([[graft.text.Unigram]]);
+  *  - `perceptron_confusion_from_saved` — the (bucket, weight) vector
+  *    ([[graft.text.Perceptron]]);
+  *  - `bpe_tokenize_from_saved` — the ordered (step, a, b) merge table
+  *    ([[graft.text.Bpe]]);
+  *  - `ann_ivf_from_saved` — the trained (cid, cq, cnrm) coarse
+  *    centroids ([[graft.similarity.Ann]]).
+  *
+  * Models are small (vocabulary/bucket/centroid cardinality), so a
+  * single parquet artifact per model is the right grain at any corpus
+  * scale; the APPLY side stays fully distributed (broadcast attach /
+  * literal weight array — each family's documented apply plan).
+  */
+object ModelStore {
+
+  /** Canonical artifact location for a model tag trained on `sfDir`. */
+  def path(tag: String, sfDir: String): String =
+    s"${graft.OutDir.base}/graft_models/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}/$tag"
+
+  /** Persist a model relation (overwrite — retraining replaces the
+    * artifact atomically at the parquet-commit level).
+    */
+  def save(model: DataFrame, path: String): Unit =
+    model.write.mode("overwrite").parquet(path)
+
+  /** Load a persisted model relation. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Save + reload in one breath — the round-trip the `*_from_saved`
+    * gates run; returns the LOADED relation (never the in-memory one).
+    */
+  def roundTrip(model: DataFrame, path: String): DataFrame = {
+    save(model, path)
+    load(model.sparkSession, path)
+  }
+}

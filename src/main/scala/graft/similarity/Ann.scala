@@ -276,6 +276,26 @@ object Ann {
     ivfSearch(embeddings, queries, cents, k, nprobe)
   }
 
+  /** Persistence round-trip twin of [[ivfTrainedTopK]] — train the
+    * coarse quantizer, write the (cid, cq, cnrm) centroid table to
+    * parquet, read it BACK from disk, and run the inverted-list probe
+    * strictly against the loaded index artifact (the in-process
+    * centroid pin is released first). Same oracle as the in-process
+    * twin — an ANN index that survives persistence is what lets a
+    * pipeline index once and serve lookups for months.
+    */
+  def ivfTopKFromSaved(
+      spark: SparkSession, sfDir: String, k: Int,
+      m: Int = 16, nprobe: Int = 2, trainIter: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = rebuildCentroids(kmeansConverged(emb, m, trainIter))
+      .localCheckpoint(true)
+    val loaded = graft.models.ModelStore.roundTrip(
+      cents, graft.models.ModelStore.path("ivf_centroids", sfDir))
+    graft.Checkpoints.release(cents)
+    ivfSearch(emb, emb.where(col("vec_id") < 50), loaded, k, nprobe)
+  }
+
   /** nprobe / probe-count → recall@k calibration curve (r13 verdict
     * item 4): for each IVF nprobe and each multi-probe bucket count,
     * the fraction of the EXACT brute-force top-k pairs the approximate
@@ -948,6 +968,13 @@ object Ann {
         ivfTrainedTopK(emb, emb.where(col("vec_id") < 50), k = 3)
           .orderBy("q_id", "rank")
       },
+      Some(duckIvfTrained(iters = 3, m = 16, nprobe = 2, k = 3, nQueries = 50)),
+    ),
+    // Persistence round-trip: probe the RELOADED centroid artifact —
+    // must equal the in-process trained search (same oracle).
+    EngineQuery(
+      "ann_ivf_from_saved",
+      (s, dir) => ivfTopKFromSaved(s, dir, k = 3).orderBy("q_id", "rank"),
       Some(duckIvfTrained(iters = 3, m = 16, nprobe = 2, k = 3, nQueries = 50)),
     ),
     // nprobe/probe-count → recall@k calibration vs the exact top-k

@@ -269,6 +269,39 @@ object Bpe {
       .agg(sum(col("n_sym")).as("n_bpe_tokens"), count(lit(1)).as("n_words"))
   }
 
+  /** Persistence round-trip twin of [[bpeTokenizeStats]] — train, write
+    * the ordered (step, a, b, cnt) merge table to parquet, read it BACK
+    * from disk, and tokenize strictly from the loaded artifact: each
+    * distinct word re-derives its symbols by folding the loaded merges
+    * in step order over its character split (exactly the learner's
+    * evolution, so the result is bit-identical — the same oracle
+    * gates both). The load collect is ≤ numMerges rows; the apply is a
+    * distinct-word projection plus the word-keyed stats join.
+    */
+  def tokenizeStatsFromSaved(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      numMerges: Int = DefaultMerges): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val (merges, _, free) = learn(docs, numMerges)
+    free() // the apply below re-derives symbols from the LOADED merges
+
+    import spark.implicits._
+    val loaded = graft.models.ModelStore.roundTrip(
+        merges.toDF("step", "a", "b", "cnt"),
+        graft.models.ModelStore.path("bpe_merges", sfDir))
+      .orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val symCount = wordCounts(docs).select(
+      col("w"),
+      size(loaded.foldLeft(split(col("w"), "")) {
+        case (c0, (a, b)) => applyMerge(c0, a, b)
+      }).cast("long").as("n_sym"))
+    docWords(docs)
+      .join(symCount, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_sym")).as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+  }
+
   // ---- oracles ------------------------------------------------------
 
   /** DuckDB per-occurrence word CTE body: (doc_id, w). */
@@ -372,6 +405,13 @@ object Bpe {
       "bpe_fertility_by_lang",
       (s, dir) => bpeFertilityByLang(Tables.documents(s, dir)).orderBy("lang"),
       Some(duckFertilityByLang(DefaultMerges)),
+    ),
+    // Persistence round-trip: tokenize from the RELOADED merge table
+    // must equal the in-process apply (same oracle).
+    EngineQuery(
+      "bpe_tokenize_from_saved",
+      (s, dir) => tokenizeStatsFromSaved(s, dir).orderBy("doc_id"),
+      Some(duckTokenizeStats(DefaultMerges)),
     ),
   )
 

@@ -213,6 +213,29 @@ object Perceptron {
        |  min_score, max_score
        |FROM bins ORDER BY score_bin""".stripMargin
 
+  /** Persistence round-trip twin of [[confusion]] — train, write the
+    * (bucket, weight) vector to parquet, read it BACK from disk, and
+    * score the corpus strictly from the loaded artifact (rebuilt into
+    * the literal weight array the map-side fold consumes — the
+    * production apply plan). Same oracle as the in-process twin; the
+    * load collect is Buckets+1 rows by construction.
+    */
+  def confusionFromSaved(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (_, w) = learn(docs)
+    import spark.implicits._
+    val loadedRows = graft.models.ModelStore.roundTrip(
+        w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }.toDF("b", "wv"),
+        graft.models.ModelStore.path("perceptron_weights", sfDir))
+      .collect()
+    val wLoaded = Array.fill(Buckets + 1)(0L)
+    loadedRows.foreach(r => wLoaded(r.getLong(0).toInt) = r.getLong(1))
+    featurized(docs)
+      .select(col("y"), scoreCol(wArrayLit(wLoaded), col("feats")).as("score"))
+      .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+  }
+
   private var sinkCounter = 0
 
   /** Streaming sweep twin: learn batch-side, then score the document
@@ -338,6 +361,13 @@ object Perceptron {
     EngineQuery(
       "streaming_perceptron_confusion",
       (s, dir) => runStreamingConfusion(s, dir).orderBy("y", "pred"),
+      Some(confusionOracle(Rounds)),
+    ),
+    // Persistence round-trip: score from the RELOADED weight artifact
+    // must equal the in-process confusion (same oracle).
+    EngineQuery(
+      "perceptron_confusion_from_saved",
+      (s, dir) => confusionFromSaved(s, dir).orderBy("y", "pred"),
       Some(confusionOracle(Rounds)),
     ),
   )

@@ -307,6 +307,31 @@ object Unigram {
         col("n_tokens").cast("double") / col("n_words").cast("double"))
   }
 
+  /** Persistence round-trip twin of [[unigramTokenizeStats]] — the
+    * train-once/apply-many deployment shape: the learned (piece, cnt)
+    * vocabulary is written to parquet, read BACK from disk, and the
+    * tokenize pass runs strictly from the loaded artifact (the
+    * in-process model map is discarded). Gated by the SAME oracle as
+    * the in-process twin, so the persistence layer provably loses
+    * nothing. The load collect is model-bounded (|alphabet| +
+    * SeedMulti rows) — loading a tokenizer vocab to the driver and
+    * broadcasting the derived word model IS the production apply plan.
+    */
+  def tokenizeStatsFromSaved(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val (vocab, wc, release) = learn(docs)
+    val loaded = graft.models.ModelStore.roundTrip(
+        spark.createDataFrame(vocab.toSeq).toDF("piece", "cnt"),
+        graft.models.ModelStore.path("unigram_vocab", sfDir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nPieces = nPiecesOf(loaded, wc)
+    release()
+    Bpe.docWords(docs)
+      .join(broadcast(nPieces), Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_pieces")).as("n_tokens"), count(lit(1)).as("n_words"))
+  }
+
   private var sinkCounter = 0
 
   /** Streaming tokenizer-fertility twin for the unigram family (the
@@ -486,6 +511,13 @@ object Unigram {
       "streaming_unigram_fertility",
       (s, dir) => runStreamingFertility(s, dir).orderBy("lang"),
       Some(duckFertilityByLang(Rounds)),
+    ),
+    // Persistence round-trip: apply from the RELOADED vocab artifact
+    // must equal the in-process apply (same oracle).
+    EngineQuery(
+      "unigram_tokenize_from_saved",
+      (s, dir) => tokenizeStatsFromSaved(s, dir).orderBy("doc_id"),
+      Some(duckTokenizeStats(Rounds)),
     ),
   )
 }

@@ -1,0 +1,70 @@
+package graft.models
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** The trained-model persistence round-trips: every `*_from_saved`
+  * gate applies a model RELOADED from parquet and must equal its
+  * in-process twin exactly (the deployment invariant — a model that
+  * changes behavior across a save/load cycle is corrupt).
+  */
+class ModelStoreSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case a: scala.collection.Seq[_] => a.toList
+      case x => x
+    }.toList).toList
+
+  test("roundTrip preserves rows and schema through parquet (incl. array columns)") {
+    import spark.implicits._
+    val model = Seq((1L, Seq(3L, 1L, 2L)), (2L, Seq(9L)))
+      .toDF("cid", "cq")
+    val back = ModelStore.roundTrip(model, ModelStore.path("spec_rt", sfDir))
+    // parquet widens nullability flags; names and types must hold
+    back.schema.map(f => (f.name, f.dataType.catalogString)) shouldBe
+      model.schema.map(f => (f.name, f.dataType.catalogString))
+    rows(back.orderBy("cid")) shouldBe rows(model.orderBy("cid"))
+  }
+
+  test("unigram: tokenize from the reloaded vocab equals the in-process apply") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val direct = rows(graft.text.Unigram.unigramTokenizeStats(docs).orderBy("doc_id"))
+    val saved = rows(graft.text.Unigram.tokenizeStatsFromSaved(spark, sfDir).orderBy("doc_id"))
+    saved should not be empty
+    saved shouldBe direct
+  }
+
+  test("perceptron: confusion from the reloaded weights equals the in-process apply") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val direct = rows(graft.text.Perceptron.confusion(docs).orderBy("y", "pred"))
+    val saved = rows(graft.text.Perceptron.confusionFromSaved(spark, sfDir).orderBy("y", "pred"))
+    saved should not be empty
+    saved shouldBe direct
+  }
+
+  test("bpe: tokenize from the reloaded merge table equals the in-process apply") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val direct = rows(graft.text.Bpe.bpeTokenizeStats(docs).orderBy("doc_id"))
+    val saved = rows(graft.text.Bpe.tokenizeStatsFromSaved(spark, sfDir).orderBy("doc_id"))
+    saved should not be empty
+    saved shouldBe direct
+  }
+
+  test("ivf: search against the reloaded centroid artifact equals the in-process search") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val direct = rows(
+      graft.similarity.Ann.ivfTrainedTopK(emb, emb.where(col("vec_id") < 50), k = 3)
+        .orderBy("q_id", "rank"))
+    val saved = rows(
+      graft.similarity.Ann.ivfTopKFromSaved(spark, sfDir, k = 3)
+        .orderBy("q_id", "rank"))
+    saved should not be empty
+    saved shouldBe direct
+  }
+}

@@ -1183,6 +1183,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("doc_id")
   }
 
+  test("from-saved applies: model attaches from the reloaded artifact, no training lineage in the plan") {
+    // unigram: the reloaded vocab re-derives the broadcast word model —
+    // same shape as the in-process apply (broadcast attach, doc_id-only
+    // corpus exchange)
+    val u = plan("unigram_tokenize_from_saved")
+    u should include("BroadcastHashJoin")
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(u)
+      .map(_.group(1)).toSet shouldBe Set("doc_id")
+    // bpe: symbols re-derive from the loaded merge list as fold
+    // projections — no learner-loop checkpoint scan anywhere
+    plan("bpe_tokenize_from_saved") should not include "Scan ExistingRDD"
+    // ivf: the centroid side is a plain parquet scan of the artifact,
+    // not the training pipeline's checkpoint (which the in-process twin
+    // carries)
+    plan("ann_ivf_from_saved") should not include "Scan ExistingRDD"
+    plan("ann_ivf_trained_topk") should include("Scan ExistingRDD")
+  }
+
   test("winnow incremental: only the batch side runs the fingerprint generator") {
     // The pair-join subtree prints the fingerprint relation several
     // times pre-AQE (self-join + hot-cap; ReusedExchange dedups at
