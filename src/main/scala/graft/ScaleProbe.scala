@@ -206,7 +206,13 @@ object ScaleProbe {
     // in-process twin (unigram_tokenize_stats / bpe_tokenize_stats /
     // perceptron_learn_rounds respectively).
     "unigram_tokenize_from_saved", "bpe_tokenize_from_saved",
-    "perceptron_confusion_from_saved")
+    "perceptron_confusion_from_saved",
+    // r15: exact longest-dup-substring — seeds are the same capped
+    // fingerprint join as winnow_dup_pairs (rotated probe copies keep
+    // fingerprints distinct, so seed mass must stay linear like the
+    // pair mass), and extension work is bounded by matched spans; the
+    // ratio must track winnow_dup_pairs, never a quadratic seed blowup.
+    "longest_dup_substring")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

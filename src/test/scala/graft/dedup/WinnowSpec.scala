@@ -128,4 +128,57 @@ class WinnowSpec extends AnyFunSuite with Matchers {
     batch should not be empty
     inc shouldBe batch
   }
+
+  /** Reference longest common substring, O(n·m) — the definition. */
+  private def lcsLen(a: String, b: String): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      if (a(i - 1) == b(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        best = math.max(best, dp(i)(j))
+      }
+    best
+  }
+
+  test("longest dup substring: exact length, positions, and text vs the O(nm) definition") {
+    val rnd = new scala.util.Random(42)
+    def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val common = noise(120)
+    // digit sentinels (never in the letter noise) pin the planted span
+    // boundaries — no accidental extension past the span
+    val docA = noise(40) + "0" + common + "1" + noise(30)
+    val docB = noise(55) + "2" + common + "3" + noise(10)
+    // second pair: TWO shared spans — the longer must win
+    val span1 = noise(60); val span2 = noise(30)
+    val docC = noise(20) + "0" + span1 + "1" + noise(25) + "0" + span2 + "1" + noise(10)
+    val docD = noise(5) + "2" + span1 + "3" + noise(35) + "2" + span2 + "3" + noise(20)
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD)).toDF("doc_id", "text")
+    val out = Winnow.longestDupSubstrings(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("match_len"), r.getAs[Long]("start_a"),
+          r.getAs[Long]("start_b"), r.getAs[String]("dup_text"))).toMap
+    out.keySet shouldBe Set((1L, 2L), (3L, 4L))
+    // pair (1,2): the planted 120-char span, 1-based starts
+    out((1L, 2L)) shouldBe ((120L, 42L, 57L, common))
+    out((1L, 2L))._1.toInt shouldBe lcsLen(docA, docB)
+    // pair (3,4): the 60-char span beats the 30-char one
+    out((3L, 4L)) shouldBe ((60L, 22L, 7L, span1))
+    out((3L, 4L))._1.toInt shouldBe lcsLen(docC, docD)
+  }
+
+  test("longest dup substring: sub-guarantee matches are dropped, not misreported") {
+    val rnd = new scala.util.Random(9)
+    def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    // share a span just UNDER the guarantee (K + W - 2 = 22 chars):
+    // winnowing cannot promise a seed, so the pair must simply be absent
+    val short = noise(Winnow.GuaranteeLen - 1)
+    val docs = Seq(
+      (1L, noise(60) + short + noise(60)),
+      (2L, noise(80) + short + noise(40)),
+    ).toDF("doc_id", "text")
+    require(lcsLen(docs.collect()(0).getString(1), docs.collect()(1).getString(1)) < Winnow.GuaranteeLen)
+    Winnow.longestDupSubstrings(docs).collect() shouldBe empty
+  }
 }

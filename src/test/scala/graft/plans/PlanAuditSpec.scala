@@ -1201,6 +1201,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     plan("ann_ivf_trained_topk") should include("Scan ExistingRDD")
   }
 
+  test("longest dup substring: extension is per-row fold work — no product, no position explode beyond the winnow generator") {
+    val p = plan("longest_dup_substring")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "Window" // argmax is max(struct), not a rank window
+    // extraction runs ONCE into the declared-partitioned pin (by plan
+    // time the generator already ran): every subtree reads the
+    // checkpoint scan, and extension adds NO explode (it's an
+    // aggregate fold projection) — zero Generate nodes in the plan
+    "generate [a-z]+".r.findAllIn(p.toLowerCase).toSet shouldBe Set.empty[String]
+    p should include("Scan ExistingRDD")
+  }
+
   test("winnow incremental: only the batch side runs the fingerprint generator") {
     // The pair-join subtree prints the fingerprint relation several
     // times pre-AQE (self-join + hot-cap; ReusedExchange dedups at
