@@ -212,7 +212,11 @@ object ScaleProbe {
     // fingerprints distinct, so seed mass must stay linear like the
     // pair mass), and extension work is bounded by matched spans; the
     // ratio must track winnow_dup_pairs, never a quadratic seed blowup.
-    "longest_dup_substring")
+    "longest_dup_substring",
+    // r15: the curriculum interleave claims NO single-partition window
+    // — both rank passes are bucket-decomposed — so its ratio must
+    // track shuffle_order's pure-scan shape.
+    "curriculum_interleave")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -144,6 +144,68 @@ object Curation {
           .as("pos"))
   }
 
+  /** Deterministic curriculum interleave — the training ORDER a
+    * temperature mixture actually becomes on disk: every source emits
+    * its (md5-ranked) documents at STRIDE-SCHEDULED virtual times
+    * vt(r) = (r·Σw) div w_s with weights w_s = floor(√n_s·1000) (the
+    * [[temperatureSample]] α=0.5 convention), so any prefix of the
+    * global (vt, source) order contains each source ∝ its weight —
+    * smooth interleaving, never source blocks (the waiting-room
+    * pacing a sampled mixture only achieves in expectation, made
+    * deterministic and restart-reproducible). vt increments per source
+    * are ≥ 1 (Σw ≥ w_s), so (vt, source) is a total order.
+    *
+    * Scale shape: BOTH rank passes are bucket-decomposed (the
+    * [[shuffleOrder]] discipline): the per-source rank r runs per
+    * (source, md5-bucket) cell with broadcast cell offsets, and the
+    * global position runs per coarse vt-range bucket with broadcast
+    * range offsets — no single-partition window anywhere. The stride
+    * product runs in DECIMAL(38,0) / HUGEINT (r·Σw can pass 2^63 long
+    * before vt does).
+    */
+  def curriculumInterleave(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"), col("source"),
+      md5Bucket(col("doc_id"), buckets).as("b"),
+      md5(col("doc_id").cast("string")).as("hk"))
+    val cellOff = keyed.groupBy("source", "b").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(
+          sum(col("n")).over(Window.partitionBy("source").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("source", "b", "off")
+    val weights = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+      .withColumn("wtot", expr("sum(w) over ()"))
+      .select("source", "w", "wtot")
+    val ranked = keyed.join(broadcast(cellOff), Seq("source", "b"))
+      .withColumn("r",
+        col("off") + row_number().over(
+          Window.partitionBy("source", "b").orderBy("hk", "doc_id")).cast("long"))
+      .join(broadcast(weights), "source")
+      .withColumn("vt",
+        expr("CAST((CAST(r AS decimal(38,0)) * wtot) div w AS BIGINT)"))
+      .select("doc_id", "source", "vt")
+    val vmax = ranked.agg(max(col("vt")).as("vmax"))
+    val withB2 = ranked.crossJoin(broadcast(vmax))
+      .withColumn("b2", least(
+        expr(s"vt div greatest(vmax div $buckets, 1)"), lit(buckets.toLong)))
+      .select("doc_id", "source", "vt", "b2")
+    val rangeOff = withB2.groupBy("b2").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(
+          sum(col("n")).over(
+            Window.orderBy("b2").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("b2", "off")
+    withB2.join(broadcast(rangeOff), "b2")
+      .withColumn("pos",
+        col("off") + row_number().over(
+          Window.partitionBy("b2").orderBy("vt", "source")).cast("long"))
+      .select("doc_id", "source", "vt", "pos")
+  }
+
   /** Balanced per-class cap: keep at most `cap` docs per stratum,
     * chosen by hash rank (deterministic, partitioning-invariant — the
     * same docs survive every rerun). The window partitions by stratum,
@@ -1180,6 +1242,32 @@ object Curation {
       Some(s"""SELECT doc_id,
              |  row_number() OVER (ORDER BY ${duckMd5Bucket("doc_id", 64)}, md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
              |FROM documents ORDER BY doc_id""".stripMargin),
+      headline = true,
+    ),
+    // Stride-scheduled mixture ORDER — the oracle replays ranks,
+    // weights, and virtual times with one global window (the engine
+    // side is bucket-decomposed; same values).
+    EngineQuery(
+      "curriculum_interleave",
+      (s, dir) => curriculumInterleave(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH ranked AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ${duckMd5Bucket("doc_id", 64)},
+             |               md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+             |  FROM documents),
+             |wts AS (
+             |  SELECT source,
+             |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS w
+             |  FROM documents GROUP BY source),
+             |wt AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM wts),
+             |vts AS (
+             |  SELECT r.doc_id, r.source,
+             |    CAST((CAST(r.r AS HUGEINT) * wtot) // w AS BIGINT) AS vt
+             |  FROM ranked r JOIN wts USING (source) CROSS JOIN wt)
+             |SELECT doc_id, source, vt,
+             |  row_number() OVER (ORDER BY vt, source) AS pos
+             |FROM vts ORDER BY doc_id""".stripMargin),
       headline = true,
     ),
     // Budget-bounded best-first selection (decomposed running sum).

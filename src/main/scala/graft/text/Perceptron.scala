@@ -195,6 +195,112 @@ object Perceptron {
   /** Reliability bin width (score units). */
   val ReliabilityBinWidth = 262144L
 
+  /** Isotonic calibration of the reliability curve (pool-adjacent-
+    * violators): the monotone-non-decreasing positive-rate fit over the
+    * score bins — the standard step from "margin orders quality" to
+    * "margin IS a probability" (Zadrozny–Elkan 2002; what a sampling
+    * pipeline multiplies into selection weights). PAVA merges adjacent
+    * bins whose raw rates violate monotonicity and assigns every bin
+    * its pooled block rate; rates stay EXACT rationals until one final
+    * integer-ppm division per block (violation tests are cross-
+    * multiplied — no float anywhere, so both engines replay the
+    * identical merge sequence).
+    *
+    * Scale shape: the corpus pays the reliability aggregation (one
+    * map-side-combined pass); PAVA itself runs driver-side over the
+    * collected bins — bounded by the bin-table cardinality the
+    * reliability gate query already emits as its whole OUTPUT — and
+    * the result is a bin-cardinality local relation. The oracle
+    * replays the pooling as a recursive stack CTE.
+    */
+  /** Stack PAVA over (bin, n, pos) rows sorted by bin: returns the
+    * monotone blocks as (loBin, hiBin, n, pos). Exact — violation tests
+    * cross-multiply in BigInt, never divide.
+    */
+  private[text] def pavaBlocks(bins: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for ((b, n, p) <- bins.sortBy(_._1)) {
+      stack += ((b, b, n, p))
+      var merging = true
+      while (merging && stack.length >= 2) {
+        val (_, hi2, n2, p2) = stack(stack.length - 1)
+        val (lo1, _, n1, p1) = stack(stack.length - 2)
+        // violation: rate(prev) > rate(top)  <=>  p1·n2 > p2·n1
+        if (BigInt(p1) * n2 > BigInt(p2) * n1) {
+          stack.remove(stack.length - 1)
+          stack(stack.length - 1) = (lo1, hi2, n1 + n2, p1 + p2)
+        } else merging = false
+      }
+    }
+    stack.toSeq
+  }
+
+  def isotonicCalibration(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val spark = docs.sparkSession
+    val bins = reliabilityBins(docs, rounds)
+      .select("score_bin", "n_docs", "n_pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .toSeq
+    val blockOf = pavaBlocks(bins)
+    val rows = bins.map { case (b, n, p) =>
+      val (lo, _, bn, bp) = blockOf.find(blk => blk._1 <= b && b <= blk._2).get
+      (b, n, p, 1000000L * p / math.max(n, 1L), 1000000L * bp / math.max(bn, 1L), lo)
+    }
+    spark.createDataFrame(rows)
+      .toDF("score_bin", "n_docs", "n_pos", "raw_ppm", "iso_ppm", "block_lo")
+  }
+
+  /** PAVA oracle: the reliability bins, then the pool-adjacent-
+    * violators stack replayed as a single-row-state recursive CTE —
+    * each step either pushes the next bin or merges the top two blocks
+    * (cross-multiplied HUGEINT violation test, identical to the
+    * engine's BigInt test), terminating at the no-violation fixed
+    * point; bins then read their block's pooled ppm by range join.
+    */
+  private def isotonicOracle(rounds: Int): String = {
+    val violate =
+      """length(stk) >= 2 AND
+        | CAST(stk[-2].p AS HUGEINT) * stk[-1].n > CAST(stk[-1].p AS HUGEINT) * stk[-2].n""".stripMargin
+    s"""WITH RECURSIVE ${oracleRounds(rounds).stripPrefix("WITH ")},
+       |se AS (SELECT fb.doc_id, CAST(sum(w$rounds.wv * fb.c) AS BIGINT) AS sc
+       |  FROM fb JOIN w$rounds USING (b) GROUP BY fb.doc_id),
+       |ev AS (SELECT d.y, coalesce(se.sc, 0) AS score
+       |  FROM docs0 d LEFT JOIN se ON se.doc_id = d.doc_id),
+       |bins0 AS MATERIALIZED (
+       |  SELECT CAST((CASE WHEN score >= 0 THEN 1 ELSE -1 END)
+       |      * (abs(score) // $ReliabilityBinWidth) AS BIGINT) AS score_bin,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM ev GROUP BY 1),
+       |barr AS (SELECT list({'b': score_bin, 'n': n_docs, 'p': n_pos} ORDER BY score_bin) AS bs
+       |  FROM bins0),
+       |pava(i, stk) AS (
+       |  SELECT CAST(1 AS BIGINT),
+       |    CAST([] AS STRUCT(lo BIGINT, hi BIGINT, n BIGINT, p BIGINT)[]) FROM barr
+       |  UNION ALL
+       |  SELECT CASE WHEN $violate THEN i ELSE i + 1 END,
+       |    CASE WHEN $violate
+       |      THEN list_append(stk[1:length(stk)-2],
+       |        {'lo': stk[-2].lo, 'hi': stk[-1].hi,
+       |         'n': stk[-2].n + stk[-1].n, 'p': stk[-2].p + stk[-1].p})
+       |      ELSE list_append(stk,
+       |        {'lo': bs[CAST(i AS INT)].b, 'hi': bs[CAST(i AS INT)].b,
+       |         'n': bs[CAST(i AS INT)].n, 'p': bs[CAST(i AS INT)].p}) END
+       |  FROM pava, barr
+       |  WHERE ($violate) OR i <= length(bs)),
+       |fin AS (SELECT stk FROM pava, barr
+       |  WHERE i > length(bs) AND NOT ($violate)),
+       |blocks AS (SELECT unnest(stk) AS blk FROM fin)
+       |SELECT b.score_bin, b.n_docs, b.n_pos,
+       |  CAST((1000000 * b.n_pos) // greatest(b.n_docs, 1) AS BIGINT) AS raw_ppm,
+       |  CAST((1000000 * (blk).p) // greatest((blk).n, 1) AS BIGINT) AS iso_ppm,
+       |  CAST((blk).lo AS BIGINT) AS block_lo
+       |FROM bins0 b JOIN blocks ON b.score_bin BETWEEN (blk).lo AND (blk).hi
+       |ORDER BY score_bin""".stripMargin
+  }
+
   private def reliabilityOracle(rounds: Int): String =
     s"""${oracleRounds(rounds)},
        |se AS (SELECT fb.doc_id, CAST(sum(w$rounds.wv * fb.c) AS BIGINT) AS sc
@@ -369,6 +475,13 @@ object Perceptron {
       "perceptron_confusion_from_saved",
       (s, dir) => confusionFromSaved(s, dir).orderBy("y", "pred"),
       Some(confusionOracle(Rounds)),
+    ),
+    // Monotone calibration of the reliability curve — both engines
+    // replay the identical exact-rational PAVA merge sequence.
+    EngineQuery(
+      "perceptron_isotonic_calibration",
+      (s, dir) => isotonicCalibration(Tables.documents(s, dir)).orderBy("score_bin"),
+      Some(isotonicOracle(Rounds)),
     ),
   )
 }

@@ -155,4 +155,45 @@ class CurationSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("curriculum interleave: stride schedule by hand on a 4+1 source mix") {
+    // w_a = floor(sqrt(4)*1000) = 2000, w_b = 1000, wtot = 3000.
+    // vt_a(r) = r*3000 div 2000 = 1,3,4,6; vt_b(1) = 3.
+    // (vt, source) order: a@1, a@3, b@3 (tie -> source asc), a@4, a@6
+    // -> by-source sequence a,a,b,a,a REGARDLESS of which a-doc gets
+    // which md5 rank.
+    val mix = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"),
+    ).toDF("doc_id", "source")
+    val out = Curation.curriculumInterleave(mix).orderBy("pos").collect()
+      .map(r => (r.getString(1), r.getLong(3)))
+    out.map(_._2).toSeq shouldBe (1L to 5L)
+    out.map(_._1).toSeq shouldBe Seq("a", "a", "b", "a", "a")
+  }
+
+  test("curriculum interleave: total order, permutation, smooth pacing on the corpus") {
+    val out = Curation.curriculumInterleave(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.length shouldBe docs.count()
+    // pos is a permutation of 1..N
+    out.map(_._4).sorted.toSeq shouldBe (1L to out.length)
+    // pos order == (vt, source) order
+    out.sortBy(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._3 || (a._3 == b._3 && a._2 < b._2))
+      case _ =>
+    }
+    // pacing: in the first HALF of the schedule every source has
+    // emitted about half its docs (within the stride rounding slack)
+    val half = out.length / 2
+    val tot = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val firstHalf = out.filter(_._4 <= half).groupBy(_._2).view.mapValues(_.length).toMap
+    tot.foreach { case (src, n) =>
+      val got = firstHalf.getOrElse(src, 0)
+      math.abs(got - n / 2.0) should be <= (n * 0.15 + 2.0)
+    }
+    // determinism: a repartitioned input yields the identical schedule
+    val again = Curation.curriculumInterleave(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    out.map(t => (t._1, t._4)).toMap shouldBe again
+  }
 }

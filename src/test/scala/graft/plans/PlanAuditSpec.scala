@@ -1201,6 +1201,21 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     plan("ann_ivf_trained_topk") should include("Scan ExistingRDD")
   }
 
+  test("curriculum interleave: both rank windows are bucket-partitioned; single-partition work is source/bucket-cardinality only") {
+    val p = plan("curriculum_interleave")
+    p should not include "CartesianProduct"
+    // doc-scale windows partition on (source, b) and (b2) — never a
+    // global ORDER BY window over the corpus: no window spec leads
+    // with the doc-scale hash/virtual-time key unpartitioned
+    p should include regex "Window.*windowspecdefinition\\(source#\\d+, b#"
+    p should include regex "Window.*windowspecdefinition\\(b2#"
+    p should not include regex ("windowspecdefinition\\(hk#")
+    p should not include regex ("windowspecdefinition\\(vt#")
+    // SinglePartition exchanges exist only under the |sources| weight
+    // and <=65-row offset subtrees (pre-AQE prints duplicate them);
+    // the doc-scale rank windows above are the load-bearing pin
+  }
+
   test("longest dup substring: extension is per-row fold work — no product, no position explode beyond the winnow generator") {
     val p = plan("longest_dup_substring")
     p should not include "CartesianProduct"

@@ -118,4 +118,41 @@ class PerceptronSpec extends AnyFunSuite with Matchers {
     // geometric decay converges: final train errors under 5% of docs
     stats.last._2.toDouble should be < n.toDouble * 0.05
   }
+
+  test("PAVA blocks: hand-checked merges, exact rational violation tests") {
+    // already monotone: untouched, one block per bin
+    Perceptron.pavaBlocks(Seq((1L, 10L, 1L), (2L, 10L, 5L), (3L, 10L, 9L))) shouldBe
+      Seq((1L, 1L, 10L, 1L), (2L, 2L, 10L, 5L), (3L, 3L, 10L, 9L))
+    // single violation: bins 1 (4/10) and 2 (2/10) pool to 6/20
+    Perceptron.pavaBlocks(Seq((1L, 10L, 4L), (2L, 10L, 2L), (3L, 10L, 9L))) shouldBe
+      Seq((1L, 2L, 20L, 6L), (3L, 3L, 10L, 9L))
+    // cascade: pooling (2,3) to 5/20 NOW violates bin 1 (3/10) -> all pool
+    Perceptron.pavaBlocks(Seq((1L, 10L, 3L), (2L, 10L, 4L), (3L, 10L, 1L))) shouldBe
+      Seq((1L, 3L, 30L, 8L))
+    // equal rates do NOT merge (strict > violation — ties stay split)
+    Perceptron.pavaBlocks(Seq((1L, 10L, 5L), (2L, 20L, 10L))) shouldBe
+      Seq((1L, 1L, 10L, 5L), (2L, 2L, 20L, 10L))
+    // exactness: rates whose DOUBLE projections tie but whose exact
+    // rationals differ by 1 ulp-scale must still merge correctly
+    val big = 3037000499L // ~2^31.5: products stress the wide lane
+    Perceptron.pavaBlocks(Seq((1L, big, big - 1L), (2L, big, big - 2L))).length shouldBe 1
+  }
+
+  test("isotonic calibration: monotone fit, partition preserved, raw kept where already monotone") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Perceptron.isotonicCalibration(docs).orderBy("score_bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    out should not be empty
+    // same bin partition as the reliability table
+    val bins = Perceptron.reliabilityBins(docs).orderBy("score_bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(t => (t._1, t._2, t._3)).toSeq shouldBe bins.toSeq
+    // iso_ppm is monotone non-decreasing in score_bin
+    out.sliding(2).foreach { case Array(a, b) => a._5 should be <= b._5; case _ => }
+    // within a block all bins share the pooled rate; single-bin blocks keep raw
+    out.groupBy(_._6).values.foreach { blk =>
+      blk.map(_._5).distinct.length shouldBe 1
+      if (blk.length == 1) blk.head._5 shouldBe blk.head._4
+    }
+  }
 }
