@@ -168,6 +168,41 @@ class WinnowSpec extends AnyFunSuite with Matchers {
     out((3L, 4L))._1.toInt shouldBe lcsLen(docC, docD)
   }
 
+  test("longest dup substring: randomized differential vs the O(nm) LCS on planted corpora") {
+    val rnd = new scala.util.Random(1234)
+    def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    for (trial <- 1 to 8) {
+      // 3 doc pairs per trial: each plants a shared span of 100..220
+      // chars (long enough that MinShared fingerprints are certain) at
+      // random offsets, digit-sentinel-wrapped against accidental
+      // boundary extension; one extra pair shares nothing
+      val planted = (0 until 3).map { i =>
+        val span = noise(100 + rnd.nextInt(121))
+        val a = noise(5 + rnd.nextInt(120)) + "0" + span + "1" + noise(5 + rnd.nextInt(120))
+        val b = noise(5 + rnd.nextInt(120)) + "2" + span + "3" + noise(5 + rnd.nextInt(120))
+        (2L * i, a, 2L * i + 1, b)
+      }
+      val rows = planted.flatMap { case (ia, a, ib, b) => Seq((ia, a), (ib, b)) } ++
+        Seq((100L, noise(300)), (101L, noise(300)))
+      val docs = rows.toDF("doc_id", "text")
+      val out = Winnow.longestDupSubstrings(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("match_len"), r.getAs[String]("dup_text"))).toMap
+      val texts = rows.toMap
+      withClue(s"trial $trial: ") {
+        // every planted pair found, at the EXACT O(nm) LCS length
+        planted.foreach { case (ia, a, ib, b) =>
+          val (len, sub) = out((ia, ib))
+          len.toInt shouldBe lcsLen(a, b)
+          a should include(sub)
+          b should include(sub)
+          sub.length shouldBe len.toInt
+        }
+        // nothing invented: every emitted pair is a planted pair
+        out.keySet.foreach { case (x, y) => (x / 2) shouldBe (y / 2) }
+      }
+    }
+  }
+
   test("longest dup substring: sub-guarantee matches are dropped, not misreported") {
     val rnd = new scala.util.Random(9)
     def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
