@@ -113,7 +113,17 @@ object Bench {
       // stage) and the bounded-state exact percentile; min-of-5 ad-hoc
       "blocklist_match_stats" -> 0.88, "percentile_exact_twopass" -> 0.90,
       // r13: WordPiece greedy inference (trie in the map stage)
-      "wordpiece_stats" -> 1.06)
+      "wordpiece_stats" -> 1.06,
+      // r15 promotions, min over the two merged builder-close runs:
+      // the reworked unigram apply (the 5.0->3.3 claim needs driver
+      // trend evidence), the new exact-substring operator, and the
+      // stride-scheduled curriculum order
+      "unigram_tokenize_stats" -> 3.29, "longest_dup_substring" -> 3.10,
+      "curriculum_interleave" -> 0.72,
+      // r15 from-saved round-trips + isotonic (FULL-mode ordering)
+      "unigram_tokenize_from_saved" -> 4.35, "bpe_tokenize_from_saved" -> 2.71,
+      "perceptron_confusion_from_saved" -> 4.47,
+      "perceptron_isotonic_calibration" -> 3.60, "ann_ivf_from_saved" -> 1.50)
     // r14 (verdict item 1): the headline set grew to 60 queries and the
     // r13 driver run degraded to ONE pass per query — single-pass
     // numbers on a contended host are noise (r13 read as a 2.4×
@@ -144,7 +154,11 @@ object Bench {
       // most need multi-pass evidence, plus the r12 probe-fix twin)
       "graph_pagerank_parts", "ccnet_perplexity_buckets", "hybrid_search_rrf",
       "assoc_rules_lift", "skew_join_preagg", "winnow_fingerprint_stats",
-      "wordpiece_stats")
+      "wordpiece_stats",
+      // r15 trend-bearers: the unigram apply rework's 5.0->3.3 claim
+      // and the new exact-substring operator (its first trend round)
+      "unigram_tokenize_stats", "longest_dup_substring",
+      "curriculum_interleave")
     val fullHeadline = sys.env.get("SPARK_GRAFT_BENCH_FULL").exists(_ == "1")
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query

@@ -976,6 +976,7 @@ object Ann {
       "ann_ivf_from_saved",
       (s, dir) => ivfTopKFromSaved(s, dir, k = 3).orderBy("q_id", "rank"),
       Some(duckIvfTrained(iters = 3, m = 16, nprobe = 2, k = 3, nQueries = 50)),
+      headline = true,
     ),
     // nprobe/probe-count → recall@k calibration vs the exact top-k
     // (r13 verdict item 4): the oracle recomputes every curve point.

@@ -412,6 +412,7 @@ object Bpe {
       "bpe_tokenize_from_saved",
       (s, dir) => tokenizeStatsFromSaved(s, dir).orderBy("doc_id"),
       Some(duckTokenizeStats(DefaultMerges)),
+      headline = true,
     ),
   )
 

@@ -475,6 +475,7 @@ object Perceptron {
       "perceptron_confusion_from_saved",
       (s, dir) => confusionFromSaved(s, dir).orderBy("y", "pred"),
       Some(confusionOracle(Rounds)),
+      headline = true,
     ),
     // Monotone calibration of the reliability curve — both engines
     // replay the identical exact-rational PAVA merge sequence.
@@ -482,6 +483,7 @@ object Perceptron {
       "perceptron_isotonic_calibration",
       (s, dir) => isotonicCalibration(Tables.documents(s, dir)).orderBy("score_bin"),
       Some(isotonicOracle(Rounds)),
+      headline = true,
     ),
   )
 }

@@ -518,6 +518,7 @@ object Unigram {
       "unigram_tokenize_from_saved",
       (s, dir) => tokenizeStatsFromSaved(s, dir).orderBy("doc_id"),
       Some(duckTokenizeStats(Rounds)),
+      headline = true,
     ),
   )
 }
