@@ -117,6 +117,16 @@ object Perceptron {
     */
   def learn(docs: DataFrame, rounds: Int = Rounds): (Seq[(Long, Long, Long, Long)], Array[Long]) = {
     val (feat, free) = Checkpoints.localEager(featurized(docs))
+    try learnOn(feat, rounds)
+    finally free()
+  }
+
+  /** The round loop over an ALREADY-pinned feature relation — shared by
+    * [[learn]] and the apply queries, which score the same pin instead
+    * of re-featurizing the corpus (two doc-keyed aggregations saved per
+    * apply).
+    */
+  private def learnOn(feat: DataFrame, rounds: Int): (Seq[(Long, Long, Long, Long)], Array[Long]) = {
     val w = Array.fill(Buckets + 1)(0L)
     val stats = ListBuffer.empty[(Long, Long, Long, Long)]
     for (r <- 1 to rounds) {
@@ -139,7 +149,6 @@ object Perceptron {
       gathered.foreach(row => w(row.getLong(0).toInt) += row.getLong(1) * scale)
       stats += ((r.toLong, errors, w.map(math.abs).sum, w.count(_ != 0).toLong))
     }
-    free()
     (stats.toList, w)
   }
 
@@ -155,12 +164,19 @@ object Perceptron {
     * pipeline checks before sweeping a corpus with the learned filter.
     */
   def confusion(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
-    val (_, w) = learn(docs, rounds)
-    featurized(docs)
-      .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
-      .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
-      .orderBy("y", "pred")
+    // learn and score share ONE pinned feature relation (r15 — the
+    // apply used to re-featurize the corpus it had just featurized);
+    // the 4-cell output pins eagerly so the pin can release.
+    val (feat, free) = Checkpoints.localEager(featurized(docs))
+    val (_, w) = learnOn(feat, rounds)
+    val (out, _) = Checkpoints.localEager(
+      feat
+        .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
+        .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+        .orderBy("y", "pred"))
+    free()
+    out
   }
 
   /** Reliability (calibration) bins for the learned scores — does a
@@ -177,19 +193,23 @@ object Perceptron {
     * map-side combined, bin-cardinality output.
     */
   def reliabilityBins(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
-    val (_, w) = learn(docs, rounds)
-    featurized(docs)
-      .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
-      .groupBy((when(col("score") >= 0, 1L).otherwise(-1L) *
-        expr(s"abs(score) div $ReliabilityBinWidth")).as("score_bin"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
-        min(col("score")).as("min_score"),
-        max(col("score")).as("max_score"))
-      .select(col("score_bin"), col("n_docs"), col("n_pos"),
-        expr("(1000000 * n_pos) div greatest(n_docs, 1)").as("pos_ppm"),
-        col("min_score"), col("max_score"))
+    val (feat, free) = Checkpoints.localEager(featurized(docs))
+    val (_, w) = learnOn(feat, rounds)
+    val (out, _) = Checkpoints.localEager(
+      feat
+        .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
+        .groupBy((when(col("score") >= 0, 1L).otherwise(-1L) *
+          expr(s"abs(score) div $ReliabilityBinWidth")).as("score_bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .select(col("score_bin"), col("n_docs"), col("n_pos"),
+          expr("(1000000 * n_pos) div greatest(n_docs, 1)").as("pos_ppm"),
+          col("min_score"), col("max_score")))
+    free()
+    out
   }
 
   /** Reliability bin width (score units). */
@@ -328,7 +348,8 @@ object Perceptron {
     */
   def confusionFromSaved(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val (_, w) = learn(docs)
+    val (feat, free) = Checkpoints.localEager(featurized(docs))
+    val (_, w) = learnOn(feat, Rounds)
     import spark.implicits._
     val loadedRows = graft.models.ModelStore.roundTrip(
         w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }.toDF("b", "wv"),
@@ -336,10 +357,14 @@ object Perceptron {
       .collect()
     val wLoaded = Array.fill(Buckets + 1)(0L)
     loadedRows.foreach(r => wLoaded(r.getLong(0).toInt) = r.getLong(1))
-    featurized(docs)
-      .select(col("y"), scoreCol(wArrayLit(wLoaded), col("feats")).as("score"))
-      .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+    val (out, _) = Checkpoints.localEager(
+      feat
+        .select(col("y"), scoreCol(wArrayLit(wLoaded), col("feats")).as("score"))
+        .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+        .orderBy("y", "pred"))
+    free()
+    out
   }
 
   private var sinkCounter = 0
@@ -356,6 +381,29 @@ object Perceptron {
     */
   def runStreamingConfusion(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val (_, w) = learn(Tables.documents(spark, sfDir))
+    streamConfusion(spark, sfDir, w)
+  }
+
+  /** Streaming sweep from the PERSISTED artifact — the full deployment
+    * loop in one gate: train batch-side, write the weights to parquet,
+    * RELOAD them, and sweep the document stream with the LOADED model
+    * (the [[runStreamingConfusion]] map-side fold). Same oracle as the
+    * batch confusion — persistence and streaming composed lose nothing.
+    */
+  def runStreamingConfusionFromSaved(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val (_, w0) = learn(Tables.documents(spark, sfDir))
+    import spark.implicits._
+    val loadedRows = graft.models.ModelStore.roundTrip(
+        w0.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }.toDF("b", "wv"),
+        graft.models.ModelStore.path("perceptron_weights", sfDir))
+      .collect()
+    val w = Array.fill(Buckets + 1)(0L)
+    loadedRows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    streamConfusion(spark, sfDir, w)
+  }
+
+  private def streamConfusion(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String, w: Array[Long]): DataFrame = {
     val bias = w(Buckets) * BiasValue
     val wArr = wArrayLit(w)
     val src = graft.sources.StreamingSources.docSource(spark, sfDir)
@@ -484,6 +532,13 @@ object Perceptron {
       (s, dir) => isotonicCalibration(Tables.documents(s, dir)).orderBy("score_bin"),
       Some(isotonicOracle(Rounds)),
       headline = true,
+    ),
+    // Persistence x streaming composed: the stream sweeps the RELOADED
+    // weight artifact — must equal the batch confusion (same oracle).
+    EngineQuery(
+      "streaming_perceptron_from_saved",
+      (s, dir) => runStreamingConfusionFromSaved(s, dir).orderBy("y", "pred"),
+      Some(confusionOracle(Rounds)),
     ),
   )
 }
