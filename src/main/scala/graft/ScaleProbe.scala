@@ -216,7 +216,12 @@ object ScaleProbe {
     // r15: the curriculum interleave claims NO single-partition window
     // — both rank passes are bucket-decomposed — so its ratio must
     // track shuffle_order's pure-scan shape.
-    "curriculum_interleave")
+    "curriculum_interleave",
+    // r15: the perceptual-hash media dedup claims banded candidates
+    // with a per-band cap — rotation shifts stripe parities, so probe
+    // copies land in different bands and the ratio must track the
+    // simhash_neardup_pairs shape, never an all-pairs scan.
+    "media_phash_neardup")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -120,6 +120,83 @@ object Multimodal {
         col("frame_idx").cast("long").as("frame_idx"),
         length(col("frame")).cast("long").as("frame_len"))
 
+  /** A perceptual-hash signature as four 16-bit band lanes. */
+  final case class MediaPHash(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Blockhash-style perceptual signature of a media payload — the
+    * image-dedup shape (Yang et al.'s Blockhash / pHash family): the
+    * payload is cut into 64 equal stripes and bit i is a parity
+    * statistic of stripe i, so a LOCAL edit flips only its stripe's
+    * bit and near-identical payloads land within a small Hamming
+    * distance. Like [[FakeDecoder]], the pixel statistic is a stub
+    * (code-point sums per stripe — this container has no image libs);
+    * a real deployment swaps in block mean luminance inside the SAME
+    * mapPartitions batch. Stripe assignment, parity, band packing, and
+    * the downstream Manku band join are the real, tested plumbing.
+    */
+  def extractPHash(media: DataFrame): Dataset[MediaPHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "data", "source").as[MediaRow]
+      .mapPartitions { rows =>
+        // codec handle would be opened here, once per partition
+        rows.flatMap { r =>
+          val cps = new String(r.data, java.nio.charset.StandardCharsets.UTF_8)
+            .codePoints().toArray
+          if (cps.isEmpty) None
+          else {
+            val sums = new Array[Long](64)
+            var p = 0
+            while (p < cps.length) {
+              sums((p.toLong * 64 / cps.length).toInt) += cps(p); p += 1
+            }
+            val bands = new Array[Long](4)
+            var i = 0
+            while (i < 64) {
+              bands(i / 16) |= (sums(i) % 2) << (i % 16); i += 1
+            }
+            Some(MediaPHash(r.doc_id, bands(0), bands(1), bands(2), bands(3)))
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate media pairs by perceptual hash: 4 bands × 16 bits —
+    * by pigeonhole any two signatures within Hamming distance 3 share a
+    * full band, so the all-pairs scan becomes a band equi-join with the
+    * [[graft.dedup.Dedup.simhashNearDupPairs]] Manku shape (per-band
+    * candidate cap, integer-lane `bit_count` verify). This is the
+    * 100 TB image-dedup plan: one decode pass, one banded equi-join,
+    * never an all-pairs distance scan.
+    */
+  def phashNearDupPairs(
+      media: DataFrame, maxHamming: Int = 3, maxBandSize: Int = 100): DataFrame = {
+    // Pin the signatures so the DECODE genuinely runs once — the cap
+    // window and both join sides otherwise re-run the mapPartitions
+    // pass (with a real codec, the expensive part); 5 longs per doc,
+    // left pinned for the caller's action (the winnow-index convention).
+    val sigs = extractPHash(media).toDF().localCheckpoint(true)
+    val bands = sigs.select(
+      col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val capped = graft.dedup.Dedup.capByKey(bands, Seq("band_idx", "band_val"), maxBandSize)
+    def side(s: String) = capped.select(
+      Seq(col("doc_id").as(s"doc_$s"), col("band_idx"), col("band_val")) ++
+        (0 until 4).map(b => col(s"b$b").as(s"b$b$s")): _*)
+    val hamming = (0 until 4)
+      .map(b => expr(s"bit_count(b$b" + s"a ^ b$b" + "b)").cast("long"))
+      .reduce(_ + _)
+    side("a").join(side("b"), Seq("band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select((Seq(col("doc_a"), col("doc_b")) ++
+        (0 until 4).flatMap(b => Seq(col(s"b${b}a"), col(s"b${b}b")))): _*)
+      .distinct()
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   def engineQueries: Seq[EngineQuery] = Seq(
     // Frame-sample metadata, verified against arithmetic chunking.
     EngineQuery(
@@ -162,6 +239,59 @@ object Multimodal {
              |  64 + (octet_length(encode(text)) * 7) % 448 AS height,
              |  1 + octet_length(encode(text)) % 30 AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    // Perceptual-hash near-dup: the stripe/parity/band arithmetic of
+    // the mapPartitions signature replicated per code point in SQL,
+    // missing bands completed to 0, the same cap + band join + Hamming
+    // verify — end-to-end independent replay.
+    EngineQuery(
+      "media_phash_neardup",
+      (s, dir) =>
+        phashNearDupPairs(asMediaTable(Tables.documents(s, dir)))
+          .orderBy("doc_a", "doc_b"),
+      Some {
+        val pivots = (0 until 4)
+          .map(b => s"max(CASE WHEN band_idx = $b THEN band_val END) AS b$b")
+          .mkString(", ")
+        val hamming = (0 until 4)
+          .map(b => s"bit_count(xor(a.b$b, b.b$b))")
+          .mkString(" + ")
+        s"""WITH cps AS (
+           |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+           |    ord(substr(text, CAST(p AS INT), 1)) AS v,
+           |    CAST(length(text) AS BIGINT) AS n
+           |  FROM documents, unnest(generate_series(1, length(text))) g(p)
+           |  WHERE length(text) > 0),
+           |stripes AS (
+           |  SELECT doc_id, ((p - 1) * 64) // n AS stripe,
+           |    CAST(sum(v) AS BIGINT) AS sv
+           |  FROM cps GROUP BY doc_id, ((p - 1) * 64) // n),
+           |bands0 AS (
+           |  SELECT doc_id, CAST(stripe // 16 AS BIGINT) AS band_idx,
+           |    CAST(sum((sv % 2) << (stripe % 16)) AS BIGINT) AS band_val
+           |  FROM stripes GROUP BY doc_id, stripe // 16),
+           |b4 AS (
+           |  SELECT DISTINCT doc_id, b AS band_idx
+           |  FROM stripes, unnest(generate_series(0, 3)) g(b)),
+           |bands AS (
+           |  SELECT b4.doc_id, b4.band_idx,
+           |    coalesce(bands0.band_val, 0) AS band_val
+           |  FROM b4 LEFT JOIN bands0 USING (doc_id, band_idx)),
+           |sig AS (SELECT doc_id, $pivots FROM bands GROUP BY doc_id),
+           |kept AS (SELECT band_idx, band_val FROM bands
+           |  GROUP BY 1, 2 HAVING count(*) <= 100),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+           |  JOIN kept k ON x.band_idx = k.band_idx AND x.band_val = k.band_val
+           |  WHERE x.doc_id < y.doc_id)
+           |SELECT c.doc_a, c.doc_b, CAST($hamming AS BIGINT) AS hamming
+           |FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+           |JOIN sig b ON b.doc_id = c.doc_b
+           |WHERE $hamming <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
     ),
     // The mapPartitions resize path: decode → fit-within-224 integer
     // resample, both stub arithmetics replicated exactly in SQL.

@@ -215,6 +215,21 @@ object Perceptron {
   /** Reliability bin width (score units). */
   val ReliabilityBinWidth = 262144L
 
+  /** The raw scoring-plan text `PlanAuditSpec` pins (featurize →
+    * literal-weight-array fold → bin aggregate, UNpinned): the gate
+    * queries return eagerly-pinned small outputs (the r15 shared-
+    * featurization rework), which hides this subtree from their plans.
+    */
+  private[graft] def scoredBinsPlanForAudit(docs: DataFrame): String = {
+    val w = Array.fill(Buckets + 1)(1L)
+    featurized(docs)
+      .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
+      .groupBy((when(col("score") >= 0, 1L).otherwise(-1L) *
+        expr(s"abs(score) div $ReliabilityBinWidth")).as("score_bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .queryExecution.executedPlan.toString
+  }
+
   /** Isotonic calibration of the reliability curve (pool-adjacent-
     * violators): the monotone-non-decreasing positive-rate fit over the
     * score bins — the standard step from "margin orders quality" to

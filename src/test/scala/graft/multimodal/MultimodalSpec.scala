@@ -23,4 +23,44 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val bytes = Multimodal.asMediaTable(docs).collect()(0).getAs[Array[Byte]]("data")
     new String(bytes, "UTF-8") shouldBe "héllo"
   }
+
+  /** Reference parity blockhash — the stub's definition, recomputed. */
+  private def refBands(s: String): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    val sums = new Array[Long](64)
+    cps.indices.foreach(p => sums((p.toLong * 64 / cps.length).toInt) += cps(p))
+    (0 until 4).map(b =>
+      (0 until 16).map(k => (sums(16 * b + k) % 2) << k).sum)
+  }
+
+  test("perceptual hash matches the stripe-parity definition; empty payloads drop") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s"),
+      (2L, "x", "s"),
+      (3L, "", "s"),
+    ).toDF("doc_id", "text", "source")
+    val sigs = Multimodal.extractPHash(Multimodal.asMediaTable(docs))
+      .collect().map(m => m.doc_id -> Seq(m.b0, m.b1, m.b2, m.b3)).toMap
+    sigs.keySet shouldBe Set(1L, 2L) // empty payload emits nothing
+    sigs(1L) shouldBe refBands("the quick brown fox jumps over the lazy dog")
+    sigs(2L) shouldBe refBands("x")
+  }
+
+  test("phash near-dup: identical payloads pair at hamming 0; a one-char edit stays within 1 bit") {
+    val rnd = new scala.util.Random(5)
+    def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val base = noise(256)
+    // flip one char's parity (+1 code point) — exactly one stripe sum
+    // changes parity, so Hamming(base, edited) <= 1
+    val edited = base.updated(100, (base(100) + 1).toChar)
+    val docs = Seq(
+      (1L, base, "s"), (2L, base, "s"), (3L, edited, "s"),
+      (4L, noise(300), "s"),
+    ).toDF("doc_id", "text", "source")
+    val pairs = Multimodal.phashNearDupPairs(Multimodal.asMediaTable(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs((1L, 2L)) shouldBe 0L
+    pairs((1L, 3L)) should be <= 1L
+    pairs((2L, 3L)) should be <= 1L
+  }
 }

@@ -1201,6 +1201,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     plan("ann_ivf_trained_topk") should include("Scan ExistingRDD")
   }
 
+  test("media phash neardup: banded equi-join, Hamming rides the join — no product, no second join pass") {
+    val p = plan("media_phash_neardup")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // signatures join once on (band_idx, band_val); the Hamming verify
+    // is a projection over lanes already on the joined row
+    "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).size should be <= 2 // self-join prints both sides pre-AQE
+  }
+
   test("curriculum interleave: both rank windows are bucket-partitioned; single-partition work is source/bucket-cardinality only") {
     val p = plan("curriculum_interleave")
     p should not include "CartesianProduct"
@@ -1292,9 +1301,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
   }
 
   test("perceptron reliability: margins fold in the map stage — the weights never join") {
-    val p = plan("perceptron_reliability")
-    // the only exchanges belong to the featurization (doc-keyed) and
-    // the bin aggregate — no bucket-keyed weight join anywhere
+    // r15: the gate query now returns the eagerly-pinned bin table (the
+    // shared-featurization rework), so the returned plan is a
+    // checkpoint scan; the weights-never-join property is pinned on the
+    // SCORING plan itself — featurized + literal-array fold + bin
+    // aggregate: its only exchanges are doc-keyed featurization and the
+    // bin aggregate, no bucket-keyed weight join anywhere
+    plan("perceptron_reliability") should include("Scan ExistingRDD")
+    val docs = Tables.documents(spark, sfDir)
+    val p = graft.text.Perceptron.scoredBinsPlanForAudit(docs)
+    // the joins in this plan are the featurization's doc-keyed attach
+    // only; no bucket-keyed exchange = the weights never join
     "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
       .map(_.group(1)).toSet shouldBe Set("doc_id", "_groupingexpression")
   }
