@@ -129,15 +129,19 @@ object Bench {
     // numbers on a contended host are noise (r13 read as a 2.4×
     // regression that took a judge min-of-5 rerun to disprove). The
     // driver-default run is therefore PRUNED to the trend-bearing
-    // subset: every query of the r8 shared-26 baseline basis plus the
-    // handful of newer queries whose round-over-round trend carries the
-    // perf evidence (incl. graph_pagerank_parts and friends — exactly
-    // the expensive readings r13's contention inflated). ~55s idle per
-    // pass leaves room for ≥3 opportunistic passes inside the 540s
-    // deadline even at the documented 2× host swing. The full headline
-    // set stays benchable: SPARK_GRAFT_BENCH_FULL=1 (the builder-close
-    // min-of-5 artifact runs that way), and demoted queries keep their
-    // headline flag so FULL mode is exactly the old driver set.
+    // subset. r16 (verdict item 1 again): the r15 set had crept back to
+    // 39 queries (incl. the 12.6s-contended longest_dup_substring) and
+    // the driver got only 2 passes/query — the same process defect in
+    // mild form. The r16 set is exactly the r8 shared-26 baseline basis
+    // (29 queries, the round-over-round comparable core) plus the TWO
+    // standing watch items: graph_pagerank_parts (#1 steady cost since
+    // r11) and hybrid_search_rrf (r15 drift adjudication). ~47s idle
+    // per pass ⇒ warm + 3 measured passes ≈ 190s idle, inside the 540s
+    // deadline even at the documented ~2.5× host swing. Everything
+    // demoted (training-heavy unigram/bpe-from-saved, the 20s-cold
+    // longest_dup_substring, the stable small queries) keeps its
+    // headline flag: SPARK_GRAFT_BENCH_FULL=1 runs the complete set and
+    // the builder-close min-over-passes artifact is produced that way.
     val trendSet: Set[String] = Set(
       // the r8/r10 shared trend basis (BASELINE.md trend rows)
       "salted_group_count", "events_hourly_rollup", "range_join_value_bands",
@@ -150,15 +154,8 @@ object Bench {
       "gopher_repetition_ngrams", "line_dedup_corpus", "substring_dup_stats",
       "semdedup_prune", "neardup_components", "skew_join_hot_key",
       "bloom_semi_join_pruned", "curated_corpus",
-      // newer trend-bearers (the r13 contention-inflated readings that
-      // most need multi-pass evidence, plus the r12 probe-fix twin)
-      "graph_pagerank_parts", "ccnet_perplexity_buckets", "hybrid_search_rrf",
-      "assoc_rules_lift", "skew_join_preagg", "winnow_fingerprint_stats",
-      "wordpiece_stats",
-      // r15 trend-bearers: the unigram apply rework's 5.0->3.3 claim
-      // and the new exact-substring operator (its first trend round)
-      "unigram_tokenize_stats", "longest_dup_substring",
-      "curriculum_interleave")
+      // the two standing watch items (r15 verdict items 4 and 6)
+      "graph_pagerank_parts", "hybrid_search_rrf")
     val fullHeadline = sys.env.get("SPARK_GRAFT_BENCH_FULL").exists(_ == "1")
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
@@ -195,7 +192,12 @@ object Bench {
     // Maps are concurrent because the shutdown hook reads them from a
     // different thread while the main loop may still be writing.
     val bestSec = new java.util.concurrent.ConcurrentHashMap[String, Double]()
-    val allRuns = new java.util.concurrent.ConcurrentHashMap[String, Seq[Double]]()
+    // Per pass: (wall seconds, host 1-min load average sampled at pass
+    // start). load1 travels WITH the pass in the runs map (r15 verdict
+    // item: the close-artifact note claimed per-pass load1 but the runs
+    // arrays were plain floats) — identical stage metrics + high load1
+    // make a contended reading self-evident from the artifact alone.
+    val allRuns = new java.util.concurrent.ConcurrentHashMap[String, Seq[(Double, Double)]]()
     // The artifact line, buildable at ANY point of the run. Queries not
     // yet measured carry the -1 sentinel. `partial` marks snapshots so
     // a truncated run is honest about being truncated.
@@ -217,7 +219,9 @@ object Bench {
         if (partial || !multiPass || !includeRuns) ""
         else ",\"runs\":" + order.map { n =>
           val rs = Option(allRuns.get(n)).getOrElse(Seq.empty)
-          "\"" + n + "\":" + rs.map(fmt).mkString("[", ",", "]")
+          "\"" + n + "\":" + rs.map { case (sec, load) =>
+            s"""{"sec":${fmt(sec)},"load1":${fmt(load)}}"""
+          }.mkString("[", ",", "]")
         }.mkString("{", ",", "}")
       val failed = order.filter(best(_) < 0).map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = order.map(best).filter(_ >= 0).sum
@@ -399,7 +403,7 @@ object Bench {
         val src = scala.io.Source.fromFile("/proc/loadavg")
         try src.getLines().next().split("\\s+")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
-    def measuredPass(q: EngineQuery): Double = {
+    def measuredPass(q: EngineQuery): (Double, Double) = {
       profiler.reset(sc)
       val load = loadAvg1
       // A failed query records sentinel -1, never a bogus partial time.
@@ -416,7 +420,7 @@ object Bench {
           }
       passMetrics.merge(q.name, Seq((sec, profiler.snapshot(sc), load)),
         (olds: Seq[(Double, Seq[(String, Long)], Double)], news: Seq[(Double, Seq[(String, Long)], Double)]) => olds ++ news)
-      sec
+      (sec, load)
     }
     // INTERLEAVED warm-up (r9 item 4): warm → measure → snapshot per
     // query, never a warm-all-queries-first sweep. On the contended r9
@@ -435,8 +439,8 @@ object Bench {
       if (elapsedSec < deadlineSec * 0.6 && !pastDeadline)
         try runOnce(q, budgetCap = Some(warmupCapSec)) catch { case _: Throwable => () }
       val runs = (1 to passes).map(_ => measuredPass(q))
-      val ok = runs.filter(_ >= 0)
-      val best = if (ok.nonEmpty) ok.min else runs.head
+      val ok = runs.map(_._1).filter(_ >= 0)
+      val best = if (ok.nonEmpty) ok.min else runs.head._1
       // Publish as soon as this query finishes: a kill mid-bench still
       // reports every completed query via the shutdown hook.
       bestSec.put(q.name, best)
@@ -474,7 +478,7 @@ object Bench {
     val failCount = new java.util.concurrent.ConcurrentHashMap[String, Int]()
     headline.foreach { q =>
       val runs = Option(allRuns.get(q.name)).getOrElse(Seq.empty)
-      val fails = runs.count(_ < 0)
+      val fails = runs.count(_._1 < 0)
       if (fails > 0) failCount.put(q.name, fails)
     }
     var extraPass = passes
@@ -499,9 +503,9 @@ object Bench {
         if (fails < 3 && elapsedSec + estSec + 5 < deadlineSec * 0.85) {
           // measuredPass, not bare runOnce: re-runs carry stage metrics
           // too, so every entry of the runs map has a per-pass record.
-          val sec = measuredPass(q)
-          allRuns.merge(q.name, Seq(sec),
-            (olds: Seq[Double], news: Seq[Double]) => olds ++ news)
+          val (sec, load) = measuredPass(q)
+          allRuns.merge(q.name, Seq((sec, load)),
+            (olds: Seq[(Double, Double)], news: Seq[(Double, Double)]) => olds ++ news)
           if (sec >= 0) {
             lastSec.put(q.name, sec)
             if (b < 0 || sec < b) bestSec.put(q.name, sec)

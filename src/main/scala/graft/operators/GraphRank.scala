@@ -96,8 +96,21 @@ object GraphRank {
     *
     * `edges0` need not be distinct: the pipeline dedups after the
     * repartition. [[topByPagerank]] feeds the raw expansion stream.
+    *
+    * `symmetric = true` (r16): on a graph that carries BOTH directions
+    * of every edge — the co-purchase graph does by construction —
+    * every node has at least one in-edge, so the per-iteration
+    * `nodes LEFT JOIN contribs` (whose only job is keeping
+    * zero-in-degree nodes alive) never fires its null branch and is
+    * dropped entirely, along with the node-table materialization; and
+    * iteration 1's join against the CONSTANT pr₀ = Scale is fused into
+    * a plain aggregate over the edge relation. Two of the three
+    * per-iteration stages and one pinned table disappear; results are
+    * bit-identical (the oracle's left-join replay agrees because `s`
+    * is never NULL). Measured at sf0.1: 3.87s → ~2.4s idle min-of-5.
+    * The general (possibly asymmetric) path is unchanged.
     */
-  def pagerank(edges0: DataFrame, iters: Int): DataFrame = {
+  def pagerank(edges0: DataFrame, iters: Int, symmetric: Boolean = false): DataFrame = {
     val shuffleParts = edges0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val withDeg = edges0
       .repartition(shuffleParts, col("src"))
@@ -107,29 +120,53 @@ object GraphRank {
     val (edges, releaseEdges) =
       org.apache.spark.sql.graftplan.PartitionedCheckpoint.localEagerDeclared(
         withDeg, Seq("src"), shuffleParts, sortedByKeys = true)
-    val (nodes, releaseNodes) = graft.Checkpoints.localEager(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct())
-    var pr = nodes.withColumn("pr", lit(Scale))
-    (1 to iters).foreach { _ =>
-      val contribs = edges
-        .join(pr.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
-        .groupBy("node")
-        .agg(sum("c").as("s"))
-      pr = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(15L * Scale / 100L) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
-    }
-    val (pinned, _) = graft.Checkpoints.localEager(pr)
-    releaseEdges(); releaseNodes()
-    pinned
+    val pr =
+      if (symmetric && iters >= 1) {
+        // iteration 1 fused: pr0 ≡ Scale, so contrib(src) = Scale div outdeg
+        var cur = edges
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr(s"$Scale div outdeg")).as("s"))
+          .select(col("node"),
+            (lit(15L * Scale / 100L) + expr("(85 * s) div 100")).as("pr"))
+        (2 to iters).foreach { _ =>
+          cur = edges
+            .join(cur.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+            .groupBy("node").agg(sum("c").as("s"))
+            .select(col("node"),
+              (lit(15L * Scale / 100L) + expr("(85 * s) div 100")).as("pr"))
+        }
+        val (pinned, _) = graft.Checkpoints.localEager(cur)
+        releaseEdges()
+        pinned
+      } else {
+        val (nodes, releaseNodes) = graft.Checkpoints.localEager(
+          edges.select(col("src").as("node"))
+            .union(edges.select(col("dst").as("node"))).distinct())
+        var cur = nodes.withColumn("pr", lit(Scale))
+        (1 to iters).foreach { _ =>
+          val contribs = edges
+            .join(cur.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+            .groupBy("node")
+            .agg(sum("c").as("s"))
+          cur = nodes
+            .join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(15L * Scale / 100L) + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+        }
+        val (pinned, _) = graft.Checkpoints.localEager(cur)
+        releaseEdges(); releaseNodes()
+        pinned
+      }
+    pr
   }
 
-  /** Top-k parts by 3-iteration PageRank over the co-purchase graph. */
+  /** Top-k parts by 3-iteration PageRank over the co-purchase graph
+    * (symmetric by construction — both directions emitted).
+    */
   def topByPagerank(lineitem: DataFrame, k: Int): DataFrame =
-    pagerank(rawCoPurchasePairs(lineitem), iters = 3)
+    pagerank(rawCoPurchasePairs(lineitem), iters = 3, symmetric = true)
       .orderBy(col("pr").desc, col("node"))
       .limit(k)
       .select(col("node").as("part_key"), col("pr").as("pr_scaled"))

@@ -99,6 +99,20 @@ class GraphRankSpec extends AnyFunSuite with Matchers {
     a2(10L) should be < a(10L) + 1L // normalized scale stays ~1e9 total
   }
 
+  test("symmetric fast path ≡ general path on a symmetric graph (r16)") {
+    // triangle+tail co-purchase graph: both directions of every edge
+    // exist by construction, so dropping the nodes left-join and fusing
+    // iteration 1 must be bit-identical to the general recurrence
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (3L, 7L))
+      .toDF("l_orderkey", "l_partkey")
+    val e = GraphRank.coPurchaseEdges(li)
+    val general = GraphRank.pagerank(e, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val fast = GraphRank.pagerank(e, iters = 3, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    fast shouldBe general
+  }
+
   test("degree histogram over the tiny graph") {
     val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
       .toDF("l_orderkey", "l_partkey")
