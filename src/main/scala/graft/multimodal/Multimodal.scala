@@ -197,6 +197,44 @@ object Multimodal {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Deterministic near-dup media cohort (r16, the `paragraph_dedup`
+    * boilerplate-cohort convention): for every document with
+    * `doc_id % 97 == 0` whose first character is an ASCII lowercase
+    * letter (a..y — so the +1 twin stays ASCII in both engines), inject
+    * a twin row (`doc_id + 100000000`) whose first code point is
+    * incremented by ONE. That is a same-length local edit: stripe
+    * boundaries don't move, exactly stripe 0's code-point sum changes
+    * parity, so the twin's signature differs from the original's in
+    * exactly ONE bit — a guaranteed Hamming-1 pair through the band
+    * join and the `bit_count` verify. Without the cohort the gate
+    * passed on 0 = 0 rows at sf0.01 (agreement on empty — the r15
+    * verdict's one weak-evidence operator); with it the positive path
+    * — band equi-join, per-band cap survival, Hamming arithmetic —
+    * is exercised at every gate SF.
+    */
+  def withNearDupMediaCohort(docs: DataFrame): DataFrame = {
+    val cohort = docs
+      .where(col("doc_id") % 97 === 0 && ascii(col("text")).between(97, 121))
+      .select(
+        (col("doc_id") + 100000000L).as("doc_id"),
+        concat(expr("char(ascii(text) + 1)"), expr("substring(text, 2)")).as("text"),
+        col("source"))
+    docs.select("doc_id", "text", "source").unionAll(cohort)
+  }
+
+  /** [[withNearDupMediaCohort]] mirrored in DuckDB — a CTE ending in
+    * `media_docs(doc_id, text)`.
+    */
+  private val duckNearDupMediaDocs =
+    """media_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000000 AS doc_id,
+      |    chr(ord(substr(text, 1, 1)) + 1) || substr(text, 2) AS text
+      |  FROM documents
+      |  WHERE doc_id % 97 = 0
+      |    AND ord(substr(text, 1, 1)) BETWEEN 97 AND 121)""".stripMargin
+
   def engineQueries: Seq[EngineQuery] = Seq(
     // Frame-sample metadata, verified against arithmetic chunking.
     EngineQuery(
@@ -243,11 +281,14 @@ object Multimodal {
     // Perceptual-hash near-dup: the stripe/parity/band arithmetic of
     // the mapPartitions signature replicated per code point in SQL,
     // missing bands completed to 0, the same cap + band join + Hamming
-    // verify — end-to-end independent replay.
+    // verify — end-to-end independent replay. The injected Hamming-1
+    // twin cohort guarantees the gate emits pairs at every SF (r16 —
+    // previously it passed on 0 = 0 rows).
     EngineQuery(
       "media_phash_neardup",
       (s, dir) =>
-        phashNearDupPairs(asMediaTable(Tables.documents(s, dir)))
+        phashNearDupPairs(asMediaTable(
+          withNearDupMediaCohort(Tables.documents(s, dir))))
           .orderBy("doc_a", "doc_b"),
       Some {
         val pivots = (0 until 4)
@@ -256,11 +297,12 @@ object Multimodal {
         val hamming = (0 until 4)
           .map(b => s"bit_count(xor(a.b$b, b.b$b))")
           .mkString(" + ")
-        s"""WITH cps AS (
+        s"""WITH $duckNearDupMediaDocs,
+           |cps AS (
            |  SELECT doc_id, CAST(p AS BIGINT) AS p,
            |    ord(substr(text, CAST(p AS INT), 1)) AS v,
            |    CAST(length(text) AS BIGINT) AS n
-           |  FROM documents, unnest(generate_series(1, length(text))) g(p)
+           |  FROM media_docs, unnest(generate_series(1, length(text))) g(p)
            |  WHERE length(text) > 0),
            |stripes AS (
            |  SELECT doc_id, ((p - 1) * 64) // n AS stripe,

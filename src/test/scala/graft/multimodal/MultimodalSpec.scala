@@ -63,4 +63,27 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     pairs((1L, 3L)) should be <= 1L
     pairs((2L, 3L)) should be <= 1L
   }
+
+  test("near-dup cohort injection: every eligible doc gets a Hamming-1 twin (r16)") {
+    val docs = Seq(
+      (0L, "abcdefgh ijklmnop qrstuvwx", "s"), // eligible: %97==0, first char a..y
+      (97L, "zz top", "s"), // first char 'z' (122) — excluded by the a..y band
+      (194L, "quick brown fox", "s"), // eligible
+      (5L, "also lowercase but wrong modulus", "s"),
+      (291L, "", "s"), // empty — excluded (ascii('') = 0)
+    ).toDF("doc_id", "text", "source")
+    val out = Multimodal.withNearDupMediaCohort(docs)
+    out.count() shouldBe 7 // 5 originals + 2 twins
+    val twins = out.where($"doc_id" >= 100000000L)
+      .as[(Long, String, String)].collect().map(t => t._1 -> t._2).toMap
+    twins.keySet shouldBe Set(100000000L, 100000194L)
+    twins(100000000L) shouldBe "bbcdefgh ijklmnop qrstuvwx"
+    twins(100000194L) shouldBe "ruick brown fox"
+    // the twin pair survives the full band-join + Hamming pipeline at
+    // distance EXACTLY 1 (same length ⇒ same stripes; one parity flip)
+    val pairs = Multimodal.phashNearDupPairs(Multimodal.asMediaTable(out))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs((0L, 100000000L)) shouldBe 1L
+    pairs((194L, 100000194L)) shouldBe 1L
+  }
 }
