@@ -221,6 +221,10 @@ object ScaleProbe {
     // with a per-band cap — rotation shifts stripe parities, so probe
     // copies land in different bands and the ratio must track the
     // simhash_neardup_pairs shape, never an all-pairs scan.
+    // r16: streaming_ann_ivf_ingest is NOT probed — embeddings stay 1×
+    // by design (the embedding_silhouette precedent); its scale story
+    // is per-microbatch (batch-bounded window + m-row broadcast), and
+    // its batch-equivalence is the gate's own oracle.
     "media_phash_neardup")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {

@@ -296,6 +296,60 @@ object Ann {
     ivfSearch(emb, emb.where(col("vec_id") < 50), loaded, k, nprobe)
   }
 
+  /** Streaming ingestion into the PERSISTED IVF index (r16 — the
+    * crawl-ingest shape, completing the persistence × streaming matrix
+    * the perceptron already has): train the coarse quantizer batch-side,
+    * write the centroid table to parquet, RELOAD it, then let new
+    * embeddings arrive as a file stream and bucket each microbatch into
+    * the loaded index inside `foreachBatch` — nearest-centroid
+    * assignment against the eagerly-pinned loaded artifact (a
+    * stream-static broadcast: the corpus-scale batch never shuffles for
+    * assignment, exactly the batch [[ivfSearch]] corpus side). Landed
+    * assignments append to a parquet sink — the inverted lists an index
+    * server would absorb between triggers. Draining the finite gate
+    * stream must equal the batch corpus assignment exactly (the oracle
+    * replays train + assign in SQL), which is what proves a month-old
+    * persisted index buckets tomorrow's crawl identically to a fresh
+    * rebuild.
+    */
+  def ivfStreamingIngestFromSaved(
+      spark: SparkSession, sfDir: String,
+      m: Int = 16, trainIter: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = rebuildCentroids(kmeansConverged(emb, m, trainIter))
+      .localCheckpoint(true)
+    // Eagerly pin the loaded artifact (not just the lazy parquet scan):
+    // every microbatch's assignment reads it, and an eager pin also
+    // insulates the stream from a concurrent overwrite of the artifact
+    // path (the ADVICE r15 lazy-read hazard).
+    val (loaded, releaseLoaded) = graft.Checkpoints.localEager(
+      graft.models.ModelStore.roundTrip(
+        cents, graft.models.ModelStore.path("ivf_centroids_ingest", sfDir)))
+    graft.Checkpoints.release(cents)
+    val outDir = s"${graft.OutDir.base}/graft_stream_ivf_ingest/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+    val stream = graft.sources.StreamingSources.tableSource(spark, sfDir, "embeddings")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestAssign(batch, loaded).write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    releaseLoaded()
+    spark.read.parquet(outDir)
+  }
+
+  /** The per-microbatch ingest body of [[ivfStreamingIngestFromSaved]],
+    * factored out so `PlanAuditSpec` pins the EXACT expression
+    * foreachBatch executes (the r15 ADVICE replica-drift lesson: a
+    * hand-built audit replica keeps passing when the real plan drifts;
+    * a shared method cannot drift by construction).
+    */
+  private[graft] def ingestAssign(batch: DataFrame, loadedCents: DataFrame): DataFrame =
+    ivfAssign(Dedup.quantized(batch), loadedCents, 1)
+      .select(col("vec_id"), col("cid"))
+
   /** nprobe / probe-count → recall@k calibration curve (r13 verdict
     * item 4): for each IVF nprobe and each multi-probe bucket count,
     * the fraction of the EXACT brute-force top-k pairs the approximate
@@ -977,6 +1031,22 @@ object Ann {
       (s, dir) => ivfTopKFromSaved(s, dir, k = 3).orderBy("q_id", "rank"),
       Some(duckIvfTrained(iters = 3, m = 16, nprobe = 2, k = 3, nQueries = 50)),
       headline = true,
+    ),
+    // Persistence × streaming for the index itself (r16): a streaming
+    // embedding batch bucketed into the RELOADED centroid artifact
+    // inside foreachBatch must equal the batch corpus assignment —
+    // the oracle replays train + nearest-centroid assignment in SQL.
+    EngineQuery(
+      "streaming_ann_ivf_ingest",
+      (s, dir) => ivfStreamingIngestFromSaved(s, dir).orderBy("vec_id"),
+      Some(s"""WITH ${duckKmeansCtes(iters = 3, m = 16)},
+             |asgf AS (
+             |  SELECT n.vec_id, c.cid,
+             |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             |      CAST(CAST(list_sum(list_transform(list_zip(n.q, c.cq), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+             |        / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cid) AS crn
+             |  FROM n CROSS JOIN centv3 c)
+             |SELECT vec_id, cid FROM asgf WHERE crn = 1 ORDER BY vec_id""".stripMargin),
     ),
     // nprobe/probe-count → recall@k calibration vs the exact top-k
     // (r13 verdict item 4): the oracle recomputes every curve point.

@@ -1201,6 +1201,29 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     plan("ann_ivf_trained_topk") should include("Scan ExistingRDD")
   }
 
+  test("streaming IVF ingest: microbatch assignment is a broadcast centroid cross, vec_id the only exchange, no training lineage (r16)") {
+    // audit the EXACT method foreachBatch executes (shared code, not a
+    // replica), against a parquet-loaded artifact like the real run
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val loaded = graft.models.ModelStore.roundTrip(
+      graft.dedup.Dedup.quantized(emb.where(col("vec_id") < 4))
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cnrm")),
+      graft.models.ModelStore.path("ivf_centroids_audit", sfDir))
+    val p = graft.similarity.Ann.ingestAssign(emb, loaded)
+      .queryExecution.executedPlan.toString
+    // the m-row centroid side broadcasts into a nested-loop cross — the
+    // one place BNLJ is the right plan; the corpus side never shuffles
+    // for assignment, only the per-vector argmax window keys on vec_id
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("vec_id")
+    // the loaded side is a plain parquet artifact scan — no training
+    // pipeline checkpoint in the apply plan
+    p should not include "Scan ExistingRDD"
+  }
+
   test("media phash neardup: banded equi-join, Hamming rides the join — no product, no second join pass") {
     val p = plan("media_phash_neardup")
     p should not include "CartesianProduct"

@@ -74,6 +74,32 @@ class AnnSpec extends AnyFunSuite with Matchers {
     Ann.centroidSilhouette(single).count() shouldBe 0L
   }
 
+  test("streaming IVF ingest equals an independent nearest-centroid recomputation (r16)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Ann.ivfStreamingIngestFromSaved(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay: read the PERSISTED artifact, recompute the
+    // argmax-cosine assignment in plain Scala (same IEEE arithmetic,
+    // ties to min cid — the engine's ORDER BY csim DESC, cid)
+    val cents = spark.read
+      .parquet(graft.models.ModelStore.path("ivf_centroids_ingest", sfDir))
+      .collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Seq[Long]]("cq").toArray, r.getAs[Long]("cnrm")))
+    cents should not be empty
+    val vecs = graft.dedup.Dedup.quantized(graft.Tables.embeddings(spark, sfDir))
+      .select("vec_id", "q", "nrm").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Long]]("q").toArray, r.getAs[Long]("nrm")))
+    val expected = vecs.map { case (id, q, nrm) =>
+      val best = cents.map { case (cid, cq, cnrm) =>
+        val dot = q.indices.map(i => q(i) * cq(i)).sum
+        (dot.toDouble / (math.sqrt(nrm.toDouble) * math.sqrt(cnrm.toDouble)), cid)
+      }.maxBy { case (sim, cid) => (sim, -cid) }
+      id -> best._2
+    }.toMap
+    got.keySet shouldBe vecs.map(_._1).toSet // every vector lands exactly once
+    got shouldBe expected
+  }
+
   test("gram matrix: upper triangle of sum of outer products, exact") {
     import spark.implicits._
     // two vectors, constant 1.0 and alternating ±2.0 (quantized 1000 / ±2000)

@@ -21,7 +21,7 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers {
     val base = new java.io.File(s"${graft.OutDir.base}/graft_dirlayout_sf")
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     graft.Tables.ensureLegacyParquetConf(spark)
-    for (t <- Seq("documents", "events"))
+    for (t <- Seq("documents", "events", "embeddings"))
       spark.read.parquet(s"$sfDir/$t.parquet")
         .repartition(3) // force multiple part files
         .write.parquet(s"${base.getPath}/$t.parquet")
@@ -65,6 +65,15 @@ class StreamingSourcesSpec extends AnyFunSuite with Matchers {
       .orderBy("hour_ms", "event_type").collect().map(_.toSeq).toSeq
     val onFile = graft.streaming.EventAnalytics.runStreamingHourlyRollup(spark, sfDir)
       .orderBy("hour_ms", "event_type").collect().map(_.toSeq).toSeq
+    onDir should not be empty
+    onDir shouldBe onFile
+  }
+
+  test("streaming IVF ingest on a part-file dir equals the single-file run (r16)") {
+    val onDir = graft.similarity.Ann.ivfStreamingIngestFromSaved(spark, dirLayout)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val onFile = graft.similarity.Ann.ivfStreamingIngestFromSaved(spark, sfDir)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
     onDir should not be empty
     onDir shouldBe onFile
   }
