@@ -33,6 +33,20 @@ object Checkpoints {
     (out, () => release(out))
   }
 
+  /** Materialize a BOUNDED (model/bin/cell-cardinality) result eagerly
+    * as a driver-local relation. This is the small-output alternative to
+    * an eager checkpoint pin: the upstream pins can release immediately,
+    * and NO block-manager state outlives the call — the discarded-handle
+    * pattern `val (out, _) = localEager(...)` leaked one persisted RDD
+    * per invocation (r15 ADVICE). Only for outputs whose cardinality is
+    * bounded by construction (confusion cells, score bins, model rows) —
+    * never a corpus-scale frame.
+    */
+  def driverLocal(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
+  }
+
   /** Free the blocks behind an ALREADY-checkpointed frame (e.g. one
     * returned by a loop that pins its result for the caller, like
     * [[graft.similarity.Ann.kmeansConverged]]) once no downstream

@@ -38,6 +38,16 @@ object Verify {
         written += 1
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // Bench-style storage hygiene (Bench.scala does the same between
+        // queries): queries that pin a relation for the caller's action
+        // (winnow seed join, phash signatures, …) leave it persisted by
+        // convention — across a 322-query run those by-convention pins
+        // would otherwise accumulate in the block manager.
+        try {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

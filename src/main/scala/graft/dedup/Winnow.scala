@@ -227,7 +227,10 @@ object Winnow {
       .agg(count(lit(1)).as("nd")).where(col("nd") <= HotCap).select("h")
     val fpkPos = fpPos.join(keepable, "h")
     // ONE self-join serves both the pair qualification (distinct shared
-    // h per pair — exactly dupPairs' n_shared) and the seed set.
+    // h per pair — exactly dupPairs' n_shared) and the seed set. The
+    // pin is pair-scale and stays for the CALLER's action (qual and
+    // seeds both re-scan it) — a by-convention pin the harness frees:
+    // Bench and Verify unpersist all persistent RDDs after each query.
     val sj = fpkPos.as("a")
       .join(fpkPos.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(

@@ -30,9 +30,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ModelStore {
 
-  /** Canonical artifact location for a model tag trained on `sfDir`. */
-  def path(tag: String, sfDir: String): String =
-    s"${graft.OutDir.base}/graft_models/${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}/$tag"
+  /** Canonical artifact location for a model tag trained on `sfDir`.
+    * The readable component is lossy (`sf_1` and `sf-1` both sanitize
+    * to `sf_1`), so an md5 prefix of the RAW sfDir rides alongside —
+    * distinct training inputs can never share an artifact directory.
+    */
+  def path(tag: String, sfDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val safe = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${graft.OutDir.base}/graft_models/${safe}_$digest/$tag"
+  }
 
   /** Persist a model relation (overwrite — retraining replaces the
     * artifact atomically at the parquet-commit level).
@@ -40,9 +48,15 @@ object ModelStore {
   def save(model: DataFrame, path: String): Unit =
     model.write.mode("overwrite").parquet(path)
 
-  /** Load a persisted model relation. */
+  /** Load a persisted model relation, materialized EAGERLY as a
+    * driver-local relation (models are vocabulary/bucket/centroid
+    * cardinality by construction). A lazily-scanned artifact frame
+    * would read whatever bytes sit at the path when the CALLER finally
+    * acts — a concurrent retrain's overwrite could cross-contaminate
+    * the apply; the eager copy snapshots load-time state.
+    */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.Checkpoints.driverLocal(spark.read.parquet(path))
 
   /** Save + reload in one breath — the round-trip the `*_from_saved`
     * gates run; returns the LOADED relation (never the in-memory one).

@@ -174,7 +174,9 @@ object Multimodal {
     // Pin the signatures so the DECODE genuinely runs once — the cap
     // window and both join sides otherwise re-run the mapPartitions
     // pass (with a real codec, the expensive part); 5 longs per doc,
-    // left pinned for the caller's action (the winnow-index convention).
+    // left pinned for the caller's action (the winnow-index convention:
+    // a by-convention pin the harness frees — Bench and Verify
+    // unpersist all persistent RDDs after each query).
     val sigs = extractPHash(media).toDF().localCheckpoint(true)
     val bands = sigs.select(
       col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),

@@ -163,20 +163,27 @@ object Perceptron {
     * exact count and exact score sum — the acceptance evidence a
     * pipeline checks before sweeping a corpus with the learned filter.
     */
+  /** The 4-cell confusion aggregation over a scored feature relation —
+    * the ONE scoring expression [[confusion]] and [[confusionFromSaved]]
+    * both execute (shared so the two gates cannot drift).
+    */
+  private def confusionAggregate(feat: DataFrame, w: Array[Long]): DataFrame =
+    feat
+      .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
+      .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
+      .orderBy("y", "pred")
+
   def confusion(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
     // learn and score share ONE pinned feature relation (r15 — the
     // apply used to re-featurize the corpus it had just featurized);
-    // the 4-cell output pins eagerly so the pin can release.
+    // the 4-cell output materializes driver-local so NO pin outlives
+    // the call (the discarded-handle `(out, _)` leaked one per call).
     val (feat, free) = Checkpoints.localEager(featurized(docs))
-    val (_, w) = learnOn(feat, rounds)
-    val (out, _) = Checkpoints.localEager(
-      feat
-        .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
-        .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
-        .orderBy("y", "pred"))
-    free()
-    out
+    try {
+      val (_, w) = learnOn(feat, rounds)
+      Checkpoints.driverLocal(confusionAggregate(feat, w))
+    } finally free()
   }
 
   /** Reliability (calibration) bins for the learned scores — does a
@@ -192,24 +199,31 @@ object Perceptron {
     * bucket argument). ONE aggregation pass over the scored corpus —
     * map-side combined, bin-cardinality output.
     */
+  /** The bin aggregation over a scored feature relation — the ONE
+    * scoring expression [[reliabilityBins]] executes and
+    * [[scoredBinsPlanForAudit]] audits (shared by construction, so the
+    * audited plan cannot drift from the gate's real scoring).
+    */
+  private def binsAggregate(feat: DataFrame, w: Array[Long]): DataFrame =
+    feat
+      .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
+      .groupBy((when(col("score") >= 0, 1L).otherwise(-1L) *
+        expr(s"abs(score) div $ReliabilityBinWidth")).as("score_bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .select(col("score_bin"), col("n_docs"), col("n_pos"),
+        expr("(1000000 * n_pos) div greatest(n_docs, 1)").as("pos_ppm"),
+        col("min_score"), col("max_score"))
+
   def reliabilityBins(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
     val (feat, free) = Checkpoints.localEager(featurized(docs))
-    val (_, w) = learnOn(feat, rounds)
-    val (out, _) = Checkpoints.localEager(
-      feat
-        .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
-        .groupBy((when(col("score") >= 0, 1L).otherwise(-1L) *
-          expr(s"abs(score) div $ReliabilityBinWidth")).as("score_bin"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
-          min(col("score")).as("min_score"),
-          max(col("score")).as("max_score"))
-        .select(col("score_bin"), col("n_docs"), col("n_pos"),
-          expr("(1000000 * n_pos) div greatest(n_docs, 1)").as("pos_ppm"),
-          col("min_score"), col("max_score")))
-    free()
-    out
+    try {
+      val (_, w) = learnOn(feat, rounds)
+      Checkpoints.driverLocal(binsAggregate(feat, w))
+    } finally free()
   }
 
   /** Reliability bin width (score units). */
@@ -217,18 +231,14 @@ object Perceptron {
 
   /** The raw scoring-plan text `PlanAuditSpec` pins (featurize →
     * literal-weight-array fold → bin aggregate, UNpinned): the gate
-    * queries return eagerly-pinned small outputs (the r15 shared-
-    * featurization rework), which hides this subtree from their plans.
+    * queries return driver-local small outputs, which hides this
+    * subtree from their plans. Built from the SAME [[binsAggregate]]
+    * the gate executes, so the audit cannot drift from the real
+    * scoring expression (r15 ADVICE).
     */
-  private[graft] def scoredBinsPlanForAudit(docs: DataFrame): String = {
-    val w = Array.fill(Buckets + 1)(1L)
-    featurized(docs)
-      .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
-      .groupBy((when(col("score") >= 0, 1L).otherwise(-1L) *
-        expr(s"abs(score) div $ReliabilityBinWidth")).as("score_bin"))
-      .agg(count(lit(1)).as("n_docs"))
+  private[graft] def scoredBinsPlanForAudit(docs: DataFrame): String =
+    binsAggregate(featurized(docs), Array.fill(Buckets + 1)(1L))
       .queryExecution.executedPlan.toString
-  }
 
   /** Isotonic calibration of the reliability curve (pool-adjacent-
     * violators): the monotone-non-decreasing positive-rate fit over the
@@ -279,9 +289,13 @@ object Perceptron {
       .sortBy(_._1)
       .toSeq
     val blockOf = pavaBlocks(bins)
+    // ppm through BigInt like the PAVA tests — the oracle lane is
+    // HUGEINT, and the wide-lane convention holds even where a plain
+    // Long product could only wrap beyond ~9.2e12 positives.
+    def ppm(p: Long, n: Long): Long = (BigInt(1000000) * p / BigInt(math.max(n, 1L))).toLong
     val rows = bins.map { case (b, n, p) =>
       val (lo, _, bn, bp) = blockOf.find(blk => blk._1 <= b && b <= blk._2).get
-      (b, n, p, 1000000L * p / math.max(n, 1L), 1000000L * bp / math.max(bn, 1L), lo)
+      (b, n, p, ppm(p, n), ppm(bp, bn), lo)
     }
     spark.createDataFrame(rows)
       .toDF("score_bin", "n_docs", "n_pos", "raw_ppm", "iso_ppm", "block_lo")
@@ -364,22 +378,17 @@ object Perceptron {
   def confusionFromSaved(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val (feat, free) = Checkpoints.localEager(featurized(docs))
-    val (_, w) = learnOn(feat, Rounds)
-    import spark.implicits._
-    val loadedRows = graft.models.ModelStore.roundTrip(
-        w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }.toDF("b", "wv"),
-        graft.models.ModelStore.path("perceptron_weights", sfDir))
-      .collect()
-    val wLoaded = Array.fill(Buckets + 1)(0L)
-    loadedRows.foreach(r => wLoaded(r.getLong(0).toInt) = r.getLong(1))
-    val (out, _) = Checkpoints.localEager(
-      feat
-        .select(col("y"), scoreCol(wArrayLit(wLoaded), col("feats")).as("score"))
-        .groupBy(col("y"), when(col("score") > 0, 1L).otherwise(-1L).as("pred"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_score"))
-        .orderBy("y", "pred"))
-    free()
-    out
+    try {
+      val (_, w) = learnOn(feat, Rounds)
+      import spark.implicits._
+      val loadedRows = graft.models.ModelStore.roundTrip(
+          w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }.toDF("b", "wv"),
+          graft.models.ModelStore.path("perceptron_weights_confusion", sfDir))
+        .collect()
+      val wLoaded = Array.fill(Buckets + 1)(0L)
+      loadedRows.foreach(r => wLoaded(r.getLong(0).toInt) = r.getLong(1))
+      Checkpoints.driverLocal(confusionAggregate(feat, wLoaded))
+    } finally free()
   }
 
   private var sinkCounter = 0
@@ -410,7 +419,7 @@ object Perceptron {
     import spark.implicits._
     val loadedRows = graft.models.ModelStore.roundTrip(
         w0.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }.toDF("b", "wv"),
-        graft.models.ModelStore.path("perceptron_weights", sfDir))
+        graft.models.ModelStore.path("perceptron_weights_stream", sfDir))
       .collect()
     val w = Array.fill(Buckets + 1)(0L)
     loadedRows.foreach(r => w(r.getLong(0).toInt) = r.getLong(1))

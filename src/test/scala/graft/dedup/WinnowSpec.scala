@@ -197,8 +197,10 @@ class WinnowSpec extends AnyFunSuite with Matchers {
           b should include(sub)
           sub.length shouldBe len.toInt
         }
-        // nothing invented: every emitted pair is a planted pair
-        out.keySet.foreach { case (x, y) => (x / 2) shouldBe (y / 2) }
+        // nothing invented: the emitted key set IS the planted pair set
+        // (an id/2 cohort test would miss a false pairing of the two
+        // noise docs 100/101, which share 100/2 == 101/2)
+        out.keySet shouldBe planted.map { case (ia, _, ib, _) => (ia, ib) }.toSet
       }
     }
   }

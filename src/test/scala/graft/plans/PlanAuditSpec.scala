@@ -1194,7 +1194,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // bpe: symbols re-derive from the loaded merge list as fold
     // projections — no learner-loop checkpoint scan anywhere
     plan("bpe_tokenize_from_saved") should not include "Scan ExistingRDD"
-    // ivf: the centroid side is a plain parquet scan of the artifact,
+    // ivf: the centroid side is the eagerly-loaded artifact (a local
+    // relation snapshot of the parquet bytes — r16 ModelStore.load),
     // not the training pipeline's checkpoint (which the in-process twin
     // carries)
     plan("ann_ivf_from_saved") should not include "Scan ExistingRDD"
@@ -1324,13 +1325,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
   }
 
   test("perceptron reliability: margins fold in the map stage — the weights never join") {
-    // r15: the gate query now returns the eagerly-pinned bin table (the
-    // shared-featurization rework), so the returned plan is a
-    // checkpoint scan; the weights-never-join property is pinned on the
-    // SCORING plan itself — featurized + literal-array fold + bin
-    // aggregate: its only exchanges are doc-keyed featurization and the
-    // bin aggregate, no bucket-keyed weight join anywhere
-    plan("perceptron_reliability") should include("Scan ExistingRDD")
+    // r16: the gate query returns a DRIVER-LOCAL bin table (no pinned
+    // checkpoint outlives the call), so the returned plan is a local
+    // scan; the weights-never-join property is pinned on the SCORING
+    // plan itself — built from the SAME binsAggregate the gate executes
+    // — featurized + literal-array fold + bin aggregate: its only
+    // exchanges are doc-keyed featurization and the bin aggregate, no
+    // bucket-keyed weight join anywhere
+    plan("perceptron_reliability") should include("LocalTableScan")
     val docs = Tables.documents(spark, sfDir)
     val p = graft.text.Perceptron.scoredBinsPlanForAudit(docs)
     // the joins in this plan are the featurization's doc-keyed attach
