@@ -225,7 +225,13 @@ object ScaleProbe {
     // by design (the embedding_silhouette precedent); its scale story
     // is per-microbatch (batch-bounded window + m-row broadcast), and
     // its batch-equivalence is the gate's own oracle.
-    "media_phash_neardup")
+    "media_phash_neardup",
+    // r16: trigram backoff LM — the model tables are n-gram-vocabulary
+    // scale and rotation mints new distinct n-grams (the countmin/dsir
+    // vocabulary shape), so the ratio tracks ccnet_perplexity_buckets'
+    // self-trained-LM shape; the claim under test is that scoring stays
+    // three equi-joins over the ONE pinned tokenize pass.
+    "trigram_backoff_fluency")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -1341,6 +1341,19 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("doc_id", "_groupingexpression")
   }
 
+  test("trigram backoff LM: one pinned tokenize pass, n-gram-keyed exchanges only (r16)") {
+    val p = plan("trigram_backoff_fluency")
+    // the corpus tokenizes ONCE (pinned); the only parquet scan left in
+    // the plan is the doc_id spine of the final zero-fill left join
+    p should include("Scan ExistingRDD")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "SortMergeJoin"
+    // every hash exchange keys on an n-gram prefix or the doc rollup —
+    // nothing exchanges on anything corpus-random
+    "Exchange hashpartitioning\\(([a-z0-9_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet.subsetOf(Set("tok", "w1", "w2", "w3", "doc_id")) shouldBe true
+  }
+
   test("STL: one orders scan; the seasonal attaches by broadcast") {
     val p = plan("stl_decompose_daily")
     "Scan parquet".r.findAllIn(p).size shouldBe 2 // daily subtree feeds trend + weekday branches pre-AQE

@@ -46,6 +46,53 @@ class BigramLmSpec extends AnyFunSuite with Matchers {
     out(1L) should be > out(2L)
   }
 
+  test("trigram backoff: all three tiers hand-computed on a two-doc corpus") {
+    val docs = Seq(
+      1L -> "a b c a b c", // trigrams: (a,b,c)x2, (b,c,a), (c,a,b)
+      2L -> "x b c",       // trigram:  (x,b,c)
+    ).toDF("doc_id", "text")
+    // pruned tri model (cnt>=2): only (a,b,c) cnt3=2, ctx12(a,b)=2
+    //   -> p3 = 1e6*2/2 = 1000000
+    // pruned bi model (cnt>=2): (a,b) cnt=2 ctx=cnt1(a)=2 -> p2=400000
+    //                           (b,c) cnt=3 ctx=cnt1(b)=3 -> p2=400000
+    // unigrams: a=2 b=3 c=3 x=1, tot=9
+    // doc1: (a,b,c)x2 tier3 @1000000; (b,c,a): tri pruned, bi (c,a)
+    //   pruned -> tier1 @ floor(160000*2/9)=35555; (c,a,b): tri pruned,
+    //   bi (a,b) kept -> tier2 @400000
+    // doc2: (x,b,c): tri pruned (cnt 1), bi (b,c) kept -> tier2 @400000
+    val out = BigramLm.trigramBackoffScores(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Long]("n_trigrams") shouldBe 4L
+    out(1L).getAs[Long]("n_tri") shouldBe 2L
+    out(1L).getAs[Long]("n_bi") shouldBe 1L
+    out(1L).getAs[Long]("n_uni") shouldBe 1L
+    out(1L).getAs[Long]("score_sum") shouldBe (2000000L + 400000L + 35555L)
+    out(2L).getAs[Long]("n_trigrams") shouldBe 1L
+    out(2L).getAs[Long]("n_bi") shouldBe 1L
+    out(2L).getAs[Long]("score_sum") shouldBe 400000L
+  }
+
+  test("trigram backoff: repeated fluent text outscores a same-vocabulary scramble") {
+    val fluent = (1 to 40).map(_ => "the cat sat on the mat").mkString(" ")
+    val salad = "mat the on sat cat the sat mat on cat"
+    val docs = Seq(1L -> fluent, 2L -> salad).toDF("doc_id", "text")
+    val out = BigramLm.trigramBackoffScores(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Double]("mean_p_scaled") should be > out(2L).getAs[Double]("mean_p_scaled")
+    // the scramble's rare trigrams genuinely BACK OFF (pruning bites)
+    (out(2L).getAs[Long]("n_bi") + out(2L).getAs[Long]("n_uni")) should be > 0L
+  }
+
+  test("trigram backoff: docs under three tokens surface with zeros") {
+    val docs = Seq(1L -> "", 2L -> "a b", 3L -> "a b c d").toDF("doc_id", "text")
+    val out = BigramLm.trigramBackoffScores(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Long]("n_trigrams") shouldBe 0L
+    out(2L).getAs[Long]("n_trigrams") shouldBe 0L
+    out(2L).getAs[Double]("mean_p_scaled") shouldBe 0.0
+    out(3L).getAs[Long]("n_trigrams") shouldBe 2L
+  }
+
   test("short and empty docs surface with zero bigrams") {
     val docs = Seq(1L -> "", 2L -> "solo", 3L -> "a b").toDF("doc_id", "text")
     val out = BigramLm.fluencyScores(docs).collect()
