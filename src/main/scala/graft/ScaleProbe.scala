@@ -170,6 +170,10 @@ object ScaleProbe {
     // design (dimension-table family).
     "mixture_doremi_weights", "theilsen_revenue_trend",
     "graph_hits_authorities",
+    // r16: unimax shares doremi's shape — one corpus aggregation, then
+    // |langs|-cardinality waterfill — so its ratio must track
+    // mixture_doremi_weights (the pure-collapse floor).
+    "unimax_budget",
     // r14 batch 4. Kappa is one conditional-aggregate pass (the
     // zero-join floor — ratio must track the scan); the reliability
     // curve re-runs the perceptron learn plus ONE binning pass (ratio

@@ -362,6 +362,59 @@ object Curation {
         expr(s"($totalBudget * w) div tw").as("budget_tokens"))
   }
 
+  /** UniMax language budgets (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total token budget UNIFORMLY across
+    * languages, except no language may exceed `epochCap` epochs of its
+    * own corpus — the published alternative to temperature/α sampling
+    * that avoids both starving low-resource languages and over-epoching
+    * them. The allocation is the classic waterfill: languages whose
+    * capacity cap_l = epochCap·n_l sits below the uniform share take
+    * their full capacity; the freed budget redistributes uniformly over
+    * the rest.
+    *
+    * Exact-integer semantics (so DuckDB hash-matches): order languages
+    * by ASCENDING capacity (ties by lang) — the capped set is then a
+    * PREFIX, and language i is capped iff
+    * cap_i·(L−i+1) < B − prefixcap_{i−1} (cross-multiplied, no
+    * division). The uncapped remainder R = B − Σ capped caps splits as
+    * R div (L−k) each, with the R mod (L−k) leftover tokens going one
+    * each to the first uncapped languages in the same order — the
+    * largest-remainder convention `sample_apportioned` already uses, so
+    * Σ budget_tokens = min(B, Σ cap) EXACTLY.
+    *
+    * Scale shape: ONE (lang, token-count) corpus aggregation
+    * (map-side combined); the ordering window, prefix sums, cap test,
+    * and the two-scalar (k, R) broadcast all run at |langs| cardinality.
+    */
+  def unimaxBudget(docs: DataFrame, totalBudget: Long, epochCap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.select(
+        col("lang"),
+        size(graft.text.TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang").agg(sum("n_tok").cast("long").as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * epochCap)
+    // |langs|-cardinality windows — bounded, never corpus-scale
+    val byCap = Window.orderBy("cap_tokens", "lang")
+    val ranked = per
+      .withColumn("i", row_number().over(byCap).cast("long"))
+      .withColumn("pref", sum("cap_tokens").over(byCap))
+      .withColumn("l", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("is_capped",
+        expr(s"cap_tokens * (l - i + 1) < $totalBudget - (pref - cap_tokens)"))
+    val scalars = ranked.agg(
+      sum(when(col("is_capped"), 1L).otherwise(0L)).as("k"),
+      coalesce(sum(when(col("is_capped"), col("cap_tokens"))), lit(0L)).as("capsum"))
+    ranked.crossJoin(broadcast(scalars))
+      .select(col("lang"), col("n_tokens"), col("cap_tokens"), col("is_capped"),
+        when(col("is_capped"), col("cap_tokens")).otherwise(
+          expr(s"($totalBudget - capsum) div greatest(l - k, 1) + " +
+            s"CASE WHEN i - k <= ($totalBudget - capsum) % greatest(l - k, 1) THEN 1 ELSE 0 END"))
+          .as("budget_tokens"))
+      .withColumn("epochs_ppm",
+        expr("(1000000 * budget_tokens) div greatest(n_tokens, 1)"))
+  }
+
   /** DoReMi-style multiplicative-weights domain reweighting
     * (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
     * Language Model Pretraining" — the exponentiated-gradient loop,
@@ -1298,6 +1351,40 @@ object Curation {
              |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
              |SELECT lang, n_tokens, w, (100000 * w) // tw AS budget_tokens
              |FROM w CROSS JOIN t ORDER BY lang""".stripMargin),
+    ),
+    EngineQuery(
+      "unimax_budget",
+      (s, dir) =>
+        unimaxBudget(Tables.documents(s, dir), totalBudget = 58000L, epochCap = 3L)
+          .orderBy("lang"),
+      Some("""WITH per AS (
+             |  SELECT lang,
+             |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             |         ELSE length(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY lang),
+             |c AS (SELECT lang, n_tokens, n_tokens * 3 AS cap_tokens FROM per),
+             |r AS (SELECT lang, n_tokens, cap_tokens,
+             |    CAST(row_number() OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS i,
+             |    CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang) AS BIGINT) AS pref,
+             |    CAST(count(*) OVER () AS BIGINT) AS l
+             |  FROM c),
+             |f AS (SELECT *,
+             |    cap_tokens * (l - i + 1) < 58000 - (pref - cap_tokens) AS is_capped
+             |  FROM r),
+             |s AS (SELECT
+             |    CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+             |    CAST(coalesce(sum(CASE WHEN is_capped THEN cap_tokens END), 0) AS BIGINT) AS capsum
+             |  FROM f),
+             |b AS (SELECT f.lang, f.n_tokens, f.cap_tokens, f.is_capped,
+             |    CASE WHEN f.is_capped THEN f.cap_tokens
+             |      ELSE (58000 - s.capsum) // greatest(f.l - s.k, 1)
+             |        + CASE WHEN f.i - s.k <= (58000 - s.capsum) % greatest(f.l - s.k, 1)
+             |          THEN 1 ELSE 0 END END AS budget_tokens
+             |  FROM f CROSS JOIN s)
+             |SELECT lang, n_tokens, cap_tokens, is_capped, budget_tokens,
+             |  (1000000 * budget_tokens) // greatest(n_tokens, 1) AS epochs_ppm
+             |FROM b ORDER BY lang""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "mixture_report",

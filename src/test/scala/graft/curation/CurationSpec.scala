@@ -134,6 +134,46 @@ class CurationSpec extends AnyFunSuite with Matchers {
     w1("b") should be > 500000L
   }
 
+  test("unimax budget: waterfill caps the small languages, splits the rest exactly") {
+    // tokens: a=2, b=3, c=10; epochCap=2 -> caps 4, 6, 20; budget 18.
+    // waterfill: share 6 -> a capped (4 < 6); R=14 over 2: b capped
+    // (6 < 7); R=8 -> c gets 8 (< 20). Sum = 4+6+8 = 18.
+    val d = Seq(
+      (1L, "t t", "a"), (2L, "t t t", "b"),
+      (3L, "t t t t t t t t t t", "c"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.unimaxBudget(d, totalBudget = 18L, epochCap = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4), r.getLong(5)))).toMap
+    out("a") shouldBe ((4L, true, 4L, 2000000L))
+    out("b") shouldBe ((6L, true, 6L, 2000000L))
+    out("c") shouldBe ((20L, false, 8L, 800000L))
+    out.values.map(_._3).sum shouldBe 18L
+  }
+
+  test("unimax budget: remainder tokens go one each to the first uncapped languages") {
+    // tokens a=1, b=5, c=5; epochCap=1 -> caps 1, 5, 5; budget 9.
+    // a capped (1·3 < 9); R=8 over 2 -> q=4 mod 0... use budget 10:
+    // a capped (3 < 10); R=9 over 2 -> q=4, mod 1 -> b (first by
+    // (cap, lang) order among uncapped) gets 5, c gets 4. Sum = 10.
+    val d = Seq(
+      (1L, "t", "a"), (2L, "t t t t t", "b"), (3L, "t t t t t", "c"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.unimaxBudget(d, totalBudget = 10L, epochCap = 1L)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(3), r.getLong(4)))).toMap
+    out("a") shouldBe ((true, 1L))
+    out("b") shouldBe ((false, 5L))
+    out("c") shouldBe ((false, 4L))
+  }
+
+  test("unimax budget: a budget beyond total capacity caps every language") {
+    val d = Seq((1L, "t t", "a"), (2L, "t t t", "b")).toDF("doc_id", "text", "lang")
+    val out = Curation.unimaxBudget(d, totalBudget = 1000L, epochCap = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(3), r.getLong(4)))).toMap
+    out("a") shouldBe ((true, 4L))
+    out("b") shouldBe ((true, 6L))
+  }
+
   test("snapshot diff classifies added/removed/changed/same") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val v2 = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("doc_id", "text")
