@@ -57,6 +57,9 @@ object GraftFunctions {
     // (k-sized state, map-side-combinable) — the no-window-sort top-N
     "topk_pairs" -> { exprs => functions.TopKPairs(exprs(0), exprs(1), exprs(2)) },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
+    // lcs_len(a, b): longest common SUBSEQUENCE length over two token
+    // arrays — the ROUGE-L core as one codegen'd two-row DP loop
+    "lcs_len" -> { exprs => functions.LcsLen(exprs.head, exprs(1)) },
     "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
     // char_entropy_q(text): (n, nd, hq) — the fixed-point entropy lane
     // as one tight code-point histogram loop per row (HOF lambdas

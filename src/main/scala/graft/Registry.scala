@@ -54,6 +54,7 @@ object Registry {
       text.Bpe.engineQueries ++
       text.Unigram.engineQueries ++
       text.BigramLm.engineQueries ++
+      text.RougeL.engineQueries ++
       text.Mojibake.engineQueries ++
       dedup.SubstringDup.engineQueries ++
       dedup.SetSimJoin.engineQueries ++

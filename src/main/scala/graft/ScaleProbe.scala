@@ -235,7 +235,11 @@ object ScaleProbe {
     // vocabulary shape), so the ratio tracks ccnet_perplexity_buckets'
     // self-trained-LM shape; the claim under test is that scoring stays
     // three equi-joins over the ONE pinned tokenize pass.
-    "trigram_backoff_fluency")
+    "trigram_backoff_fluency",
+    // r16: rouge-l is a pure map-side projection (fixed DP constant per
+    // row, zero hash exchanges) — its ratio must track the raw scan,
+    // the zero-join floor like filter_agreement_kappa.
+    "rouge_l_eval")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

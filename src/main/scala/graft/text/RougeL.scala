@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{EngineQuery, Tables}
+
+/** ROUGE-L generation eval (Lin 2004) — the reference-vs-candidate
+  * subsequence overlap metric an eval pipeline runs over model outputs.
+  * The harness has no generations table, so the gate follows the repo's
+  * deterministic twin-cohort convention (paragraph_dedup boilerplate,
+  * phash near-dup twins): the candidate is a PARAPHRASE-SHAPED
+  * corruption of the reference — adjacent 4-token blocks swapped
+  * (reorder) plus every 7th position dropped (deletion) — so the LCS is
+  * genuinely nontrivial (reorders break subsequence runs; an
+  * order-preserving corruption would make LCS = |candidate| by
+  * construction and prove nothing about the DP).
+  *
+  * Scoring is the [[graft.functions.LcsLen]] codegen two-row DP over
+  * the token arrays, capped at [[CapTokens]] per side — the quadratic
+  * cell count is a fixed constant per row, so the query is a pure
+  * map-side projection at any corpus size (the only exchange is the
+  * output ORDER BY). Precision/recall/F1 are exact integer ppm
+  * (ROUGE-L F with β = 1 is 2·LCS/(m+n) — one cross-multiplied
+  * division, no float).
+  *
+  * The DuckDB oracle replays the corruption with the same index
+  * arithmetic and the DP itself as a recursive CTE over the row-DP
+  * identity new[j] = max(old[j], max_{k ≤ j, ref_k = a_i}(old[k−1]+1))
+  * — each step a pure list comprehension, no lambda-state
+  * nondeterminism (the r15 `list_reduce` lesson).
+  */
+object RougeL {
+
+  val CapTokens = 32
+
+  /** 1-based position p of the swapped sequence reads the reference at
+    * the partner 4-block position (clamped back to p when the partner
+    * slot falls past the end — a partial tail block keeps its order).
+    */
+  private def swapIdx(p: String, n: String): String =
+    s"""CAST(CASE WHEN (((($p - 1) div 4) ^ 1) * 4) + (($p - 1) % 4) + 1 <= $n
+       |  THEN (((($p - 1) div 4) ^ 1) * 4) + (($p - 1) % 4) + 1
+       |  ELSE $p END AS INT)""".stripMargin
+
+  def rougeLEval(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ref", expr(
+        s"slice(filter(split(trim(lower(text)), '\\\\s+'), t -> t != ''), 1, $CapTokens)"))
+      .withColumn("swapped", expr(
+        s"""CASE WHEN size(ref) < 1 THEN ref
+           |  ELSE transform(sequence(1, size(ref)),
+           |    p -> element_at(ref, ${swapIdx("p", "size(ref)")})) END""".stripMargin))
+      .withColumn("cand", expr(
+        """CASE WHEN size(ref) < 1 THEN ref
+          |  ELSE transform(filter(sequence(1, size(ref)), p -> p % 7 != 3),
+          |    p -> element_at(swapped, p)) END""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("ref")).cast("long").as("n_ref"),
+        size(col("cand")).cast("long").as("n_cand"),
+        expr("lcs_len(cand, ref)").as("lcs"))
+      .select(col("doc_id"), col("n_ref"), col("n_cand"), col("lcs"),
+        expr("(1000000 * lcs) div greatest(n_cand, 1)").as("p_ppm"),
+        expr("(1000000 * lcs) div greatest(n_ref, 1)").as("r_ppm"),
+        expr("(2000000 * lcs) div greatest(n_ref + n_cand, 1)").as("f_ppm"))
+
+  private val oracle =
+    s"""WITH RECURSIVE prep AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> t <> '')[1:$CapTokens] AS ref
+       |  FROM documents),
+       |pc AS MATERIALIZED (
+       |  SELECT doc_id, ref,
+       |    CASE WHEN length(ref) < 1 THEN ref
+       |      ELSE [ref[CASE WHEN (xor((p - 1) // 4, 1) * 4) + ((p - 1) % 4) + 1 <= length(ref)
+       |                   THEN (xor((p - 1) // 4, 1) * 4) + ((p - 1) % 4) + 1
+       |                   ELSE p END]
+       |            FOR p IN generate_series(1, length(ref)) IF p % 7 != 3] END AS cand
+       |  FROM prep),
+       |base AS MATERIALIZED (
+       |  SELECT doc_id, ref, cand,
+       |    CAST(length(ref) AS BIGINT) AS nr, CAST(length(cand) AS BIGINT) AS nc
+       |  FROM pc),
+       |dp(doc_id, i, row) AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT),
+       |    list_transform(generate_series(0, CAST(nr AS INT)), x -> CAST(0 AS BIGINT))
+       |  FROM base
+       |  UNION ALL
+       |  SELECT dp.doc_id, dp.i + 1,
+       |    list_prepend(CAST(0 AS BIGINT), list_transform(
+       |      generate_series(1, CAST(b.nr AS INT)),
+       |      j -> greatest(
+       |        row[j + 1],
+       |        list_max(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |          generate_series(1, j),
+       |          k -> CASE WHEN b.ref[k] = b.cand[CAST(dp.i AS INT) + 1]
+       |               THEN row[k] + 1 ELSE CAST(0 AS BIGINT) END))))))
+       |  FROM dp JOIN base b USING (doc_id)
+       |  WHERE dp.i < b.nc),
+       |fin AS (
+       |  SELECT b.doc_id, b.nr, b.nc, dp.row[CAST(b.nr AS INT) + 1] AS lcs
+       |  FROM dp JOIN base b USING (doc_id) WHERE dp.i = b.nc)
+       |SELECT doc_id, nr AS n_ref, nc AS n_cand, CAST(lcs AS BIGINT) AS lcs,
+       |  (1000000 * lcs) // greatest(nc, 1) AS p_ppm,
+       |  (1000000 * lcs) // greatest(nr, 1) AS r_ppm,
+       |  (2000000 * lcs) // greatest(nr + nc, 1) AS f_ppm
+       |FROM fin ORDER BY doc_id""".stripMargin
+
+  def engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "rouge_l_eval",
+      // pinned before the total-order sort: the range partitioner's
+      // boundary SAMPLING re-executes the child, which would run the
+      // whole DP projection twice (measured 2× input records). The pin
+      // is 7 integer columns per doc — a by-convention pin the harness
+      // frees (Bench/Verify unpersist after each query).
+      (s, dir) => rougeLEval(Tables.documents(s, dir)).localCheckpoint(true).orderBy("doc_id"),
+      Some(oracle),
+      headline = true,
+    ),
+  )
+}

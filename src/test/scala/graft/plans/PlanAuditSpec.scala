@@ -1341,6 +1341,17 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("doc_id", "_groupingexpression")
   }
 
+  test("rouge-l eval: map-side codegen DP, zero hash exchanges (r16)") {
+    // the gate pins before its ORDER BY (sampling would re-run the DP),
+    // so audit the SCORING plan directly — the method the gate executes
+    val p = graft.text.RougeL.rougeLEval(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    p should include("lcs_len")
+    p should not include "Exchange" // pure map-side projection
+    p should not include "Join"
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
   test("trigram backoff LM: one pinned tokenize pass, n-gram-keyed exchanges only (r16)") {
     val p = plan("trigram_backoff_fluency")
     // the corpus tokenizes ONCE (pinned); the only parquet scan left in
