@@ -44,6 +44,26 @@ object CurationProps extends Properties("Curation") {
         run(Curation.packSequences(docs, budget))
     }
 
+  property("unimax waterfill: exact budget conservation, caps respected, uncapped near-uniform") =
+    forAll(
+      Gen.listOfN(6, Gen.chooseNum(1, 40)),
+      Gen.chooseNum(1L, 400L),
+      Gen.chooseNum(1L, 3L),
+    ) { (tokCounts, budget, epochs) =>
+      import spark.implicits._
+      val docs = tokCounts.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "), s"l$i")
+      }.toDF("doc_id", "text", "lang")
+      val out = Curation.unimaxBudget(docs, budget, epochs).collect()
+        .map(r => (r.getLong(2), r.getBoolean(3), r.getLong(4)))
+      val capacity = tokCounts.map(_.toLong * epochs).sum
+      val allocs = out.map(_._3)
+      val uncapped = out.filter(!_._2).map(_._3)
+      allocs.sum == math.min(budget, capacity) &&
+        out.forall { case (cap, _, a) => a <= cap && a >= 0 } &&
+        (uncapped.isEmpty || uncapped.max - uncapped.min <= 1)
+    }
+
   property("chunking covers every token; window starts follow the stride") =
     forAll(Gen.chooseNum(1, 200), Gen.chooseNum(1, 8)) { (nTok, strideFactor) =>
       import spark.implicits._
