@@ -123,7 +123,10 @@ object Bench {
       // r15 from-saved round-trips + isotonic (FULL-mode ordering)
       "unigram_tokenize_from_saved" -> 4.35, "bpe_tokenize_from_saved" -> 2.71,
       "perceptron_confusion_from_saved" -> 4.47,
-      "perceptron_isotonic_calibration" -> 3.60, "ann_ivf_from_saved" -> 1.50)
+      "perceptron_isotonic_calibration" -> 3.60, "ann_ivf_from_saved" -> 1.50,
+      // r16 adds, min-of-5 ad-hoc builder runs (FULL-mode ordering)
+      "trigram_backoff_fluency" -> 2.23, "unimax_budget" -> 0.79,
+      "rouge_l_eval" -> 2.15)
     // r14 (verdict item 1): the headline set grew to 60 queries and the
     // r13 driver run degraded to ONE pass per query — single-pass
     // numbers on a contended host are noise (r13 read as a 2.4×
