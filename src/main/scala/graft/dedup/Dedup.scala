@@ -238,6 +238,92 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), sum(col("inter")).as("sum_inter"))
   }
 
+  /** LSH band-layout calibration SWEEP — the `ann_recall_curve` analog
+    * for the MinHash family: the same 16-permutation signature sliced
+    * into the three layouts 2×8 / 4×4 / 8×2 (bands × rows-per-band),
+    * each measured for candidate precision AND recall against LOSSLESS
+    * exact ground truth. Where [[minhashCandidatePrecision]] grades one
+    * fixed layout's candidates, this emits the full trade-off curve a
+    * pipeline picks its layout from: more bands → higher recall, more
+    * collision noise; more rows per band → the reverse. Aligned band
+    * boundaries make the raw candidate sets NESTED (an 8-hash band
+    * match implies both constituent 4-hash bands match) — but the
+    * per-band cap cuts the other way on templated corpora: at sf0.1
+    * the 2-hash bands collide so heavily that the cap drops them
+    * wholesale and 8×2 recall CRASHES to ~4% (vs 4×4's 99.6%), which
+    * is precisely the production lesson this curve exists to surface.
+    *
+    * Ground truth is the token-space PPJoin ([[SetSimJoin.jaccardJoin]]
+    * — prefix filtering is a theorem, not a heuristic, so recall is
+    * measured against the COMPLETE J ≥ t pair set), and the signature
+    * here is a token-set MinHash so candidate and truth live in the
+    * same similarity space. Run over the setsim gate slice — truth is
+    * the expensive half, and it is exactly the setsim gate's cost.
+    *
+    * Scale shape: ONE signature aggregation (pinned — all three
+    * layouts slice it); the three banded relations union into ONE
+    * capped band self-join keyed (layout, band, value) — no per-layout
+    * corpus pass, no driver loop; truth pins once and serves the hit
+    * join and the one-row total. All three layout rows always surface
+    * (left join from a literal layout spine — a zero-candidate layout
+    * reports 0, never silently vanishes).
+    */
+  def minhashBandSweep(
+      docs: DataFrame, t: Double = SetSimJoin.DefaultThreshold): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = graft.Partitioning.fanOut(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("__d", md5(col("tok")))
+    val lanes = (0 until 4).map(j =>
+      conv(substring(col("__d"), 8 * j + 1, 8), 16, 10).cast("long").as(s"__l$j"))
+    val withLanes = toks.select(col("doc_id") +: lanes: _*)
+    val aggs = (0 until NumPerms).map { i =>
+      val (a, b) = Perms(i)
+      min((lit(a) * col(s"__l${i % 4}") + lit(b)) % lit(PermP)).as(s"h$i")
+    }
+    // by-convention pins (harness frees): the signature feeds three
+    // layout slices, truth feeds the hit join and its own count
+    val sigs = withLanes.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val banded = Seq(2, 4, 8).map { nb =>
+      val rpb = NumPerms / nb
+      val bandVals = (0 until nb).map { b =>
+        concat_ws("-", (0 until rpb).map(r => col(s"h${b * rpb + r}")): _*)
+      }
+      sigs.select(lit(nb.toLong).as("n_bands"), col("doc_id"),
+        posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    }.reduce(_.unionByName(_))
+    val capped = capByKey(banded, Seq("n_bands", "band_idx", "band_val"), DefaultMaxBandSize)
+    val a = capped.select(col("n_bands"), col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+    val b = capped.select(col("n_bands"), col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
+    val pairs = a.join(b, Seq("n_bands", "band_idx", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("n_bands", "doc_a", "doc_b").distinct()
+    val truth = SetSimJoin.jaccardJoin(docs, t)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      .localCheckpoint(true)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val perLayout = pairs.join(truth, Seq("doc_a", "doc_b"), "left_outer")
+      .groupBy("n_bands")
+      .agg(count(lit(1)).as("n_candidates"), coalesce(sum("hit"), lit(0L)).as("n_hits"))
+    Seq(2L, 4L, 8L).toDF("n_bands")
+      .join(perLayout, Seq("n_bands"), "left_outer")
+      .crossJoin(broadcast(nTruth))
+      .select(
+        col("n_bands"),
+        expr(s"CAST($NumPerms div n_bands AS BIGINT)").as("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_truth"))
+      .withColumn("precision_ppm",
+        expr("(1000000 * n_hits) div greatest(n_candidates, 1)"))
+      .withColumn("recall_ppm",
+        expr("(1000000 * n_hits) div greatest(n_truth, 1)"))
+  }
+
   /** Connected components over candidate near-dup pairs — the clustering
     * step that turns pairwise LSH hits into dedup groups (keep one doc
     * per component). Iterative min-label propagation: each step is one
@@ -1087,6 +1173,81 @@ object Dedup {
            |SELECT (10 * inter) // (sz_a + sz_b - inter) AS bucket,
            |  count(*) AS n_pairs, CAST(sum(inter) AS BIGINT) AS sum_inter
            |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin),
+    ),
+    EngineQuery(
+      "minhash_band_sweep",
+      (s, dir) =>
+        minhashBandSweep(
+          Tables.documents(s, dir)
+            .where(col("doc_id") % SetSimJoin.GateDocFilter === 0))
+          .orderBy("n_bands"),
+      Some {
+        val lanes = (0 until 4)
+          .map(j => s"CAST('0x' || substr(md5(tok), ${8 * j + 1}, 8) AS BIGINT) AS l$j")
+          .mkString(", ")
+        val mins = (0 until NumPerms).map { i =>
+          val (a, b) = Perms(i)
+          s"min(($a * l${i % 4} + $b) % $PermP) AS h$i"
+        }.mkString(", ")
+        val layoutSelect = Seq(2, 4, 8).map { nb =>
+          val rpb = NumPerms / nb
+          (0 until nb).map { bnd =>
+            val vals = (0 until rpb).map(r => s"h${bnd * rpb + r}").mkString(", ")
+            s"SELECT $nb AS n_bands, doc_id, $bnd AS band_idx, concat_ws('-', $vals) AS band_val FROM sig"
+          }.mkString("\n  UNION ALL ")
+        }.mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT DISTINCT doc_id, tok FROM (
+           |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+           |    FROM documents
+           |    WHERE length(trim(text)) > 0 AND doc_id % ${SetSimJoin.GateDocFilter} = 0)
+           |  WHERE tok <> ''),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+           |tpairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |truth AS MATERIALIZED (
+           |  SELECT doc_a, doc_b FROM tpairs
+           |  JOIN sizes sa ON doc_a = sa.doc_id
+           |  JOIN sizes sb ON doc_b = sb.doc_id
+           |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+           |    >= ${SetSimJoin.DefaultThreshold}),
+           |lanes AS (SELECT doc_id, $lanes FROM toks),
+           |sig AS MATERIALIZED (SELECT doc_id, $mins FROM lanes GROUP BY doc_id),
+           |banded AS (
+           |  $layoutSelect),
+           |capped AS (
+           |  SELECT n_bands, doc_id, band_idx, band_val FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY n_bands, band_idx, band_val) AS m
+           |    FROM banded)
+           |  WHERE m <= $DefaultMaxBandSize),
+           |cpairs AS (
+           |  SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM capped a JOIN capped b
+           |    ON a.n_bands = b.n_bands AND a.band_idx = b.band_idx
+           |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+           |agg AS (
+           |  SELECT c.n_bands, count(*) AS n_candidates,
+           |    sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+           |  FROM cpairs c LEFT JOIN truth t USING (doc_a, doc_b)
+           |  GROUP BY c.n_bands),
+           |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+           |spine AS (SELECT unnest([2, 4, 8]) AS n_bands)
+           |SELECT CAST(spine.n_bands AS BIGINT) AS n_bands,
+           |  CAST($NumPerms // spine.n_bands AS BIGINT) AS rows_per_band,
+           |  CAST(coalesce(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+           |  CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits,
+           |  tt.n_truth,
+           |  (1000000 * CAST(coalesce(agg.n_hits, 0) AS BIGINT))
+           |    // greatest(CAST(coalesce(agg.n_candidates, 0) AS BIGINT), 1) AS precision_ppm,
+           |  (1000000 * CAST(coalesce(agg.n_hits, 0) AS BIGINT))
+           |    // greatest(tt.n_truth, 1) AS recall_ppm
+           |FROM spine LEFT JOIN agg ON spine.n_bands = agg.n_bands
+           |CROSS JOIN tt ORDER BY n_bands""".stripMargin
+      },
+      // Gate-only like setsim_jaccard_join — the truth half IS the
+      // setsim cost; the MinHash half is the benched headline family.
     ),
     // Clustering the LSH pairs into dedup groups; oracle computes the
     // same components via a recursive transitive-closure CTE.

@@ -196,6 +196,31 @@ class DedupSpec extends AnyFunSuite with Matchers {
     grouped shouldBe Map(1L -> 2L, 3L -> 1L)
   }
 
+  test("band sweep: recall rises with band count, all layouts surface, hits bounded") {
+    // 3 near-dup pairs (one-token edits on 30-token docs, J ≈ 0.94) +
+    // noise docs with disjoint vocabularies
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = (Seq(
+      (0L, base), (1L, base.replace("tok7", "edit7")),
+      (10L, base.replace("tok", "w")), (11L, base.replace("tok", "w").replace("w9", "e9")),
+      (20L, base.replace("tok", "z")), (21L, base.replace("tok", "z").replace("z3", "e3"))) ++
+      (30L to 39L).map(i => i -> (1 to 25).map(j => s"n${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashBandSweep(corpus, t = 0.8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out.keySet shouldBe Set(2L, 4L, 8L) // every layout surfaces
+    val nTruth = out(2L)._3
+    nTruth shouldBe 3L // the three planted pairs, found losslessly
+    out.values.foreach { case (cand, hits, tr) =>
+      hits should be <= math.min(cand, tr)
+      tr shouldBe nTruth
+    }
+    // more bands (fewer rows per band) can only gain recall
+    out(2L)._2 should be <= out(4L)._2
+    out(4L)._2 should be <= out(8L)._2
+    out(8L)._2 should be > 0L
+  }
+
   test("contrastive triplets: positives are near-dups, negatives avoid both ends") {
     // two near-identical docs (the positive pair) + distinct fillers
     val long = (1 to 30).map(i => s"tok$i").mkString(" ")
