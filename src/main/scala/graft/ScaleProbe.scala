@@ -243,7 +243,11 @@ object ScaleProbe {
     // half is setsim_jaccard_join, which is excluded above for the
     // documented quadratic-output reason; the MinHash half's scale
     // story is carried by minhash_lsh_pairs/minhash_band_stats.
-    "rouge_l_eval")
+    "rouge_l_eval",
+    // r16: the compression curve is the learner plus one
+    // vocabulary-scale prefix-replay pass — its ratio must track
+    // bpe_learn_merges (probed above), never the corpus.
+    "bpe_compression_curve")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -406,6 +406,11 @@ object Bpe {
       (s, dir) => bpeFertilityByLang(Tables.documents(s, dir)).orderBy("lang"),
       Some(duckFertilityByLang(DefaultMerges)),
     ),
+    EngineQuery(
+      "bpe_compression_curve",
+      (s, dir) => bpeCompressionCurve(Tables.documents(s, dir)).orderBy("step"),
+      Some(duckCompressionCurve(DefaultMerges)),
+    ),
     // Persistence round-trip: tokenize from the RELOADED merge table
     // must equal the in-process apply (same oracle).
     EngineQuery(
@@ -415,6 +420,54 @@ object Bpe {
       headline = true,
     ),
   )
+
+  /** BPE compression curve — corpus token count after each merge step
+    * (step 0 = characters): the vocab-size calibration evidence a
+    * tokenizer decision needs (each merge buys fewer tokens; the curve
+    * shows the diminishing return — the `ann_recall_curve` discipline
+    * applied to the tokenizer family). The corpus pays the learner's
+    * passes plus ONE vocabulary pass: every merge prefix replays as a
+    * chained greedy-leftmost fold projection over the (word, count)
+    * histogram (the `bpe_tokenize_from_saved` apply shape), all n+1
+    * per-step sizes ride one select, and the per-step totals collapse
+    * in ONE aggregation row unpivoted by `stack` — nothing iterates at
+    * corpus scale, nothing collects beyond the ≤numMerges merge list.
+    */
+  def bpeCompressionCurve(docs: DataFrame, numMerges: Int = DefaultMerges): DataFrame = {
+    val ms = bpeLearnMerges(docs, numMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))) // bounded: ≤ numMerges rows
+    val wc = wordCounts(docs)
+    val symSteps = ms.scanLeft(split(col("w"), "")) { case (syms, (a, b)) =>
+      applyMerge(syms, a, b)
+    }
+    val sized = wc.select(
+      col("c") +: symSteps.zipWithIndex.map { case (s, k) =>
+        size(s).cast("long").as(s"s$k") }: _*)
+    val totals = sized.agg(
+      sum(col("c") * col("s0")).as("t0"),
+      symSteps.indices.drop(1).map(k => sum(col("c") * col(s"s$k")).as(s"t$k")): _*)
+    val stackArgs = symSteps.indices.map(k => s"CAST($k AS BIGINT), t$k").mkString(", ")
+    totals
+      .selectExpr(s"stack(${symSteps.length}, $stackArgs) AS (step, total_tokens)", "t0")
+      .select(col("step"), col("total_tokens"),
+        expr("(1000000 * total_tokens) div greatest(t0, 1)").as("compression_ppm"))
+  }
+
+  private def duckCompressionCurve(n: Int): String = {
+    val (steps, _) = duckSteps(n)
+    val union = (0 to n).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS step,
+         |  CAST(sum(c * length(string_split(vs, chr(31)))) AS BIGINT) AS total_tokens
+         |FROM v$k""".stripMargin).mkString("\n  UNION ALL ")
+    s"""WITH wc AS ($duckWc),
+       |v0 AS (SELECT list_reduce(string_split(w, ''), (a, x) -> a || chr(31) || x) AS vs, c FROM wc),
+       |$steps,
+       |curve AS ($union),
+       |base AS (SELECT total_tokens AS tok0 FROM curve WHERE step = 0)
+       |SELECT step, total_tokens,
+       |  (1000000 * total_tokens) // greatest(tok0, 1) AS compression_ppm
+       |FROM curve CROSS JOIN base ORDER BY step""".stripMargin
+  }
 
   /** Per-language tokenizer fertility (BPE tokens per word — the
     * tokenizer-equity metric of Rust et al. 2021, "How Good is Your

@@ -170,6 +170,25 @@ class BpeSpec extends AnyFunSuite with Matchers {
     got.map(_._1) should not contain 3L
   }
 
+  test("compression curve matches the reference learner at every merge prefix") {
+    val texts = Seq(
+      "low lower lowest low low", "newer newest new news",
+      "wide wider widest wide", "er er er est est")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.bpeCompressionCurve(df, numMerges = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: learning k merges then sizing the vocab IS the step-k
+    // point of the curve (merge sequences are prefix-stable)
+    val exp = (0 to 6).map { k =>
+      val vocab = referenceBpeFull(texts, k)._2
+      k.toLong -> vocab.map { case (syms, c) => syms.size * c }.sum
+    }.toMap
+    got shouldBe exp
+    // monotone: every merge can only shrink the corpus
+    (0 until 6).foreach(k => got(k + 1L) should be <= got(k.toLong))
+    got(0L) shouldBe texts.flatMap(_.split("\\s+")).map(_.length.toLong).sum
+  }
+
   test("pair counts match a brute-force occurrence count") {
     val texts = Seq("hello world", "hello hello", "naïve café", "a")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
