@@ -247,7 +247,11 @@ object ScaleProbe {
     // r16: the compression curve is the learner plus one
     // vocabulary-scale prefix-replay pass — its ratio must track
     // bpe_learn_merges (probed above), never the corpus.
-    "bpe_compression_curve")
+    "bpe_compression_curve",
+    // r16: PPR rides the densified probe graph exactly like
+    // graph_pagerank_parts (probed above) — same edge pin, same
+    // node-sized rounds; its ratio must track the pagerank probe.
+    "graph_ppr_seeds")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -162,6 +162,54 @@ object GraphRank {
     pr
   }
 
+  /** Personalized PageRank (Jeh–Widom): teleport mass lands ONLY on the
+    * seed set, so rank concentrates in the seeds' neighborhood — the
+    * crawl-frontier prioritization shape (score uncrawled pages by
+    * proximity to trusted seeds) and the seed-expansion move behind
+    * curation like Common Crawl's seed-proximity filters. Teleport mass
+    * is per-seed `Scale` (the unnormalized form: dividing by |seeds|
+    * rescales every rank identically, so the ordering — the thing the
+    * query serves — is unchanged and the lane stays integer-exact).
+    *
+    * Same loop discipline as [[pagerank]]'s general path (declared
+    * src-partitioned edge pin crossed twice ever, |node|-sized rounds);
+    * the symmetric fast path does NOT apply — pr₀ is zero off-seed, so
+    * iteration 1 cannot fuse to a constant, and the node LEFT JOIN must
+    * stay: a node with in-edges only from zero-rank regions still needs
+    * its row (null branch genuinely fires off-seed).
+    */
+  def personalizedPagerank(edges0: DataFrame, seedMod: Long, iters: Int): DataFrame = {
+    val shuffleParts = edges0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val withDeg = edges0
+      .repartition(shuffleParts, col("src"))
+      .distinct()
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+    val (edges, releaseEdges) =
+      org.apache.spark.sql.graftplan.PartitionedCheckpoint.localEagerDeclared(
+        withDeg, Seq("src"), shuffleParts, sortedByKeys = true)
+    val (nodes, releaseNodes) = graft.Checkpoints.localEager(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
+    val seedBase = when(col("node") % seedMod === 0, lit(15L * Scale / 100L)).otherwise(lit(0L))
+    var cur = nodes.withColumn("pr",
+      when(col("node") % seedMod === 0, lit(Scale)).otherwise(lit(0L)))
+    (1 to iters).foreach { _ =>
+      val contribs = edges
+        .join(cur.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("s"))
+      cur = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (seedBase + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+    }
+    val (pinned, _) = graft.Checkpoints.localEager(cur)
+    releaseEdges(); releaseNodes()
+    pinned
+  }
+
   /** Top-k parts by 3-iteration PageRank over the co-purchase graph
     * (symmetric by construction — both directions emitted).
     */
@@ -451,6 +499,18 @@ object GraphRank {
       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src)""".stripMargin
 
+  /** One unrolled PERSONALIZED oracle iteration: seed-only base term. */
+  private def duckIterSeeded(from: String, to: String, seedMod: Long): String =
+    s"""c_$to AS (
+       |  SELECT e.dst AS node, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS s
+       |  FROM edges e JOIN $from p ON e.src = p.node JOIN deg d ON e.src = d.src
+       |  GROUP BY e.dst),
+       |$to AS (
+       |  SELECT n.node,
+       |    CAST((CASE WHEN n.node % $seedMod = 0 THEN 150000000 ELSE 0 END)
+       |      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+       |  FROM nodes n LEFT JOIN c_$to c ON n.node = c.node)""".stripMargin
+
   /** One unrolled oracle iteration: prN from prM. */
   private def duckIter(from: String, to: String): String =
     s"""c_$to AS (
@@ -474,6 +534,24 @@ object GraphRank {
              |SELECT node AS part_key, pr AS pr_scaled FROM pr3
              |ORDER BY pr DESC, node LIMIT 20""".stripMargin),
       headline = true,
+    ),
+    EngineQuery(
+      "graph_ppr_seeds",
+      (s, dir) =>
+        personalizedPagerank(
+          rawCoPurchasePairs(Tables.lineitem(s, dir)), seedMod = 50L, iters = 3)
+          .orderBy(col("pr").desc, col("node"))
+          .limit(20)
+          .select(col("node").as("part_key"), col("pr").as("ppr_scaled")),
+      Some(s"""$duckGraphCtes,
+             |pr0 AS (SELECT node,
+             |  CAST(CASE WHEN node % 50 = 0 THEN 1000000000 ELSE 0 END AS BIGINT) AS pr
+             |  FROM nodes),
+             |${duckIterSeeded("pr0", "pr1", 50L)},
+             |${duckIterSeeded("pr1", "pr2", 50L)},
+             |${duckIterSeeded("pr2", "pr3", 50L)}
+             |SELECT node AS part_key, pr AS ppr_scaled FROM pr3
+             |ORDER BY pr DESC, node LIMIT 20""".stripMargin),
     ),
     EngineQuery(
       "graph_hits_authorities",

@@ -113,6 +113,24 @@ class GraphRankSpec extends AnyFunSuite with Matchers {
     fast shouldBe general
   }
 
+  test("personalized pagerank: mass concentrates near the seed, unreachable stays zero") {
+    // chain 0↔1↔2↔3 plus a disconnected pair 4↔5; only node 0 seeds
+    // (0 % 100 == 0 — no other id is a multiple of 100)
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L))
+    val e = chain.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val pr = GraphRank.personalizedPagerank(e, seedMod = 100L, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // parity-robust claims (a 3-iteration chain oscillates mass between
+    // odd/even distances, so per-node order flips — the NEIGHBORHOOD
+    // claims don't): the seed half of the chain holds more mass than
+    // the far half, the 1-hop node beats the 2-hop node, and nothing
+    // reaches the disconnected component
+    (pr(0L) + pr(1L)) should be > (pr(2L) + pr(3L))
+    pr(1L) should be > pr(2L)
+    pr(4L) shouldBe 0L // unreachable from the seed set
+    pr(5L) shouldBe 0L
+  }
+
   test("degree histogram over the tiny graph") {
     val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L))
       .toDF("l_orderkey", "l_partkey")
