@@ -161,19 +161,69 @@ object BigramLm {
   val BiBackoffScale = 400000L
   val UniBackoffScale = 160000L
 
-  /** (doc_id, w1, w2, w3) one row per trigram OCCURRENCE. */
-  private def docTrigrams(docs: DataFrame): DataFrame =
-    graft.Partitioning.fanOut(docs)
+
+  /** Tokenized corpus rows (doc_id, __toks); `fanOut = false` for
+    * streaming inputs (no repartition on an unbounded source).
+    */
+  private def tokenArrays(docs: DataFrame, fanOut: Boolean = true): DataFrame =
+    (if (fanOut) graft.Partitioning.fanOut(docs) else docs)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("__toks"))
-      .where(size(col("__toks")) >= 3 && col("__toks").getItem(0) =!= "")
+      .where(size(col("__toks")) >= 1 && col("__toks").getItem(0) =!= "")
+
+  private def ngramsOf(tokArr: DataFrame, n: Int, names: Seq[String]): DataFrame =
+    tokArr.where(size(col("__toks")) >= n)
       .select(col("doc_id"), explode(
         transform(
-          sequence(lit(1), size(col("__toks")) - 2),
-          i => struct(
-            element_at(col("__toks"), i).as("w1"),
-            element_at(col("__toks"), i + 1).as("w2"),
-            element_at(col("__toks"), i + 2).as("w3")))).as("t"))
-      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+          sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => struct(names.zipWithIndex.map { case (nm, j) =>
+            element_at(col("__toks"), i + j).as(nm) }: _*))).as("g"))
+      .select(col("doc_id") +: names.map(nm => col(s"g.$nm").as(nm)): _*)
+
+  /** The trained backoff model relations (pruned tri/bi, unigram) plus
+    * the collected token total (ONE bounded 1-row collect — the lane
+    * every scorer shares, batch and streaming alike).
+    */
+  private[text] case class BackoffModels(tri: DataFrame, bi: DataFrame, uni: DataFrame, tot: Long)
+
+  private def backoffModels(tokArr: DataFrame): BackoffModels = {
+    val d38 = "DECIMAL(38,0)"
+    val toks = tokArr.select(explode(col("__toks")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt1"))
+    val tot = uni.agg(sum("cnt1").cast("long").as("tot")).collect()(0).getLong(0)
+    val bi = ngramsOf(tokArr, 2, Seq("w1", "w2"))
+    val tri = ngramsOf(tokArr, 3, Seq("w1", "w2", "w3"))
+    // ONE bigram aggregate serves both roles: raw context denominators
+    // (pruning drops estimates, not evidence) and the pruned bi model.
+    val cnt2Raw = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val triModel = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
+      .where(col("cnt3") >= TriMinCount)
+      .join(cnt2Raw.withColumnRenamed("cnt2", "ctx12"), Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        expr(s"CAST((CAST($Scale AS $d38) * cnt3) div ctx12 AS BIGINT)").as("p3"))
+    val biModel = cnt2Raw
+      .where(col("cnt2") >= TriMinCount)
+      .join(uni.select(col("tok").as("w1"), col("cnt1").as("ctx2")), "w1")
+      .select(col("w1").as("bw2"), col("w2").as("bw3"),
+        expr(s"CAST((CAST($BiBackoffScale AS $d38) * cnt2) div ctx2 AS BIGINT)").as("p2"))
+    BackoffModels(triModel, biModel, uni, tot)
+  }
+
+  /** The ONE scoring expression both the batch gate and the streaming
+    * twin execute (shared so the two cannot drift): per trigram
+    * occurrence, the highest-order surviving estimate and its tier.
+    */
+  private def scoreTrigramsWith(tri: DataFrame, m: BackoffModels): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    tri
+      .join(m.tri, Seq("w1", "w2", "w3"), "left_outer")
+      .join(m.bi.withColumnRenamed("bw2", "w2").withColumnRenamed("bw3", "w3"),
+        Seq("w2", "w3"), "left_outer")
+      .join(m.uni.select(col("tok").as("w3"), col("cnt1").as("cnt1u")), Seq("w3"))
+      .select(col("doc_id"),
+        coalesce(col("p3"), col("p2"),
+          expr(s"CAST((CAST($UniBackoffScale AS $d38) * cnt1u) div ${m.tot} AS BIGINT)")).as("p"),
+        when(col("p3").isNotNull, 3L).when(col("p2").isNotNull, 2L).otherwise(1L).as("tier"))
+  }
 
   /** Trigram fluency with stupid backoff — what CCNet's KenLM filter
     * actually runs, minus the external model file: a PRUNED trigram
@@ -190,58 +240,21 @@ object BigramLm {
     *
     * Scale shape: one corpus pass per n-gram order (three partial+final
     * count aggregations, each corpus-supported); scoring is three
-    * hash equi-joins (two LEFT, precedence by coalesce) + the one-row
-    * token-total broadcast + a doc-keyed rollup. No driver loop, no
+    * hash equi-joins (two LEFT, precedence by coalesce; the token total
+    * rides as a collected literal — one bounded 1-row collect) + a
+    * doc-keyed rollup. No driver loop, no
     * windows, nothing vocabulary-collected.
     */
   def trigramBackoffScores(docs: DataFrame): DataFrame = {
-    val d38 = "DECIMAL(38,0)"
     // ONE scan+tokenize pass, pinned: five consumers derive from the
     // token arrays (unigram/bigram/trigram counts + the scoring
     // stream) — unpinned, each would re-read and re-split the corpus
     // (the first cut of this operator paid 8 parquet scans). A
     // by-convention pin the harness frees: Bench and Verify unpersist
     // all persistent RDDs after each query.
-    val tokArr = graft.Partitioning.fanOut(docs)
-      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("__toks"))
-      .where(size(col("__toks")) >= 1 && col("__toks").getItem(0) =!= "")
-      .localCheckpoint(true)
-    val toks = tokArr.select(explode(col("__toks")).as("tok"))
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt1"))
-    val tot = uni.agg(sum("cnt1").cast("long").as("tot"))
-    def ngrams(n: Int, names: Seq[String]): DataFrame =
-      tokArr.where(size(col("__toks")) >= n)
-        .select(col("doc_id"), explode(
-          transform(
-            sequence(lit(1), size(col("__toks")) - (n - 1)),
-            i => struct(names.zipWithIndex.map { case (nm, j) =>
-              element_at(col("__toks"), i + j).as(nm) }: _*))).as("g"))
-        .select(col("doc_id") +: names.map(nm => col(s"g.$nm").as(nm)): _*)
-    val bi = ngrams(2, Seq("w1", "w2"))
-    val tri = ngrams(3, Seq("w1", "w2", "w3"))
-    // ONE bigram aggregate serves both roles: raw context denominators
-    // (pruning drops estimates, not evidence) and the pruned bi model.
-    val cnt2Raw = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-    val triModel = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
-      .where(col("cnt3") >= TriMinCount)
-      .join(cnt2Raw.withColumnRenamed("cnt2", "ctx12"), Seq("w1", "w2"))
-      .select(col("w1"), col("w2"), col("w3"),
-        expr(s"CAST((CAST($Scale AS $d38) * cnt3) div ctx12 AS BIGINT)").as("p3"))
-    val biModel = cnt2Raw
-      .where(col("cnt2") >= TriMinCount)
-      .join(uni.select(col("tok").as("w1"), col("cnt1").as("ctx2")), "w1")
-      .select(col("w1").as("bw2"), col("w2").as("bw3"),
-        expr(s"CAST((CAST($BiBackoffScale AS $d38) * cnt2) div ctx2 AS BIGINT)").as("p2"))
-    val scored = tri
-      .join(triModel, Seq("w1", "w2", "w3"), "left_outer")
-      .join(biModel.withColumnRenamed("bw2", "w2").withColumnRenamed("bw3", "w3"),
-        Seq("w2", "w3"), "left_outer")
-      .join(uni.select(col("tok").as("w3"), col("cnt1").as("cnt1u")), Seq("w3"))
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
-        coalesce(col("p3"), col("p2"),
-          expr(s"CAST((CAST($UniBackoffScale AS $d38) * cnt1u) div tot AS BIGINT)")).as("p"),
-        when(col("p3").isNotNull, 3L).when(col("p2").isNotNull, 2L).otherwise(1L).as("tier"))
+    val tokArr = tokenArrays(docs).localCheckpoint(true)
+    val m = backoffModels(tokArr)
+    val scored = scoreTrigramsWith(ngramsOf(tokArr, 3, Seq("w1", "w2", "w3")), m)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_trigrams"),
@@ -261,6 +274,45 @@ object BigramLm {
           greatest(col("n_trigrams"), lit(1L)).cast("double"))
   }
 
+  private var trigramSinkCounter = 0
+
+  /** Streaming twin of the trigram tiers: the model trains batch-side
+    * (same [[backoffModels]] over the same pinned tokenize pass), each
+    * model relation pins eagerly, and the document STREAM's trigram
+    * occurrences score through the SAME [[scoreTrigramsWith]] as
+    * stream-static equi-joins — then a complete-mode per-TIER aggregate
+    * maintains exactly three rows of state at any stream volume
+    * (a per-doc rollup would grow state with the corpus). Draining the
+    * finite gate corpus must equal the batch scorer's tier totals —
+    * integer sums, order-free.
+    */
+  def runStreamingTrigramTiers(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val tokArr = tokenArrays(docs).localCheckpoint(true)
+    val m0 = backoffModels(tokArr)
+    // pin the model relations, then free the corpus-scale tokenize pin —
+    // the stream must never re-derive through the released lineage
+    val m = BackoffModels(
+      m0.tri.localCheckpoint(true), m0.bi.localCheckpoint(true),
+      m0.uni.localCheckpoint(true), m0.tot)
+    graft.Checkpoints.release(tokArr)
+    val src = graft.sources.StreamingSources.docSource(spark, sfDir)
+    val agg = scoreTrigramsWith(
+        ngramsOf(tokenArrays(src, fanOut = false), 3, Seq("w1", "w2", "w3")), m)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_occurrences"), sum(col("p")).as("score_sum"))
+    val qn = synchronized { trigramSinkCounter += 1; s"graft_trigram_sink_$trigramSinkCounter" }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn).select("tier", "n_occurrences", "score_sum")
+  }
+
   /** Shared oracle CTE prefix: tokens → bigrams → model → per-doc
     * fluency (the bigram_lm_fluency pipeline, reused verbatim). */
   private val duckFluencyCtes =
@@ -278,6 +330,51 @@ object BigramLm {
        |scored AS (
        |  SELECT doc_id, count(*) AS n_bigrams, sum(p_scaled) AS score_sum
        |  FROM bi JOIN model USING (w1, w2) GROUP BY doc_id)""".stripMargin
+
+  /** Shared trigram-oracle prefix: tokens, models, and the per-
+    * occurrence scored stream `sc` (tier + p) — the batch gate and
+    * the streaming twin aggregate the SAME relation. */
+  private val duckTrigramScored: String =
+    s"""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |tk AS (SELECT unnest(toks) AS tok FROM t),
+             |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt1 FROM tk GROUP BY tok),
+             |tt AS (SELECT CAST(sum(cnt1) AS BIGINT) AS tot FROM uni),
+             |bi AS (
+             |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+             |  FROM t, unnest(generate_series(1, length(toks) - 1)) AS g(i)
+             |  WHERE length(toks) >= 2),
+             |tri AS (
+             |  SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+             |    toks[CAST(i + 1 AS INT)] AS w2, toks[CAST(i + 2 AS INT)] AS w3
+             |  FROM t, unnest(generate_series(1, length(toks) - 2)) AS g(i)
+             |  WHERE length(toks) >= 3),
+             |ctx12 AS (SELECT w1, w2, count(*) AS ctx12 FROM bi GROUP BY w1, w2),
+             |trim3 AS (
+             |  SELECT w1, w2, w3,
+             |    CAST((CAST($Scale AS HUGEINT) * cnt3) // ctx12 AS BIGINT) AS p3
+             |  FROM (SELECT w1, w2, w3, count(*) AS cnt3 FROM tri GROUP BY w1, w2, w3
+             |        HAVING count(*) >= $TriMinCount) m
+             |  JOIN ctx12 USING (w1, w2)),
+             |bim AS (
+             |  SELECT m.w1 AS bw2, m.w2 AS bw3,
+             |    CAST((CAST($BiBackoffScale AS HUGEINT) * cnt2) // u.cnt1 AS BIGINT) AS p2
+             |  FROM (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY w1, w2
+             |        HAVING count(*) >= $TriMinCount) m
+             |  JOIN uni u ON m.w1 = u.tok),
+             |sc AS (
+             |  SELECT tri.doc_id,
+             |    coalesce(trim3.p3, bim.p2,
+             |      CAST((CAST($UniBackoffScale AS HUGEINT) * u.cnt1) // tt.tot AS BIGINT)) AS p,
+             |    CASE WHEN trim3.p3 IS NOT NULL THEN 3
+             |         WHEN bim.p2 IS NOT NULL THEN 2 ELSE 1 END AS tier
+             |  FROM tri
+             |  LEFT JOIN trim3 USING (w1, w2, w3)
+             |  LEFT JOIN bim ON tri.w2 = bim.bw2 AND tri.w3 = bim.bw3
+             |  JOIN uni u ON tri.w3 = u.tok
+             |  CROSS JOIN tt)"""
+      .stripMargin
 
   def engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
@@ -335,45 +432,7 @@ object BigramLm {
     EngineQuery(
       "trigram_backoff_fluency",
       (s, dir) => trigramBackoffScores(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some(s"""WITH t AS (
-             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-             |  FROM documents WHERE length(trim(text)) > 0),
-             |tk AS (SELECT unnest(toks) AS tok FROM t),
-             |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt1 FROM tk GROUP BY tok),
-             |tt AS (SELECT CAST(sum(cnt1) AS BIGINT) AS tot FROM uni),
-             |bi AS (
-             |  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
-             |  FROM t, unnest(generate_series(1, length(toks) - 1)) AS g(i)
-             |  WHERE length(toks) >= 2),
-             |tri AS (
-             |  SELECT doc_id, toks[CAST(i AS INT)] AS w1,
-             |    toks[CAST(i + 1 AS INT)] AS w2, toks[CAST(i + 2 AS INT)] AS w3
-             |  FROM t, unnest(generate_series(1, length(toks) - 2)) AS g(i)
-             |  WHERE length(toks) >= 3),
-             |ctx12 AS (SELECT w1, w2, count(*) AS ctx12 FROM bi GROUP BY w1, w2),
-             |trim3 AS (
-             |  SELECT w1, w2, w3,
-             |    CAST((CAST($Scale AS HUGEINT) * cnt3) // ctx12 AS BIGINT) AS p3
-             |  FROM (SELECT w1, w2, w3, count(*) AS cnt3 FROM tri GROUP BY w1, w2, w3
-             |        HAVING count(*) >= $TriMinCount) m
-             |  JOIN ctx12 USING (w1, w2)),
-             |bim AS (
-             |  SELECT m.w1 AS bw2, m.w2 AS bw3,
-             |    CAST((CAST($BiBackoffScale AS HUGEINT) * cnt2) // u.cnt1 AS BIGINT) AS p2
-             |  FROM (SELECT w1, w2, count(*) AS cnt2 FROM bi GROUP BY w1, w2
-             |        HAVING count(*) >= $TriMinCount) m
-             |  JOIN uni u ON m.w1 = u.tok),
-             |sc AS (
-             |  SELECT tri.doc_id,
-             |    coalesce(trim3.p3, bim.p2,
-             |      CAST((CAST($UniBackoffScale AS HUGEINT) * u.cnt1) // tt.tot AS BIGINT)) AS p,
-             |    CASE WHEN trim3.p3 IS NOT NULL THEN 3
-             |         WHEN bim.p2 IS NOT NULL THEN 2 ELSE 1 END AS tier
-             |  FROM tri
-             |  LEFT JOIN trim3 USING (w1, w2, w3)
-             |  LEFT JOIN bim ON tri.w2 = bim.bw2 AND tri.w3 = bim.bw3
-             |  JOIN uni u ON tri.w3 = u.tok
-             |  CROSS JOIN tt),
+      Some(s"""$duckTrigramScored,
              |scored AS (
              |  SELECT doc_id, count(*) AS n_trigrams, sum(p) AS score_sum,
              |    sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS n_tri,
@@ -391,6 +450,15 @@ object BigramLm {
              |FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
              |ORDER BY d.doc_id""".stripMargin),
       headline = true,
+    ),
+    EngineQuery(
+      "streaming_trigram_tiers",
+      (s, dir) => runStreamingTrigramTiers(s, dir).orderBy("tier"),
+      Some(s"""$duckTrigramScored
+             |SELECT CAST(tier AS BIGINT) AS tier,
+             |  CAST(count(*) AS BIGINT) AS n_occurrences,
+             |  CAST(sum(p) AS BIGINT) AS score_sum
+             |FROM sc GROUP BY tier ORDER BY tier""".stripMargin),
     ),
     EngineQuery(
       "bigram_lm_fluency",
