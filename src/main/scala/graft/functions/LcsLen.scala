@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * so the quadratic cell count is a compile-time-bounded constant per
   * row, never corpus-dependent.
   *
-  * Precondition: non-null elements (tokenizers never emit null tokens);
-  * either side empty → 0.
+  * Null elements never match (a null token contributes nothing to the
+  * common subsequence — same treatment in both eval paths, so a direct
+  * SQL caller with containsNull arrays gets a defined answer, not an
+  * NPE); either side empty → 0.
   */
 case class LcsLen(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -48,8 +50,9 @@ case class LcsLen(left: Expression, right: Expression) extends BinaryExpression 
       val ai = a.getUTF8String(i)
       var j = 0
       while (j < m) {
+        val bj = b.getUTF8String(j)
         cur(j + 1) =
-          if (ai.equals(b.getUTF8String(j))) prev(j) + 1
+          if (ai != null && bj != null && ai.equals(bj)) prev(j) + 1
           else math.max(prev(j + 1), cur(j))
         j += 1
       }
@@ -69,6 +72,7 @@ case class LcsLen(left: Expression, right: Expression) extends BinaryExpression 
       val cur = ctx.freshName("cur")
       val tmp = ctx.freshName("tmp")
       val ai = ctx.freshName("ai")
+      val bj = ctx.freshName("bj")
       val v = ctx.freshName("v")
       s"""
          |int $n = $a.numElements();
@@ -79,7 +83,8 @@ case class LcsLen(left: Expression, right: Expression) extends BinaryExpression 
          |  org.apache.spark.unsafe.types.UTF8String $ai = $a.getUTF8String($i);
          |  for (int $j = 0; $j < $m; $j++) {
          |    int $v;
-         |    if ($ai.equals($b.getUTF8String($j))) { $v = $prev[$j] + 1; }
+         |    org.apache.spark.unsafe.types.UTF8String $bj = $b.getUTF8String($j);
+         |    if ($ai != null && $bj != null && $ai.equals($bj)) { $v = $prev[$j] + 1; }
          |    else { $v = $prev[$j + 1] > $cur[$j] ? $prev[$j + 1] : $cur[$j]; }
          |    $cur[$j + 1] = $v;
          |  }

@@ -48,15 +48,30 @@ object ModelStore {
   def save(model: DataFrame, path: String): Unit =
     model.write.mode("overwrite").parquet(path)
 
+  /** Hard ceiling on artifact rows [[load]] will materialize to the
+    * driver. Every model family is vocabulary/bucket/centroid bounded
+    * (≤ thousands of rows by construction), so an artifact anywhere
+    * near this cap is corrupt or mislabeled — fail LOUD before the
+    * collect turns into a silent driver OOM.
+    */
+  val MaxArtifactRows = 1000000L
+
   /** Load a persisted model relation, materialized EAGERLY as a
     * driver-local relation (models are vocabulary/bucket/centroid
     * cardinality by construction). A lazily-scanned artifact frame
     * would read whatever bytes sit at the path when the CALLER finally
     * acts — a concurrent retrain's overwrite could cross-contaminate
-    * the apply; the eager copy snapshots load-time state.
+    * the apply; the eager copy snapshots load-time state. Artifacts
+    * over [[MaxArtifactRows]] are rejected before collecting.
     */
-  def load(spark: SparkSession, path: String): DataFrame =
-    graft.Checkpoints.driverLocal(spark.read.parquet(path))
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val n = raw.count()
+    require(n <= MaxArtifactRows,
+      s"model artifact at $path holds $n rows (cap $MaxArtifactRows): " +
+        "models are vocabulary/bucket/centroid bounded — refusing the driver collect")
+    graft.Checkpoints.driverLocal(raw)
+  }
 
   /** Save + reload in one breath — the round-trip the `*_from_saved`
     * gates run; returns the LOADED relation (never the in-memory one).

@@ -189,7 +189,11 @@ object BigramLm {
     val d38 = "DECIMAL(38,0)"
     val toks = tokArr.select(explode(col("__toks")).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt1"))
-    val tot = uni.agg(sum("cnt1").cast("long").as("tot")).collect()(0).getLong(0)
+    // coalesce: sum over ZERO rows (empty/all-blank corpus) is null —
+    // getLong on it throws; an empty model should train to tot=0, not
+    // crash (the scorer guards its division below).
+    val tot = uni.agg(coalesce(sum("cnt1"), lit(0L)).cast("long").as("tot"))
+      .collect()(0).getLong(0)
     val bi = ngramsOf(tokArr, 2, Seq("w1", "w2"))
     val tri = ngramsOf(tokArr, 3, Seq("w1", "w2", "w3"))
     // ONE bigram aggregate serves both roles: raw context denominators
@@ -221,7 +225,10 @@ object BigramLm {
       .join(m.uni.select(col("tok").as("w3"), col("cnt1").as("cnt1u")), Seq("w3"))
       .select(col("doc_id"),
         coalesce(col("p3"), col("p2"),
-          expr(s"CAST((CAST($UniBackoffScale AS $d38) * cnt1u) div ${m.tot} AS BIGINT)")).as("p"),
+          // max(tot, 1): an empty-corpus model carries tot=0, and the
+          // unigram tier must degrade to a zero estimate, never a
+          // divide-by-zero (the greatest(n_docs, 1) discipline).
+          expr(s"CAST((CAST($UniBackoffScale AS $d38) * cnt1u) div ${math.max(m.tot, 1L)} AS BIGINT)")).as("p"),
         when(col("p3").isNotNull, 3L).when(col("p2").isNotNull, 2L).otherwise(1L).as("tier"))
   }
 

@@ -437,9 +437,15 @@ object Bpe {
     val ms = bpeLearnMerges(docs, numMerges).collect()
       .map(r => (r.getString(1), r.getString(2))) // bounded: ≤ numMerges rows
     val wc = wordCounts(docs)
-    val symSteps = ms.scanLeft(split(col("w"), "")) { case (syms, (a, b)) =>
+    val folds = ms.scanLeft(split(col("w"), "")) { case (syms, (a, b)) =>
       applyMerge(syms, a, b)
     }
+    // A saturated learner (early stop before numMerges) yields fewer
+    // folds than steps; the oracle's v_k past saturation is the
+    // untouched final vocabulary, so pad with the final symbol state —
+    // step counts then agree on ANY corpus, not just ones that realize
+    // every merge.
+    val symSteps = folds ++ Seq.fill(numMerges + 1 - folds.length)(folds.last)
     val sized = wc.select(
       col("c") +: symSteps.zipWithIndex.map { case (s, k) =>
         size(s).cast("long").as(s"s$k") }: _*)

@@ -55,6 +55,19 @@ class ModelStoreSpec extends AnyFunSuite with Matchers {
     saved shouldBe direct
   }
 
+  test("load refuses an artifact past the row cap (fail loud, not driver OOM)") {
+    // ADVICE r16: models are bounded by construction, so an oversized
+    // artifact is corrupt/mislabeled — load must reject BEFORE collecting.
+    val p = ModelStore.path("spec_oversized", sfDir)
+    ModelStore.save(
+      spark.range(ModelStore.MaxArtifactRows + 1).toDF("piece"), p)
+    val e = intercept[IllegalArgumentException](ModelStore.load(spark, p))
+    e.getMessage should include("cap")
+    // and a sane artifact at the same path loads fine after retrain
+    ModelStore.save(spark.range(3).toDF("piece"), p)
+    ModelStore.load(spark, p).count() shouldBe 3L
+  }
+
   test("ivf: search against the reloaded centroid artifact equals the in-process search") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     import org.apache.spark.sql.functions.col

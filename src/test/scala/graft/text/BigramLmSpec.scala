@@ -103,4 +103,18 @@ class BigramLmSpec extends AnyFunSuite with Matchers {
     out(3L).getAs[Long]("n_bigrams") shouldBe 1L
     out(3L).getAs[Long]("score_sum") shouldBe 1000000L // only (a,b): p=1
   }
+
+  test("trigram backoff trains and scores an empty / all-blank corpus without throwing") {
+    // ADVICE r16: sum(cnt1) over zero rows is null (getLong NPE'd) and
+    // tot=0 reached the unigram tier as a literal zero denominator.
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    BigramLm.trigramBackoffScores(empty).count() shouldBe 0L
+    // blank docs still surface (zero-filled) through the left join
+    val blank = Seq(1L -> "   ", 2L -> "").toDF("doc_id", "text")
+    val out = BigramLm.trigramBackoffScores(blank).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L).getAs[Long]("n_trigrams") shouldBe 0L
+    out(1L).getAs[Double]("mean_p_scaled") shouldBe 0.0
+  }
 }

@@ -189,6 +189,19 @@ class BpeSpec extends AnyFunSuite with Matchers {
     got(0L) shouldBe texts.flatMap(_.split("\\s+")).map(_.length.toLong).sum
   }
 
+  test("compression curve pads to numMerges+1 steps when the learner saturates early") {
+    // ADVICE r16: corpus with ONE learnable merge ("ab" → saturation
+    // after step 1) — the oracle unions steps 0..numMerges with v_k
+    // untouched past saturation, so the engine must pad identically.
+    val df = Seq(1L -> "ab ab ab").toDF("doc_id", "text")
+    val rows = Bpe.bpeCompressionCurve(df, numMerges = 5).orderBy("step").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    rows.map(_._1) shouldBe (0L to 5L)
+    rows.head._2 shouldBe 6L // 3 occurrences × 2 chars
+    // steps 1..5 all hold the saturated size (one symbol per word)
+    rows.tail.map(_._2).distinct shouldBe Seq(3L)
+  }
+
   test("pair counts match a brute-force occurrence count") {
     val texts = Seq("hello world", "hello hello", "naïve café", "a")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

@@ -42,6 +42,23 @@ class RougeLSpec extends AnyFunSuite with Matchers {
     lcsEngine(pairs) shouldBe pairs.map { case (a, b) => lcsRef(a, b) }
   }
 
+  test("lcs_len: null elements never match (no NPE in either eval path)") {
+    // ADVICE r16: a direct SQL caller can pass containsNull arrays;
+    // nulls must score as non-matching tokens, not dereference.
+    val interpreted = spark.sql(
+      "SELECT lcs_len(array('a', CAST(NULL AS STRING), 'b'), array('a', NULL, 'b'))")
+      .collect()(0).getLong(0)
+    interpreted shouldBe 2L // 'a', 'b' — the nulls contribute nothing
+    // codegen path: route through a Range column so constant folding
+    // can't pre-evaluate it interpreted
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      spark.range(1).select(
+        expr("lcs_len(array('a', NULL, CAST(id AS STRING)), array('a', NULL, 'b'))").as("l"))
+        .collect()(0).getLong(0) shouldBe 1L
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("lcs_len runs inside WholeStageCodegen (no interpreted boundary)") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
