@@ -24,6 +24,17 @@ final case class EngineQuery(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     headline: Boolean = false,
+    /** Untimed preparation for queries whose measured half should exclude
+      * one-time work — the `*_from_saved` train+persist half (r16
+      * verdict item 4: a from-saved headline that re-trains before
+      * applying conflates train and apply cost). The correctness gate
+      * composes setup+fn (SparkEntry.queries), so the gate still proves
+      * the full train→save→load→apply loop; Bench/ScaleProbe run setup
+      * OUTSIDE the timed window so the measurement is reload+apply
+      * alone, with train cost attributed to the learner queries that
+      * already carry it.
+      */
+    setup: Option[(SparkSession, String) => Unit] = None,
 )
 
 /** Central registry; each operator family contributes its queries here. */

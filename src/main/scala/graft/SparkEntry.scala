@@ -21,9 +21,17 @@ object SparkEntry {
       .thresholded(Tables.documents(spark, "/root/testdata/sf0.001"), "text", 8)
       .orderBy("word")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Queries with
+    * an untimed setup half (the `*_from_saved` train+persist) compose
+    * it here, so this view is always self-contained: the correctness
+    * gate exercises the FULL train→save→load→apply loop while the
+    * bench times only the apply half (Bench runs setup separately).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Registry.all.map(q => q.name -> q.fn).toMap
+    Registry.all.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      q.setup.foreach(_(s, dir))
+      q.fn(s, dir)
+    }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

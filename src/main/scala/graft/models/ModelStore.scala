@@ -48,6 +48,15 @@ object ModelStore {
   def save(model: DataFrame, path: String): Unit =
     model.write.mode("overwrite").parquet(path)
 
+  /** Whether a COMMITTED artifact sits at `path` (the parquet `_SUCCESS`
+    * marker — a half-written dir from a killed save doesn't count).
+    * Hadoop FS API, so the check holds on any deployment filesystem.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Hard ceiling on artifact rows [[load]] will materialize to the
     * driver. Every model family is vocabulary/bucket/centroid bounded
     * (≤ thousands of rows by construction), so an artifact anywhere

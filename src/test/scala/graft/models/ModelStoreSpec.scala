@@ -34,6 +34,9 @@ class ModelStoreSpec extends AnyFunSuite with Matchers {
   test("unigram: tokenize from the reloaded vocab equals the in-process apply") {
     val docs = graft.Tables.documents(spark, sfDir)
     val direct = rows(graft.text.Unigram.unigramTokenizeStats(docs).orderBy("doc_id"))
+    // explicit setup half first (fresh train+persist), then the apply
+    // half — the exact split the bench measures (r16 verdict item 4)
+    graft.text.Unigram.trainAndSaveVocab(spark, sfDir)
     val saved = rows(graft.text.Unigram.tokenizeStatsFromSaved(spark, sfDir).orderBy("doc_id"))
     saved should not be empty
     saved shouldBe direct
@@ -42,6 +45,7 @@ class ModelStoreSpec extends AnyFunSuite with Matchers {
   test("perceptron: confusion from the reloaded weights equals the in-process apply") {
     val docs = graft.Tables.documents(spark, sfDir)
     val direct = rows(graft.text.Perceptron.confusion(docs).orderBy("y", "pred"))
+    graft.text.Perceptron.trainAndSaveWeights(spark, sfDir)
     val saved = rows(graft.text.Perceptron.confusionFromSaved(spark, sfDir).orderBy("y", "pred"))
     saved should not be empty
     saved shouldBe direct
@@ -50,6 +54,7 @@ class ModelStoreSpec extends AnyFunSuite with Matchers {
   test("bpe: tokenize from the reloaded merge table equals the in-process apply") {
     val docs = graft.Tables.documents(spark, sfDir)
     val direct = rows(graft.text.Bpe.bpeTokenizeStats(docs).orderBy("doc_id"))
+    graft.text.Bpe.trainAndSaveMerges(spark, sfDir)
     val saved = rows(graft.text.Bpe.tokenizeStatsFromSaved(spark, sfDir).orderBy("doc_id"))
     saved should not be empty
     saved shouldBe direct
@@ -74,6 +79,7 @@ class ModelStoreSpec extends AnyFunSuite with Matchers {
     val direct = rows(
       graft.similarity.Ann.ivfTrainedTopK(emb, emb.where(col("vec_id") < 50), k = 3)
         .orderBy("q_id", "rank"))
+    graft.similarity.Ann.trainAndSaveIvf(spark, sfDir)
     val saved = rows(
       graft.similarity.Ann.ivfTopKFromSaved(spark, sfDir, k = 3)
         .orderBy("q_id", "rank"))
