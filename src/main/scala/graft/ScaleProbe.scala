@@ -239,7 +239,8 @@ object ScaleProbe {
     // r16: rouge-l is a pure map-side projection (fixed DP constant per
     // row, zero hash exchanges) — its ratio must track the raw scan,
     // the zero-join floor like filter_agreement_kappa.
-    // minhash_band_sweep is deliberately NOT probed: its ground-truth
+    // minhash_band_sweep (and minhash_layout_select, the r17 decision
+    // gate over its curve) is deliberately NOT probed: its ground-truth
     // half is setsim_jaccard_join, which is excluded above for the
     // documented quadratic-output reason; the MinHash half's scale
     // story is carried by minhash_lsh_pairs/minhash_band_stats.

@@ -324,6 +324,50 @@ object Dedup {
         expr("(1000000 * n_hits) div greatest(n_truth, 1)"))
   }
 
+  /** Recall floor (ppm) [[minhashLayoutSelect]] defaults to: a layout
+    * missing more than 10% of true near-dup pairs leaves measurable
+    * duplication in the corpus — the operating point CCNet/Gopher-style
+    * pipelines run MinHash at.
+    */
+  val DefaultRecallFloorPpm = 900000L
+
+  /** The decision rule over [[minhashBandSweep]]'s calibration curve —
+    * closing the calibrate→choose loop (r16 verdict item 2: the sweep
+    * measured the 8×2 cap-blowout recall collapse but nothing consumed
+    * it; the layout stayed hardcoded). Rule: among layouts meeting the
+    * recall floor, take the FEWEST candidates (the verification bill is
+    * linear in candidates — candidate efficiency is the cost axis),
+    * ties to fewer bands (fewer banding rows); if NO layout meets the
+    * floor, degrade to max recall (ties again by candidates, bands) —
+    * a floor nothing meets means re-tune, and max-recall is the least
+    * wrong interim choice. Emits the full curve with `meets_floor` and
+    * a single `chosen` marker so the decision is auditable next to its
+    * evidence; the argmin runs as an ORDER BY+LIMIT 1 over the 3-row
+    * curve joined back by broadcast — no single-partition window, no
+    * driver branching.
+    */
+  def minhashLayoutSelect(
+      docs: DataFrame, t: Double = SetSimJoin.DefaultThreshold,
+      recallFloorPpm: Long = DefaultRecallFloorPpm): DataFrame = {
+    // by-convention pin (harness frees): the 3-row curve feeds the
+    // argmin AND the output projection
+    val sweep = minhashBandSweep(docs, t)
+      .withColumn("meets_floor",
+        when(col("recall_ppm") >= lit(recallFloorPpm), 1L).otherwise(0L))
+      .localCheckpoint(true)
+    val best = sweep.orderBy(
+        col("meets_floor").desc,
+        when(col("meets_floor") === 1L, col("n_candidates"))
+          .otherwise(-col("recall_ppm")),
+        col("n_candidates"), col("n_bands"))
+      .limit(1).select(col("n_bands").as("__best_nb"))
+    sweep.crossJoin(broadcast(best))
+      .select(col("n_bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_hits"), col("n_truth"), col("precision_ppm"), col("recall_ppm"),
+        col("meets_floor"),
+        when(col("n_bands") === col("__best_nb"), 1L).otherwise(0L).as("chosen"))
+  }
+
   /** Connected components over candidate near-dup pairs — the clustering
     * step that turns pairwise LSH hits into dedup groups (keep one doc
     * per component). Iterative min-label propagation: each step is one
@@ -942,6 +986,82 @@ object Dedup {
     * is the point: the incremental fold must produce the recompute's
     * exact relation.
     */
+  /** Band-sweep oracle CTE list (tokens → lossless truth → signatures →
+    * three band layouts → capped candidates → per-layout counts),
+    * shared by the sweep gate and the layout-select decision gate so
+    * the decision's oracle provably argmins over the SAME curve.
+    */
+  private lazy val duckBandSweepCtes: String = {
+    val lanes = (0 until 4)
+      .map(j => s"CAST('0x' || substr(md5(tok), ${8 * j + 1}, 8) AS BIGINT) AS l$j")
+      .mkString(", ")
+    val mins = (0 until NumPerms).map { i =>
+      val (a, b) = Perms(i)
+      s"min(($a * l${i % 4} + $b) % $PermP) AS h$i"
+    }.mkString(", ")
+    val layoutSelect = Seq(2, 4, 8).map { nb =>
+      val rpb = NumPerms / nb
+      (0 until nb).map { bnd =>
+        val vals = (0 until rpb).map(r => s"h${bnd * rpb + r}").mkString(", ")
+        s"SELECT $nb AS n_bands, doc_id, $bnd AS band_idx, concat_ws('-', $vals) AS band_val FROM sig"
+      }.mkString("\n  UNION ALL ")
+    }.mkString("\n  UNION ALL ")
+    s"""toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |    FROM documents
+       |    WHERE length(trim(text)) > 0 AND doc_id % ${SetSimJoin.GateDocFilter} = 0)
+       |  WHERE tok <> ''),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       |tpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM tpairs
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+       |    >= ${SetSimJoin.DefaultThreshold}),
+       |lanes AS (SELECT doc_id, $lanes FROM toks),
+       |sig AS MATERIALIZED (SELECT doc_id, $mins FROM lanes GROUP BY doc_id),
+       |banded AS (
+       |  $layoutSelect),
+       |capped AS (
+       |  SELECT n_bands, doc_id, band_idx, band_val FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY n_bands, band_idx, band_val) AS m
+       |    FROM banded)
+       |  WHERE m <= $DefaultMaxBandSize),
+       |cpairs AS (
+       |  SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |    ON a.n_bands = b.n_bands AND a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |agg AS (
+       |  SELECT c.n_bands, count(*) AS n_candidates,
+       |    sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       |  FROM cpairs c LEFT JOIN truth t USING (doc_a, doc_b)
+       |  GROUP BY c.n_bands),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |spine AS (SELECT unnest([2, 4, 8]) AS n_bands)""".stripMargin
+  }
+
+  /** Final projection over [[duckBandSweepCtes]] — the sweep relation
+    * itself (no ORDER BY, so it can sit inside a CTE).
+    */
+  private lazy val duckBandSweepSelect: String =
+    s"""SELECT CAST(spine.n_bands AS BIGINT) AS n_bands,
+       |  CAST($NumPerms // spine.n_bands AS BIGINT) AS rows_per_band,
+       |  CAST(coalesce(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits,
+       |  tt.n_truth,
+       |  (1000000 * CAST(coalesce(agg.n_hits, 0) AS BIGINT))
+       |    // greatest(CAST(coalesce(agg.n_candidates, 0) AS BIGINT), 1) AS precision_ppm,
+       |  (1000000 * CAST(coalesce(agg.n_hits, 0) AS BIGINT))
+       |    // greatest(tt.n_truth, 1) AS recall_ppm
+       |FROM spine LEFT JOIN agg ON spine.n_bands = agg.n_bands
+       |CROSS JOIN tt""".stripMargin
+
   private lazy val duckFullComponents: String =
     s"""WITH RECURSIVE sig AS ($duckSig),
        |bands AS ($duckBands),
@@ -1181,73 +1301,34 @@ object Dedup {
           Tables.documents(s, dir)
             .where(col("doc_id") % SetSimJoin.GateDocFilter === 0))
           .orderBy("n_bands"),
-      Some {
-        val lanes = (0 until 4)
-          .map(j => s"CAST('0x' || substr(md5(tok), ${8 * j + 1}, 8) AS BIGINT) AS l$j")
-          .mkString(", ")
-        val mins = (0 until NumPerms).map { i =>
-          val (a, b) = Perms(i)
-          s"min(($a * l${i % 4} + $b) % $PermP) AS h$i"
-        }.mkString(", ")
-        val layoutSelect = Seq(2, 4, 8).map { nb =>
-          val rpb = NumPerms / nb
-          (0 until nb).map { bnd =>
-            val vals = (0 until rpb).map(r => s"h${bnd * rpb + r}").mkString(", ")
-            s"SELECT $nb AS n_bands, doc_id, $bnd AS band_idx, concat_ws('-', $vals) AS band_val FROM sig"
-          }.mkString("\n  UNION ALL ")
-        }.mkString("\n  UNION ALL ")
-        s"""WITH toks AS (
-           |  SELECT DISTINCT doc_id, tok FROM (
-           |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-           |    FROM documents
-           |    WHERE length(trim(text)) > 0 AND doc_id % ${SetSimJoin.GateDocFilter} = 0)
-           |  WHERE tok <> ''),
-           |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-           |tpairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-           |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |truth AS MATERIALIZED (
-           |  SELECT doc_a, doc_b FROM tpairs
-           |  JOIN sizes sa ON doc_a = sa.doc_id
-           |  JOIN sizes sb ON doc_b = sb.doc_id
-           |  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
-           |    >= ${SetSimJoin.DefaultThreshold}),
-           |lanes AS (SELECT doc_id, $lanes FROM toks),
-           |sig AS MATERIALIZED (SELECT doc_id, $mins FROM lanes GROUP BY doc_id),
-           |banded AS (
-           |  $layoutSelect),
-           |capped AS (
-           |  SELECT n_bands, doc_id, band_idx, band_val FROM (
-           |    SELECT *, count(*) OVER (PARTITION BY n_bands, band_idx, band_val) AS m
-           |    FROM banded)
-           |  WHERE m <= $DefaultMaxBandSize),
-           |cpairs AS (
-           |  SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM capped a JOIN capped b
-           |    ON a.n_bands = b.n_bands AND a.band_idx = b.band_idx
-           |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-           |agg AS (
-           |  SELECT c.n_bands, count(*) AS n_candidates,
-           |    sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
-           |  FROM cpairs c LEFT JOIN truth t USING (doc_a, doc_b)
-           |  GROUP BY c.n_bands),
-           |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-           |spine AS (SELECT unnest([2, 4, 8]) AS n_bands)
-           |SELECT CAST(spine.n_bands AS BIGINT) AS n_bands,
-           |  CAST($NumPerms // spine.n_bands AS BIGINT) AS rows_per_band,
-           |  CAST(coalesce(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
-           |  CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits,
-           |  tt.n_truth,
-           |  (1000000 * CAST(coalesce(agg.n_hits, 0) AS BIGINT))
-           |    // greatest(CAST(coalesce(agg.n_candidates, 0) AS BIGINT), 1) AS precision_ppm,
-           |  (1000000 * CAST(coalesce(agg.n_hits, 0) AS BIGINT))
-           |    // greatest(tt.n_truth, 1) AS recall_ppm
-           |FROM spine LEFT JOIN agg ON spine.n_bands = agg.n_bands
-           |CROSS JOIN tt ORDER BY n_bands""".stripMargin
-      },
+      Some(s"WITH $duckBandSweepCtes\n$duckBandSweepSelect\nORDER BY n_bands"),
       // Gate-only like setsim_jaccard_join — the truth half IS the
       // setsim cost; the MinHash half is the benched headline family.
+    ),
+    // The decision rule over the sweep's curve (see minhashLayoutSelect):
+    // oracle replays the identical argmin as ORDER BY + LIMIT 1 over
+    // the same sweep CTEs.
+    EngineQuery(
+      "minhash_layout_select",
+      (s, dir) =>
+        minhashLayoutSelect(
+          Tables.documents(s, dir)
+            .where(col("doc_id") % SetSimJoin.GateDocFilter === 0))
+          .orderBy("n_bands"),
+      Some(
+        s"""WITH $duckBandSweepCtes,
+           |sweep AS ($duckBandSweepSelect),
+           |s AS (SELECT *,
+           |  CAST(CASE WHEN recall_ppm >= $DefaultRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+           |  FROM sweep),
+           |best AS (SELECT n_bands FROM s ORDER BY meets_floor DESC,
+           |  CASE WHEN meets_floor = 1 THEN n_candidates ELSE -recall_ppm END,
+           |  n_candidates, n_bands LIMIT 1)
+           |SELECT s.n_bands, s.rows_per_band, s.n_candidates, s.n_hits, s.n_truth,
+           |  s.precision_ppm, s.recall_ppm, s.meets_floor,
+           |  CAST(CASE WHEN s.n_bands = best.n_bands THEN 1 ELSE 0 END AS BIGINT) AS chosen
+           |FROM s CROSS JOIN best ORDER BY s.n_bands""".stripMargin),
+      // Gate-only for the same reason as the sweep it consumes.
     ),
     // Clustering the LSH pairs into dedup groups; oracle computes the
     // same components via a recursive transitive-closure CTE.

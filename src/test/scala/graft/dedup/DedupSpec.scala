@@ -221,6 +221,40 @@ class DedupSpec extends AnyFunSuite with Matchers {
     out(8L)._2 should be > 0L
   }
 
+  test("layout select: chosen = fewest candidates among floor-meeting layouts, audited in-row") {
+    // same planted corpus as the sweep test: 3 true pairs, noise docs
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = (Seq(
+      (0L, base), (1L, base.replace("tok7", "edit7")),
+      (10L, base.replace("tok", "w")), (11L, base.replace("tok", "w").replace("w9", "e9")),
+      (20L, base.replace("tok", "z")), (21L, base.replace("tok", "z").replace("z3", "e3"))) ++
+      (30L to 39L).map(i => i -> (1 to 25).map(j => s"n${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLayoutSelect(corpus, t = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(6), r.getLong(7), r.getLong(8)))
+    out.map(_._1).toSet shouldBe Set(2L, 4L, 8L) // full curve surfaces
+    out.count(_._5 == 1L) shouldBe 1 // exactly one chosen
+    val chosen = out.find(_._5 == 1L).get
+    val qualifying = out.filter(_._4 == 1L)
+    if (qualifying.nonEmpty) {
+      // the decision rule replayed by hand: min candidates, then bands
+      chosen shouldBe qualifying.minBy(q => (q._2, q._1))
+    } else chosen shouldBe out.maxBy(q => (q._3, -q._2, -q._1))
+  }
+
+  test("layout select: floor nothing meets degrades to max recall") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq((0L, base), (1L, base.replace("tok7", "edit7")))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLayoutSelect(corpus, t = 0.8,
+        recallFloorPpm = 2000000L) // impossible floor: > 100%
+      .collect().map(r => (r.getLong(0), r.getLong(6), r.getLong(7), r.getLong(8)))
+    out.map(_._3).sum shouldBe 0L // nothing meets
+    out.count(_._4 == 1L) shouldBe 1
+    val chosen = out.find(_._4 == 1L).get
+    chosen._2 shouldBe out.map(_._2).max // max recall wins the fallback
+  }
+
   test("contrastive triplets: positives are near-dups, negatives avoid both ends") {
     // two near-identical docs (the positive pair) + distinct fillers
     val long = (1 to 30).map(i => s"tok$i").mkString(" ")
