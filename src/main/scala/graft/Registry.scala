@@ -82,6 +82,7 @@ object Registry {
       operators.ExactQuantile.engineQueries ++
       operators.TopK.engineQueries ++
       dedup.Dedup.engineQueries ++
+      dedup.UrlDedup.engineQueries ++
       similarity.Ann.engineQueries ++
       similarity.Dbscan.engineQueries ++
       similarity.KCenter.engineQueries ++

@@ -1,0 +1,191 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{EngineQuery, Tables}
+
+/** Canonical-URL deduplication — the cheapest rung of the dedup ladder
+  * and the FIRST pass a real crawl pipeline runs (CommonCrawl-style
+  * pipelines drop the bulk of refetches here before any content hashing
+  * or MinHash): the same page arrives under many textually-distinct
+  * URLs (case-shifted scheme/host, tracking parameters, default ports,
+  * trailing slashes, fragments, reordered query strings), and plain
+  * string normalization + one aggregation collapses them without
+  * touching the document body.
+  *
+  * Canonicalization rule (each step expressible in both engines' string
+  * functions — no UDF, everything stays inside whole-stage codegen):
+  *   1. drop the fragment (`#...` — client-side only);
+  *   2. lowercase scheme and authority (case-insensitive per RFC 3986);
+  *   3. drop the default port (`:443` for https, `:80` for http);
+  *   4. strip a trailing slash from the path (root `/` and empty both
+  *      canonicalize to empty);
+  *   5. drop tracking parameters (`utm_*`, `fbclid`, `gclid`), sort the
+  *      survivors lexicographically, rejoin (param order never changes
+  *      page identity).
+  *
+  * The harness corpus carries no URL column, so deterministic synthetic
+  * URLs derive from doc metadata (the twin-cohort convention the media
+  * phash gate uses): `page = doc_id div 3` keys ~3 docs to one page,
+  * and `doc_id % 3` picks which messy variant of that page's URL the
+  * doc carries — clean, case-shifted + tracking + fragment + trailing
+  * slash, or default-port + reordered params. All three canonicalize
+  * identically, so the gate exercises nonzero dup groups on its
+  * positive path by construction.
+  *
+  * Scale shape (100 TB): canonicalization is pure map-side column work;
+  * the only exchange is the one hash aggregation on canonical_url (plus
+  * a window PARTITIONED on canonical_url for keep-best — group sizes
+  * are refetch counts, never corpus-scale, so no single-partition
+  * sort). Keep-best follows [[Dedup.dedupApplyBest]]: highest quality
+  * (n_chars) wins, ties to the smallest doc_id.
+  */
+object UrlDedup {
+
+  /** Step-by-step canonicalization as a column expression over a raw
+    * URL string column (documented rule above).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth0 = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val auth = when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .otherwise(auth0)
+    val pathq = rest.substr(lit(1) + length(auth0), lit(1000000))
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(path0 === "/" || path0 === "", lit(""))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query = when(instr(pathq, "?") > 0,
+        pathq.substr(instr(pathq, "?") + lit(1), lit(1000000)))
+      .otherwise(lit(""))
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))),
+      "&")
+    concat(scheme, lit("://"), auth, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** Deterministic synthetic URL per doc (twin-cohort derivation — see
+    * object doc): (doc_id, n_chars, url).
+    */
+  def syntheticUrls(docs: DataFrame): DataFrame = {
+    val page = expr("doc_id div 3").cast("string")
+    val hostN = expr("(doc_id div 3) % 5").cast("string")
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("https://cdn"), hostN, lit(".example.com/articles/p"), page,
+          lit("?id="), page, lit("&ref=home")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("HTTPS://CDN"), hostN, lit(".Example.COM/articles/p"), page,
+          lit("/?utm_source=feed&id="), page, lit("&ref=home#frag")))
+      .otherwise(
+        concat(lit("https://cdn"), hostN, lit(".example.com:443/articles/p"), page,
+          lit("?ref=home&id="), page))
+    docs.select(col("doc_id"), col("n_chars"), url.as("url"))
+  }
+
+  /** The map-stage half as its own relation: (doc_id, url,
+    * canonical_url) — the scalar rule the grouping below relies on,
+    * gated standalone so a canonicalization regression is attributed to
+    * the rule, not the aggregation.
+    */
+  def urlCanonicalize(docs: DataFrame): DataFrame =
+    syntheticUrls(docs)
+      .select(col("doc_id"), col("url"), canonicalizeUrl(col("url")).as("canonical_url"))
+
+  /** Group + keep-best: one row per canonical URL with its refetch
+    * count and the kept doc (max n_chars, ties to min doc_id — the
+    * [[Dedup.dedupApplyBest]] rule). Window partitioned BY the group
+    * key — bounded partitions, no global sort.
+    */
+  def urlDedupGroups(docs: DataFrame): DataFrame = {
+    val canon = syntheticUrls(docs)
+      .select(col("doc_id"), col("n_chars"), canonicalizeUrl(col("url")).as("canonical_url"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_url")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    canon
+      .withColumn("__rk", row_number().over(w))
+      .groupBy("canonical_url")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        max(when(col("__rk") === 1, col("doc_id"))).as("kept_doc_id"))
+  }
+
+  // ---- oracles ------------------------------------------------------
+
+  /** DuckDB twin of [[syntheticUrls]] + [[canonicalizeUrl]] as a CTE
+    * list ending in `canon(doc_id, n_chars, url, canonical_url)`.
+    */
+  private val duckCanonCtes: String =
+    s"""u AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE doc_id % 3
+       |      WHEN 0 THEN 'https://cdn' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
+       |        '.example.com/articles/p' || CAST(doc_id // 3 AS VARCHAR) ||
+       |        '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&ref=home'
+       |      WHEN 1 THEN 'HTTPS://CDN' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
+       |        '.Example.COM/articles/p' || CAST(doc_id // 3 AS VARCHAR) ||
+       |        '/?utm_source=feed&id=' || CAST(doc_id // 3 AS VARCHAR) || '&ref=home#frag'
+       |      ELSE 'https://cdn' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
+       |        '.example.com:443/articles/p' || CAST(doc_id // 3 AS VARCHAR) ||
+       |        '?ref=home&id=' || CAST(doc_id // 3 AS VARCHAR)
+       |    END AS url
+       |  FROM documents),
+       |parts AS (
+       |  SELECT doc_id, n_chars, url,
+       |    lower(regexp_extract(regexp_replace(url, '#.*$$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_replace(regexp_replace(url, '#.*$$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM u),
+       |parts2 AS (
+       |  SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth0,
+       |    substr(rest, 1 + length(regexp_extract(rest, '^([^/?#]*)', 1))) AS pathq
+       |  FROM parts),
+       |parts3 AS (
+       |  SELECT *,
+       |    CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
+       |         WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
+       |         ELSE auth0 END AS auth,
+       |    regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+       |    CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, strpos(pathq, '?') + 1)
+       |         ELSE '' END AS query
+       |  FROM parts2),
+       |canon AS (
+       |  SELECT doc_id, n_chars, url,
+       |    scheme || '://' || auth ||
+       |    (CASE WHEN path0 = '/' OR path0 = '' THEN ''
+       |          ELSE regexp_replace(path0, '/$$', '') END) ||
+       |    (CASE WHEN array_to_string(list_sort(list_filter(string_split(query, '&'),
+       |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), '&') = ''
+       |          THEN ''
+       |          ELSE '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+       |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), '&') END)
+       |    AS canonical_url
+       |  FROM parts3)""".stripMargin
+
+  val engineQueries: Seq[EngineQuery] = Seq(
+    EngineQuery(
+      "url_canonicalize",
+      (s, dir) => urlCanonicalize(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(
+        s"""WITH $duckCanonCtes
+           |SELECT doc_id, url, canonical_url FROM canon ORDER BY doc_id""".stripMargin),
+    ),
+    EngineQuery(
+      "url_dedup_groups",
+      (s, dir) => urlDedupGroups(Tables.documents(s, dir)).orderBy("canonical_url"),
+      Some(
+        s"""WITH $duckCanonCtes,
+           |r AS (SELECT canonical_url, doc_id,
+           |    row_number() OVER (PARTITION BY canonical_url ORDER BY n_chars DESC, doc_id) AS rk
+           |  FROM canon),
+           |g AS (SELECT canonical_url, count(*) AS n_urls FROM canon GROUP BY 1)
+           |SELECT g.canonical_url, g.n_urls, r.doc_id AS kept_doc_id
+           |FROM g JOIN r ON g.canonical_url = r.canonical_url AND r.rk = 1
+           |ORDER BY g.canonical_url""".stripMargin),
+    ),
+  )
+}

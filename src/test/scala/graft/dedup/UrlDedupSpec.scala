@@ -1,0 +1,63 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+class UrlDedupSpec extends AnyFunSuite with Matchers {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlDedup.canonicalizeUrl(col("u"))).collect()
+      .map(_.getString(0)).toSeq
+
+  test("canonicalize: hand cases across every rule step") {
+    canon(
+      // fragment + case + tracking + trailing slash + unsorted params
+      "HTTPS://WWW.Example.COM/A/B/?utm_source=x&b=2&a=1#frag",
+      // default ports drop only for the matching scheme
+      "https://example.com:443/p?id=9",
+      "http://example.com:80/p",
+      "https://example.com:8080/p",
+      // tracking-only query → no '?' at all
+      "https://example.com/p?utm_campaign=c&gclid=g&fbclid=f",
+      // root path and empty path both collapse to empty
+      "https://example.com/",
+      "https://example.com",
+      // utm must match as a PREFIXed key, not anywhere in the value
+      "https://example.com/p?q=utm_source",
+    ) shouldBe Seq(
+      "https://www.example.com/A/B?a=1&b=2",
+      "https://example.com/p?id=9",
+      "http://example.com/p",
+      "https://example.com:8080/p",
+      "https://example.com/p",
+      "https://example.com",
+      "https://example.com",
+      "https://example.com/p?q=utm_source",
+    )
+  }
+
+  test("the three synthetic messy variants of one page canonicalize identically") {
+    val docs = Seq((0L, 10L), (1L, 20L), (2L, 15L)).toDF("doc_id", "n_chars")
+    val out = UrlDedup.urlCanonicalize(docs).collect()
+    out.map(_.getString(1)).distinct.length shouldBe 3 // raw urls all differ
+    out.map(_.getString(2)).distinct shouldBe
+      Array("https://cdn0.example.com/articles/p0?id=0&ref=home")
+  }
+
+  test("groups keep the max-n_chars doc, ties to min doc_id; group sizes are refetch counts") {
+    // page 0 = docs 0,1,2 (n_chars peak at doc 1); page 1 = docs 3,4,5
+    // with a TIE between 4 and 5 → keep 4
+    val docs = Seq((0L, 10L), (1L, 30L), (2L, 20L),
+      (3L, 5L), (4L, 9L), (5L, 9L)).toDF("doc_id", "n_chars")
+    val out = UrlDedup.urlDedupGroups(docs).orderBy("canonical_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.length shouldBe 2
+    out.foreach(_._2 shouldBe 3L)
+    out.map(_._3).toSet shouldBe Set(1L, 4L)
+  }
+}
