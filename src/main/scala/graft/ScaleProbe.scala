@@ -252,7 +252,11 @@ object ScaleProbe {
     // r16: PPR rides the densified probe graph exactly like
     // graph_pagerank_parts (probed above) — same edge pin, same
     // node-sized rounds; its ratio must track the pagerank probe.
-    "graph_ppr_seeds")
+    "graph_ppr_seeds",
+    // r17: canonical-URL dedup is map-side string work + ONE group-key
+    // aggregation + a group-partitioned keep-best window — its ratio
+    // must track the pure corpus scan (the zero-join floor).
+    "url_dedup_groups")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")
@@ -458,6 +462,157 @@ object ScaleProbe {
     val ccJson = ccIters.toSeq.sortBy(_._1)
       .map { case (n, i) => "\"" + n + "\":" + i }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","copies":$copies,"flag_rule":"time_ratio>max(2.5*copies,2.5*max(rows_ratio,work_ratio))","flagged_superlinear":$flagged,"cc_iterations":$ccJson,"proc":{"rss_mb":${ProcStatus.rssMb("VmRSS")},"peak_rss_mb":${ProcStatus.rssMb("VmHWM")}}}""")
+    spark.stop()
+  }
+}
+
+/** Skew-shaped probe (r16 verdict item 5): the uniform copy-scaled
+  * probe grows every source equally, but real 100 TB crawls are
+  * power-law — ONE source/domain dominates. This probe scales the
+  * documents of the lexicographically-first source `hotCopies`× (each
+  * copy rotated like the uniform probe, so copies stay mostly-distinct
+  * and candidate structures aren't trivially cliqued) while holding
+  * every other source at 1×: at the default 100× the hot source holds
+  * ~84% of corpus rows — the shape that stresses AQE skew handling,
+  * the salted/pre-aggregated group paths, per-source aggregation, and
+  * value-skewed joins in a way uniform copy scaling cannot.
+  *
+  * Probed set: the documents-riding dedup / group-count / join
+  * families (events/lineitem stay 1× — their skew stress is
+  * `skew_join_hot_key`/`skew_join_preagg` in the bench). Flag rule
+  * mirrors the uniform probe with the DATA ratio in place of the copy
+  * factor: flagged when time outgrows 2.5× max(data growth, output-row
+  * growth). NOT part of the correctness gate (no oracle at this
+  * scale).
+  */
+object SkewProbe {
+
+  private val SkewQueries = Seq(
+    // pure scans / per-doc work: the zero-join floor the rest compare to
+    "text_token_stats", "gopher_repetition_ngrams",
+    // group-count families keyed ON the skewed dimension: per-source
+    // rollups see one group at ~84% mass
+    "dedup_exact", "dedup_savings_by_source", "source_token_entropy",
+    // per-lang histogram decomposition (langs inherit the skew through
+    // the hot source's docs)
+    "lang_adaptive_cut", "sample_weighted_priority",
+    // kmer group-count: token-keyed aggregation under token-mass skew
+    "kmer_count",
+    // dedup/banding: hot-source copies are rotated so bands stay
+    // mostly-distinct — the claim is the per-band cap holds the
+    // candidate mass linear even when one source floods the corpus
+    "minhash_signatures", "minhash_lsh_pairs", "simhash_neardup_pairs",
+    "neardup_components", "line_dedup_corpus",
+    // joins with corpus-vs-vocabulary asymmetry under skew
+    "dsir_importance_select", "winnow_dup_pairs", "containment_dup_pairs",
+    // the composed pipeline: quality gate + full dedup on the skewed shape
+    "curated_corpus")
+
+  def materializeSkew(spark: SparkSession, srcDir: String, outDir: String, hotCopies: Int): Unit = {
+    val done = new java.io.File(outDir, "_PROBE_READY")
+    if (done.exists()) return
+    new java.io.File(outDir).mkdirs()
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val hot = docs.agg(min("source")).collect()(0).getString(0)
+    val hotDocs = docs.where(col("source") === hot)
+    val scaled = (0 until hotCopies).map { i =>
+      val rot = (i * 37) % 997 + 1
+      hotDocs.select(
+        (col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+        col("lang"), col("source"),
+        when(length(col("text")) > rot,
+          concat(col("text").substr(lit(rot + 1), length(col("text"))), col("text").substr(1, rot)))
+          .otherwise(col("text")).as("text"),
+        col("n_chars"))
+    }.reduce(_ unionByName _)
+    docs.where(col("source") =!= hot).unionByName(scaled)
+      .repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings"))
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
+    done.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val hotCopies = sys.env.getOrElse("SPARK_GRAFT_SKEW_COPIES", "100").toInt
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", s"/tmp/graft_probe_skew$hotCopies")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    materializeSkew(spark, srcDir, outDir, hotCopies)
+    val baseRows = spark.read.parquet(s"$srcDir/documents.parquet").count().toDouble
+    val skewRows = spark.read.parquet(s"$outDir/documents.parquet").count().toDouble
+    val dataRatio = skewRows / baseRows
+    println(f"""{"metric":"skew_probe_shape","hot_copies":$hotCopies,"base_rows":${baseRows.toLong},"skew_rows":${skewRows.toLong},"data_ratio":$dataRatio%.2f}""")
+
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val probeQueries = SkewQueries.filter(q => only.forall(_.contains(q)))
+    val byName = Registry.all.map(q => q.name -> q).toMap
+    val observed = Observed.install(spark)
+    def cntKey(name: String, dir: String) = s"skewcnt:$name:$dir"
+    def time(name: String, dir: String): Double = {
+      val q = byName(name)
+      q.setup.foreach { su =>
+        try su(spark, dir)
+        catch { case e: Throwable => System.err.println(s"[skewprobe] $name setup: ${e.getMessage}") }
+      }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try {
+          q.fn(spark, dir)
+            .observe(cntKey(name, dir), count(lit(1)).as("rows"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
+      }
+      try { once(); math.min(once(), once()) } // warm-up + min-of-2
+      catch { case e: Throwable => System.err.println(s"[skewprobe] $name: ${e.getMessage}"); -1.0 }
+    }
+    def observedCount(name: String, dir: String): Double =
+      observed.get(cntKey(name, dir)).map(_.getLong(0).toDouble).getOrElse(-1.0)
+
+    val ccIters = scala.collection.mutable.Map[String, Int]()
+    val rows = probeQueries.map { n =>
+      val base = time(n, srcDir)
+      val probe = time(n, outDir)
+      if (Set("neardup_components", "curated_corpus")(n)) {
+        val it = graft.dedup.Dedup.lastCcIterations
+        ccIters(n) = it
+        if (it > 15)
+          System.err.println(s"[skewprobe] $n: CC took $it iterations — approaching maxIter=20")
+      }
+      val ratio = if (base > 0 && probe > 0) probe / base else -1.0
+      val peakRss = ProcStatus.rssMb("VmHWM")
+      val ccJson = ccIters.get(n).map(i => s""","cc_iterations":$i""").getOrElse("")
+      println(f"""{"query":"$n","sf01_sec":$base%.2f,"skew_sec":$probe%.2f,"ratio":$ratio%.1f,"peak_rss_mb":$peakRss$ccJson}""")
+      (n, base, probe, ratio)
+    }
+    val flagBase = 2.5 * dataRatio
+    val flagged = rows.filter(r => r._4 > flagBase).filter { case (n, _, _, tRatio) =>
+      val cntBase = observedCount(n, srcDir)
+      val cntProbe = observedCount(n, outDir)
+      val rowsRatio = if (cntBase > 0) cntProbe / cntBase else 1.0
+      println(f"""{"query":"$n","rows_sf01":${cntBase.toLong},"rows_skew":${cntProbe.toLong},"rows_ratio":$rowsRatio%.1f,"time_ratio":$tRatio%.1f}""")
+      tRatio > math.max(flagBase, 2.5 * rowsRatio)
+    }.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val ccJson = ccIters.toSeq.sortBy(_._1)
+      .map { case (n, i) => "\"" + n + "\":" + i }.mkString("{", ",", "}")
+    println(f"""{"metric":"skew_probe","hot_copies":$hotCopies,"data_ratio":$dataRatio%.2f,"flag_rule":"time_ratio>max(2.5*data_ratio,2.5*rows_ratio)","flagged_superlinear":$flagged,"cc_iterations":$ccJson,"proc":{"rss_mb":${ProcStatus.rssMb("VmRSS")},"peak_rss_mb":${ProcStatus.rssMb("VmHWM")}}}""")
     spark.stop()
   }
 }

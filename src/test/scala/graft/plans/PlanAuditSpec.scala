@@ -1397,4 +1397,30 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("TakeOrderedAndProject")
     p should not include "Scan parquet"
   }
+
+  test("url dedup: map-side canonicalization, window partitioned on the group key, one corpus scan (r17)") {
+    val p = plan("url_dedup_groups")
+    // canonicalization is pure column work over ONE documents scan
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+    // keep-best window partitions BY canonical_url — never a global
+    // (empty-partition) window, the single-partition-sort killer
+    p should include regex "Window \\[row_number"
+    p should include regex "windowspecdefinition\\(canonical_url"
+    // the only hash exchange key is the group key
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("canonical_url")
+  }
+
+  test("minhash layout select: 1-row argmin attaches by broadcast; curve reads the pinned sweep (r17)") {
+    val p = plan("minhash_layout_select")
+    // both consumers (argmin + projection) read the 3-row checkpointed
+    // sweep — the quadratic truth half never re-executes
+    p should include("Scan ExistingRDD")
+    p should not include "Scan parquet"
+    p should not include "SortMergeJoin"
+    // the chosen layout attaches as a broadcast of the LIMIT-1 argmin
+    p should include("BroadcastNestedLoopJoin")
+    p should include("TakeOrderedAndProject")
+  }
 }
