@@ -115,6 +115,80 @@ object UrlDedup {
         max(when(col("__rk") === 1, col("doc_id"))).as("kept_doc_id"))
   }
 
+  /** Packing base for the associative keep-best aggregate: the winner
+    * by (n_chars DESC, doc_id ASC) is argmax of `n_chars·T − doc_id`,
+    * one exact BIGINT max — associative, so the SAME rule serves the
+    * batch window, the streaming complete-mode aggregate, and the
+    * incremental merge, provably picking identical winners. Domain:
+    * doc_id ∈ [0, T) and n_chars < 2^63/T ≈ 9.2·10⁶ (harness doc_ids
+    * stay under 10¹¹ even with probe copy offsets; n_chars is a
+    * per-doc char count).
+    */
+  private val PackT = 1000000000000L
+
+  private def packedBest: Column =
+    max(col("n_chars") * lit(PackT) - col("doc_id"))
+
+  /** Inverse of the packing over the aggregated `__p` column:
+    * doc_id = ceil(m/T)·T − m.
+    */
+  private def unpackedKeptDocId: Column =
+    expr(s"((__p + ${PackT - 1}) div $PackT) * $PackT - __p").as("kept_doc_id")
+
+  /** Streaming twin — the crawl-ingest shape: documents arrive as a
+    * stream, canonicalize in the map stage, and a complete-mode
+    * aggregate maintains one row per canonical URL (count + packed
+    * keep-best). State is bounded by DISTINCT canonical URLs, not
+    * stream volume, and the packed max makes keep-best associative
+    * across microbatches — draining the finite gate corpus must equal
+    * the batch [[urlDedupGroups]] exactly (same oracle).
+    */
+  def runStreamingUrlDedup(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val src = graft.sources.StreamingSources.docSource(spark, sfDir)
+    val canon = syntheticUrls(src)
+      .select(col("doc_id"), col("n_chars"), canonicalizeUrl(col("url")).as("canonical_url"))
+    val agg = canon.groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_urls"), packedBest.as("__p"))
+    val qn = synchronized { sinkCounter += 1; s"graft_url_dedup_sink_$sinkCounter" }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(qn)
+      .select(col("canonical_url"), col("n_urls"), unpackedKeptDocId)
+  }
+
+  private var sinkCounter = 0
+
+  /** Incremental fold of a NEW crawl batch into an existing canonical
+    * index — the index-probe form every other dedup family carries:
+    * both sides reduce to (canonical_url, n_urls, packed best), merge
+    * by full-outer join with count addition and packed max (keep-best
+    * is associative under the packing), unpack once. Incremental ≡
+    * full recompute is the gate (the oracle is the batch SQL verbatim,
+    * the [[Dedup.incrementalComponents]] convention).
+    */
+  def urlDedupIncremental(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def groups(d: DataFrame): DataFrame =
+      syntheticUrls(d)
+        .select(col("doc_id"), col("n_chars"), canonicalizeUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_urls"), packedBest.as("__p"))
+    groups(oldDocs).select(col("canonical_url"), col("n_urls").as("__na"), col("__p").as("__pa"))
+      .join(
+        groups(newDocs).select(col("canonical_url"), col("n_urls").as("__nb"), col("__p").as("__pb")),
+        Seq("canonical_url"), "full_outer")
+      .select(
+        col("canonical_url"),
+        (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L))).as("n_urls"),
+        greatest(coalesce(col("__pa"), lit(Long.MinValue)),
+          coalesce(col("__pb"), lit(Long.MinValue))).as("__p"))
+      .select(col("canonical_url"), col("n_urls"), unpackedKeptDocId)
+  }
+
   // ---- oracles ------------------------------------------------------
 
   /** DuckDB twin of [[syntheticUrls]] + [[canonicalizeUrl]] as a CTE
@@ -166,6 +240,20 @@ object UrlDedup {
        |    AS canonical_url
        |  FROM parts3)""".stripMargin
 
+  /** The group+keep-best oracle — shared verbatim by the batch gate,
+    * the streaming twin, and the incremental fold (the "three forms,
+    * one truth" convention).
+    */
+  private val duckGroupsSql: String =
+    s"""WITH $duckCanonCtes,
+       |r AS (SELECT canonical_url, doc_id,
+       |    row_number() OVER (PARTITION BY canonical_url ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM canon),
+       |g AS (SELECT canonical_url, count(*) AS n_urls FROM canon GROUP BY 1)
+       |SELECT g.canonical_url, g.n_urls, r.doc_id AS kept_doc_id
+       |FROM g JOIN r ON g.canonical_url = r.canonical_url AND r.rk = 1
+       |ORDER BY g.canonical_url""".stripMargin
+
   val engineQueries: Seq[EngineQuery] = Seq(
     EngineQuery(
       "url_canonicalize",
@@ -177,15 +265,27 @@ object UrlDedup {
     EngineQuery(
       "url_dedup_groups",
       (s, dir) => urlDedupGroups(Tables.documents(s, dir)).orderBy("canonical_url"),
-      Some(
-        s"""WITH $duckCanonCtes,
-           |r AS (SELECT canonical_url, doc_id,
-           |    row_number() OVER (PARTITION BY canonical_url ORDER BY n_chars DESC, doc_id) AS rk
-           |  FROM canon),
-           |g AS (SELECT canonical_url, count(*) AS n_urls FROM canon GROUP BY 1)
-           |SELECT g.canonical_url, g.n_urls, r.doc_id AS kept_doc_id
-           |FROM g JOIN r ON g.canonical_url = r.canonical_url AND r.rk = 1
-           |ORDER BY g.canonical_url""".stripMargin),
+      Some(duckGroupsSql),
+    ),
+    // Streaming twin: complete-mode canonical-URL state drained over the
+    // finite gate corpus must equal the batch rollup (same oracle).
+    EngineQuery(
+      "streaming_url_dedup",
+      (s, dir) => runStreamingUrlDedup(s, dir).orderBy("canonical_url"),
+      Some(duckGroupsSql),
+    ),
+    // Incremental fold: old/new split by doc_id parity, merged result
+    // must equal the FULL recompute (same oracle verbatim).
+    EngineQuery(
+      "url_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        urlDedupIncremental(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 =!= 0))
+          .orderBy("canonical_url")
+      },
+      Some(duckGroupsSql),
     ),
   )
 }

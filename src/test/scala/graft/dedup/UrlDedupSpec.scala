@@ -49,6 +49,22 @@ class UrlDedupSpec extends AnyFunSuite with Matchers {
       Array("https://cdn0.example.com/articles/p0?id=0&ref=home")
   }
 
+  test("incremental fold equals the full recompute under any old/new split (packing associativity)") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 60L).map(i => (i, rnd.nextInt(5).toLong + 1L)).toDF("doc_id", "n_chars")
+    val full = UrlDedup.urlDedupGroups(docs).orderBy("canonical_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // three different splits — parity, thirds, and a lopsided 1/59 cut
+    for (pred <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        c => c % 2 === 0, c => c % 3 === 0, c => c === 17L)) {
+      val inc = UrlDedup.urlDedupIncremental(
+          docs.where(pred(col("doc_id"))), docs.where(!pred(col("doc_id"))))
+        .orderBy("canonical_url").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      inc shouldBe full
+    }
+  }
+
   test("groups keep the max-n_chars doc, ties to min doc_id; group sizes are refetch counts") {
     // page 0 = docs 0,1,2 (n_chars peak at doc 1); page 1 = docs 3,4,5
     // with a TIE between 4 and 5 → keep 4
