@@ -256,7 +256,11 @@ object ScaleProbe {
     // r17: canonical-URL dedup is map-side string work + ONE group-key
     // aggregation + a group-partitioned keep-best window — its ratio
     // must track the pure corpus scan (the zero-join floor).
-    "url_dedup_groups")
+    "url_dedup_groups",
+    // r17: host-reputation cut = the Gopher projection + a
+    // host-cardinality rollup + a broadcast attach — its ratio must
+    // track gopher_repetition_ngrams' projection shape, never a join.
+    "host_quality_filter")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")
@@ -506,7 +510,11 @@ object SkewProbe {
     // joins with corpus-vs-vocabulary asymmetry under skew
     "dsir_importance_select", "winnow_dup_pairs", "containment_dup_pairs",
     // the composed pipeline: quality gate + full dedup on the skewed shape
-    "curated_corpus")
+    "curated_corpus",
+    // r17 rungs: URL group+keep-best (one group-key aggregation — the
+    // canonical-url groups inherit the hot source's mass) and the
+    // host-reputation cut (hot hosts dominate the rollup)
+    "url_dedup_groups", "host_quality_filter")
 
   def materializeSkew(spark: SparkSession, srcDir: String, outDir: String, hotCopies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")

@@ -83,6 +83,50 @@ object Curation {
         min(col("doc_id")).as("min_doc_id"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Canonical host of each doc's synthetic URL ([[graft.dedup.UrlDedup]]
+    * derivation) — computable map-side from doc_id alone, so host-level
+    * operators never join against the canonicalized URL relation.
+    */
+  private def hostCol: Column =
+    concat(lit("cdn"), expr("(doc_id div 3) % 5").cast("string"), lit(".example.com"))
+
+  /** Host-level quality reputation — the FineWeb/RefinedWeb domain
+    * filtering rung: per-doc Gopher pass flags roll up to a per-HOST
+    * pass rate (exact ppm), and a host is kept iff its rate is at or
+    * above the corpus-wide rate (a relative rule, so the cut stays
+    * meaningful as absolute quality drifts between crawls). One
+    * corpus-scale projection (the Gopher flags are map-side lambdas),
+    * one host-keyed aggregation, and everything after runs at HOST
+    * cardinality with the 2-scalar global as a broadcast carrier.
+    */
+  def hostQualityRollup(docs: DataFrame): DataFrame = {
+    val perHost = graft.text.QualityFilters.gopherQualityFlags(docs)
+      .select(col("doc_id"), col("pass"))
+      .withColumn("host", hostCol)
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    val global = perHost.agg(
+      sum("n_docs").as("g_docs"), sum("n_pass").as("g_pass"))
+    perHost.crossJoin(broadcast(global))
+      .select(col("host"), col("n_docs"), col("n_pass"),
+        expr("(1000000 * n_pass) div n_docs").as("pass_ppm"),
+        expr("(1000000 * g_pass) div greatest(g_docs, 1)").as("global_ppm"))
+      .withColumn("keep_host", col("pass_ppm") >= col("global_ppm"))
+  }
+
+  /** Apply the host-reputation cut: docs from kept hosts survive. The
+    * host relation is host-cardinality, so the corpus attaches it by
+    * BROADCAST and never shuffles — the shape that matters when the
+    * corpus is 100 TB and the host table is thousands of rows.
+    */
+  def hostQualityFilter(docs: DataFrame): DataFrame = {
+    val kept = hostQualityRollup(docs).where(col("keep_host")).select("host")
+    docs.select(col("doc_id"), hostCol.as("host"))
+      .join(broadcast(kept), Seq("host"))
+      .select("doc_id")
+  }
+
   /** Per-source dominance cap: keep at most `cap` documents per source,
     * chosen by a deterministic md5 priority (seeded, so reruns and
     * repartitioning pick the identical subset) — the per-host cap every
@@ -1105,7 +1149,44 @@ object Curation {
       .select("source", "doc_id", "rk")
   }
 
+  /** Host-reputation oracle CTE chain (concatenated with the shared
+    * Gopher CTEs, not interpolated-then-stripMargin'd — the duckC4
+    * precaution) ending in `ph(host, n_docs, n_pass)` + `g(g_docs,
+    * g_pass)`.
+    */
+  private lazy val duckHostCtes: String =
+    "WITH " + graft.text.QualityFilters.duckGopherCtes + ",\n" +
+      """h AS (SELECT doc_id,
+        |  'cdn' || CAST((doc_id // 3) % 5 AS VARCHAR) || '.example.com' AS host,
+        |  pass FROM gflags),
+        |ph AS (SELECT host, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |  FROM h GROUP BY host),
+        |g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS g_docs,
+        |  CAST(sum(n_pass) AS BIGINT) AS g_pass FROM ph)""".stripMargin
+
   def engineQueries: Seq[EngineQuery] = Seq(
+    // Host-level quality reputation (see hostQualityRollup): per-host
+    // Gopher pass rate vs the corpus-wide rate, exact ppm.
+    EngineQuery(
+      "host_quality_rollup",
+      (s, dir) => hostQualityRollup(Tables.documents(s, dir)).orderBy("host"),
+      Some(duckHostCtes + "\n" +
+        """SELECT host, n_docs, n_pass,
+          |  (1000000 * n_pass) // n_docs AS pass_ppm,
+          |  (1000000 * g_pass) // greatest(g_docs, 1) AS global_ppm,
+          |  ((1000000 * n_pass) // n_docs) >= ((1000000 * g_pass) // greatest(g_docs, 1)) AS keep_host
+          |FROM ph CROSS JOIN g ORDER BY host""".stripMargin),
+    ),
+    // The applied cut: docs from kept hosts survive (broadcast attach).
+    EngineQuery(
+      "host_quality_filter",
+      (s, dir) => hostQualityFilter(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(duckHostCtes + ",\n" +
+        """keep AS (SELECT host FROM ph CROSS JOIN g
+          |  WHERE (1000000 * n_pass) // n_docs >= (1000000 * g_pass) // greatest(g_docs, 1))
+          |SELECT h.doc_id FROM h JOIN keep USING (host) ORDER BY doc_id""".stripMargin),
+    ),
     EngineQuery(
       "sample_temperature_mix",
       (s, dir) => temperatureSample(Tables.documents(s, dir), budget = 200)

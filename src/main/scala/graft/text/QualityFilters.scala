@@ -290,8 +290,12 @@ object QualityFilters {
 
   private def duckStopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
 
-  private val duckGopher =
-    s"""WITH t AS (SELECT doc_id, text,
+  /** The Gopher metric + flag CTE list ending in `gflags(doc_id, ...,
+    * pass)` — shared by the per-doc gate and the host-level rollup so
+    * the domain-reputation decision provably consumes the same gate.
+    */
+  private[graft] val duckGopherCtes =
+    s"""t AS (SELECT doc_id, text,
        |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
        |       ELSE string_split_regex(trim(text), '\\s+') END AS toks,
        |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -312,7 +316,8 @@ object QualityFilters {
        |  CAST(length(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS DOUBLE)
        |    / CAST(greatest(length(lines), 1) AS DOUBLE) AS ellipsis_line_ratio,
        |  CAST(length(list_distinct(list_filter(ltoks, x -> x IN ($duckStopList)))) AS BIGINT) AS n_stopwords
-       |  FROM t)
+       |  FROM t),
+       |gflags AS (
        |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_ratio,
        |  bullet_line_ratio, ellipsis_line_ratio, n_stopwords,
        |  (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
@@ -325,7 +330,11 @@ object QualityFilters {
        |  ((n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
        |    AND alpha_word_ratio > 0.8 AND symbol_ratio < 0.1 AND bullet_line_ratio < 0.9
        |    AND ellipsis_line_ratio < 0.3 AND n_stopwords >= 2) AS pass
-       |FROM m ORDER BY doc_id""".stripMargin
+       |FROM m)""".stripMargin
+
+  private val duckGopher =
+    s"""WITH $duckGopherCtes
+       |SELECT * FROM gflags ORDER BY doc_id""".stripMargin
 
   /** The [[withSyntheticLines]] reshape mirrored in DuckDB — CTE chain
     * ending in `doc(doc_id, text)`. Shared by every oracle that needs a

@@ -236,4 +236,30 @@ class CurationSpec extends AnyFunSuite with Matchers {
       .map(r => (r.getLong(0), r.getLong(3))).toMap
     out.map(t => (t._1, t._4)).toMap shouldBe again
   }
+
+  test("host quality: keep iff host pass rate >= corpus rate; filter keeps exactly those docs") {
+    // host = cdn{(doc_id div 3) % 5}: ids 0-2 -> cdn0, 3-5 -> cdn1, ...
+    // good text passes every Gopher rule (60 words, stopwords, alpha);
+    // bad text fails the word-count floor.
+    val good = ("the quick brown fox and a lazy dog be to of " * 6).trim
+    val bad = "x"
+    val texts = Map( // per-host pass pattern: cdn0 3/3, cdn1 0/3, cdn2 2/3, cdn3 1/3, cdn4 0/3
+      0L -> good, 1L -> good, 2L -> good,
+      3L -> bad, 4L -> bad, 5L -> bad,
+      6L -> good, 7L -> good, 8L -> bad,
+      9L -> good, 10L -> bad, 11L -> bad,
+      12L -> bad, 13L -> bad, 14L -> bad)
+    val docs = texts.toSeq.map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val roll = Curation.hostQualityRollup(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(5)))).toMap
+    // global: 6/15 = 400000 ppm; cdn0 1000000, cdn2 666666 keep; rest cut
+    roll("cdn0.example.com") shouldBe ((1000000L, true))
+    roll("cdn2.example.com") shouldBe ((666666L, true))
+    roll("cdn1.example.com")._2 shouldBe false
+    roll("cdn3.example.com") shouldBe ((333333L, false))
+    roll("cdn4.example.com")._2 shouldBe false
+    Curation.hostQualityFilter(docs).collect().map(_.getLong(0)).sorted shouldBe
+      Array(0L, 1L, 2L, 6L, 7L, 8L)
+  }
 }

@@ -1412,6 +1412,15 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("canonical_url")
   }
 
+  test("host quality: corpus never shuffles — host rollup is the only hash exchange, the cut attaches by broadcast (r17)") {
+    val p = plan("host_quality_filter")
+    // the kept-host relation is host-cardinality: broadcast, never SMJ
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("host")
+  }
+
   test("minhash layout select: 1-row argmin attaches by broadcast; curve reads the pinned sweep (r17)") {
     val p = plan("minhash_layout_select")
     // both consumers (argmin + projection) read the 3-row checkpointed
