@@ -130,7 +130,9 @@ object Bench {
       "perceptron_isotonic_calibration" -> 3.60, "ann_ivf_from_saved" -> 0.94,
       // r16 adds, min-of-5 ad-hoc builder runs (FULL-mode ordering)
       "trigram_backoff_fluency" -> 2.23, "unimax_budget" -> 0.79,
-      "rouge_l_eval" -> 2.15)
+      "rouge_l_eval" -> 2.15,
+      // r17 adds, min-of-5 ad-hoc builder runs (FULL-mode ordering)
+      "url_dedup_groups" -> 1.33, "host_quality_filter" -> 2.96)
     // r14 (verdict item 1): the headline set grew to 60 queries and the
     // r13 driver run degraded to ONE pass per query — single-pass
     // numbers on a contended host are noise (r13 read as a 2.4×

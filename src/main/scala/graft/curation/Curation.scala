@@ -1186,6 +1186,7 @@ object Curation {
         """keep AS (SELECT host FROM ph CROSS JOIN g
           |  WHERE (1000000 * n_pass) // n_docs >= (1000000 * g_pass) // greatest(g_docs, 1))
           |SELECT h.doc_id FROM h JOIN keep USING (host) ORDER BY doc_id""".stripMargin),
+      headline = true,
     ),
     EngineQuery(
       "sample_temperature_mix",

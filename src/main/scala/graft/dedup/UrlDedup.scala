@@ -266,6 +266,7 @@ object UrlDedup {
       "url_dedup_groups",
       (s, dir) => urlDedupGroups(Tables.documents(s, dir)).orderBy("canonical_url"),
       Some(duckGroupsSql),
+      headline = true,
     ),
     // Streaming twin: complete-mode canonical-URL state drained over the
     // finite gate corpus must equal the batch rollup (same oracle).
