@@ -395,12 +395,23 @@ object Bench {
     // query self-heals (trains inside its first pass — worse reading,
     // never a wedge).
     def runSetup(q: EngineQuery): Unit = q.setup.foreach { su =>
+      // Same job-group discipline as runOnce: a timed-out setup must be
+      // CANCELLED, not just abandoned — a zombie train would contend
+      // with this query's own measured passes (the contamination class
+      // the round-robin change exists to prevent), and its overwrite
+      // save could race the self-healing pass's save at the same path.
+      val group = s"bench-setup-${q.name}"
       val fut = runPool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = su(spark, sfDir)
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(group, s"${q.name} setup", interruptOnCancel = true)
+          try su(spark, sfDir)
+          finally spark.sparkContext.clearJobGroup()
+        }
       })
       try fut.get(budgetFor(q), java.util.concurrent.TimeUnit.SECONDS)
       catch {
         case e: Throwable =>
+          spark.sparkContext.cancelJobGroup(group)
           fut.cancel(true)
           System.err.println(s"[bench] ${q.name} setup failed: ${e.getMessage} (query will self-heal)")
       } finally cleanupStorage()
@@ -537,7 +548,13 @@ object Bench {
         val b = Option(bestSec.get(q.name)).getOrElse(-1.0)
         if (b > 0) b else 1e6 + expectedSec.getOrElse(q.name, 1e3)
       }
-      var progressed = false
+      // `attempted` (any pass RAN) keeps the phase alive — a sweep where
+      // every attempted re-run happens to fail transiently must not end
+      // the phase while the retry cap and deadline both still allow
+      // more (the per-query cap is the damping mechanism, not the
+      // sweep); `measured` (any pass succeeded) gates the snapshot emit.
+      var attempted = false
+      var measured = false
       for (q <- sweep if !exhausted) {
         val fails = failCount.getOrDefault(q.name, 0)
         if (fails < 3) {
@@ -550,17 +567,18 @@ object Bench {
             // measuredPass, not bare runOnce: re-runs carry stage metrics
             // too, so every entry of the runs map has a per-pass record.
             val (sec, load) = measuredPass(q)
+            attempted = true
             allRuns.merge(q.name, Seq((sec, load)),
               (olds: Seq[(Double, Double)], news: Seq[(Double, Double)]) => olds ++ news)
             if (sec >= 0) {
               if (b < 0 || sec < b) bestSec.put(q.name, sec)
-              progressed = true
+              measured = true
             } else failCount.merge(q.name, 1, _ + _)
           } else exhausted = true // fairness: nobody takes pass k+1 either
         }
       }
-      if (progressed) emitArtifact(artifactLine(partial = true))
-      else exhausted = true // all fail-capped or nothing fit: stop
+      if (measured) emitArtifact(artifactLine(partial = true))
+      if (!attempted) exhausted = true // all fail-capped: stop
       extraPass += 1
     }
 

@@ -575,6 +575,11 @@ object SkewProbe {
       q.setup.foreach { su =>
         try su(spark, dir)
         catch { case e: Throwable => System.err.println(s"[skewprobe] $name setup: ${e.getMessage}") }
+        finally {
+          // same residue discipline as the uniform probe's setup hook
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        }
       }
       def once(): Double = {
         val t0 = System.nanoTime()

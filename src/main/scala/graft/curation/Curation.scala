@@ -83,12 +83,13 @@ object Curation {
         min(col("doc_id")).as("min_doc_id"),
         max(col("n_chars")).as("max_chars"))
 
-  /** Canonical host of each doc's synthetic URL ([[graft.dedup.UrlDedup]]
-    * derivation) — computable map-side from doc_id alone, so host-level
-    * operators never join against the canonicalized URL relation.
+  /** Canonical host of each doc's synthetic URL — the SHARED
+    * [[graft.dedup.UrlDedup.hostCol]] definition (computable map-side
+    * from doc_id alone), so host-level operators never join against the
+    * canonicalized URL relation and can never drift from the URL
+    * family's host scheme.
     */
-  private def hostCol: Column =
-    concat(lit("cdn"), expr("(doc_id div 3) % 5").cast("string"), lit(".example.com"))
+  private def hostCol: Column = graft.dedup.UrlDedup.hostCol
 
   /** Host-level quality reputation — the FineWeb/RefinedWeb domain
     * filtering rung: per-doc Gopher pass flags roll up to a per-HOST
@@ -1156,8 +1157,8 @@ object Curation {
     */
   private lazy val duckHostCtes: String =
     "WITH " + graft.text.QualityFilters.duckGopherCtes + ",\n" +
-      """h AS (SELECT doc_id,
-        |  'cdn' || CAST((doc_id // 3) % 5 AS VARCHAR) || '.example.com' AS host,
+      s"""h AS (SELECT doc_id,
+        |  ${graft.dedup.UrlDedup.duckHostExpr} AS host,
         |  pass FROM gflags),
         |ph AS (SELECT host, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass

@@ -56,8 +56,11 @@ object UrlDedup {
       .otherwise(auth0)
     val pathq = rest.substr(lit(1) + length(auth0), lit(1000000))
     val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    // "/+$": ALL trailing slashes strip (a single-slash strip would make
+    // canon("…/a//") = "…/a/" — not a fixed point, and UrlProps pins
+    // idempotence); bare "/"/"//" collapse to empty through the same rule
     val path = when(path0 === "/" || path0 === "", lit(""))
-      .otherwise(regexp_replace(path0, "/$", ""))
+      .otherwise(regexp_replace(path0, "/+$", ""))
     val query = when(instr(pathq, "?") > 0,
         pathq.substr(instr(pathq, "?") + lit(1), lit(1000000)))
       .otherwise(lit(""))
@@ -68,6 +71,19 @@ object UrlDedup {
     concat(scheme, lit("://"), auth, path,
       when(params === "", lit("")).otherwise(concat(lit("?"), params)))
   }
+
+  /** Canonical host of each doc's synthetic URL — THE definition of the
+    * URL family's host scheme, shared by the host-reputation rollup
+    * ([[graft.curation.Curation.hostQualityRollup]]) so host-level
+    * operators can never drift from it; `UrlDedupSpec` additionally
+    * ties it to [[urlCanonicalize]]'s output host.
+    */
+  def hostCol: Column =
+    concat(lit("cdn"), expr("(doc_id div 3) % 5").cast("string"), lit(".example.com"))
+
+  /** DuckDB twin of [[hostCol]]. */
+  val duckHostExpr: String =
+    "'cdn' || CAST((doc_id // 3) % 5 AS VARCHAR) || '.example.com'"
 
   /** Deterministic synthetic URL per doc (twin-cohort derivation — see
     * object doc): (doc_id, n_chars, url).
@@ -231,7 +247,7 @@ object UrlDedup {
        |  SELECT doc_id, n_chars, url,
        |    scheme || '://' || auth ||
        |    (CASE WHEN path0 = '/' OR path0 = '' THEN ''
-       |          ELSE regexp_replace(path0, '/$$', '') END) ||
+       |          ELSE regexp_replace(path0, '/+$$', '') END) ||
        |    (CASE WHEN array_to_string(list_sort(list_filter(string_split(query, '&'),
        |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), '&') = ''
        |          THEN ''

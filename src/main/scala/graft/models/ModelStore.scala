@@ -30,14 +30,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ModelStore {
 
+  private def sizeOf(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+    else f.length
+
   /** Canonical artifact location for a model tag trained on `sfDir`.
     * The readable component is lossy (`sf_1` and `sf-1` both sanitize
-    * to `sf_1`), so an md5 prefix of the RAW sfDir rides alongside —
-    * distinct training inputs can never share an artifact directory.
+    * to `sf_1`), so an md5 prefix rides alongside — of the RAW sfDir
+    * string PLUS a (name, byte-size) fingerprint of every parquet
+    * table under it: distinct training inputs can never share an
+    * artifact directory, and regenerating the data IN PLACE at the
+    * same path moves the artifact location, so a self-healing
+    * `*_from_saved` caller retrains instead of silently applying a
+    * model trained on the old data (the harness surfaces always
+    * retrain via the query's setup half; the fingerprint protects
+    * direct callers).
     */
   def path(tag: String, sfDir: String): String = {
+    val tables = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${sizeOf(f)}")
+      .mkString("|")
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s"$sfDir#$tables".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     s"${graft.OutDir.base}/graft_models/${safe}_$digest/$tag"
   }

@@ -27,6 +27,10 @@ class UrlDedupSpec extends AnyFunSuite with Matchers {
       // root path and empty path both collapse to empty
       "https://example.com/",
       "https://example.com",
+      // ALL trailing slashes strip — one-slash stripping would break
+      // idempotence (canon("…/a//") must be a fixed point)
+      "https://example.com/a//",
+      "https://example.com//",
       // utm must match as a PREFIXed key, not anywhere in the value
       "https://example.com/p?q=utm_source",
     ) shouldBe Seq(
@@ -36,6 +40,8 @@ class UrlDedupSpec extends AnyFunSuite with Matchers {
       "https://example.com:8080/p",
       "https://example.com/p",
       "https://example.com",
+      "https://example.com",
+      "https://example.com/a",
       "https://example.com",
       "https://example.com/p?q=utm_source",
     )
@@ -47,6 +53,19 @@ class UrlDedupSpec extends AnyFunSuite with Matchers {
     out.map(_.getString(1)).distinct.length shouldBe 3 // raw urls all differ
     out.map(_.getString(2)).distinct shouldBe
       Array("https://cdn0.example.com/articles/p0?id=0&ref=home")
+  }
+
+  test("hostCol matches the canonical URL's host for every doc (the host-reputation tie)") {
+    // the shared hostCol definition (consumed by Curation's host
+    // rollup) must equal the host INSIDE the canonicalized URL — a
+    // drifted host scheme would silently decouple host reputations
+    // from the URL family
+    val docs = (0L until 45L).map(i => (i, 1L)).toDF("doc_id", "n_chars")
+    val mismatches = UrlDedup.urlCanonicalize(docs)
+      .withColumn("expected_host", UrlDedup.hostCol)
+      .where(regexp_extract(col("canonical_url"), "^https?://([^/?]*)", 1) =!= col("expected_host"))
+      .count()
+    mismatches shouldBe 0L
   }
 
   test("incremental fold equals the full recompute under any old/new split (packing associativity)") {

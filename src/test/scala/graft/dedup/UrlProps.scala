@@ -37,11 +37,11 @@ object UrlProps extends Properties("UrlCanonicalize") {
   private val host: Gen[String] =
     Gen.listOfN(2, Gen.oneOf("alpha", "beta", "cdn7", "m")).map(_.mkString(".") + ".example.com")
   private val pathSeg: Gen[String] = Gen.oneOf("a", "b2", "files", "x-y")
-  private val path: Gen[String] =
-    Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, pathSeg)).map {
-      case Nil => ""
-      case segs => "/" + segs.mkString("/")
-    }
+  private val path: Gen[String] = for {
+    n <- Gen.chooseNum(0, 3)
+    segs <- Gen.listOfN(n, pathSeg)
+    trail <- Gen.oneOf("", "/", "//") // trailing-slash runs must still be fixed points
+  } yield (if (segs.isEmpty) "" else "/" + segs.mkString("/")) + trail
   private val param: Gen[String] = for {
     k <- Gen.oneOf("id", "page", "q", "sort")
     v <- Gen.chooseNum(0, 99)
