@@ -260,6 +260,15 @@ object ScaleProbe {
     // r17: host-reputation cut = the Gopher projection + a
     // host-cardinality rollup + a broadcast attach — its ratio must
     // track gopher_repetition_ngrams' projection shape, never a join.
+    // r18: neardup_pairs_chosen_layout is NOT probed for the same
+    // documented reason as minhash_band_sweep/minhash_layout_select —
+    // its cost is the setsim ground-truth half; the applied banding's
+    // scale story is carried by minhash_lsh_pairs (probed above).
+    // host_quality_smoothed is NOT probed: it runs on the 1/53
+    // thin-batch slice by construction (the gate exists to prove the
+    // smoothing binds on sparse evidence), so a corpus-copy probe
+    // measures the slice, not the operator; its corpus-scale shape is
+    // host_quality_filter's (probed here).
     "host_quality_filter")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {

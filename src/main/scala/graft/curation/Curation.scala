@@ -100,13 +100,25 @@ object Curation {
     * one host-keyed aggregation, and everything after runs at HOST
     * cardinality with the 2-scalar global as a broadcast carrier.
     */
-  def hostQualityRollup(docs: DataFrame): DataFrame = {
-    val perHost = graft.text.QualityFilters.gopherQualityFlags(docs)
+  /** Per-host (n_docs, n_pass) Gopher rollup — the ONE corpus-scale
+    * pass the host-reputation family runs, pinned (host cardinality,
+    * so the checkpoint is tiny) because the global rate AND the output
+    * projection both consume it: unpinned, the corpus-scale Gopher
+    * projection subtree appeared twice in the plan with only
+    * exchange-reuse standing between it and a double corpus scan
+    * (r17 ADVICE). By-convention pin — harness frees.
+    */
+  private def perHostPassCounts(docs: DataFrame): DataFrame =
+    graft.text.QualityFilters.gopherQualityFlags(docs)
       .select(col("doc_id"), col("pass"))
       .withColumn("host", hostCol)
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .localCheckpoint(true)
+
+  def hostQualityRollup(docs: DataFrame): DataFrame = {
+    val perHost = perHostPassCounts(docs)
     val global = perHost.agg(
       sum("n_docs").as("g_docs"), sum("n_pass").as("g_pass"))
     perHost.crossJoin(broadcast(global))
@@ -114,6 +126,42 @@ object Curation {
         expr("(1000000 * n_pass) div n_docs").as("pass_ppm"),
         expr("(1000000 * g_pass) div greatest(g_docs, 1)").as("global_ppm"))
       .withColumn("keep_host", col("pass_ppm") >= col("global_ppm"))
+  }
+
+  /** Sparse-slice modulus for the thin-evidence gate below: a fresh
+    * crawl BATCH (the incremental setting every production domain
+    * filter actually runs in) carries a few docs per host, not
+    * thousands — `doc_id % 53 = 0` stands in for one such batch. At
+    * both gate SFs the slice leaves hosts with 1-3 docs, where the
+    * smoothed and raw rules provably disagree (the flip the gate
+    * exists to demonstrate: sf0.01 flips 2 hosts, sf0.1 flips 1).
+    */
+  val ThinBatchMod = 53L
+
+  /** Minimum-evidence variant of the host keep rule (r17 verdict item
+    * 4): the raw relative rule keeps or cuts a 1-doc host on ONE
+    * document. Laplace smoothing with α=1 — keep iff
+    * (n_pass+1)/(n_docs+2) ≥ g_pass/g_docs — shrinks thin hosts
+    * toward 1/2 so no host is condemned (or canonized) on a single
+    * observation; the comparison cross-multiplies so everything stays
+    * exact BIGINT (host doc counts × 10⁶ ppm lanes never overflow).
+    * Emits BOTH verdicts plus a `flipped` marker so the gate carries
+    * its own evidence that the smoothing binds.
+    */
+  def hostQualityRollupSmoothed(docs: DataFrame, alpha: Long = 1L): DataFrame = {
+    val perHost = perHostPassCounts(docs)
+    val global = perHost.agg(
+      sum("n_docs").as("g_docs"), sum("n_pass").as("g_pass"))
+    perHost.crossJoin(broadcast(global))
+      .select(col("host"), col("n_docs"), col("n_pass"),
+        expr("(1000000 * n_pass) div n_docs").as("pass_ppm"),
+        expr(s"(1000000 * (n_pass + $alpha)) div (n_docs + ${2 * alpha})").as("smooth_ppm"),
+        expr("(1000000 * g_pass) div greatest(g_docs, 1)").as("global_ppm"),
+        expr("(1000000 * n_pass) div n_docs >= (1000000 * g_pass) div greatest(g_docs, 1)")
+          .as("keep_raw"),
+        expr(s"(n_pass + $alpha) * g_docs >= g_pass * (n_docs + ${2 * alpha})")
+          .as("keep_smooth"))
+      .withColumn("flipped", col("keep_raw") =!= col("keep_smooth"))
   }
 
   /** Apply the host-reputation cut: docs from kept hosts survive. The
@@ -1155,11 +1203,11 @@ object Curation {
     * precaution) ending in `ph(host, n_docs, n_pass)` + `g(g_docs,
     * g_pass)`.
     */
-  private lazy val duckHostCtes: String =
+  private def duckHostCtes(docFilter: String = ""): String =
     "WITH " + graft.text.QualityFilters.duckGopherCtes + ",\n" +
       s"""h AS (SELECT doc_id,
         |  ${graft.dedup.UrlDedup.duckHostExpr} AS host,
-        |  pass FROM gflags),
+        |  pass FROM gflags$docFilter),
         |ph AS (SELECT host, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |  FROM h GROUP BY host),
@@ -1172,7 +1220,7 @@ object Curation {
     EngineQuery(
       "host_quality_rollup",
       (s, dir) => hostQualityRollup(Tables.documents(s, dir)).orderBy("host"),
-      Some(duckHostCtes + "\n" +
+      Some(duckHostCtes() + "\n" +
         """SELECT host, n_docs, n_pass,
           |  (1000000 * n_pass) // n_docs AS pass_ppm,
           |  (1000000 * g_pass) // greatest(g_docs, 1) AS global_ppm,
@@ -1183,11 +1231,31 @@ object Curation {
     EngineQuery(
       "host_quality_filter",
       (s, dir) => hostQualityFilter(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some(duckHostCtes + ",\n" +
+      Some(duckHostCtes() + ",\n" +
         """keep AS (SELECT host FROM ph CROSS JOIN g
           |  WHERE (1000000 * n_pass) // n_docs >= (1000000 * g_pass) // greatest(g_docs, 1))
           |SELECT h.doc_id FROM h JOIN keep USING (host) ORDER BY doc_id""".stripMargin),
       headline = true,
+    ),
+    // Thin-evidence batch + Laplace-smoothed keep rule (r17 verdict
+    // item 4): same CTE chain restricted to the sparse batch slice, the
+    // smoothed comparison replayed cross-multiplied, and `flipped`
+    // carrying the proof that the smoothing binds on this corpus.
+    EngineQuery(
+      "host_quality_smoothed",
+      (s, dir) => hostQualityRollupSmoothed(
+          Tables.documents(s, dir).where(col("doc_id") % ThinBatchMod === 0))
+        .orderBy("host"),
+      Some(duckHostCtes(s" WHERE doc_id % $ThinBatchMod = 0") + "\n" +
+        """SELECT host, n_docs, n_pass,
+          |  (1000000 * n_pass) // n_docs AS pass_ppm,
+          |  (1000000 * (n_pass + 1)) // (n_docs + 2) AS smooth_ppm,
+          |  (1000000 * g_pass) // greatest(g_docs, 1) AS global_ppm,
+          |  ((1000000 * n_pass) // n_docs) >= ((1000000 * g_pass) // greatest(g_docs, 1)) AS keep_raw,
+          |  (n_pass + 1) * g_docs >= g_pass * (n_docs + 2) AS keep_smooth,
+          |  (((1000000 * n_pass) // n_docs) >= ((1000000 * g_pass) // greatest(g_docs, 1)))
+          |    <> ((n_pass + 1) * g_docs >= g_pass * (n_docs + 2)) AS flipped
+          |FROM ph CROSS JOIN g ORDER BY host""".stripMargin),
     ),
     EngineQuery(
       "sample_temperature_mix",

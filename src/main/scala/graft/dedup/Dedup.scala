@@ -86,10 +86,16 @@ object Dedup {
 
   /** (doc_id, band_idx, band_val): LSH banding of the signature.
     * Values are '-'-joined so variable-width decimal lanes can't alias.
+    * Parameterized by the band count (r17 verdict item 1 — the
+    * calibrate→choose loop's APPLY rung needs production banding to
+    * run under whatever layout [[minhashLayoutSelect]] decided);
+    * rows-per-band follows as `NumPerms / nBands`, the same slicing
+    * rule the sweep uses, so a chosen layout means the same thing in
+    * both places. Default stays the 4×4 operating point.
     */
-  def minhashBands(sigs: DataFrame): DataFrame = {
-    val rows = NumPerms / NumBands
-    val bandVals = (0 until NumBands).map { b =>
+  def minhashBands(sigs: DataFrame, nBands: Int = NumBands): DataFrame = {
+    val rows = NumPerms / nBands
+    val bandVals = (0 until nBands).map { b =>
       concat_ws("-", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
     }
     sigs.select(
@@ -136,9 +142,11 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  def minhashCandidatePairs(docs: DataFrame, maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+  def minhashCandidatePairs(
+      docs: DataFrame, maxBandSize: Int = DefaultMaxBandSize,
+      nBands: Int = NumBands): DataFrame =
     pairsFromBands(capByKey(
-      minhashBands(minhashSignatures(docs)), Seq("band_idx", "band_val"), maxBandSize))
+      minhashBands(minhashSignatures(docs), nBands), Seq("band_idx", "band_val"), maxBandSize))
 
   /** Contrastive training triplets (anchor, positive, negative) mined
     * from the corpus — the data-prep step for embedding-model training
@@ -268,10 +276,16 @@ object Dedup {
     * (left join from a literal layout spine — a zero-candidate layout
     * reports 0, never silently vanishes).
     */
-  def minhashBandSweep(
-      docs: DataFrame, t: Double = SetSimJoin.DefaultThreshold): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Layouts the sweep measures: bands × (NumPerms/bands) slicings of
+    * the one 16-permutation signature.
+    */
+  val SweepLayouts: Seq[Int] = Seq(2, 4, 8)
+
+  /** Token-set MinHash signature over the sweep slice's similarity
+    * space (tokens, not shingles — candidate and PPJoin truth must live
+    * in the same space). NOT pinned here: each composition pins once.
+    */
+  private[dedup] def tokenMinhashSigs(docs: DataFrame): DataFrame = {
     val toks = graft.Partitioning.fanOut(docs)
       .select(col("doc_id"),
         explode(array_distinct(split(trim(lower(col("text"))), "\\s+"))).as("tok"))
@@ -284,11 +298,14 @@ object Dedup {
       val (a, b) = Perms(i)
       min((lit(a) * col(s"__l${i % 4}") + lit(b)) % lit(PermP)).as(s"h$i")
     }
-    // by-convention pins (harness frees): the signature feeds three
-    // layout slices, truth feeds the hit join and its own count
-    val sigs = withLanes.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true)
-    val banded = Seq(2, 4, 8).map { nb =>
+    withLanes.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** All [[SweepLayouts]] slicings of one (pinned) signature relation,
+    * keyed by n_bands: (n_bands, doc_id, band_idx, band_val).
+    */
+  private[dedup] def bandedLayouts(sigs: DataFrame): DataFrame =
+    SweepLayouts.map { nb =>
       val rpb = NumPerms / nb
       val bandVals = (0 until nb).map { b =>
         concat_ws("-", (0 until rpb).map(r => col(s"h${b * rpb + r}")): _*)
@@ -296,20 +313,38 @@ object Dedup {
       sigs.select(lit(nb.toLong).as("n_bands"), col("doc_id"),
         posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
     }.reduce(_.unionByName(_))
+
+  /** Per-layout capped candidate pairs over [[bandedLayouts]] output:
+    * (n_bands, doc_a, doc_b) — ONE capped band self-join keyed
+    * (layout, band, value), no per-layout corpus pass.
+    */
+  private[dedup] def layoutCandidatePairs(banded: DataFrame): DataFrame = {
     val capped = capByKey(banded, Seq("n_bands", "band_idx", "band_val"), DefaultMaxBandSize)
     val a = capped.select(col("n_bands"), col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
     val b = capped.select(col("n_bands"), col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
-    val pairs = a.join(b, Seq("n_bands", "band_idx", "band_val"))
+    a.join(b, Seq("n_bands", "band_idx", "band_val"))
       .where(col("doc_a") < col("doc_b"))
       .select("n_bands", "doc_a", "doc_b").distinct()
-    val truth = SetSimJoin.jaccardJoin(docs, t)
+  }
+
+  /** PPJoin ground truth for the sweep, pinned (the expensive half —
+    * it feeds the hit join AND its own one-row count).
+    */
+  private def pinnedSweepTruth(docs: DataFrame, t: Double): DataFrame =
+    SetSimJoin.jaccardJoin(docs, t)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
       .localCheckpoint(true)
+
+  /** The 3-row calibration curve over pre-built banding + truth. */
+  private def sweepCurve(banded: DataFrame, truth: DataFrame): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val pairs = layoutCandidatePairs(banded)
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val perLayout = pairs.join(truth, Seq("doc_a", "doc_b"), "left_outer")
       .groupBy("n_bands")
       .agg(count(lit(1)).as("n_candidates"), coalesce(sum("hit"), lit(0L)).as("n_hits"))
-    Seq(2L, 4L, 8L).toDF("n_bands")
+    SweepLayouts.map(_.toLong).toDF("n_bands")
       .join(perLayout, Seq("n_bands"), "left_outer")
       .crossJoin(broadcast(nTruth))
       .select(
@@ -322,6 +357,14 @@ object Dedup {
         expr("(1000000 * n_hits) div greatest(n_candidates, 1)"))
       .withColumn("recall_ppm",
         expr("(1000000 * n_hits) div greatest(n_truth, 1)"))
+  }
+
+  def minhashBandSweep(
+      docs: DataFrame, t: Double = SetSimJoin.DefaultThreshold): DataFrame = {
+    // by-convention pins (harness frees): the signature feeds three
+    // layout slices, truth feeds the hit join and its own count
+    val sigs = tokenMinhashSigs(docs).localCheckpoint(true)
+    sweepCurve(bandedLayouts(sigs), pinnedSweepTruth(docs, t))
   }
 
   /** Recall floor (ppm) [[minhashLayoutSelect]] defaults to: a layout
@@ -346,26 +389,74 @@ object Dedup {
     * curve joined back by broadcast — no single-partition window, no
     * driver branching.
     */
-  def minhashLayoutSelect(
-      docs: DataFrame, t: Double = SetSimJoin.DefaultThreshold,
-      recallFloorPpm: Long = DefaultRecallFloorPpm): DataFrame = {
-    // by-convention pin (harness frees): the 3-row curve feeds the
-    // argmin AND the output projection
-    val sweep = minhashBandSweep(docs, t)
-      .withColumn("meets_floor",
-        when(col("recall_ppm") >= lit(recallFloorPpm), 1L).otherwise(0L))
-      .localCheckpoint(true)
-    val best = sweep.orderBy(
+  /** The floor marker + argmin halves of the decision rule, factored
+    * out so [[minhashLayoutSelect]] (the auditable curve) and
+    * [[neardupPairsChosenLayout]] (the APPLY rung) provably share one
+    * rule: among layouts meeting the floor, fewest candidates; ties to
+    * fewer bands; floor unmet everywhere → max recall.
+    */
+  private def withMeetsFloor(sweep: DataFrame, recallFloorPpm: Long): DataFrame =
+    sweep.withColumn("meets_floor",
+      when(col("recall_ppm") >= lit(recallFloorPpm), 1L).otherwise(0L))
+
+  private def argminLayout(curve: DataFrame): DataFrame =
+    curve.orderBy(
         col("meets_floor").desc,
         when(col("meets_floor") === 1L, col("n_candidates"))
           .otherwise(-col("recall_ppm")),
         col("n_candidates"), col("n_bands"))
       .limit(1).select(col("n_bands").as("__best_nb"))
+
+  def minhashLayoutSelect(
+      docs: DataFrame, t: Double = SetSimJoin.DefaultThreshold,
+      recallFloorPpm: Long = DefaultRecallFloorPpm): DataFrame = {
+    // by-convention pin (harness frees): the 3-row curve feeds the
+    // argmin AND the output projection
+    val sweep = withMeetsFloor(minhashBandSweep(docs, t), recallFloorPpm)
+      .localCheckpoint(true)
+    val best = argminLayout(sweep)
     sweep.crossJoin(broadcast(best))
       .select(col("n_bands"), col("rows_per_band"), col("n_candidates"),
         col("n_hits"), col("n_truth"), col("precision_ppm"), col("recall_ppm"),
         col("meets_floor"),
         when(col("n_bands") === col("__best_nb"), 1L).otherwise(0L).as("chosen"))
+  }
+
+  /** Choose→APPLY — the third rung that closes the calibrate loop (r17
+    * verdict item 1: the select decided, but production candidate
+    * generation still ran a hardcoded layout). Candidate pairs are
+    * generated UNDER THE LAYOUT THE SELECT CHOSE, with nothing
+    * recomputed: the signature pins once and feeds both the sweep's
+    * three slicings and the applied banding (the same banded relation,
+    * filtered to the chosen n_bands by a broadcast equi-join on the
+    * 1-row argmin), the curve pins once and feeds the argmin, and the
+    * cap + self-join + distinct are [[pairsFromBands]] — the identical
+    * production pair generator. At sf0.1 the decision is forced for
+    * real (8×2's cap blowout crashes recall to ~4%; 4×4 is the only
+    * layout meeting the floor), so this gate proves dedup actually
+    * runs under the measured choice, not a constant that happens to
+    * match.
+    *
+    * Scale shape: everything after the (slice-bounded) truth join is
+    * the audited sweep cost; the apply adds ONE capped band self-join
+    * over the chosen slicing — exactly what production dedup under
+    * that layout costs, which is the point.
+    */
+  def neardupPairsChosenLayout(
+      docs: DataFrame, t: Double = SetSimJoin.DefaultThreshold,
+      recallFloorPpm: Long = DefaultRecallFloorPpm,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    // by-convention pins (harness frees): sigs feed the sweep AND the
+    // applied banding; the curve feeds the argmin
+    val sigs = tokenMinhashSigs(docs).localCheckpoint(true)
+    val banded = bandedLayouts(sigs)
+    val curve = withMeetsFloor(sweepCurve(banded, pinnedSweepTruth(docs, t)), recallFloorPpm)
+      .localCheckpoint(true)
+    val chosen = argminLayout(curve)
+    val applied = banded
+      .join(broadcast(chosen), col("n_bands") === col("__best_nb"))
+      .select("doc_id", "band_idx", "band_val")
+    pairsFromBands(capByKey(applied, Seq("band_idx", "band_val"), maxBandSize))
   }
 
   /** Connected components over candidate near-dup pairs — the clustering
@@ -1329,6 +1420,31 @@ object Dedup {
            |  CAST(CASE WHEN s.n_bands = best.n_bands THEN 1 ELSE 0 END AS BIGINT) AS chosen
            |FROM s CROSS JOIN best ORDER BY s.n_bands""".stripMargin),
       // Gate-only for the same reason as the sweep it consumes.
+    ),
+    // Choose→APPLY (r18): candidate generation under the layout the
+    // select chose. The oracle replays the sweep, the argmin, AND the
+    // banding from the SAME CTE chain — the candidate relation is the
+    // sweep's own cpairs filtered to best.n_bands, so engine and
+    // oracle provably apply the same measured decision.
+    EngineQuery(
+      "neardup_pairs_chosen_layout",
+      (s, dir) =>
+        neardupPairsChosenLayout(
+          Tables.documents(s, dir)
+            .where(col("doc_id") % SetSimJoin.GateDocFilter === 0))
+          .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH $duckBandSweepCtes,
+           |sweep AS ($duckBandSweepSelect),
+           |s AS (SELECT *,
+           |  CAST(CASE WHEN recall_ppm >= $DefaultRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+           |  FROM sweep),
+           |best AS (SELECT n_bands FROM s ORDER BY meets_floor DESC,
+           |  CASE WHEN meets_floor = 1 THEN n_candidates ELSE -recall_ppm END,
+           |  n_candidates, n_bands LIMIT 1)
+           |SELECT c.doc_a, c.doc_b FROM cpairs c JOIN best ON c.n_bands = best.n_bands
+           |ORDER BY doc_a, doc_b""".stripMargin),
+      // Gate-only: the truth half is the cost, exactly as the sweep.
     ),
     // Clustering the LSH pairs into dedup groups; oracle computes the
     // same components via a recursive transitive-closure CTE.

@@ -10,29 +10,44 @@ import graft.{EngineQuery, Tables}
   * pipelines drop the bulk of refetches here before any content hashing
   * or MinHash): the same page arrives under many textually-distinct
   * URLs (case-shifted scheme/host, tracking parameters, default ports,
-  * trailing slashes, fragments, reordered query strings), and plain
-  * string normalization + one aggregation collapses them without
-  * touching the document body.
+  * trailing slashes, fragments, reordered query strings, %-encoding
+  * spellings), and plain string normalization + one aggregation
+  * collapses them without touching the document body.
   *
   * Canonicalization rule (each step expressible in both engines' string
   * functions — no UDF, everything stays inside whole-stage codegen):
   *   1. drop the fragment (`#...` — client-side only);
-  *   2. lowercase scheme and authority (case-insensitive per RFC 3986);
-  *   3. drop the default port (`:443` for https, `:80` for http);
-  *   4. strip a trailing slash from the path (root `/` and empty both
+  *   2. normalize percent-encoding over everything after the scheme
+  *      (RFC 3986 §6.2.2.1-2): uppercase the hex digits of every
+  *      escape, and DECODE escapes of unreserved characters
+  *      (`%41`→`A`, `%7E`→`~` — ALPHA / DIGIT / `-` / `.` / `_` / `~`).
+  *      Reserved characters stay encoded (decoding `%2F` would change
+  *      the path structure), so the authority/path/query split below is
+  *      unaffected — this is the biggest false-negative class on real
+  *      crawl URL lists, where the same path arrives in both spellings;
+  *   3. lowercase scheme and host:port (case-insensitive per RFC 3986
+  *      §3.2.2); userinfo (`user:pass@`) is case-SENSITIVE and passes
+  *      through untouched;
+  *   4. drop the default port (`:443` for https, `:80` for http);
+  *   5. strip a trailing slash from the path (root `/` and empty both
   *      canonicalize to empty);
-  *   5. drop tracking parameters (`utm_*`, `fbclid`, `gclid`), sort the
+  *   6. drop tracking parameters (`utm_*`, `fbclid`, `gclid`), sort the
   *      survivors lexicographically, rejoin (param order never changes
   *      page identity).
+  * Inputs without a `scheme://` prefix pass through UNCHANGED (the
+  * guard that keeps the canonical form a fixed point on arbitrary
+  * strings — a scheme-less input used to grow a spurious `://`).
   *
   * The harness corpus carries no URL column, so deterministic synthetic
   * URLs derive from doc metadata (the twin-cohort convention the media
   * phash gate uses): `page = doc_id div 3` keys ~3 docs to one page,
   * and `doc_id % 3` picks which messy variant of that page's URL the
   * doc carries — clean, case-shifted + tracking + fragment + trailing
-  * slash, or default-port + reordered params. All three canonicalize
-  * identically, so the gate exercises nonzero dup groups on its
-  * positive path by construction.
+  * slash + %-encoded unreserved bytes (`%61`→`a`, `%6f`→`o`), or
+  * default-port + reordered params + lowercase-hex reserved escape
+  * (`a%2fb` vs `a%2Fb`). All three canonicalize identically, so the
+  * gate exercises nonzero dup groups on its positive path by
+  * construction AND binds on both halves of the %-normalization rule.
   *
   * Scale shape (100 TB): canonicalization is pure map-side column work;
   * the only exchange is the one hash aggregation on canonical_url (plus
@@ -43,18 +58,55 @@ import graft.{EngineQuery, Tables}
   */
 object UrlDedup {
 
+  /** Percent-encoding normalization as a pure column expression
+    * (rule 2 above). Split on `%`: every element after the first
+    * starts with what should be two hex digits — uppercase them, and
+    * when they encode an unreserved character, decode. Malformed
+    * escapes (`%4`, `%zz`, a bare trailing `%`) pass through
+    * byte-identically. `split` with limit -1 keeps trailing empty
+    * elements, so a URL ending in `%` round-trips. Decoded characters
+    * are unreserved (never `%`, never a delimiter), so the result is a
+    * fixed point and the authority/path/query structure is preserved.
+    */
+  private def pctNormalize(s: Column): Column = {
+    val parts = split(s, "%", -1)
+    def decodePiece(p: Column): Column = {
+      val h = upper(substring(p, 1, 2))
+      val isHex = h.rlike("^[0-9A-F]{2}$")
+      val code = conv(h, 16, 10).cast("int")
+      val tail = substring(p, 3, 1000000)
+      val unreserved = (code >= 48 && code <= 57) || (code >= 65 && code <= 90) ||
+        (code >= 97 && code <= 122) || code === 45 || code === 46 ||
+        code === 95 || code === 126
+      when(!isHex, concat(lit("%"), p))
+        .when(unreserved, concat(call_function("char", code), tail))
+        .otherwise(concat(lit("%"), h, tail))
+    }
+    concat(element_at(parts, 1),
+      array_join(transform(slice(parts, 2, 1000000), decodePiece(_)), ""))
+  }
+
   /** Step-by-step canonicalization as a column expression over a raw
     * URL string column (documented rule above).
     */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val auth0 = lower(regexp_extract(rest, "^([^/?#]*)", 1))
-    val auth = when(scheme === "https", regexp_replace(auth0, ":443$", ""))
-      .when(scheme === "http", regexp_replace(auth0, ":80$", ""))
-      .otherwise(auth0)
-    val pathq = rest.substr(lit(1) + length(auth0), lit(1000000))
+    val rest = pctNormalize(regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", ""))
+    val authRaw = regexp_extract(rest, "^([^/?#]*)", 1)
+    // userinfo (through the LAST '@' — the host can't contain one) is
+    // case-sensitive and survives verbatim; only host:port lowercases
+    val ui = when(instr(authRaw, "@") > 0, regexp_extract(authRaw, "^(.*@)", 1))
+      .otherwise(lit(""))
+    val hostPort = lower(regexp_replace(authRaw, "^.*@", ""))
+    val hp = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val auth = concat(ui, hp)
+    // strip the RAW authority prefix (anchored replace) — computing the
+    // split from length(lower(auth)) breaks when lowercasing changes
+    // string length (e.g. U+0130 lowercases to two codepoints)
+    val pathq = regexp_replace(rest, "^[^/?#]*", "")
     val path0 = regexp_extract(pathq, "^([^?]*)", 1)
     // "/+$": ALL trailing slashes strip (a single-slash strip would make
     // canon("…/a//") = "…/a/" — not a fixed point, and UrlProps pins
@@ -68,8 +120,9 @@ object UrlDedup {
       array_sort(filter(split(query, "&"),
         p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))),
       "&")
-    concat(scheme, lit("://"), auth, path,
-      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), auth, path,
+        when(params === "", lit("")).otherwise(concat(lit("?"), params))))
   }
 
   /** Canonical host of each doc's synthetic URL — THE definition of the
@@ -86,20 +139,25 @@ object UrlDedup {
     "'cdn' || CAST((doc_id // 3) % 5 AS VARCHAR) || '.example.com'"
 
   /** Deterministic synthetic URL per doc (twin-cohort derivation — see
-    * object doc): (doc_id, n_chars, url).
+    * object doc): (doc_id, n_chars, url). Variant 1 spells unreserved
+    * bytes as escapes (`%61rticles`, `h%6fme` — lowercase hex, so both
+    * normalization halves bind); variant 2 carries the shared reserved
+    * escape `q=a%2Fb` in LOWERCASE hex while 0 and 1 carry it
+    * uppercase — identical canonical forms only if hex case
+    * normalizes without decoding the reserved byte.
     */
   def syntheticUrls(docs: DataFrame): DataFrame = {
     val page = expr("doc_id div 3").cast("string")
     val hostN = expr("(doc_id div 3) % 5").cast("string")
     val url = when(col("doc_id") % 3 === 0,
         concat(lit("https://cdn"), hostN, lit(".example.com/articles/p"), page,
-          lit("?id="), page, lit("&ref=home")))
+          lit("?id="), page, lit("&ref=home&q=a%2Fb")))
       .when(col("doc_id") % 3 === 1,
-        concat(lit("HTTPS://CDN"), hostN, lit(".Example.COM/articles/p"), page,
-          lit("/?utm_source=feed&id="), page, lit("&ref=home#frag")))
+        concat(lit("HTTPS://CDN"), hostN, lit(".Example.COM/%61rticles/p"), page,
+          lit("/?utm_source=feed&id="), page, lit("&ref=h%6fme&q=a%2Fb#frag")))
       .otherwise(
         concat(lit("https://cdn"), hostN, lit(".example.com:443/articles/p"), page,
-          lit("?ref=home&id="), page))
+          lit("?ref=home&q=a%2fb&id="), page))
     docs.select(col("doc_id"), col("n_chars"), url.as("url"))
   }
 
@@ -138,12 +196,25 @@ object UrlDedup {
     * incremental merge, provably picking identical winners. Domain:
     * doc_id ∈ [0, T) and n_chars < 2^63/T ≈ 9.2·10⁶ (harness doc_ids
     * stay under 10¹¹ even with probe copy offsets; n_chars is a
-    * per-doc char count).
+    * per-doc char count). The n_chars half of the domain is ENFORCED
+    * ([[MaxPackChars]]): a ~9 MB document would silently overflow the
+    * BIGINT lane and corrupt the winner in all three forms, so the
+    * packing fails loud instead.
     */
   private val PackT = 1000000000000L
 
+  /** Largest n_chars the packed lane admits (2^63/PackT with headroom).
+    * Out-of-domain rows raise instead of silently mis-picking.
+    */
+  private val MaxPackChars = 9000000L
+
   private def packedBest: Column =
-    max(col("n_chars") * lit(PackT) - col("doc_id"))
+    max(when(col("n_chars") >= lit(MaxPackChars),
+        expr(("raise_error(concat('UrlDedup keep-best packing: n_chars ', " +
+          s"CAST(n_chars AS STRING), ' is outside the packed BIGINT domain (< $MaxPackChars); ") +
+          "split the keep-best rule off the packed lane for jumbo documents'))")
+          .cast("long"))
+      .otherwise(col("n_chars") * lit(PackT) - col("doc_id")))
 
   /** Inverse of the packing over the aggregated `__p` column:
     * doc_id = ceil(m/T)·T − m.
@@ -207,44 +278,70 @@ object UrlDedup {
 
   // ---- oracles ------------------------------------------------------
 
+  /** DuckDB twin of [[pctNormalize]] over a SQL string expression:
+    * identical split-on-`%` + per-piece CASE, lambdas instead of
+    * higher-order Columns. The hex value computes positionally
+    * (strpos over the hex alphabet) — DuckDB has no `conv`.
+    */
+  private def duckPctNormalize(e: String): String = {
+    val hexd = "0123456789ABCDEF"
+    val h = "upper(substr(p, 1, 2))"
+    val code = s"((strpos('$hexd', substr($h, 1, 1)) - 1) * 16" +
+      s" + strpos('$hexd', substr($h, 2, 1)) - 1)"
+    val unres = s"(($code BETWEEN 48 AND 57) OR ($code BETWEEN 65 AND 90)" +
+      s" OR ($code BETWEEN 97 AND 122) OR $code IN (45, 46, 95, 126))"
+    s"(string_split($e, '%')[1] || array_to_string(list_transform(" +
+      s"string_split($e, '%')[2:], p -> " +
+      s"CASE WHEN NOT regexp_matches($h, '^[0-9A-F]{2}$$') THEN '%' || p " +
+      s"WHEN $unres THEN chr(CAST($code AS INTEGER)) || substr(p, 3) " +
+      s"ELSE '%' || $h || substr(p, 3) END), ''))"
+  }
+
   /** DuckDB twin of [[syntheticUrls]] + [[canonicalizeUrl]] as a CTE
     * list ending in `canon(doc_id, n_chars, url, canonical_url)`.
     */
-  private val duckCanonCtes: String =
+  private lazy val duckCanonCtes: String =
     s"""u AS (
        |  SELECT doc_id, n_chars,
        |    CASE doc_id % 3
        |      WHEN 0 THEN 'https://cdn' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
        |        '.example.com/articles/p' || CAST(doc_id // 3 AS VARCHAR) ||
-       |        '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&ref=home'
+       |        '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&ref=home&q=a%2Fb'
        |      WHEN 1 THEN 'HTTPS://CDN' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
-       |        '.Example.COM/articles/p' || CAST(doc_id // 3 AS VARCHAR) ||
-       |        '/?utm_source=feed&id=' || CAST(doc_id // 3 AS VARCHAR) || '&ref=home#frag'
+       |        '.Example.COM/%61rticles/p' || CAST(doc_id // 3 AS VARCHAR) ||
+       |        '/?utm_source=feed&id=' || CAST(doc_id // 3 AS VARCHAR) || '&ref=h%6fme&q=a%2Fb#frag'
        |      ELSE 'https://cdn' || CAST((doc_id // 3) % 5 AS VARCHAR) ||
        |        '.example.com:443/articles/p' || CAST(doc_id // 3 AS VARCHAR) ||
-       |        '?ref=home&id=' || CAST(doc_id // 3 AS VARCHAR)
+       |        '?ref=home&q=a%2fb&id=' || CAST(doc_id // 3 AS VARCHAR)
        |    END AS url
        |  FROM documents),
        |parts AS (
        |  SELECT doc_id, n_chars, url,
        |    lower(regexp_extract(regexp_replace(url, '#.*$$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-       |    regexp_replace(regexp_replace(url, '#.*$$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |    ${duckPctNormalize("regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '')")} AS rest
        |  FROM u),
        |parts2 AS (
-       |  SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth0,
-       |    substr(rest, 1 + length(regexp_extract(rest, '^([^/?#]*)', 1))) AS pathq
+       |  SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS auth_raw,
+       |    regexp_replace(rest, '^[^/?#]*', '') AS pathq
        |  FROM parts),
+       |parts2b AS (
+       |  SELECT *,
+       |    CASE WHEN strpos(auth_raw, '@') > 0 THEN regexp_extract(auth_raw, '^(.*@)', 1)
+       |         ELSE '' END AS ui,
+       |    lower(regexp_replace(auth_raw, '^.*@', '')) AS hostport
+       |  FROM parts2),
        |parts3 AS (
        |  SELECT *,
-       |    CASE WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
-       |         WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
-       |         ELSE auth0 END AS auth,
+       |    ui || (CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |         ELSE hostport END) AS auth,
        |    regexp_extract(pathq, '^([^?]*)', 1) AS path0,
        |    CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, strpos(pathq, '?') + 1)
        |         ELSE '' END AS query
-       |  FROM parts2),
+       |  FROM parts2b),
        |canon AS (
        |  SELECT doc_id, n_chars, url,
+       |    CASE WHEN scheme = '' THEN url ELSE
        |    scheme || '://' || auth ||
        |    (CASE WHEN path0 = '/' OR path0 = '' THEN ''
        |          ELSE regexp_replace(path0, '/+$$', '') END) ||
@@ -253,7 +350,7 @@ object UrlDedup {
        |          THEN ''
        |          ELSE '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
        |            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$$)'))), '&') END)
-       |    AS canonical_url
+       |    END AS canonical_url
        |  FROM parts3)""".stripMargin
 
   /** The group+keep-best oracle — shared verbatim by the batch gate,

@@ -262,4 +262,31 @@ class CurationSpec extends AnyFunSuite with Matchers {
     Curation.hostQualityFilter(docs).collect().map(_.getLong(0)).sorted shouldBe
       Array(0L, 1L, 2L, 6L, 7L, 8L)
   }
+
+  test("smoothed host rule: a 1-doc host is not condemned on one bad document — the flip the smoothing exists for (r18)") {
+    val good = ("the quick brown fox and a lazy dog be to of " * 6).trim
+    val bad = "x"
+    // cdn0: 3 docs, 2 pass; cdn1: 3 docs, 0 pass; cdn2: ONE doc, fail.
+    // global 2/7. Raw: cdn2 ppm 0 < 285714 -> cut on a single
+    // observation. Laplace α=1: (0+1)·7 = 7 ≥ 2·(1+2) = 6 -> keep.
+    val docs = Seq(
+      (0L, good), (1L, good), (2L, bad),
+      (3L, bad), (4L, bad), (5L, bad),
+      (6L, bad))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val out = Curation.hostQualityRollupSmoothed(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    out("cdn0.example.com") shouldBe ((3L, 2L, true, true, false))
+    // the 0/3 host stays cut under both rules: 1·7 = 7 < 2·5 = 10
+    out("cdn1.example.com") shouldBe ((3L, 0L, false, false, false))
+    // the thin host FLIPS: raw cuts, smoothed keeps
+    out("cdn2.example.com") shouldBe ((1L, 0L, false, true, true))
+    // smooth_ppm column replays (n_pass+1)/(n_docs+2) exactly
+    val smooth = Curation.hostQualityRollupSmoothed(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    smooth("cdn2.example.com") shouldBe 333333L // 10^6 · 1/3, floored
+    smooth("cdn0.example.com") shouldBe 600000L // 10^6 · 3/5
+  }
 }

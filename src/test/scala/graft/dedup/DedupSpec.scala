@@ -255,6 +255,49 @@ class DedupSpec extends AnyFunSuite with Matchers {
     chosen._2 shouldBe out.map(_._2).max // max recall wins the fallback
   }
 
+  test("choose→apply: applied pairs equal the SELECTED layout's candidate set, and the decision drives the apply (r18)") {
+    // 4 high-J pairs (one-token edits) + 3 moderate pairs (8 of 30
+    // tokens replaced, J ≈ 0.58) + noise docs: at t = 0.5 the curve is
+    // recall 4/7 (2 bands), 6/7 (4), 7/7 (8) with candidates 4/6/7 —
+    // so a 0.8 floor picks 4×4 (fewest qualifying candidates) while an
+    // impossible floor degrades to max recall = 8×2: two floors, two
+    // DIFFERENT decisions, and the apply must follow each.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    def moderate(pref: String): String =
+      (1 to 30).map(i => if (i <= 8) s"$pref$pref$i" else s"$pref$i").mkString(" ")
+    val corpus = (Seq(
+      (0L, base), (1L, base.replace("tok7", "edit7")),
+      (10L, base.replace("tok", "w")), (11L, base.replace("tok", "w").replace("w9", "e9")),
+      (20L, base.replace("tok", "z")), (21L, base.replace("tok", "z").replace("z3", "e3")),
+      (30L, base.replace("tok", "m")), (31L, base.replace("tok", "m")),
+      (40L, base.replace("tok", "p")), (41L, moderate("p")),
+      (50L, base.replace("tok", "q")), (51L, moderate("q")),
+      (60L, base.replace("tok", "r")), (61L, moderate("r"))) ++
+      (70L to 83L).map(i => i -> (1 to 25).map(j => s"n${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // per-layout ground truth through the same internals the sweep uses
+    def layoutPairs(nb: Long): Set[(Long, Long)] =
+      Dedup.layoutCandidatePairs(Dedup.bandedLayouts(Dedup.tokenMinhashSigs(corpus)))
+        .where(col("n_bands") === nb)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    def applied(floor: Long): Set[(Long, Long)] =
+      Dedup.neardupPairsChosenLayout(corpus, t = 0.5, recallFloorPpm = floor)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def chosenBands(floor: Long): Long =
+      Dedup.minhashLayoutSelect(corpus, t = 0.5, recallFloorPpm = floor)
+        .where(col("chosen") === 1L).collect().head.getLong(0)
+    // reachable floor: 4×4 qualifies with fewer candidates than 8×2
+    chosenBands(800000L) shouldBe 4L
+    applied(800000L) shouldBe layoutPairs(4L)
+    // impossible floor: the select degrades to max recall = 8×2, and
+    // the applied pairs must follow the CHANGED decision
+    chosenBands(2000000L) shouldBe 8L
+    applied(2000000L) shouldBe layoutPairs(8L)
+    // the two applied sets genuinely differ (8×2 catches the moderate
+    // pairs 4×4 misses), so apply-follows-decision is not vacuous
+    applied(800000L) should not be applied(2000000L)
+  }
+
   test("contrastive triplets: positives are near-dups, negatives avoid both ends") {
     // two near-identical docs (the positive pair) + distinct fillers
     val long = (1 to 30).map(i => s"tok$i").mkString(" ")

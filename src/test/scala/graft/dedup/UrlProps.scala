@@ -36,7 +36,13 @@ object UrlProps extends Properties("UrlCanonicalize") {
   private val scheme: Gen[String] = Gen.oneOf("http", "https")
   private val host: Gen[String] =
     Gen.listOfN(2, Gen.oneOf("alpha", "beta", "cdn7", "m")).map(_.mkString(".") + ".example.com")
-  private val pathSeg: Gen[String] = Gen.oneOf("a", "b2", "files", "x-y")
+  // includes %-escaped spellings: unreserved escapes in both hex cases
+  // (decode targets), a reserved escape in both cases (uppercase-only
+  // targets), and malformed escapes (byte-identical passthrough) — the
+  // idempotence property below must hold over ALL of them (r18)
+  private val pathSeg: Gen[String] = Gen.oneOf(
+    "a", "b2", "files", "x-y", "f%69les", "f%69Les", "%7Edoc", "%7edoc",
+    "a%2Fb", "a%2fb", "p%4", "p%zz", "q%")
   private val path: Gen[String] = for {
     n <- Gen.chooseNum(0, 3)
     segs <- Gen.listOfN(n, pathSeg)
@@ -83,5 +89,43 @@ object UrlProps extends Properties("UrlCanonicalize") {
       val shuffled = new scala.util.Random(seed).shuffle(qs)
       canon(Seq(assemble(s, h, p, qs, ""), assemble(s, h, p, shuffled, "")))
         .distinct.length == 1
+    }
+
+  // ---- r18: percent-encoding normalization + the scheme guard --------
+
+  /** A plain path alongside its %-escaped-unreserved spelling (random
+    * hex case) — the two spellings a real crawl URL list mixes freely.
+    */
+  private val encodedPair: Gen[(String, String)] = for {
+    segs <- Gen.nonEmptyListOf(Gen.oneOf("files", "doc", "a1"))
+    hexCase <- Gen.oneOf(true, false)
+  } yield {
+    val plain = "/" + segs.mkString("/")
+    val enc = plain.flatMap {
+      case c if c.isLetter =>
+        val h = "%%%02X".format(c.toInt)
+        if (hexCase) h else h.toLowerCase
+      case c => c.toString
+    }
+    (plain, enc)
+  }
+
+  property("unreserved %-escapes decode: both spellings share one canonical form") =
+    forAll(scheme, host, encodedPair, params) { case (s, h, (plain, enc), qs) =>
+      canon(Seq(assemble(s, h, plain, qs, ""), assemble(s, h, enc, qs, "")))
+        .distinct.length == 1
+    }
+
+  property("reserved %-escapes keep their bytes; only the hex case normalizes") =
+    forAll(scheme, host, Gen.oneOf("2F", "3F", "23", "40")) { (s, h, hex) =>
+      val Seq(lo, up) = canon(Seq(
+        s"$s://$h/x%${hex.toLowerCase}y", s"$s://$h/x%${hex}y"))
+      lo == up && lo.endsWith(s"/x%${hex}y")
+    }
+
+  property("scheme-less inputs pass through unchanged (fixed-point guard)") =
+    forAll(host, path, params) { (h, p, qs) =>
+      val u = h + p + (if (qs.isEmpty) "" else "?" + qs.mkString("&"))
+      canon(Seq(u)) == Seq(u)
     }
 }

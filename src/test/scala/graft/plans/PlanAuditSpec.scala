@@ -1412,13 +1412,28 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       .map(_.group(1)).toSet shouldBe Set("canonical_url")
   }
 
-  test("host quality: corpus never shuffles — host rollup is the only hash exchange, the cut attaches by broadcast (r17)") {
+  test("host quality: corpus never shuffles — the cut attaches by broadcast over the PINNED per-host rollup (r17, pinned r18)") {
     val p = plan("host_quality_filter")
     // the kept-host relation is host-cardinality: broadcast, never SMJ
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
+    // r18 (r17 ADVICE): perHost is checkpointed once, so the corpus-
+    // scale Gopher subtree can no longer appear twice — the final plan
+    // has ONE parquet scan (the corpus attach side), the kept side
+    // reads the pinned rollup, and NO hash exchange exists at all
+    p should include("Scan ExistingRDD")
+    "Scan parquet".r.findAllIn(p).size shouldBe 1
     "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
-      .map(_.group(1)).toSet shouldBe Set("host")
+      .map(_.group(1)).toSet shouldBe Set.empty[String]
+  }
+
+  test("smoothed host reputation: both verdicts project over the pinned per-host relation — no corpus re-scan (r18)") {
+    val p = plan("host_quality_smoothed")
+    // the thin-batch rollup pinned at construction: the output plan is
+    // host-cardinality work only
+    p should include("Scan ExistingRDD")
+    p should not include "Scan parquet"
+    p should not include "SortMergeJoin"
   }
 
   test("minhash layout select: 1-row argmin attaches by broadcast; curve reads the pinned sweep (r17)") {
@@ -1431,5 +1446,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // the chosen layout attaches as a broadcast of the LIMIT-1 argmin
     p should include("BroadcastNestedLoopJoin")
     p should include("TakeOrderedAndProject")
+  }
+
+  test("choose→apply: banding reads the ONE pinned signature; the decided layout attaches by broadcast equi-join (r18)") {
+    val p = plan("neardup_pairs_chosen_layout")
+    // nothing corpus-scale re-executes at apply time: the signature and
+    // the decision curve are both pinned — every leaf is a checkpoint
+    // scan, and the sweep's quadratic truth half is absent entirely
+    p should include("Scan ExistingRDD")
+    p should not include "Scan parquet"
+    // the 1-row argmin attaches to the banded relation as a broadcast
+    // hash join on n_bands — never a nested-loop product
+    p should include("BroadcastHashJoin")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
   }
 }
