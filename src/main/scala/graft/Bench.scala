@@ -258,8 +258,16 @@ object Bench {
         Option(allRuns.get(n)).getOrElse(Seq.empty).map(_._2)).filter(_ >= 0).sorted
       val windowLoad1Json =
         if (loads.isEmpty) ""
-        else s""","window_load1":{"min":${fmt(loads.head)},""" +
-          s""""median":${fmt(loads(loads.length / 2))},"max":${fmt(loads.last)}}"""
+        else {
+          // true median (even-length samples average the two middles —
+          // taking the upper element would let one contended pass
+          // classify a mostly-idle window as contended)
+          val med =
+            if (loads.length % 2 == 1) loads(loads.length / 2)
+            else (loads(loads.length / 2 - 1) + loads(loads.length / 2)) / 2.0
+          s""","window_load1":{"min":${fmt(loads.head)},""" +
+            s""""median":${fmt(med)},"max":${fmt(loads.last)}}"""
+        }
       val total = order.map(best).filter(_ >= 0).sum
       val partialJson = if (partial) ",\"partial\":true" else ""
       // `truncated` marks a FINAL line printed by the shutdown hook

@@ -117,16 +117,25 @@ object Curation {
         sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
       .localCheckpoint(true)
 
-  def hostQualityRollup(docs: DataFrame): DataFrame = {
+  /** perHost × broadcast(global) with the shared ppm projections — the
+    * one scaffolding both host-verdict variants build on, so the raw
+    * and smoothed rules can never drift on anything but their own
+    * verdict columns.
+    */
+  private def hostRatesBase(docs: DataFrame): DataFrame = {
     val perHost = perHostPassCounts(docs)
     val global = perHost.agg(
       sum("n_docs").as("g_docs"), sum("n_pass").as("g_pass"))
     perHost.crossJoin(broadcast(global))
-      .select(col("host"), col("n_docs"), col("n_pass"),
-        expr("(1000000 * n_pass) div n_docs").as("pass_ppm"),
-        expr("(1000000 * g_pass) div greatest(g_docs, 1)").as("global_ppm"))
-      .withColumn("keep_host", col("pass_ppm") >= col("global_ppm"))
+      .withColumn("pass_ppm", expr("(1000000 * n_pass) div n_docs"))
+      .withColumn("global_ppm", expr("(1000000 * g_pass) div greatest(g_docs, 1)"))
   }
+
+  def hostQualityRollup(docs: DataFrame): DataFrame =
+    hostRatesBase(docs)
+      .select(col("host"), col("n_docs"), col("n_pass"),
+        col("pass_ppm"), col("global_ppm"))
+      .withColumn("keep_host", col("pass_ppm") >= col("global_ppm"))
 
   /** Sparse-slice modulus for the thin-evidence gate below: a fresh
     * crawl BATCH (the incremental setting every production domain
@@ -143,26 +152,24 @@ object Curation {
     * document. Laplace smoothing with α=1 — keep iff
     * (n_pass+1)/(n_docs+2) ≥ g_pass/g_docs — shrinks thin hosts
     * toward 1/2 so no host is condemned (or canonized) on a single
-    * observation; the comparison cross-multiplies so everything stays
-    * exact BIGINT (host doc counts × 10⁶ ppm lanes never overflow).
-    * Emits BOTH verdicts plus a `flipped` marker so the gate carries
-    * its own evidence that the smoothing binds.
+    * observation. The comparison cross-multiplies count-by-count, so
+    * it rides the DECIMAL(38,0)/HUGEINT wide-lane convention (the
+    * langid-χ² precedent): host×corpus count products wrap int64 at
+    * ~10⁹·10¹⁰ docs — exactly the scale this operator is documented
+    * for. Emits BOTH verdicts plus a `flipped` marker so the gate
+    * carries its own evidence that the smoothing binds.
     */
-  def hostQualityRollupSmoothed(docs: DataFrame, alpha: Long = 1L): DataFrame = {
-    val perHost = perHostPassCounts(docs)
-    val global = perHost.agg(
-      sum("n_docs").as("g_docs"), sum("n_pass").as("g_pass"))
-    perHost.crossJoin(broadcast(global))
+  def hostQualityRollupSmoothed(docs: DataFrame, alpha: Long = 1L): DataFrame =
+    hostRatesBase(docs)
       .select(col("host"), col("n_docs"), col("n_pass"),
-        expr("(1000000 * n_pass) div n_docs").as("pass_ppm"),
+        col("pass_ppm"),
         expr(s"(1000000 * (n_pass + $alpha)) div (n_docs + ${2 * alpha})").as("smooth_ppm"),
-        expr("(1000000 * g_pass) div greatest(g_docs, 1)").as("global_ppm"),
-        expr("(1000000 * n_pass) div n_docs >= (1000000 * g_pass) div greatest(g_docs, 1)")
-          .as("keep_raw"),
-        expr(s"(n_pass + $alpha) * g_docs >= g_pass * (n_docs + ${2 * alpha})")
+        col("global_ppm"),
+        (col("pass_ppm") >= col("global_ppm")).as("keep_raw"),
+        expr(s"""CAST(n_pass + $alpha AS DECIMAL(38,0)) * g_docs
+                | >= CAST(g_pass AS DECIMAL(38,0)) * (n_docs + ${2 * alpha})""".stripMargin)
           .as("keep_smooth"))
       .withColumn("flipped", col("keep_raw") =!= col("keep_smooth"))
-  }
 
   /** Apply the host-reputation cut: docs from kept hosts survive. The
     * host relation is host-cardinality, so the corpus attaches it by
@@ -1252,9 +1259,9 @@ object Curation {
           |  (1000000 * (n_pass + 1)) // (n_docs + 2) AS smooth_ppm,
           |  (1000000 * g_pass) // greatest(g_docs, 1) AS global_ppm,
           |  ((1000000 * n_pass) // n_docs) >= ((1000000 * g_pass) // greatest(g_docs, 1)) AS keep_raw,
-          |  (n_pass + 1) * g_docs >= g_pass * (n_docs + 2) AS keep_smooth,
+          |  CAST(n_pass + 1 AS HUGEINT) * g_docs >= CAST(g_pass AS HUGEINT) * (n_docs + 2) AS keep_smooth,
           |  (((1000000 * n_pass) // n_docs) >= ((1000000 * g_pass) // greatest(g_docs, 1)))
-          |    <> ((n_pass + 1) * g_docs >= g_pass * (n_docs + 2)) AS flipped
+          |    <> (CAST(n_pass + 1 AS HUGEINT) * g_docs >= CAST(g_pass AS HUGEINT) * (n_docs + 2)) AS flipped
           |FROM ph CROSS JOIN g ORDER BY host""".stripMargin),
     ),
     EngineQuery(

@@ -94,6 +94,10 @@ object Dedup {
     * both places. Default stays the 4×4 operating point.
     */
   def minhashBands(sigs: DataFrame, nBands: Int = NumBands): DataFrame = {
+    require(nBands > 0 && NumPerms % nBands == 0,
+      s"nBands must divide NumPerms=$NumPerms evenly (got $nBands): a non-divisor " +
+        "would silently drop permutation lanes, and nBands > NumPerms would band " +
+        "every doc into the empty string")
     val rows = NumPerms / nBands
     val bandVals = (0 until nBands).map { b =>
       concat_ws("-", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
@@ -444,8 +448,7 @@ object Dedup {
     */
   def neardupPairsChosenLayout(
       docs: DataFrame, t: Double = SetSimJoin.DefaultThreshold,
-      recallFloorPpm: Long = DefaultRecallFloorPpm,
-      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+      recallFloorPpm: Long = DefaultRecallFloorPpm): DataFrame = {
     // by-convention pins (harness frees): sigs feed the sweep AND the
     // applied banding; the curve feeds the argmin
     val sigs = tokenMinhashSigs(docs).localCheckpoint(true)
@@ -456,7 +459,11 @@ object Dedup {
     val applied = banded
       .join(broadcast(chosen), col("n_bands") === col("__best_nb"))
       .select("doc_id", "band_idx", "band_val")
-    pairsFromBands(capByKey(applied, Seq("band_idx", "band_val"), maxBandSize))
+    // the cap is NOT a parameter here: the decision argmins over
+    // n_candidates measured under DefaultMaxBandSize (layoutCandidate-
+    // Pairs), so the apply must run the same cap or the applied set is
+    // not the set the decision measured
+    pairsFromBands(capByKey(applied, Seq("band_idx", "band_val"), DefaultMaxBandSize))
   }
 
   /** Connected components over candidate near-dup pairs — the clustering
@@ -1090,7 +1097,7 @@ object Dedup {
       val (a, b) = Perms(i)
       s"min(($a * l${i % 4} + $b) % $PermP) AS h$i"
     }.mkString(", ")
-    val layoutSelect = Seq(2, 4, 8).map { nb =>
+    val layoutSelect = SweepLayouts.map { nb =>
       val rpb = NumPerms / nb
       (0 until nb).map { bnd =>
         val vals = (0 until rpb).map(r => s"h${bnd * rpb + r}").mkString(", ")
@@ -1134,8 +1141,24 @@ object Dedup {
        |  FROM cpairs c LEFT JOIN truth t USING (doc_a, doc_b)
        |  GROUP BY c.n_bands),
        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-       |spine AS (SELECT unnest([2, 4, 8]) AS n_bands)""".stripMargin
+       |spine AS (SELECT unnest([${SweepLayouts.mkString(", ")}]) AS n_bands)""".stripMargin
   }
+
+  /** Floor marker + argmin as a shared oracle CTE fragment (expects
+    * `sweep`-feeding CTEs in scope via [[duckBandSweepCtes]]) — the
+    * DuckDB twin of [[withMeetsFloor]] + [[argminLayout]], consumed by
+    * BOTH the layout-select gate and the choose→apply gate so the two
+    * oracles can never argmin over different rules (the same
+    * one-source-of-truth factoring the engine side has).
+    */
+  private lazy val duckFloorArgminCtes: String =
+    s"""sweep AS ($duckBandSweepSelect),
+       |s AS (SELECT *,
+       |  CAST(CASE WHEN recall_ppm >= $DefaultRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
+       |  FROM sweep),
+       |best AS (SELECT n_bands FROM s ORDER BY meets_floor DESC,
+       |  CASE WHEN meets_floor = 1 THEN n_candidates ELSE -recall_ppm END,
+       |  n_candidates, n_bands LIMIT 1)""".stripMargin
 
   /** Final projection over [[duckBandSweepCtes]] — the sweep relation
     * itself (no ORDER BY, so it can sit inside a CTE).
@@ -1408,13 +1431,7 @@ object Dedup {
           .orderBy("n_bands"),
       Some(
         s"""WITH $duckBandSweepCtes,
-           |sweep AS ($duckBandSweepSelect),
-           |s AS (SELECT *,
-           |  CAST(CASE WHEN recall_ppm >= $DefaultRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
-           |  FROM sweep),
-           |best AS (SELECT n_bands FROM s ORDER BY meets_floor DESC,
-           |  CASE WHEN meets_floor = 1 THEN n_candidates ELSE -recall_ppm END,
-           |  n_candidates, n_bands LIMIT 1)
+           |$duckFloorArgminCtes
            |SELECT s.n_bands, s.rows_per_band, s.n_candidates, s.n_hits, s.n_truth,
            |  s.precision_ppm, s.recall_ppm, s.meets_floor,
            |  CAST(CASE WHEN s.n_bands = best.n_bands THEN 1 ELSE 0 END AS BIGINT) AS chosen
@@ -1435,13 +1452,7 @@ object Dedup {
           .orderBy("doc_a", "doc_b"),
       Some(
         s"""WITH $duckBandSweepCtes,
-           |sweep AS ($duckBandSweepSelect),
-           |s AS (SELECT *,
-           |  CAST(CASE WHEN recall_ppm >= $DefaultRecallFloorPpm THEN 1 ELSE 0 END AS BIGINT) AS meets_floor
-           |  FROM sweep),
-           |best AS (SELECT n_bands FROM s ORDER BY meets_floor DESC,
-           |  CASE WHEN meets_floor = 1 THEN n_candidates ELSE -recall_ppm END,
-           |  n_candidates, n_bands LIMIT 1)
+           |$duckFloorArgminCtes
            |SELECT c.doc_a, c.doc_b FROM cpairs c JOIN best ON c.n_bands = best.n_bands
            |ORDER BY doc_a, doc_b""".stripMargin),
       // Gate-only: the truth half is the cost, exactly as the sweep.

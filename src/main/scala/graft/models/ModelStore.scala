@@ -56,13 +56,13 @@ object ModelStore {
     * listing still comes back empty the degraded mode logs loud.
     */
   def path(tag: String, sfDir: String): String = {
-    val digest = fingerprints.computeIfAbsent(sfDir, { dir: String =>
+    val digest = Option(fingerprints.get(sfDir)).getOrElse {
       val conf = org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sparkContext.hadoopConfiguration)
         .getOrElse(new org.apache.hadoop.conf.Configuration())
       val tables =
         try {
-          val p = new org.apache.hadoop.fs.Path(dir)
+          val p = new org.apache.hadoop.fs.Path(sfDir)
           val fs = p.getFileSystem(conf)
           fs.listStatus(p)
             .filter(_.getPath.getName.endsWith(".parquet"))
@@ -75,12 +75,18 @@ object ModelStore {
             }
             .mkString("|")
         } catch { case _: java.io.IOException => "" }
-      if (tables.isEmpty)
-        System.err.println(s"[ModelStore] no parquet tables listed under $dir — " +
-          "artifact staleness fingerprint degrades to a path-only hash")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir#$tables".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    })
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$sfDir#$tables".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      // Memoize HEALTHY listings only: an empty/failed listing must
+      // self-heal on the next call (latching it would pin the whole
+      // session to a path-only hash no other session ever computes),
+      // so the degraded mode stays per-call and loud.
+      if (tables.nonEmpty) fingerprints.putIfAbsent(sfDir, d)
+      else
+        System.err.println(s"[ModelStore] no parquet tables listed under $sfDir — " +
+          "artifact staleness fingerprint degrades to a path-only hash for this call")
+      d
+    }
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     s"${graft.OutDir.base}/graft_models/${safe}_$digest/$tag"
   }
@@ -125,7 +131,7 @@ object ModelStore {
     // corrupt one still fails loud before the collect.
     val over = raw.limit(MaxArtifactRows.toInt + 1).count() > MaxArtifactRows
     require(!over,
-      s"model artifact at $path holds more than $MaxArtifactRows rows: " +
+      s"model artifact at $path holds more rows than the cap $MaxArtifactRows: " +
         "models are vocabulary/bucket/centroid bounded — refusing the driver collect")
     graft.Checkpoints.driverLocal(raw)
   }
