@@ -100,4 +100,31 @@ object CurationProps extends Properties("Curation") {
         .map { case (id, lang, _) => id -> thr(lang) }.toMap
       got == want
     }
+
+  /** Smoothed host rule vs an exact BigInt rational model (r18): for
+    * random per-host pass patterns, the engine's DECIMAL-lane
+    * keep_smooth verdict must equal (n_pass+1)/(n_docs+2) ≥
+    * g_pass/g_docs computed in unbounded integers, and flipped must be
+    * exactly keep_raw ≠ keep_smooth on the engine's own counts. The
+    * corpus is built from pass/fail texts (the CurationSpec fixture
+    * pair), so the property exercises the whole Gopher→rollup→verdict
+    * pipeline, not a replayed formula.
+    */
+  property("hostQualityRollupSmoothed matches the exact rational model on its own counts") =
+    forAll(Gen.listOfN(14, Gen.oneOf(true, false))) { passes =>
+      import spark.implicits._
+      val good = ("the quick brown fox and a lazy dog be to of " * 6).trim
+      val bad = "x"
+      val docs = passes.zipWithIndex
+        .map { case (p, i) => (i.toLong, if (p) good else bad, 10L) }
+        .toDF("doc_id", "text", "n_chars")
+      val rows = Curation.hostQualityRollupSmoothed(docs).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))
+      val gDocs = BigInt(rows.map(_._1).sum)
+      val gPass = BigInt(rows.map(_._2).sum)
+      rows.forall { case (nDocs, nPass, keepRaw, keepSmooth, flipped) =>
+        val model = (BigInt(nPass) + 1) * gDocs >= gPass * (BigInt(nDocs) + 2)
+        keepSmooth == model && flipped == (keepRaw != keepSmooth)
+      }
+    }
 }

@@ -114,6 +114,22 @@ class UrlDedupSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("packed keep-best fails LOUD on a jumbo doc instead of silently mis-picking (r18)") {
+    // n_chars past 2^63/PackT would overflow the packed BIGINT lane in
+    // the streaming/incremental forms — the guard raises, never wraps
+    val jumbo = Seq((0L, 5L), (1L, 9000001L)).toDF("doc_id", "n_chars")
+    val e = intercept[RuntimeException] {
+      UrlDedup.urlDedupIncremental(
+        jumbo.where(col("doc_id") === 0L), jumbo.where(col("doc_id") === 1L)).collect()
+    }
+    e.getMessage should include("packed BIGINT domain")
+    // in-domain docs are unaffected
+    val ok = Seq((0L, 8999999L), (1L, 5L)).toDF("doc_id", "n_chars")
+    UrlDedup.urlDedupIncremental(
+        ok.where(col("doc_id") === 0L), ok.where(col("doc_id") === 1L))
+      .collect().length should be > 0
+  }
+
   test("groups keep the max-n_chars doc, ties to min doc_id; group sizes are refetch counts") {
     // page 0 = docs 0,1,2 (n_chars peak at doc 1); page 1 = docs 3,4,5
     // with a TIE between 4 and 5 → keep 4

@@ -128,4 +128,21 @@ object UrlProps extends Properties("UrlCanonicalize") {
       val u = h + p + (if (qs.isEmpty) "" else "?" + qs.mkString("&"))
       canon(Seq(u)) == Seq(u)
     }
+
+  /** Userinfo in mixed case — case-SENSITIVE per RFC 3986 §3.2.1,
+    * unlike the host that follows it.
+    */
+  private val userinfo: Gen[String] = for {
+    u <- Gen.oneOf("User", "aB3", "x")
+    pw <- Gen.option(Gen.oneOf("PaSs", "s3cr3t"))
+  } yield u + pw.map(":" + _).getOrElse("")
+
+  property("userinfo survives case-sensitively while the host case-folds; still idempotent") =
+    forAll(scheme, userinfo, host, path, params) { (s, ui, h, p, qs) =>
+      val u = s + "://" + ui + "@" + h.toUpperCase + p +
+        (if (qs.isEmpty) "" else "?" + qs.mkString("&"))
+      val Seq(c1) = canon(Seq(u))
+      val Seq(c2) = canon(Seq(c1))
+      c1.startsWith(s + "://" + ui + "@" + h) && c2 == c1
+    }
 }
