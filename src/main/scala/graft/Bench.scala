@@ -265,8 +265,20 @@ object Bench {
           val med =
             if (loads.length % 2 == 1) loads(loads.length / 2)
             else (loads(loads.length / 2 - 1) + loads(loads.length / 2)) / 2.0
+          // Mechanical window VERDICT (r18 verdict item 2: the load1
+          // triple classified the window, but a downstream reader still
+          // had to interpret {1.97, 5.33, 13.31} by hand). Documented
+          // rule: the window is degraded iff the MEDIAN sampled load1
+          // exceeds cpus/8 — on the 32-cpu harness that is 4.0, which
+          // cleanly separates every observed idle-to-normal window
+          // (medians 1.3-2.8) from every contention-adjudicated one
+          // (r17 close ~4.4, r18 driver 5.33). Median, not max: one
+          // co-scheduled burst must not condemn a mostly-idle window.
+          val cpus = Runtime.getRuntime.availableProcessors.toDouble
+          val degraded = med > cpus / 8.0
           s""","window_load1":{"min":${fmt(loads.head)},""" +
-            s""""median":${fmt(med)},"max":${fmt(loads.last)}}"""
+            s""""median":${fmt(med)},"max":${fmt(loads.last)}}""" +
+            s""","window_degraded":$degraded"""
         }
       val total = order.map(best).filter(_ >= 0).sum
       val partialJson = if (partial) ",\"partial\":true" else ""

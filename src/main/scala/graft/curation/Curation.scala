@@ -106,7 +106,14 @@ object Curation {
     * projection both consume it: unpinned, the corpus-scale Gopher
     * projection subtree appeared twice in the plan with only
     * exchange-reuse standing between it and a double corpus scan
-    * (r17 ADVICE). By-convention pin — harness frees.
+    * (r17 ADVICE). By-convention pin — harness frees. NOTE the pin is
+    * EAGER: merely CONSTRUCTING a host-reputation frame executes the
+    * full corpus-scale Gopher rollup job, so plan-only callers
+    * (PlanAuditSpec, the PLANS.md regeneration) pay one real rollup
+    * per audited section — the accepted cost of guaranteeing the
+    * corpus is scanned exactly once for every real caller (a lazy pin
+    * would put the double-scan risk back in the window between
+    * construction and the first action).
     */
   private def perHostPassCounts(docs: DataFrame): DataFrame =
     graft.text.QualityFilters.gopherQualityFlags(docs)

@@ -431,11 +431,13 @@ object Dedup {
     * generation still ran a hardcoded layout). Candidate pairs are
     * generated UNDER THE LAYOUT THE SELECT CHOSE, with nothing
     * recomputed: the signature pins once and feeds both the sweep's
-    * three slicings and the applied banding (the same banded relation,
-    * filtered to the chosen n_bands by a broadcast equi-join on the
-    * 1-row argmin), the curve pins once and feeds the argmin, and the
-    * cap + self-join + distinct are [[pairsFromBands]] — the identical
-    * production pair generator. At sf0.1 the decision is forced for
+    * three slicings and the applied banding (the 1-row argmin collects
+    * to the driver — a scalar decision, the repo's bounded-model-state
+    * discipline — and production banding then runs through the
+    * parameterized [[minhashBands]], the same entry point every other
+    * MinHash path uses), the curve pins once and feeds the argmin, and
+    * the cap + self-join + distinct are [[pairsFromBands]] — the
+    * identical production pair generator. At sf0.1 the decision is forced for
     * real (8×2's cap blowout crashes recall to ~4%; 4×4 is the only
     * layout meeting the floor), so this gate proves dedup actually
     * runs under the measured choice, not a constant that happens to
@@ -455,10 +457,18 @@ object Dedup {
     val banded = bandedLayouts(sigs)
     val curve = withMeetsFloor(sweepCurve(banded, pinnedSweepTruth(docs, t)), recallFloorPpm)
       .localCheckpoint(true)
-    val chosen = argminLayout(curve)
-    val applied = banded
-      .join(broadcast(chosen), col("n_bands") === col("__best_nb"))
-      .select("doc_id", "band_idx", "band_val")
+    // 1-row bounded collect (the repo's model-state discipline): the
+    // decision is a scalar, and production banding then runs through
+    // the SAME parameterized [[minhashBands]] every other MinHash path
+    // uses (r18 ADVICE: the nBands parameter previously had no
+    // non-default caller — the apply rung filtered a pre-banded union
+    // instead, leaving the production banding entry point untouched by
+    // the calibration). Banding only the chosen layout is also
+    // strictly cheaper than banding all three and filtering; the pair
+    // set is identical (bandedLayouts' slice at nb IS minhashBands'
+    // slicing at nb, modulo the n_bands tag column).
+    val chosenNb = argminLayout(curve).head.getLong(0).toInt
+    val applied = minhashBands(sigs, chosenNb)
     // the cap is NOT a parameter here: the decision argmins over
     // n_candidates measured under DefaultMaxBandSize (layoutCandidate-
     // Pairs), so the apply must run the same cap or the applied set is

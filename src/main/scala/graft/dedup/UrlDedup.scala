@@ -203,8 +203,13 @@ object UrlDedup {
     */
   private val PackT = 1000000000000L
 
-  /** Largest n_chars the packed lane admits (2^63/PackT with headroom).
-    * Out-of-domain rows raise instead of silently mis-picking.
+  /** Largest n_chars the packed lane admits. Deliberately 9.0·10⁶, not
+    * the exact 2^63/PackT ≈ 9.22·10⁶ ceiling: the ~2% margin keeps the
+    * max product a comfortable distance from Long.MaxValue (no
+    * off-by-one reasoning at the boundary), at the cost of rejecting a
+    * representable sliver nothing in a text corpus occupies — a 9 MB
+    * single document is already pathological. Out-of-domain rows raise
+    * instead of silently mis-picking.
     */
   private val MaxPackChars = 9000000L
 
@@ -213,6 +218,16 @@ object UrlDedup {
         expr(("raise_error(concat('UrlDedup keep-best packing: n_chars ', " +
           s"CAST(n_chars AS STRING), ' is outside the packed BIGINT domain (< $MaxPackChars); ") +
           "split the keep-best rule off the packed lane for jumbo documents'))")
+          .cast("long"))
+      // Symmetric guard on the doc_id half of the packing domain (r18
+      // ADVICE: it was comment-only — a probe/copy offset pushing
+      // doc_id past 10^12 would have silently corrupted the winner;
+      // negative ids would collide with the next n_chars tier the same
+      // way). Both halves of the domain now fail loud.
+      .when(col("doc_id") >= lit(PackT) || col("doc_id") < 0L,
+        expr(("raise_error(concat('UrlDedup keep-best packing: doc_id ', " +
+          s"CAST(doc_id AS STRING), ' is outside the packed BIGINT domain [0, $PackT); ") +
+          "re-key the corpus or split the keep-best rule off the packed lane'))")
           .cast("long"))
       .otherwise(col("n_chars") * lit(PackT) - col("doc_id")))
 

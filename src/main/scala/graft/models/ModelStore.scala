@@ -30,23 +30,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ModelStore {
 
-  /** Memoized per-sfDir data fingerprint (r17 ADVICE: path() is called
-    * on every exists/load/save, and each call re-walked every parquet
-    * table). One listing per (JVM, sfDir) — the documented trade-off:
-    * an IN-PLACE regeneration of the data mid-session is not re-seen
-    * until the next session, which is fine because the staleness
-    * protection targets artifacts that outlive sessions (the harness
-    * surfaces retrain via the query's setup half regardless).
+  /** Memoized per-sfDir data fingerprint, keyed by a CHEAP per-call
+    * probe (r17 ADVICE: path() is called on every exists/load/save and
+    * each call re-walked every parquet table with getContentSummary;
+    * r18 ADVICE: a forever-memo meant an in-place mid-session data
+    * regeneration was silently not re-seen — the exact staleness the
+    * fingerprint exists to catch). The probe is ONE non-recursive
+    * listStatus of sfDir (name + mtime + flat length of each parquet
+    * entry): if it matches the memoized probe, the expensive digest
+    * (recursive content summaries of table directories) is reused;
+    * any change — file replaced, table added, mtime bumped by a
+    * regeneration — misses the memo and recomputes, so the artifact
+    * path moves again within the same session.
     */
-  private val fingerprints = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val fingerprints =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Canonical artifact location for a model tag trained on `sfDir`.
     * The readable component is lossy (`sf_1` and `sf-1` both sanitize
     * to `sf_1`), so an md5 prefix rides alongside — of the RAW sfDir
     * string PLUS a (name, byte-size) fingerprint of every parquet
     * table under it: distinct training inputs can never share an
-    * artifact directory, and regenerating the data at the same path
-    * (across sessions — see [[fingerprints]]) moves the artifact
+    * artifact directory, and regenerating the data at the same path —
+    * across sessions OR in-place within one (the memo is keyed by a
+    * cheap listing probe, see [[fingerprints]]) — moves the artifact
     * location, so a self-healing `*_from_saved` caller retrains
     * instead of silently applying a model trained on the old data.
     * The listing uses the Hadoop FileSystem API (as [[exists]] does),
@@ -56,36 +63,54 @@ object ModelStore {
     * listing still comes back empty the degraded mode logs loud.
     */
   def path(tag: String, sfDir: String): String = {
-    val digest = Option(fingerprints.get(sfDir)).getOrElse {
-      val conf = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration())
-      val tables =
-        try {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    // NonFatal, not just IOException (r18 ADVICE): new Path("") /
+    // a relative path containing ':' throws IllegalArgumentException,
+    // which the old java.io.File walk handled gracefully — malformed
+    // sfDir must degrade to the path-only hash, never crash path().
+    val listing: Option[Array[org.apache.hadoop.fs.FileStatus]] =
+      try {
+        val p = new org.apache.hadoop.fs.Path(sfDir)
+        val fs = p.getFileSystem(conf)
+        Some(fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val digest = listing match {
+      case Some(st) if st.nonEmpty =>
+        val probe =
+          st.map(s => s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
+            .mkString("|")
+        Option(fingerprints.get(sfDir)).filter(_._1 == probe).map(_._2).getOrElse {
           val p = new org.apache.hadoop.fs.Path(sfDir)
           val fs = p.getFileSystem(conf)
-          fs.listStatus(p)
-            .filter(_.getPath.getName.endsWith(".parquet"))
-            .sortBy(_.getPath.getName)
-            .map { st =>
-              val len =
-                if (st.isDirectory) fs.getContentSummary(st.getPath).getLength
-                else st.getLen
-              s"${st.getPath.getName}:$len"
-            }
-            .mkString("|")
-        } catch { case _: java.io.IOException => "" }
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$sfDir#$tables".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      // Memoize HEALTHY listings only: an empty/failed listing must
-      // self-heal on the next call (latching it would pin the whole
-      // session to a path-only hash no other session ever computes),
-      // so the degraded mode stays per-call and loud.
-      if (tables.nonEmpty) fingerprints.putIfAbsent(sfDir, d)
-      else
+          val tables =
+            try {
+              st.map { s =>
+                val len =
+                  if (s.isDirectory) fs.getContentSummary(s.getPath).getLength
+                  else s.getLen
+                s"${s.getPath.getName}:$len"
+              }.mkString("|")
+            } catch { case scala.util.control.NonFatal(_) => "" }
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$sfDir#$tables".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(8)
+          // Memoize HEALTHY digests only, keyed by the probe: a failed
+          // content walk must self-heal on the next call, and a data
+          // regeneration invalidates the memo by changing the probe.
+          if (tables.nonEmpty) fingerprints.put(sfDir, (probe, d))
+          else
+            System.err.println(s"[ModelStore] content walk under $sfDir failed — " +
+              "artifact staleness fingerprint degrades to a path-only hash for this call")
+          d
+        }
+      case _ =>
         System.err.println(s"[ModelStore] no parquet tables listed under $sfDir — " +
           "artifact staleness fingerprint degrades to a path-only hash for this call")
-      d
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$sfDir#".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     }
     val safe = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     s"${graft.OutDir.base}/graft_models/${safe}_$digest/$tag"

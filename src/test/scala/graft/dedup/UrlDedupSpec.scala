@@ -130,6 +130,24 @@ class UrlDedupSpec extends AnyFunSuite with Matchers {
       .collect().length should be > 0
   }
 
+  test("packed keep-best fails LOUD on an out-of-domain doc_id too (r19 — both halves guarded)") {
+    // doc_id >= PackT (10^12) would silently collide with the next
+    // n_chars tier of the packed lane; negative ids alias the same way
+    for (badId <- Seq(1000000000000L, -1L)) {
+      val bad = Seq((0L, 5L), (badId, 7L)).toDF("doc_id", "n_chars")
+      val e = intercept[RuntimeException] {
+        UrlDedup.urlDedupIncremental(
+          bad.where(col("doc_id") === 0L), bad.where(col("doc_id") =!= 0L)).collect()
+      }
+      e.getMessage should include("packed BIGINT domain")
+    }
+    // the largest in-domain id still packs fine
+    val edge = Seq((999999999999L, 5L), (3L, 2L)).toDF("doc_id", "n_chars")
+    UrlDedup.urlDedupIncremental(
+        edge.where(col("doc_id") === 3L), edge.where(col("doc_id") =!= 3L))
+      .collect().length should be > 0
+  }
+
   test("groups keep the max-n_chars doc, ties to min doc_id; group sizes are refetch counts") {
     // page 0 = docs 0,1,2 (n_chars peak at doc 1); page 1 = docs 3,4,5
     // with a TIE between 4 and 5 → keep 4
