@@ -578,10 +578,54 @@ object Curation {
     w.select(col("lang"), col("sum_tokens"), col("loss_ppm"), col("w_ppm").as("weight_ppm"))
   }
 
-  /** Unrolled DuckDB mirror of [[doremiWeights]]. */
-  private def duckDoremi(rounds: Int, invEta: Long): String = {
+  /** Choose→APPLY for the DoReMi loop (r18 verdict item 1b: the
+    * multiplicative-weights rounds produced a final mixture and nothing
+    * sampled under it — the learned weights were never applied). The
+    * corpus is sampled UNDER [[doremiWeights]]' final-round weights via
+    * the exact largest-remainder (Hamilton) apportionment
+    * [[apportionedSample]] established: per-lang quotas proportional to
+    * weight_ppm summing to EXACTLY `budget` (floor, leftover seats to
+    * the largest remainders, remainder DESC + lang tie-break — a total
+    * order), then the established per-lang md5-rank cut. A quota can
+    * exceed a language's corpus (the loop deliberately up-weights
+    * high-loss domains): the pick then keeps the whole language —
+    * demand-quota semantics, which the oracle replays identically.
+    *
+    * Scale: the corpus collapses ONCE to |langs| rows for the weight
+    * loop; quota arithmetic runs on that tiny relation (budget·w_ppm ≤
+    * budget·10⁶ — BIGINT-safe through multi-trillion-doc budgets) and
+    * broadcasts back; the pick is a lang-partitioned rank window cut at
+    * quota — no global sort of the corpus, exactly the
+    * [[apportionedSample]] plan under a learned weight column.
+    */
+  def mixtureDoremiApply(
+      docs: DataFrame, budget: Int, rounds: Int, invEta: Long = 20L): DataFrame = {
+    val quotas = doremiWeights(docs, rounds, invEta)
+      .withColumn("wtot", expr("sum(weight_ppm) over ()"))
+      .withColumn("base", expr(s"(${budget}L * weight_ppm) div wtot"))
+      .withColumn("rem", expr(s"(${budget}L * weight_ppm) % wtot"))
+      .withColumn("leftover", expr(s"${budget}L - sum(base) over ()"))
+      .withColumn("rrank",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .select(col("lang"),
+        (col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+    docs.join(broadcast(quotas), "lang")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .where(col("rk") <= col("quota"))
+      .select("lang", "doc_id", "rk")
+  }
+
+  /** Unrolled DuckDB mirror of [[doremiWeights]] — the CTE chain only
+    * (no WITH, no final SELECT; ends with `w<rounds>`), shared by the
+    * weights gate and the APPLY gate so both provably replay the same
+    * multiplicative-weights loop.
+    */
+  private def duckDoremiCtes(rounds: Int, invEta: Long): String = {
     val head =
-      """WITH per AS (
+      """per AS (
         |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
         |         ELSE length(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens
@@ -602,11 +646,13 @@ object Curation {
          |w$i AS (SELECT lang, sum_chars, sum_tokens, loss_ppm,
          |  (w_raw * 1000000) // greatest(sum(w_raw) OVER (), 1) AS w_ppm FROM u$i)""".stripMargin
     }.mkString(",\n")
-    s"""$head,
-       |$iters
-       |SELECT lang, sum_tokens, loss_ppm, CAST(w_ppm AS BIGINT) AS weight_ppm
-       |FROM w$rounds ORDER BY lang""".stripMargin
+    s"$head,\n$iters"
   }
+
+  private def duckDoremi(rounds: Int, invEta: Long): String =
+    "WITH " + duckDoremiCtes(rounds, invEta) + "\n" +
+      s"""SELECT lang, sum_tokens, loss_ppm, CAST(w_ppm AS BIGINT) AS weight_ppm
+         |FROM w$rounds ORDER BY lang""".stripMargin
 
   /** Corpus snapshot diff: classify every doc_id across two table
     * versions as added / removed / changed / same (content compared by
@@ -1634,6 +1680,35 @@ object Curation {
       "mixture_doremi_weights",
       (s, dir) => doremiWeights(Tables.documents(s, dir), rounds = 5).orderBy("lang"),
       Some(duckDoremi(rounds = 5, invEta = 20L)),
+    ),
+    // Choose→APPLY (r19): sample the corpus under the learned DoReMi
+    // mixture. The oracle composes the UNROLLED weight CTEs with the
+    // Hamilton quota pick — the sampled set is a pure function of the
+    // same multiplicative-weights loop the weights gate replays, so
+    // engine and oracle provably apply the same learned decision.
+    EngineQuery(
+      "mixture_doremi_apply",
+      (s, dir) =>
+        mixtureDoremiApply(Tables.documents(s, dir), budget = 250, rounds = 5)
+          .orderBy("lang", "rk"),
+      Some("WITH " + duckDoremiCtes(rounds = 5, invEta = 20L) + ",\n" +
+        """q0 AS (SELECT lang, w_ppm,
+          |  CAST(sum(w_ppm) OVER () AS BIGINT) AS wtot FROM w5),
+          |q1 AS (SELECT lang,
+          |  CAST((250 * w_ppm) // wtot AS BIGINT) AS base,
+          |  CAST((250 * w_ppm) % wtot AS BIGINT) AS rem FROM q0),
+          |l AS (SELECT lang, base, rem,
+          |  CAST(250 - sum(base) OVER () AS BIGINT) AS leftover,
+          |  row_number() OVER (ORDER BY rem DESC, lang) AS rrank FROM q1),
+          |q AS (SELECT lang,
+          |  CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          |    AS quota FROM l),
+          |r AS (SELECT d.lang, d.doc_id,
+          |  CAST(row_number() OVER (PARTITION BY d.lang
+          |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) AS rk
+          |  FROM documents d)
+          |SELECT r.lang, r.doc_id, r.rk FROM r JOIN q USING (lang)
+          |WHERE rk <= quota ORDER BY lang, rk""".stripMargin),
     ),
     EngineQuery(
       "length_trim_p99",

@@ -471,7 +471,7 @@ object Ann {
     curve.withColumn("meets_floor",
       when(col("recall_permille") >= lit(floorPermille), 1L).otherwise(0L))
 
-  private def probeRuleOrder: Seq[Column] = Seq(
+  private def probeRuleOrder: Seq[org.apache.spark.sql.Column] = Seq(
     col("meets_floor").desc,
     when(col("meets_floor") === 1L, col("param")).otherwise(-col("recall_permille")),
     col("param"))
@@ -629,16 +629,19 @@ object Ann {
        |  FROM scored)
        |SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
-  /** Recall-curve oracle: the kmeans chain once, the final assignment
-    * once, then per-setting candidate/rank blocks sliced from the same
-    * relations — an independent recomputation of every curve point.
+  /** Recall-curve oracle CTE chain (ends with `curve` — no final
+    * SELECT, so the curve gate, the probe select, and the chosen-nprobe
+    * apply all replay the SAME chain): the kmeans chain once, the final
+    * assignment once, then per-setting candidate/rank blocks sliced
+    * from the same relations — an independent recomputation of every
+    * curve point.
     */
-  private def duckRecallCurve(
+  private def duckRecallCurveCtes(
       iters: Int, m: Int, bits: Int, k: Int, nQueries: Int,
       ivfProbes: Seq[Int], mpProbes: Seq[Int]): String = {
     val bucket = Dedup.duckHyperplaneBucket("q", bits)
     val sb = new StringBuilder
-    sb ++= s"WITH ${duckKmeansCtes(iters, m)},\n"
+    sb ++= s"${duckKmeansCtes(iters, m)},\n"
     sb ++=
       s"""asgf AS (
          |  SELECT n.vec_id, c.cid, n.q, n.nrm,
@@ -705,17 +708,31 @@ object Ann {
          |hits AS (
          |  SELECT method, param, CAST(count(*) AS BIGINT) AS n_hits
          |  FROM appr JOIN truth USING (q_id, n_id) GROUP BY 1, 2),
-         |settings AS (SELECT * FROM (VALUES $settingsValues) AS t(method, param))
-         |SELECT s.method, s.param,
+         |settings AS (SELECT * FROM (VALUES $settingsValues) AS t(method, param)),
+         |curve AS (SELECT s.method, s.param,
          |  coalesce(h.n_hits, 0) AS n_hits, nt.n_truth,
          |  (1000 * coalesce(h.n_hits, 0)) // greatest(nt.n_truth, 1) AS recall_permille,
          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE)
          |    / CAST(greatest(nt.n_truth, 1) AS DOUBLE) AS recall
          |FROM settings s CROSS JOIN ntruth nt
-         |LEFT JOIN hits h ON h.method = s.method AND h.param = s.param
-         |ORDER BY s.method, s.param""".stripMargin
+         |LEFT JOIN hits h ON h.method = s.method AND h.param = s.param)""".stripMargin
     sb.toString
   }
+
+  /** The floor + per-method argmin CTEs over `curve` — the oracle half
+    * of the probe-setting decision rule ([[withAnnMeetsFloor]] /
+    * [[annProbeSelect]]'s window), appended to [[duckRecallCurveCtes]]
+    * by the select and chosen-nprobe oracles so engine and oracle
+    * provably share one rule.
+    */
+  private def duckProbeFloorCtes(floorPermille: Long): String =
+    s"""fl AS (SELECT *,
+       |  CAST(CASE WHEN recall_permille >= $floorPermille THEN 1 ELSE 0 END AS BIGINT)
+       |    AS meets_floor FROM curve),
+       |flr AS (SELECT *, row_number() OVER (PARTITION BY method ORDER BY
+       |    meets_floor DESC,
+       |    CASE WHEN meets_floor = 1 THEN param ELSE -recall_permille END,
+       |    param) AS rn FROM fl)""".stripMargin
 
   /** Per-dimension corpus statistics over the quantized embeddings —
     * the whitening/normalization pre-pass (mean-center, variance-scale)
@@ -1190,9 +1207,70 @@ object Ann {
           mpProbes = Seq(1, 3, 5), bits = 4)
           .orderBy("method", "param")
       },
-      Some(duckRecallCurve(
-        iters = 3, m = 16, bits = 4, k = 5, nQueries = 10,
-        ivfProbes = Seq(1, 2, 4), mpProbes = Seq(1, 3, 5))),
+      // Concatenated, never interpolated-then-stripMargin'd (the duckC4
+      // precaution): the curve chain contains `||` SQL concat lines a
+      // later stripMargin would mangle.
+      Some("WITH " + gateCurveCtes +
+        "\nSELECT method, param, n_hits, n_truth, recall_permille, recall" +
+        "\nFROM curve ORDER BY method, param"),
+    ),
+    // The decision rule over the curve (see annProbeSelect): oracle
+    // replays the identical per-method argmin window over the same
+    // curve CTE chain.
+    EngineQuery(
+      "ann_probe_select",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        annProbeSelect(emb, emb.where(col("vec_id") < 10), k = 5,
+          mpProbes = Seq(1, 3, 5), bits = 4)
+          .orderBy("method", "param")
+      },
+      Some("WITH " + gateCurveCtes + ",\n" +
+        duckProbeFloorCtes(DefaultAnnRecallFloorPermille) +
+        "\nSELECT method, param, n_hits, n_truth, recall_permille, recall," +
+        "\n  meets_floor, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS chosen" +
+        "\nFROM flr ORDER BY method, param"),
+      // Gate-only like the curve it consumes — the truth half is the cost.
+    ),
+    // Choose→APPLY (r19): the IVF search under the nprobe the select
+    // chose. The oracle replays the curve, the argmin, AND the search
+    // from the SAME CTE chain — the searched candidate relation is the
+    // final assignment sliced at the chosen rank, so engine and oracle
+    // provably apply the same measured decision.
+    EngineQuery(
+      "ann_ivf_chosen_nprobe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        annIvfChosenNprobe(emb, emb.where(col("vec_id") < 10), k = 5,
+          mpProbes = Seq(1, 3, 5), bits = 4)
+          .orderBy("q_id", "rank")
+      },
+      Some("WITH " + gateCurveCtes + ",\n" +
+        duckProbeFloorCtes(DefaultAnnRecallFloorPermille) + ",\n" +
+        """best_np AS (SELECT param FROM flr WHERE method = 'ivf_trained' AND rn = 1),
+          |qs_best AS (SELECT vec_id AS q_id, cid FROM asgf
+          |  WHERE crn <= (SELECT param FROM best_np) AND vec_id < 10),
+          |cand_best AS (
+          |  SELECT DISTINCT q_id, n_id FROM qs_best JOIN corpus USING (cid) WHERE q_id <> n_id),
+          |scored_best AS (""".stripMargin +
+        s"\n  SELECT c.q_id, c.n_id, $duckSimExpr AS sim" +
+        """
+          |  FROM cand_best c JOIN n a ON a.vec_id = c.q_id JOIN n b ON b.vec_id = c.n_id),
+          |ranked_best AS (
+          |  SELECT q_id, n_id, sim,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+          |  FROM scored_best)
+          |SELECT q_id, n_id, rank, sim FROM ranked_best WHERE rank <= 5
+          |ORDER BY q_id, rank""".stripMargin),
+      // Gate-only: the truth half is the cost, exactly as the curve.
     ),
   )
+
+  /** The one gate-parameterized curve chain all three curve-family
+    * oracles replay (iters=3, m=16, bits=4, k=5, 10 queries — the
+    * ann_recall_curve gate's bounds).
+    */
+  private def gateCurveCtes: String = duckRecallCurveCtes(
+    iters = 3, m = 16, bits = 4, k = 5, nQueries = 10,
+    ivfProbes = Seq(1, 2, 4), mpProbes = Seq(1, 3, 5))
 }

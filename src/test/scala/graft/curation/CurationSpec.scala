@@ -134,6 +134,36 @@ class CurationSpec extends AnyFunSuite with Matchers {
     w1("b") should be > 500000L
   }
 
+  test("doremi apply: the learned mixture DRIVES the sample — two losses, two kept sets (r19)") {
+    // 12 docs per domain; 'b' is the high-loss (long-token) domain, so
+    // under the learned weights its quota must EXCEED its proportional
+    // share, and the kept set must differ from the rounds=0 (uniform
+    // weights) sample over the same corpus.
+    val d = (0L until 12L).flatMap { i =>
+      Seq((i, "aa bb cc dd ee", "a", 14L),
+        (100L + i, "pneumonoultramicroscopicsilicovolcanoconiosis", "b", 45L))
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    def kept(rounds: Int): Map[String, Set[Long]] =
+      Curation.mixtureDoremiApply(d, budget = 10, rounds = rounds)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).toSet }
+    val uniform = kept(0)
+    val learned = kept(5)
+    // exact budget both times (capacity suffices: 12 per domain)
+    uniform.values.map(_.size).sum shouldBe 10
+    learned.values.map(_.size).sum shouldBe 10
+    // uniform weights -> 5/5; learned weights shift quota toward 'b'
+    uniform("a").size shouldBe 5
+    learned("b").size should be > 5
+    learned should not equal uniform
+    // the learned quota's per-domain picks are the md5-rank prefix of
+    // the uniform ones (same total order, longer/shorter cut)
+    learned("a").subsetOf(uniform("a")) shouldBe true
+    uniform("b").subsetOf(learned("b")) shouldBe true
+    // restart-reproducible: the pick is hash-ranked, not rand()-based
+    kept(5) shouldBe learned
+  }
+
   test("unimax budget: waterfill caps the small languages, splits the rest exactly") {
     // tokens: a=2, b=3, c=10; epochCap=2 -> caps 4, 6, 20; budget 18.
     // waterfill: share 6 -> a capped (4 < 6); R=14 over 2: b capped

@@ -135,4 +135,63 @@ class AnnSpec extends AnyFunSuite with Matchers {
     out((0L, 0L))._2 shouldBe 4000L
     out((1L, 0L))._2 shouldBe -3000L
   }
+
+  test("probe select: cheapest setting above the floor per method; floor unmet -> max recall (r19)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val embT = graft.Tables.embeddings(spark, sfDir)
+    val qs = embT.where(col("vec_id") < 10)
+    val curve = Ann.annRecallCurve(embT, qs, k = 5, mpProbes = Seq(1, 3, 5), bits = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    val ivf = curve.filter(_._1 == "ivf_trained").sortBy(_._2)
+    // the corpus must yield a non-flat IVF curve or these tests test nothing
+    ivf.map(_._3).distinct.size should be > 1
+    // floor = max ivf recall: only the best setting(s) meet it
+    val floorHigh = ivf.map(_._3).max
+    val selHigh = Ann.annProbeSelect(embT, qs, k = 5, mpProbes = Seq(1, 3, 5), bits = 4,
+        recallFloorPermille = floorHigh)
+      .where(col("method") === "ivf_trained" && col("chosen") === 1L)
+      .collect().map(r => r.getLong(1))
+    selHigh.length shouldBe 1
+    selHigh.head shouldBe ivf.filter(_._3 >= floorHigh).map(_._2).min
+    // floor above everything: the rule degrades to max recall
+    val selUnmet = Ann.annProbeSelect(embT, qs, k = 5, mpProbes = Seq(1, 3, 5), bits = 4,
+        recallFloorPermille = 1001L)
+      .where(col("method") === "ivf_trained" && col("chosen") === 1L)
+      .collect().map(r => r.getLong(1))
+    val maxRecall = ivf.map(_._3).max
+    selUnmet.head shouldBe ivf.filter(_._3 == maxRecall).map(_._2).min
+    // exactly one chosen marker per method
+    val perMethod = Ann.annProbeSelect(embT, qs, k = 5, mpProbes = Seq(1, 3, 5), bits = 4)
+      .groupBy("method").agg(sum("chosen").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perMethod shouldBe Map("ivf_trained" -> 1L, "lsh_multiprobe" -> 1L)
+  }
+
+  test("chosen-nprobe apply: the decision DRIVES the search — two floors, two applied sets (r19)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val embT = graft.Tables.embeddings(spark, sfDir)
+    val qs = embT.where(col("vec_id") < 10)
+    val curve = Ann.annRecallCurve(embT, qs, k = 5, mpProbes = Seq(1, 3, 5), bits = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    val ivf = curve.filter(_._1 == "ivf_trained").sortBy(_._2)
+    ivf.map(_._3).distinct.size should be > 1
+    val floorLow = ivf.map(_._3).min   // every setting meets it -> cheapest (min nprobe)
+    val floorHigh = ivf.map(_._3).max  // only the best meets it -> a LARGER nprobe
+    val npLow = ivf.map(_._2).min
+    val npHigh = ivf.filter(_._3 >= floorHigh).map(_._2).min
+    npLow should not be npHigh
+    def applied(floor: Long): Seq[(Long, Long, Long)] =
+      Ann.annIvfChosenNprobe(embT, qs, k = 5, mpProbes = Seq(1, 3, 5), bits = 4,
+          recallFloorPermille = floor)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val low = applied(floorLow)
+    val high = applied(floorHigh)
+    low should not equal high
+    // and each applied set IS the production trained search at its chosen setting
+    def prod(np: Int): Seq[(Long, Long, Long)] =
+      Ann.ivfTrainedTopK(embT, qs, k = 5, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    low shouldBe prod(npLow.toInt)
+    high shouldBe prod(npHigh.toInt)
+  }
 }
