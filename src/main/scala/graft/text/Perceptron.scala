@@ -204,11 +204,19 @@ object Perceptron {
     * [[scoredBinsPlanForAudit]] audits (shared by construction, so the
     * audited plan cannot drift from the gate's real scoring).
     */
+  /** Signed fixed-width bin of a margin `score` column — ONE definition
+    * shared by [[binsAggregate]] and the quality-weighted sample's
+    * per-doc bin assign, so the pick can never drift off the bins the
+    * calibration was fit on.
+    */
+  private def scoreBinExpr: Column =
+    when(col("score") >= 0, 1L).otherwise(-1L) *
+      expr(s"abs(score) div $ReliabilityBinWidth")
+
   private def binsAggregate(feat: DataFrame, w: Array[Long]): DataFrame =
     feat
       .select(col("y"), scoreCol(wArrayLit(w), col("feats")).as("score"))
-      .groupBy((when(col("score") >= 0, 1L).otherwise(-1L) *
-        expr(s"abs(score) div $ReliabilityBinWidth")).as("score_bin"))
+      .groupBy(scoreBinExpr.as("score_bin"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
@@ -301,6 +309,69 @@ object Perceptron {
       .toDF("score_bin", "n_docs", "n_pos", "raw_ppm", "iso_ppm", "block_lo")
   }
 
+  /** Quality-weighted selection driven by the CALIBRATED probability —
+    * the rung that finally CONSUMES [[isotonicCalibration]]'s output
+    * (r18 verdict item 3: the reliability gate's own docs promised the
+    * margin as "a soft sampling weight", and nothing weighted documents
+    * by it). Each score bin's calibrated keep probability `iso_ppm`
+    * becomes an expected keep count n_docs·iso_ppm/10⁶, turned into
+    * EXACT integer per-bin quotas by the same largest-remainder
+    * (Hamilton) apportionment `sample_apportioned` established (floor,
+    * leftover seats to the largest remainders, remainder DESC +
+    * score_bin tie-break), so Σ kept = ⌊Σ n_b·iso_b/10⁶⌋ exactly and
+    * high-quality bins keep a provably larger fraction — monotone by
+    * PAVA construction. The per-bin pick is the established md5-rank
+    * cut: deterministic, partitioning-invariant, restart-reproducible.
+    *
+    * Scale shape (100 TB): the corpus pays the featurize pin + the
+    * learner's audited rounds + ONE margin/bin projection; the PAVA
+    * fit and quota arithmetic run driver-side over the bin-cardinality
+    * relation (the bounded-collect discipline — bins ≤ a few dozen by
+    * the fixed bin width); the pick is a bin-partitioned rank window
+    * cut at quota with the quota table broadcast — the
+    * [[graft.curation.Curation.apportionedSample]] plan under a
+    * learned, calibrated weight column.
+    */
+  def qualityWeightedSample(docs: DataFrame, rounds: Int = Rounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // by-convention pin (harness frees): ONE featurize pass feeds the
+    // learner, the calibration bins, AND the scored pick
+    val feat = featurized(docs).localCheckpoint(true)
+    val (_, w) = learnOn(feat, rounds)
+    val bins = binsAggregate(feat, w)
+      .select("score_bin", "n_docs", "n_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val blocks = pavaBlocks(bins)
+    def ppm(p: Long, n: Long): Long = (BigInt(1000000) * p / BigInt(math.max(n, 1L))).toLong
+    // expected keeps per bin in exact ppm·count integer mass (BigInt —
+    // the wide-lane convention: n_docs·iso_ppm passes 2^63 at ~9·10¹²
+    // docs per bin)
+    val withP = bins.map { case (b, n, _) =>
+      val (_, _, bn, bp) = blocks.find(blk => blk._1 <= b && b <= blk._2).get
+      (b, BigInt(n) * ppm(bp, bn))
+    }
+    val total = (withP.map(_._2).sum / 1000000).toLong
+    val parts = withP.map { case (b, p) =>
+      (b, (p / 1000000).toLong, (p % 1000000).toLong)
+    }
+    val leftover = total - parts.map(_._2).sum
+    // quota_b ≤ n_b always: base ≤ n_b, and a leftover seat lands only
+    // on rem > 0 bins (iso_ppm < 10⁶ there, so base ≤ n_b − 1)
+    val quotas = parts.sortBy { case (b, _, rem) => (-rem, b) }.zipWithIndex
+      .map { case ((b, base, _), i) => (b, base + (if (i < leftover) 1L else 0L)) }
+    val binned = feat
+      .select(col("doc_id"), scoreCol(wArrayLit(w), col("feats")).as("score"))
+      .select(col("doc_id"), scoreBinExpr.as("score_bin"))
+    binned.join(broadcast(quotas.toDF("score_bin", "quota")), "score_bin")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("score_bin")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .where(col("rk") <= col("quota"))
+      .select("score_bin", "doc_id", "rk")
+  }
+
   /** PAVA oracle: the reliability bins, then the pool-adjacent-
     * violators stack replayed as a single-row-state recursive CTE —
     * each step either pushes the next bin or merges the top two blocks
@@ -308,22 +379,18 @@ object Perceptron {
     * engine's BigInt test), terminating at the no-violation fixed
     * point; bins then read their block's pooled ppm by range join.
     */
-  private def isotonicOracle(rounds: Int): String = {
+  /** The PAVA stack replay over a `bins0(score_bin, n_docs, n_pos)`
+    * relation — barr/pava/fin/blocks, shared VERBATIM by the isotonic
+    * gate and the quality-weighted sample oracle (which consumes the
+    * pooled block rates as sampling quotas), so the two can never
+    * drift on the merge sequence. Cross-multiplied HUGEINT violation
+    * test, identical to the engine's BigInt test.
+    */
+  private def duckPavaCtes: String = {
     val violate =
       """length(stk) >= 2 AND
         | CAST(stk[-2].p AS HUGEINT) * stk[-1].n > CAST(stk[-1].p AS HUGEINT) * stk[-2].n""".stripMargin
-    s"""WITH RECURSIVE ${oracleRounds(rounds).stripPrefix("WITH ")},
-       |se AS (SELECT fb.doc_id, CAST(sum(w$rounds.wv * fb.c) AS BIGINT) AS sc
-       |  FROM fb JOIN w$rounds USING (b) GROUP BY fb.doc_id),
-       |ev AS (SELECT d.y, coalesce(se.sc, 0) AS score
-       |  FROM docs0 d LEFT JOIN se ON se.doc_id = d.doc_id),
-       |bins0 AS MATERIALIZED (
-       |  SELECT CAST((CASE WHEN score >= 0 THEN 1 ELSE -1 END)
-       |      * (abs(score) // $ReliabilityBinWidth) AS BIGINT) AS score_bin,
-       |    CAST(count(*) AS BIGINT) AS n_docs,
-       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-       |  FROM ev GROUP BY 1),
-       |barr AS (SELECT list({'b': score_bin, 'n': n_docs, 'p': n_pos} ORDER BY score_bin) AS bs
+    s"""barr AS (SELECT list({'b': score_bin, 'n': n_docs, 'p': n_pos} ORDER BY score_bin) AS bs
        |  FROM bins0),
        |pava(i, stk) AS (
        |  SELECT CAST(1 AS BIGINT),
@@ -341,14 +408,63 @@ object Perceptron {
        |  WHERE ($violate) OR i <= length(bs)),
        |fin AS (SELECT stk FROM pava, barr
        |  WHERE i > length(bs) AND NOT ($violate)),
-       |blocks AS (SELECT unnest(stk) AS blk FROM fin)
-       |SELECT b.score_bin, b.n_docs, b.n_pos,
-       |  CAST((1000000 * b.n_pos) // greatest(b.n_docs, 1) AS BIGINT) AS raw_ppm,
-       |  CAST((1000000 * (blk).p) // greatest((blk).n, 1) AS BIGINT) AS iso_ppm,
-       |  CAST((blk).lo AS BIGINT) AS block_lo
-       |FROM bins0 b JOIN blocks ON b.score_bin BETWEEN (blk).lo AND (blk).hi
-       |ORDER BY score_bin""".stripMargin
+       |blocks AS (SELECT unnest(stk) AS blk FROM fin)""".stripMargin
   }
+
+  private def isotonicOracle(rounds: Int): String =
+    s"""WITH RECURSIVE ${oracleRounds(rounds).stripPrefix("WITH ")},
+       |se AS (SELECT fb.doc_id, CAST(sum(w$rounds.wv * fb.c) AS BIGINT) AS sc
+       |  FROM fb JOIN w$rounds USING (b) GROUP BY fb.doc_id),
+       |ev AS (SELECT d.y, coalesce(se.sc, 0) AS score
+       |  FROM docs0 d LEFT JOIN se ON se.doc_id = d.doc_id),
+       |bins0 AS MATERIALIZED (
+       |  SELECT CAST((CASE WHEN score >= 0 THEN 1 ELSE -1 END)
+       |      * (abs(score) // $ReliabilityBinWidth) AS BIGINT) AS score_bin,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM ev GROUP BY 1),
+       |""".stripMargin + duckPavaCtes + "\n" +
+      """SELECT b.score_bin, b.n_docs, b.n_pos,
+        |  CAST((1000000 * b.n_pos) // greatest(b.n_docs, 1) AS BIGINT) AS raw_ppm,
+        |  CAST((1000000 * (blk).p) // greatest((blk).n, 1) AS BIGINT) AS iso_ppm,
+        |  CAST((blk).lo AS BIGINT) AS block_lo
+        |FROM bins0 b JOIN blocks ON b.score_bin BETWEEN (blk).lo AND (blk).hi
+        |ORDER BY score_bin""".stripMargin
+
+  /** Quality-weighted sample oracle: the learner rounds, per-doc margin
+    * bins, the SHARED PAVA chain, then the Hamilton quota + md5-rank
+    * pick replayed over the pooled block rates.
+    */
+  private def qualitySampleOracle(rounds: Int): String =
+    s"""WITH RECURSIVE ${oracleRounds(rounds).stripPrefix("WITH ")},
+       |se AS (SELECT fb.doc_id, CAST(sum(w$rounds.wv * fb.c) AS BIGINT) AS sc
+       |  FROM fb JOIN w$rounds USING (b) GROUP BY fb.doc_id),
+       |binned AS MATERIALIZED (SELECT d.doc_id, d.y,
+       |  CAST((CASE WHEN coalesce(se.sc, 0) >= 0 THEN 1 ELSE -1 END)
+       |    * (abs(coalesce(se.sc, 0)) // $ReliabilityBinWidth) AS BIGINT) AS score_bin
+       |  FROM docs0 d LEFT JOIN se ON se.doc_id = d.doc_id),
+       |bins0 AS MATERIALIZED (
+       |  SELECT score_bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM binned GROUP BY score_bin),
+       |""".stripMargin + duckPavaCtes + ",\n" +
+      """iso AS (SELECT b.score_bin, b.n_docs,
+        |  CAST((1000000 * (blk).p) // greatest((blk).n, 1) AS BIGINT) AS iso_ppm
+        |  FROM bins0 b JOIN blocks ON b.score_bin BETWEEN (blk).lo AND (blk).hi),
+        |pq AS (SELECT score_bin, CAST(n_docs AS HUGEINT) * iso_ppm AS p FROM iso),
+        |tot AS (SELECT CAST(sum(p) // 1000000 AS BIGINT) AS total,
+        |  CAST(sum(p // 1000000) AS BIGINT) AS sb FROM pq),
+        |qr AS (SELECT score_bin, CAST(p // 1000000 AS BIGINT) AS base,
+        |  row_number() OVER (ORDER BY (p % 1000000) DESC, score_bin) AS rrank FROM pq),
+        |q AS (SELECT score_bin,
+        |  CAST(base + CASE WHEN rrank <= (SELECT total - sb FROM tot)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota FROM qr),
+        |r AS (SELECT score_bin, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY score_bin
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM binned)
+        |SELECT r.score_bin, r.doc_id, r.rk FROM r JOIN q USING (score_bin)
+        |WHERE rk <= quota ORDER BY score_bin, rk""".stripMargin
 
   private def reliabilityOracle(rounds: Int): String =
     s"""${oracleRounds(rounds)},
@@ -578,6 +694,17 @@ object Perceptron {
       "streaming_perceptron_from_saved",
       (s, dir) => runStreamingConfusionFromSaved(s, dir).orderBy("y", "pred"),
       Some(confusionOracle(Rounds)),
+    ),
+    // The margin→probability→selection chain closed (r19): documents
+    // sampled under the isotonic-calibrated keep probability with exact
+    // Hamilton quotas. The oracle composes the learner rounds, the
+    // SHARED PAVA chain, and the quota pick — the kept set is a pure
+    // function of the same calibration the isotonic gate replays.
+    EngineQuery(
+      "sample_quality_weighted",
+      (s, dir) => qualityWeightedSample(Tables.documents(s, dir))
+        .orderBy("score_bin", "rk"),
+      Some(qualitySampleOracle(Rounds)),
     ),
   )
 }

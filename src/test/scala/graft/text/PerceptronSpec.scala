@@ -155,4 +155,39 @@ class PerceptronSpec extends AnyFunSuite with Matchers {
       if (blk.length == 1) blk.head._5 shouldBe blk.head._4
     }
   }
+
+  test("quality-weighted sample: quotas ARE the calibration; changing it changes the kept set (r19)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val kept = Perceptron.qualityWeightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    kept should not be empty
+    // exact quota accounting: per-bin kept counts equal the Hamilton
+    // quotas recomputed here from the isotonic output (independent path)
+    val iso = Perceptron.isotonicCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))) // (bin, n_docs, iso_ppm)
+    val withP = iso.sortBy(_._1).map { case (b, n, p) => (b, BigInt(n) * p) }
+    val total = (withP.map(_._2).sum / 1000000).toLong
+    val base = withP.map { case (b, p) => (b, (p / 1000000).toLong, (p % 1000000).toLong) }
+    val leftover = total - base.map(_._2).sum
+    val quotas = base.sortBy { case (b, _, rem) => (-rem, b) }.zipWithIndex
+      .map { case ((b, bs, _), i) => b -> (bs + (if (i < leftover) 1L else 0L)) }.toMap
+    val keptPerBin = kept.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    keptPerBin.foreach { case (b, n) => n shouldBe quotas(b) }
+    kept.length.toLong shouldBe total
+    // higher-calibrated bins keep a (weakly) larger fraction — the
+    // calibrated probability IS the per-bin keep rate up to quota
+    // granularity: |kept_b/n_b − iso_ppm_b/1e6| < 1/n_b
+    iso.foreach { case (b, n, ppm) =>
+      val k = keptPerBin.getOrElse(b, 0L)
+      (BigInt(k) * 1000000 - BigInt(n) * ppm).abs should be <= BigInt(1000000)
+    }
+    // CHANGING the calibration changes the kept set: rounds = 1 trains
+    // different weights -> different margins/bins/quotas
+    val keptOther = Perceptron.qualityWeightedSample(docs, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    keptOther.map(t => (t._1, t._2)).toSet should not equal kept.map(t => (t._1, t._2)).toSet
+    // restart-reproducible: the pick is hash-ranked, not rand()-based
+    Perceptron.qualityWeightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe kept.toSet
+  }
 }
