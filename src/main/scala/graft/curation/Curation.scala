@@ -1020,18 +1020,95 @@ object Curation {
     * glued with semi-joins (id-set intersections — the fact stream is
     * filtered, never widened).
     */
-  def curatedCorpus(docs: DataFrame, minScore: Double): DataFrame = {
+  /** The curated keep-set (quality gate ∧ near-dup dedup keep), as the
+    * filtered document stream — factored (r19) so [[curatedCorpus]]
+    * (the report) and [[exportTrainingShards]] (the physical export)
+    * provably share ONE keep rule.
+    */
+  private def curatedDocs(docs: DataFrame, minScore: Double): DataFrame = {
     val good = graft.text.TextAnalysis.qualityScore(docs)
       .where(col("score") >= minScore)
       .select("doc_id")
     val kept = graft.dedup.Dedup.dedupApply(docs)
     docs.join(good, Seq("doc_id"), "left_semi")
       .join(kept, Seq("doc_id"), "left_semi")
+  }
+
+  def curatedCorpus(docs: DataFrame, minScore: Double): DataFrame =
+    curatedDocs(docs, minScore)
       .withColumn("bucket", md5Bucket(col("doc_id"), 100))
       .withColumn("split", splitCol(col("bucket")))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-doc training-shard assignment — the last PHYSICAL step of the
+    * pipeline composed from its audited parts (r18 verdict item 4: the
+    * pipeline had packing, deterministic shuffle, and compaction, but
+    * no "write the curated corpus as N deterministically-shuffled
+    * shards" rung): curated keep-set ([[curatedDocs]]) → packed
+    * sequences ([[packSequencesScalable]], sequence = (lang, bin)) →
+    * deterministic shard of each SEQUENCE by the [[shuffleOrder]]
+    * discipline (md5-keyed rank, bucket-decomposed: per-bucket offsets
+    * broadcast, rank windows per bucket cell — `buckets` sizes with the
+    * corpus exactly as shuffleOrder's does) → shard = (pos − 1) mod N.
+    * Assigning SEQUENCES, not docs, keeps every packed sequence intact
+    * inside one shard (a split sequence would break the token-budget
+    * contract), and the round-robin over the md5-shuffled rank makes
+    * shard sizes provably balanced to ±1 sequence — not just in
+    * expectation. Deterministic end to end: same corpus → same shards,
+    * restart-reproducible, partitioning-invariant.
+    */
+  /** The sharded SEQUENCE relation (lang, bin, n_docs, n_tokens,
+    * shard) both export faces derive from — one definition, so the
+    * per-doc assignment and the gate rollup can never disagree on a
+    * sequence's shard.
+    */
+  private def shardedSeqs(
+      packed: DataFrame, nShards: Int, buckets: Int): DataFrame = {
+    val seqs = packed.groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("hk", md5(concat_ws(":", col("lang"), col("bin"))))
+      .withColumn("b",
+        expr(s"CAST(conv(substring(hk, 1, 8), 16, 10) AS BIGINT) % $buckets"))
+    val offsets = seqs.groupBy("b").agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(
+          sum(col("n")).over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("b", "offset")
+    seqs.join(broadcast(offsets), Seq("b"))
+      .withColumn("pos",
+        col("offset") + row_number().over(
+          Window.partitionBy("b").orderBy("hk", "lang", "bin")).cast("long"))
+      .withColumn("shard", (col("pos") - 1L) % nShards)
+      .select("lang", "bin", "n_docs", "n_tokens", "shard")
   }
+
+  def trainingShardAssignment(
+      docs: DataFrame, minScore: Double, budget: Int, nShards: Int,
+      buckets: Int = 64): DataFrame = {
+    val packed = packSequencesScalable(curatedDocs(docs, minScore), budget)
+    packed.select("doc_id", "lang", "bin")
+      .join(shardedSeqs(packed, nShards, buckets).select("lang", "bin", "shard"),
+        Seq("lang", "bin"))
+      .select("doc_id", "lang", "bin", "shard")
+  }
+
+  /** The export's gate relation: per-shard sequence/doc/token counts.
+    * Small (N rows), auditable next to the assignment it summarizes —
+    * the numbers an operator checks before pointing a trainer at the
+    * shards.
+    */
+  def exportTrainingShards(
+      docs: DataFrame, minScore: Double, budget: Int, nShards: Int,
+      buckets: Int = 64): DataFrame =
+    shardedSeqs(packSequencesScalable(curatedDocs(docs, minScore), budget),
+        nShards, buckets)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("n_docs").cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"))
 
   // --------------------------------------------------------------- gate
 
@@ -1867,6 +1944,52 @@ object Curation {
            |FROM cur GROUP BY lang, split ORDER BY lang, split""".stripMargin
       },
       headline = true,
+    ),
+    // End-of-pipeline shard export (r19): curated keep-set → packed
+    // sequences → deterministic md5-ranked round-robin shard → per-shard
+    // counts. The oracle composes the curated_corpus keep CTEs, the
+    // pack_sequences running sum, and a global rank replaying the
+    // engine's bucket-decomposed (b, hk, lang, bin) order.
+    EngineQuery(
+      "export_training_shards",
+      (s, dir) =>
+        exportTrainingShards(Tables.documents(s, dir),
+            minScore = 0.51, budget = 512, nShards = 8)
+          .orderBy("shard"),
+      Some {
+        import graft.dedup.Dedup.{duckSig, duckBands, duckPairs}
+        s"""WITH RECURSIVE sig AS ($duckSig),
+           |bands AS ($duckBands),
+           |pairs AS ($duckPairs),
+           |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT a, b FROM und
+           |  UNION
+           |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+           |$DuckQualityCtes,
+           |cur AS (
+           |  SELECT d.doc_id, d.lang, d.text FROM documents d
+           |  JOIN qs ON d.doc_id = qs.doc_id AND qs.score >= 0.51
+           |  WHERE d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> component)),
+           |t AS (SELECT doc_id, lang,
+           |  CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           |  FROM cur),
+           |p AS (SELECT doc_id, lang, n_tokens,
+           |  coalesce(CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 512 AS bin
+           |  FROM t),
+           |seqs AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  md5(lang || ':' || CAST(bin AS VARCHAR)) AS hk
+           |  FROM p GROUP BY lang, bin),
+           |sb AS (SELECT *, CAST('0x' || substr(hk, 1, 8) AS BIGINT) % 64 AS b FROM seqs),
+           |pos AS (SELECT *, row_number() OVER (ORDER BY b, hk, lang, bin) AS pos FROM sb),
+           |sh AS (SELECT *, CAST((pos - 1) % 8 AS BIGINT) AS shard FROM pos)
+           |SELECT shard, count(*) AS n_seqs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+           |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+      },
     ),
     // Keep-best dedup: same components as dedup_apply_keep, but the
     // survivor is the highest-QUALITY doc per cluster (ties → doc_id),

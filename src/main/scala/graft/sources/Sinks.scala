@@ -34,6 +34,23 @@ object Sinks {
     * land in [target/2, target] records regardless of input skew.
     * Returns the row count for the caller's invariant check.
     */
+  /** Physical training-shard write: the curated corpus laid out in the
+    * deterministic shard structure
+    * [[graft.curation.Curation.trainingShardAssignment]] computed — one
+    * `shard=N/` parquet directory per shard, so a trainer (or a
+    * per-shard reader) opens exactly its slice. partitionBy writes each
+    * shard from the tasks that hold its rows (no extra global shuffle
+    * beyond the assignment join); at 100 TB pair with
+    * [[compactParquet]] per shard if fine-grained task output needs
+    * re-grain. Deterministic content: the assignment is md5-ranked, so
+    * the same corpus always produces byte-equal shard memberships.
+    */
+  def writeTrainingShards(
+      docs: org.apache.spark.sql.DataFrame,
+      assignment: org.apache.spark.sql.DataFrame, outDir: String): Unit =
+    docs.join(assignment.select("doc_id", "shard"), Seq("doc_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(outDir)
+
   def compactParquet(
       spark: org.apache.spark.sql.SparkSession,
       inDir: String, outDir: String, targetRecordsPerFile: Int): Long = {
