@@ -1448,18 +1448,73 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("TakeOrderedAndProject")
   }
 
-  test("choose→apply: banding reads the ONE pinned signature; the decided layout attaches by broadcast equi-join (r18)") {
+  test("choose→apply: banding reads the ONE pinned signature under the decided band count (r18; r19 rewire)") {
     val p = plan("neardup_pairs_chosen_layout")
     // nothing corpus-scale re-executes at apply time: the signature and
     // the decision curve are both pinned — every leaf is a checkpoint
-    // scan, and the sweep's quadratic truth half is absent entirely
+    // scan, and the sweep's quadratic truth half is absent entirely.
+    // r19 (advice): the 1-row argmin now collects to the driver and the
+    // apply runs the PARAMETERIZED production banding (minhashBands) at
+    // the chosen count — so the returned plan is exactly production
+    // pair generation: posexplode banding over the pinned signature,
+    // the hot-key cap window, and the band self-join; the decision no
+    // longer appears as a join at all.
     p should include("Scan ExistingRDD")
     p should not include "Scan parquet"
-    // the 1-row argmin attaches to the banded relation as a broadcast
-    // hash join on n_bands — never a nested-loop product
-    p should include("BroadcastHashJoin")
-    p should include("TakeOrderedAndProject")
+    p should include("Generate posexplode") // the banding of the chosen layout
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("ann probe select / chosen-nprobe apply: per-query rank cuts, no cartesian (r19)") {
+    val sel = plan("ann_probe_select")
+    sel should include("WindowGroupLimit") // the literal-k truth/candidate cuts
+    sel should not include "CartesianProduct"
+    val app = plan("ann_ivf_chosen_nprobe")
+    // the applied search is the production IVF shape: broadcast
+    // centroid attach (the pinned trained-centroid checkpoint), list
+    // equi-join, per-query literal-k rank cut
+    app should include("WindowGroupLimit")
+    app should include("Scan ExistingRDD") // the pinned centroids
+    app should not include "CartesianProduct"
+  }
+
+  test("doremi apply: quotas broadcast back; the pick is a lang-partitioned rank cut (r19)") {
+    val p = plan("mixture_doremi_apply")
+    // the corpus attaches the |langs|-row quota table by broadcast —
+    // the corpus itself never shuffles for the quota math
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // quota is a COLUMN bound, so the cut plans as Window + Filter (a
+    // literal bound would be WindowGroupLimit); lang is the only
+    // corpus-side hash-exchange key — the weight-loop windows run on
+    // the |langs|-row SinglePartition frame
+    p should include("row_number()")
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("lang")
+  }
+
+  test("quality-weighted sample: weights ride as literals, quotas broadcast, bin-partitioned rank cut (r19)") {
+    val p = plan("sample_quality_weighted")
+    // the model never joins — margins fold map-side over the pinned
+    // featurization (the perceptron reliability discipline)
+    p should include("Scan ExistingRDD")
+    p should not include "Scan parquet" // everything reads the pin
+    p should include("BroadcastHashJoin") // the bin-quota attach
+    p should include("row_number()")      // the rank cut at (column) quota
+    p should not include "CartesianProduct"
+    // score_bin is the only hash-exchange key: bin assign + rank both
+    // ride the pinned featurization
+    "Exchange hashpartitioning\\(([a-z_]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet shouldBe Set("score_bin")
+  }
+
+  test("export shards: sequence rollup + broadcast offsets; no corpus-scale single-partition window (r19)") {
+    val p = plan("export_training_shards")
+    // the only single-partition windows run at bucket/sequence
+    // cardinality (offsets + per-bucket rank); the corpus-side work is
+    // the audited curated/packing composition
+    p should include("BroadcastHashJoin") // bucket offsets attach
+    p should not include "CartesianProduct"
   }
 }
