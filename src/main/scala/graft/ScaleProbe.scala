@@ -269,7 +269,26 @@ object ScaleProbe {
     // smoothing binds on sparse evidence), so a corpus-copy probe
     // measures the slice, not the operator; its corpus-scale shape is
     // host_quality_filter's (probed here).
-    "host_quality_filter")
+    "host_quality_filter",
+    // r19 choose→apply rungs over the 30× documents corpus.
+    // mixture_doremi_apply: the weight loop stays |langs|-cardinality
+    // on the ONE corpus aggregate (the probed mixture_doremi_weights
+    // shape) and the applied pick adds a broadcast quota attach + one
+    // lang-partitioned rank window — its ratio must track
+    // sample_weighted_priority's rank-cut shape, never a join blowup.
+    // sample_quality_weighted: featurize + learner rounds are the
+    // probed perceptron_learn_rounds shape; the pick adds a broadcast
+    // + bin-partitioned rank window, so its ratio must track
+    // perceptron_learn_rounds times a constant.
+    // export_training_shards: the composed end-of-pipeline rung — its
+    // cost must remain the sum of its probed parts (curated_corpus +
+    // pack_sequences_scalable) plus sequence-cardinality windows.
+    // ann_probe_select / ann_ivf_chosen_nprobe are NOT probed:
+    // embeddings stay 1× by design (the embedding_silhouette /
+    // streaming_ann_ivf_ingest precedent), and the select's cost is
+    // the exact-truth half — the curve family's documented exclusion.
+    "mixture_doremi_apply", "sample_quality_weighted",
+    "export_training_shards")
 
   def materialize(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")
@@ -523,7 +542,16 @@ object SkewProbe {
     // r17 rungs: URL group+keep-best (one group-key aggregation — the
     // canonical-url groups inherit the hot source's mass) and the
     // host-reputation cut (hot hosts dominate the rollup)
-    "url_dedup_groups", "host_quality_filter")
+    "url_dedup_groups", "host_quality_filter",
+    // r19 apply rungs under power-law skew: the DoReMi pick's
+    // lang-partitioned rank window sees the hot source's langs carry
+    // ~84% of rows (the one-fat-partition window stress); the
+    // quality-weighted pick's bins inherit the same mass through the
+    // score distribution; the shard export composes curated_corpus
+    // (probed above) with packing + the sequence-cardinality rank, so
+    // its skew ratio must track curated_corpus, never amplify it.
+    "mixture_doremi_apply", "sample_quality_weighted",
+    "export_training_shards")
 
   def materializeSkew(spark: SparkSession, srcDir: String, outDir: String, hotCopies: Int): Unit = {
     val done = new java.io.File(outDir, "_PROBE_READY")
