@@ -599,24 +599,9 @@ object Curation {
     * [[apportionedSample]] plan under a learned weight column.
     */
   def mixtureDoremiApply(
-      docs: DataFrame, budget: Int, rounds: Int, invEta: Long = 20L): DataFrame = {
-    val quotas = doremiWeights(docs, rounds, invEta)
-      .withColumn("wtot", expr("sum(weight_ppm) over ()"))
-      .withColumn("base", expr(s"(${budget}L * weight_ppm) div wtot"))
-      .withColumn("rem", expr(s"(${budget}L * weight_ppm) % wtot"))
-      .withColumn("leftover", expr(s"${budget}L - sum(base) over ()"))
-      .withColumn("rrank",
-        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
-      .select(col("lang"),
-        (col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
-          .as("quota"))
-    docs.join(broadcast(quotas), "lang")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
-      .where(col("rk") <= col("quota"))
-      .select("lang", "doc_id", "rk")
-  }
+      docs: DataFrame, budget: Int, rounds: Int, invEta: Long = 20L): DataFrame =
+    hamiltonQuotaPick(docs, doremiWeights(docs, rounds, invEta),
+      "lang", "weight_ppm", budget)
 
   /** Unrolled DuckDB mirror of [[doremiWeights]] — the CTE chain only
     * (no WITH, no final SELECT; ends with `w<rounds>`), shared by the
@@ -1065,11 +1050,18 @@ object Curation {
     */
   private def shardedSeqs(
       packed: DataFrame, nShards: Int, buckets: Int): DataFrame = {
+    // by-convention pin (harness frees), at SEQUENCE cardinality
+    // (corpus_tokens/budget rows): the offsets rollup and the join-back
+    // both read this relation, and without the pin each consumer
+    // re-executes the corpus-scale curated+packing subtree beneath it
+    // with only exchange-reuse standing in the way (r19 review — the
+    // perHostPassCounts lesson from r17).
     val seqs = packed.groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("n_tokens"))
       .withColumn("hk", md5(concat_ws(":", col("lang"), col("bin"))))
       .withColumn("b",
         expr(s"CAST(conv(substring(hk, 1, 8), 16, 10) AS BIGINT) % $buckets"))
+      .localCheckpoint(true)
     val offsets = seqs.groupBy("b").agg(count(lit(1)).as("n"))
       .withColumn("offset",
         coalesce(
@@ -1088,8 +1080,17 @@ object Curation {
   def trainingShardAssignment(
       docs: DataFrame, minScore: Double, budget: Int, nShards: Int,
       buckets: Int = 64): DataFrame = {
-    val packed = packSequencesScalable(curatedDocs(docs, minScore), budget)
+    // doc-level pin: the doc→shard join-back and the sequence rollup
+    // inside shardedSeqs both consume `packed`, so the curated keep-set
+    // (quality scan + dedup semi-joins) and the packing windows execute
+    // exactly once per export (r19 review)
+    val packed =
+      packSequencesScalable(curatedDocs(docs, minScore), budget).localCheckpoint(true)
     packed.select("doc_id", "lang", "bin")
+      // no broadcast hint: the shard map is SEQUENCE-cardinality
+      // (tokens/budget rows — far past broadcast size at 100 TB), so
+      // the attach is a (lang, bin) hash join AQE may still broadcast
+      // at small SFs
       .join(shardedSeqs(packed, nShards, buckets).select("lang", "bin", "shard"),
         Seq("lang", "bin"))
       .select("doc_id", "lang", "bin", "shard")
@@ -1282,23 +1283,49 @@ object Curation {
     * PARTITIONED by source (parallel), cut at quota — no global sort
     * of the corpus.
     */
-  def apportionedSample(docs: DataFrame, budget: Int): DataFrame = {
-    val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("total", expr("sum(n_docs) over ()"))
-      .withColumn("base", expr(s"(${budget}L * n_docs) div total"))
-      .withColumn("rem", expr(s"(${budget}L * n_docs) % total"))
-      .withColumn("leftover", expr(s"${budget}L - sum(base) over ()"))
-      .withColumn("rrank",
-        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
-      .select(col("source"),
-        (col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+  def apportionedSample(docs: DataFrame, budget: Int): DataFrame =
+    hamiltonQuotaPick(docs,
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs")),
+      "source", "n_docs", budget)
+
+  /** ONE copy of the largest-remainder rule + pick (r19 review: three
+    * DataFrame-side copies of the wtot/base/rem/leftover/rrank block —
+    * [[apportionedSample]], [[temperatureSample]],
+    * [[mixtureDoremiApply]] — had to be kept in lockstep with their
+    * DuckDB mirrors; a tie-break fix in one copy would silently leave
+    * the others on the old rule. The fourth variant,
+    * [[graft.text.Perceptron.qualityWeightedSample]], replays the same
+    * rule DRIVER-side over its bounded bin array — a different shape
+    * with per-bin `quota ≤ n_b` semantics, deliberately not unified.)
+    *
+    * `weights` must be a KEY-cardinality relation (the apportionment
+    * windows are global over it — |sources|/|langs| rows, broadcast
+    * back); the pick is the established per-key md5-rank window cut at
+    * quota, so the sample is restart-reproducible. Quotas are exact
+    * integers summing to `budget` (floor, leftover seats to the
+    * largest remainders, remainder DESC + key tie-break — a total
+    * order both engines replay identically). `budget·weight` stays
+    * BIGINT-safe through weights ≤ 10⁶ ppm at multi-trillion budgets.
+    */
+  private def hamiltonQuotaPick(
+      docs: DataFrame, weights: DataFrame,
+      keyCol: String, weightCol: String, budget: Int): DataFrame = {
+    val quotas = weights
+      .withColumn("__wtot", expr(s"sum($weightCol) over ()"))
+      .withColumn("__base", expr(s"(${budget}L * $weightCol) div __wtot"))
+      .withColumn("__rem", expr(s"(${budget}L * $weightCol) % __wtot"))
+      .withColumn("__leftover", expr(s"${budget}L - sum(__base) over ()"))
+      .withColumn("__rrank",
+        row_number().over(Window.orderBy(col("__rem").desc, col(keyCol))))
+      .select(col(keyCol),
+        (col("__base") + when(col("__rrank") <= col("__leftover"), 1L).otherwise(0L))
           .as("quota"))
-    docs.join(broadcast(quotas), "source")
+    docs.join(broadcast(quotas), keyCol)
       .withColumn("rk", row_number().over(
-        Window.partitionBy("source")
+        Window.partitionBy(keyCol)
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
       .where(col("rk") <= col("quota"))
-      .select("source", "doc_id", "rk")
+      .select(col(keyCol), col("doc_id"), col("rk"))
   }
 
   /** Temperature-scaled (α = 0.5) mixture sampling — the standard LLM
@@ -1315,25 +1342,11 @@ object Curation {
     * once to |sources| stratum counts, the quota arithmetic runs on
     * that tiny relation, the pick is a per-source md5-rank window cut.
     */
-  def temperatureSample(docs: DataFrame, budget: Int): DataFrame = {
-    val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
-      .withColumn("wtot", expr("sum(w) over ()"))
-      .withColumn("base", expr(s"(${budget}L * w) div wtot"))
-      .withColumn("rem", expr(s"(${budget}L * w) % wtot"))
-      .withColumn("leftover", expr(s"${budget}L - sum(base) over ()"))
-      .withColumn("rrank",
-        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
-      .select(col("source"),
-        (col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
-          .as("quota"))
-    docs.join(broadcast(quotas), "source")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
-      .where(col("rk") <= col("quota"))
-      .select("source", "doc_id", "rk")
-  }
+  def temperatureSample(docs: DataFrame, budget: Int): DataFrame =
+    hamiltonQuotaPick(docs,
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long")),
+      "source", "w", budget)
 
   /** Host-reputation oracle CTE chain (concatenated with the shared
     * Gopher CTEs, not interpolated-then-stripMargin'd — the duckC4

@@ -41,7 +41,13 @@ object ModelStore {
     * (recursive content summaries of table directories) is reused;
     * any change — file replaced, table added, mtime bumped by a
     * regeneration — misses the memo and recomputes, so the artifact
-    * path moves again within the same session.
+    * path moves again within the same session. Table DIRECTORIES get
+    * one non-recursive child listing each (name + mtime + len of every
+    * part file): a POSIX in-place overwrite of an existing part file
+    * bumps the FILE's mtime but not the parent dir's, so a dir-level
+    * probe alone would memo-hit right through the regeneration (r19
+    * review). Still O(tables) cheap RPCs per call — the expensive
+    * recursive content walk remains recompute-only.
     */
   private val fingerprints =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
@@ -80,8 +86,21 @@ object ModelStore {
     val digest = listing match {
       case Some(st) if st.nonEmpty =>
         val probe =
-          st.map(s => s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
-            .mkString("|")
+          st.map { s =>
+            val self = s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}"
+            if (!s.isDirectory) self
+            else
+              // one-level child listing (see scaladoc); a child-listing
+              // failure degrades to the dir-level line for THIS entry,
+              // and the digest below is only memoized on a healthy walk
+              try {
+                val p = new org.apache.hadoop.fs.Path(sfDir)
+                val kids = p.getFileSystem(conf).listStatus(s.getPath)
+                  .sortBy(_.getPath.getName)
+                  .map(k => s"${k.getPath.getName}:${k.getModificationTime}:${k.getLen}")
+                s"$self/${kids.mkString(",")}"
+              } catch { case scala.util.control.NonFatal(_) => self }
+          }.mkString("|")
         Option(fingerprints.get(sfDir)).filter(_._1 == probe).map(_._2).getOrElse {
           val p = new org.apache.hadoop.fs.Path(sfDir)
           val fs = p.getFileSystem(conf)

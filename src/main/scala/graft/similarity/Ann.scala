@@ -403,14 +403,23 @@ object Ann {
       m: Int, bits: Int, trainIter: Int): RecallCurveParts = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // by-convention pins (harness frees; r19 review): truth feeds the
+    // hits join AND the n_truth scalar; corpus/qAll feed one slice PER
+    // curve setting plus the chosen-nprobe applied search — unpinned,
+    // each consumer re-executed the brute-force / assignment subtree
+    // with only exchange-reuse standing in the way, contradicting the
+    // factoring's 'nothing recomputed' contract.
     val truth = bruteForceTopK(embeddings, queries, k).select("q_id", "n_id")
+      .localCheckpoint(true)
     val cents = rebuildCentroids(kmeansConverged(embeddings, m, trainIter))
       .localCheckpoint(true)
     val corpus = ivfAssign(Dedup.quantized(embeddings), cents, 1)
       .select(col("vec_id").as("n_id"), col("cid"), col("q").as("qb"), col("nrm").as("nb"))
+      .localCheckpoint(true)
     val qAll = ivfAssign(Dedup.quantized(queries), cents, ivfProbes.max)
       .select(col("vec_id").as("q_id"), col("cid"),
         col("q").as("qa"), col("nrm").as("na"), col("crn"))
+      .localCheckpoint(true)
     def rankTopK(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
       withSim(cand).withColumn("rank", row_number().over(w))
@@ -524,10 +533,16 @@ object Ann {
     */
   def annIvfChosenNprobe(
       embeddings: DataFrame, queries: DataFrame, k: Int,
-      ivfProbes: Seq[Int] = Seq(1, 2, 4), mpProbes: Seq[Int] = Seq(1, 5, 9),
+      ivfProbes: Seq[Int] = Seq(1, 2, 4),
       m: Int = 16, bits: Int = 8, trainIter: Int = 3,
       recallFloorPermille: Long = DefaultAnnRecallFloorPermille): DataFrame = {
-    val parts = recallCurveParts(embeddings, queries, k, ivfProbes, mpProbes, m, bits, trainIter)
+    // IVF-family curve only (r19 review): the argmin filters
+    // method='ivf_trained', so the LSH multi-probe sweeps could never
+    // affect the chosen nprobe or the output — measuring them here was
+    // three discarded bucketed self-join searches per apply. The
+    // decision is bit-identical to the one annProbeSelect's full curve
+    // exhibits for the IVF method (same slices, same rule).
+    val parts = recallCurveParts(embeddings, queries, k, ivfProbes, Seq.empty, m, bits, trainIter)
     // by-convention pin (harness frees): the curve feeds the argmin;
     // the 1-row decision collects like the dedup chosen-layout rung
     val curve = withAnnMeetsFloor(parts.curve, recallFloorPermille).localCheckpoint(true)
@@ -1241,8 +1256,7 @@ object Ann {
       "ann_ivf_chosen_nprobe",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        annIvfChosenNprobe(emb, emb.where(col("vec_id") < 10), k = 5,
-          mpProbes = Seq(1, 3, 5), bits = 4)
+        annIvfChosenNprobe(emb, emb.where(col("vec_id") < 10), k = 5, bits = 4)
           .orderBy("q_id", "rank")
       },
       Some("WITH " + gateCurveCtes + ",\n" +

@@ -73,6 +73,37 @@ class ModelStoreSpec extends AnyFunSuite with Matchers {
     ModelStore.load(spark, p).count() shouldBe 3L
   }
 
+  test("staleness probe sees an in-place part-file overwrite inside a table directory (r19)") {
+    // The memo probe must descend one level: a POSIX in-place overwrite
+    // of an existing part file bumps the FILE's mtime but not the
+    // parent dir's, so a dir-level probe memo-hits right through the
+    // regeneration and path() keeps returning the artifact trained on
+    // the old data. (The recompute digest is (name, byte-size), so the
+    // regeneration here changes length — the realistic case; the probe
+    // fix is what makes the recompute HAPPEN at all mid-session.)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale_probe").toFile
+    try {
+      val table = new java.io.File(dir, "documents.parquet")
+      table.mkdirs()
+      val part = new java.io.File(table, "part-00000.parquet")
+      java.nio.file.Files.write(part.toPath, "aaaa".getBytes("UTF-8"))
+      val dirM = table.lastModified()
+      val p1 = ModelStore.path("spec_stale", dir.getAbsolutePath)
+      // in-place regeneration: same file, new content/length/mtime;
+      // parent dir mtime pinned back to its pre-overwrite value
+      java.nio.file.Files.write(part.toPath, "bbbbbbbb".getBytes("UTF-8"))
+      part.setLastModified(part.lastModified() + 2000L)
+      table.setLastModified(dirM)
+      val p2 = ModelStore.path("spec_stale", dir.getAbsolutePath)
+      p2 should not be p1
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("ivf: search against the reloaded centroid artifact equals the in-process search") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     import org.apache.spark.sql.functions.col

@@ -181,7 +181,7 @@ class AnnSpec extends AnyFunSuite with Matchers {
     val npHigh = ivf.filter(_._3 >= floorHigh).map(_._2).min
     npLow should not be npHigh
     def applied(floor: Long): Seq[(Long, Long, Long)] =
-      Ann.annIvfChosenNprobe(embT, qs, k = 5, mpProbes = Seq(1, 3, 5), bits = 4,
+      Ann.annIvfChosenNprobe(embT, qs, k = 5, bits = 4,
           recallFloorPermille = floor)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
     val low = applied(floorLow)
