@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Direct-JVM runner for graft mains (bypasses sbt's lock/startup): same
+# add-opens + flags as build.sbt's fork settings. usage:
+#   runmain.sh graft.Bench [args...]   (env: SPARK_GRAFT_* as usual)
+set -euo pipefail
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+ADDOPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" -cp "$CP" "$@"
