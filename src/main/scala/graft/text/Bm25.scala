@@ -41,9 +41,20 @@ object Bm25 {
   /** Top-`k` docs per query term by BM25. Query terms = the corpus's
     * `nTerms` highest-df tokens (ties by token) unless given. */
   def bm25TopDocs(docs: DataFrame, nTerms: Int = 3, k: Int = 10): DataFrame = {
+    // By-convention pin (harness frees): the token stream has THREE
+    // aggregation consumers (per-doc length, the gate's df/query-term
+    // derivation, and the tf probe), and without the pin each one
+    // re-executed the corpus tokenize+explode subtree — AQE exchange
+    // reuse dedups only the fan-out exchange below the explode, never
+    // the explode itself (r19 optimization round; the r19-review
+    // truth/corpus/qAll pin lesson applied here). At 100 TB this
+    // trades one materialized token stream for two extra full corpus
+    // tokenize passes; a real search with literal query terms skips
+    // the df consumer and keeps the same shape.
     val toks = graft.Partitioning.fanOut(docs)
       .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .where(col("term") =!= "")
+      .localCheckpoint(true)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val corpus = dl.agg(
       count(lit(1)).as("n_docs"),

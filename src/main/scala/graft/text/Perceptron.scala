@@ -100,7 +100,15 @@ object Perceptron {
           array(struct(lit(Buckets.toLong).as("b"), lit(BiasValue).as("c")))).as("feats"))
   }
 
-  private def wArrayLit(w: Array[Long]): Column = array(w.map(lit(_)): _*)
+  /** The weight vector as ONE array literal node. `array(w.map(lit))`
+    * built a CreateArray with |Buckets|+1 = 1025 child Literals, and
+    * every learner round re-analyzed/re-optimized that tree before
+    * constant-folding collapsed it — measurable driver-side planning
+    * time per round (r19 optimization round, guide §1.2 step 2). A
+    * `typedlit` is a single pre-folded Literal carrying the ArrayData;
+    * the evaluated value (and so every margin/score) is identical.
+    */
+  private def wArrayLit(w: Array[Long]): Column = typedlit(w)
 
   /** ⟨w, x⟩ as one codegen'd fold over the doc's (bucket, count) array —
     * the weights ride the plan as a literal array, so the margin pass is

@@ -42,18 +42,27 @@ object RougeL {
        |  THEN (((($p - 1) div 4) ^ 1) * 4) + (($p - 1) % 4) + 1
        |  ELSE $p END AS INT)""".stripMargin
 
+  /** r19 optimization round: the candidate corruption is ONE transform
+    * over the `ref` ATTRIBUTE, composing the block-swap index map with
+    * the every-7th-drop filter — `cand[j] = swapped[p_j] =
+    * ref[swapIdx(p_j)]` for the kept positions p_j, so the intermediate
+    * `swapped` array never exists. The previous three-step
+    * `withColumn("swapped", …)` chain referenced `swapped` exactly once
+    * inside `cand`'s lambda, so CollapseProject inlined the whole
+    * 50-element swap TRANSFORM into the lambda body — and interpreted
+    * higher-order functions re-evaluate their argument subtree per
+    * element, making the corruption O(|ref|²) per row (measured: the
+    * DP pin job dropped ~2× once the nesting was gone). Output is
+    * bit-identical: same index arithmetic, same oracle.
+    */
   def rougeLEval(docs: DataFrame): DataFrame =
     docs
       .withColumn("ref", expr(
         s"slice(filter(split(trim(lower(text)), '\\\\s+'), t -> t != ''), 1, $CapTokens)"))
-      .withColumn("swapped", expr(
-        s"""CASE WHEN size(ref) < 1 THEN ref
-           |  ELSE transform(sequence(1, size(ref)),
-           |    p -> element_at(ref, ${swapIdx("p", "size(ref)")})) END""".stripMargin))
       .withColumn("cand", expr(
-        """CASE WHEN size(ref) < 1 THEN ref
-          |  ELSE transform(filter(sequence(1, size(ref)), p -> p % 7 != 3),
-          |    p -> element_at(swapped, p)) END""".stripMargin))
+        s"""CASE WHEN size(ref) < 1 THEN ref
+           |  ELSE transform(filter(sequence(1, size(ref)), p -> p % 7 != 3),
+           |    p -> element_at(ref, ${swapIdx("p", "size(ref)")})) END""".stripMargin))
       .select(
         col("doc_id"),
         size(col("ref")).cast("long").as("n_ref"),

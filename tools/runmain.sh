@@ -3,7 +3,7 @@
 # add-opens + flags as build.sbt's fork settings. usage:
 #   runmain.sh graft.Bench [args...]   (env: SPARK_GRAFT_* as usual)
 set -euo pipefail
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+CP="${SPARK_GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*"
 ADDOPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
