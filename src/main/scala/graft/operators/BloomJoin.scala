@@ -93,36 +93,75 @@ object BloomJoin {
   }
 
   /** All-bits-set membership test against the broadcast `bloom` array
-    * column, for a probe key digest column named `__d`. Pure scalar
-    * conjunction — NumHashes `element_at` + bit tests per row. */
+    * column, for PRE-COMPUTED position columns `__p0..__p{NumHashes-1}`.
+    * Pure scalar conjunction — NumHashes `element_at` + bit tests per
+    * row, each on attribute inputs only. */
   private def mightContain: Column =
     (0 until NumHashes).map { i =>
-      val p = posSql(i)
       expr(
-        s"(element_at(bloom, CAST($p div $WordBits AS INT) + 1) & " +
-          s"shiftleft(CAST(1 AS BIGINT), CAST($p % $WordBits AS INT))) != 0")
+        s"(element_at(bloom, CAST(__p$i div $WordBits AS INT) + 1) & " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WordBits AS INT))) != 0")
     }.reduce(_ && _)
 
   /** Probe rows surviving the Bloom prefilter (false positives
     * included). The bitmap row arrives via broadcast cross-join; the
-    * filter itself is a zero-shuffle scan-side projection. */
-  def bloomPrefilter(probe: DataFrame, probeKey: String, bitmap: DataFrame): DataFrame =
-    probe
-      .withColumn("__d", md5(col(probeKey).cast("string")))
+    * filter itself is a zero-shuffle scan-side projection.
+    *
+    * The five hash POSITIONS are hoisted into the probe-side Project
+    * (r19 optimization round): as part of the filter condition they
+    * were re-derived from the digest per bit test — two conv/substring
+    * lane parses per hash — inside a join condition, where codegen
+    * subexpression elimination does not apply. As projected columns
+    * the digest parses once per lane under Project-level CSE, and the
+    * surviving condition is five element_at + mask tests on attributes.
+    */
+  def bloomPrefilter(probe: DataFrame, probeKey: String, bitmap: DataFrame): DataFrame = {
+    // coalesce(…, 0): the position is never null in practice (a null
+    // key cannot survive the exact join either way), but a NULLABLE
+    // position column makes InferFiltersFromConstraints derive
+    // isnotnull(<position>) from the bit-test condition and push it
+    // below this Project as a scan-side Filter that RE-EVALUATES the
+    // whole md5+conv chain per hash — doubling the per-row hash work
+    // (measured: 5.05s vs 3.2s at sf0.1). Non-nullable output ⇒ no
+    // constraint to infer.
+    val withPos = (0 until NumHashes).foldLeft(
+      probe.withColumn("__d", md5(col(probeKey).cast("string")))) {
+      case (df, i) => df.withColumn(s"__p$i", coalesce(expr(posSql(i)), lit(0L)))
+    }
+    withPos
       .crossJoin(broadcast(bitmap))
       .where(mightContain)
-      .drop("__d", "bloom")
+      .drop("__d" +: "bloom" +: (0 until NumHashes).map(i => s"__p$i"): _*)
+  }
 
   /** The transparent operator: Bloom-prune `probe` on `probeKey`
-    * against `build`'s `buildKey` set, then exact left-semi join to
-    * kill false positives. Result ≡ `probe SEMI JOIN build`, with the
-    * join's probe-side exchange fed only by Bloom survivors. */
+    * against `build`'s `buildKey` set, then an exact equi-join against
+    * the DISTINCT key set to kill false positives (distinct keys ⇒ the
+    * inner join has semi-join multiplicity). Result ≡
+    * `probe SEMI JOIN build`, with the join's probe-side exchange fed
+    * only by Bloom survivors.
+    *
+    * Inner join, NOT left_semi (r19 optimization round): the optimizer's
+    * `PushDownLeftSemiAntiJoin` sank a left-semi below the bitmap
+    * cross-join + filter, so the EXECUTED plan ran the exact semi-join
+    * on the raw probe side and applied the Bloom test to its output —
+    * the exact inversion of this operator's contract (PLANS.md's own
+    * r18 dump shows `BroadcastHashJoin LeftSemi` below the
+    * `BroadcastNestedLoopJoin` bitmap attach while the prose claims
+    * scan-side pruning; at 100 TB, where the build side is not
+    * broadcastable, the probe exchange would have carried the UNPRUNED
+    * stream and the bitmap would have pruned nothing). Inner joins are
+    * outside that pushdown rule, and `ReorderJoin` preserves the
+    * bitmap-first order, so the bit tests now run below the exact
+    * join — [[graft.curation.Curation.decontaminateBloom]] has always
+    * used this inner-join formulation for the same reason.
+    */
   def bloomSemiJoin(
       probe: DataFrame, probeKey: String,
       build: DataFrame, buildKey: String): DataFrame = {
     val keys = build.select(col(buildKey)).distinct()
     bloomPrefilter(probe, probeKey, bloomBitmap(keys, buildKey))
-      .join(keys.withColumnRenamed(buildKey, probeKey), Seq(probeKey), "left_semi")
+      .join(keys.withColumnRenamed(buildKey, probeKey), Seq(probeKey))
   }
 
   // ---------------------------------------------------------------- queries
