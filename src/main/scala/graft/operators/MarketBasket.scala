@@ -67,7 +67,21 @@ object MarketBasket {
     * is row-identical to the naive form.
     */
   def assocRules(lineitem: DataFrame, minSup: Long, maxBasket: Int = 64): DataFrame = {
-    val op = baskets(lineitem, maxBasket)
+    // By-convention pin (harness frees), with the ok-hash layout
+    // DECLARED (r19 optimization round): the basket relation has FOUR
+    // consumers — the 1-row order count, the item totals, and both
+    // sides of the pair self-join. AQE's ReusedExchange dedups only the
+    // repartition exchange below them; the distinct aggregate + basket-
+    // size window + cap filter above it re-executed once per consumer
+    // (4× over the fact table at any scale). The declared pin runs that
+    // derivation ONCE and keeps the self-join partition-local; the
+    // window's partition-key sort makes sortedByKeys true for free, so
+    // the merge join needs no re-sort either.
+    val shuffleParts =
+      lineitem.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val (op, _) =
+      org.apache.spark.sql.graftplan.PartitionedCheckpoint.localEagerDeclared(
+        baskets(lineitem, maxBasket), Seq("ok"), shuffleParts, sortedByKeys = true)
     val nOrders = op.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val itemCnt = op.groupBy("pk").agg(count(lit(1)).as("n_item"))
