@@ -349,7 +349,15 @@ object Analytic {
     * pass). Integer permille.
     */
   def bounceRate(events: DataFrame, gapMs: Long): DataFrame =
-    sessionize(events, gapMs)
+    bounceRateFrom(sessionize(events, gapMs))
+
+  /** The rollup half of [[bounceRate]] over an ALREADY-sessionized
+    * relation — split out (r19 optimization round) so composed callers
+    * ([[EventFlow.eventsKpiSnapshot]]) can share ONE sessionize pass
+    * across KPIs instead of re-running the user-keyed window per
+    * consumer. */
+  def bounceRateFrom(sess: DataFrame): DataFrame =
+    sess
       .agg(
         count(lit(1)).as("n_sessions"),
         sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))

@@ -101,8 +101,14 @@ object EventFlow {
     * reported peak is the conservative (post-decrement) reading;
     * concurrency is inclusive of both endpoints.
     */
-  def concurrentSessionsPeak(events: DataFrame, gapMs: Long): DataFrame = {
-    val sess = Analytic.sessionize(events, gapMs)
+  def concurrentSessionsPeak(events: DataFrame, gapMs: Long): DataFrame =
+    concurrentSessionsPeakFrom(Analytic.sessionize(events, gapMs), gapMs)
+
+  /** The sweep half over an ALREADY-sessionized relation — split out
+    * (r19 optimization round) so [[eventsKpiSnapshot]] shares one
+    * sessionize pass across its KPIs. */
+  def concurrentSessionsPeakFrom(sessionized: DataFrame, gapMs: Long): DataFrame = {
+    val sess = sessionized
       .select(col("start_ms"), col("end_ms"))
       .withColumn("h0", expr("start_ms div 3600000"))
       .withColumn("end_c", least(col("end_ms"), expr("(h0 + 49) * 3600000 - 1")))
@@ -221,9 +227,15 @@ object EventFlow {
     */
   def eventsKpiSnapshot(events: DataFrame): DataFrame = {
     val gapMs = 30 * 60 * 1000L
-    val sess = Analytic.bounceRate(events, gapMs)
+    // By-convention pin (harness frees): the session relation feeds two
+    // KPIs (bounce rollup + concurrency sweep), and unpinned each
+    // consumer re-ran the user-keyed sessionize window — AQE exchange
+    // reuse dedups only the user_id exchange BELOW the window, never
+    // the window + session aggregate above it (r19 optimization round).
+    val sessions = Analytic.sessionize(events, gapMs).localCheckpoint(true)
+    val sess = Analytic.bounceRateFrom(sessions)
       .select(col("n_sessions"), col("bounce_permille"))
-    val peak = concurrentSessionsPeak(events, gapMs)
+    val peak = concurrentSessionsPeakFrom(sessions, gapMs)
       .agg(max("peak_sessions").as("max_concurrent"))
     val funnel = Analytic.funnelThreeStep(events)
       .select(col("n_step3").as("n_full_funnel"), col("s3_permille"))
