@@ -125,9 +125,17 @@ object BigramLm {
     */
   def perplexityBuckets(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // By-convention pin (harness frees; r19 optimization round): the
+    // scored relation feeds the per-language histogram chain AND the
+    // final bucket-assignment join — unpinned, each consumer re-ran the
+    // fluency pipeline (bigram stream + model train + score join)
+    // beneath it, with only the model-aggregate exchanges deduped by
+    // reuse. The pin is doc-cardinality (one row per doc). Paired sf0.1
+    // A/B (three runs each): 3.27/2.55/2.60s → 3.15/2.12/2.05s.
     val scored = fluencyScores(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .withColumn("m", expr("(score_sum * 1000) div greatest(n_bigrams, 1)"))
+      .localCheckpoint(true)
     val hist = scored.groupBy("lang", "m").agg(count(lit(1)).as("c"))
     val run = Window.partitionBy("lang").orderBy("m")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
