@@ -311,14 +311,24 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     p should include("Exchange SinglePartition")
   }
 
-  test("bloom semi-join: single-row bitmap broadcast + scan-side bit tests + exact semi") {
+  test("bloom semi-join: bitmap bit tests run BELOW the exact FP-removal join") {
     val p = plan("bloom_semi_join_pruned")
     // the one-row bitmap arrives by broadcast cross (never a shuffle)
     p should include regex """BroadcastNestedLoopJoin BuildRight, Cross"""
-    // bit tests are a plain Filter below the join (element_at over the array)
+    // bit tests are element_at lookups over the broadcast array
     p should include("element_at")
-    // the exact join is a semi join — transparency's second leg
-    p should include("LeftSemi")
+    // r19 optimization round: the exact FP-removal join is an INNER
+    // equi-join against the distinct key set (semi multiplicity by
+    // construction) — the former LeftSemi was sunk BELOW the bitmap
+    // attach by PushDownLeftSemiAntiJoin, running the exact join on
+    // the raw probe side and the Bloom test on its output. The
+    // ordering is the operator's contract: the BNLJ (bit tests) must
+    // appear DEEPER in the plan string than the exact join.
+    p should not include "LeftSemi"
+    val bnlj = p.indexOf("BroadcastNestedLoopJoin")
+    val exact = p.indexOf("BroadcastHashJoin")
+    assert(bnlj >= 0 && exact >= 0 && exact < bnlj,
+      s"exact join must sit ABOVE the bloom BNLJ (exact at $exact, bnlj at $bnlj)")
   }
 
   test("setsim: prefix rank window is doc-partitioned, never a global sort") {
@@ -657,19 +667,32 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // and the 1-row basket total ride broadcasts, never a shuffle join
     p should include("BroadcastExchange")
     p should not include "CartesianProduct"
+    // r19 optimization round: the basket relation is a DECLARED-layout
+    // pin, so the ok-keyed exchange runs once inside the pin's
+    // construction — the final plan must NOT re-exchange on ok (the
+    // self-join rides the declared HashPartitioning directly).
     "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
-      .map(_.group(1)).toSet should contain("ok")
+      .map(_.group(1)).toSet should not contain "ok"
   }
 
-  test("assoc rules: the basket relation's exchange is REUSED across its five consumers") {
-    // op (distinct (order,item)) feeds sized/a-side/b-side/itemCnt/
-    // nOrders — the pre-execution dump re-derives the subtree each
-    // time, but AQE stage reuse must execute the scan+distinct ONCE
-    // (stage metrics: input_records ≈ 2×|lineitem|, not 11×). Pin on
-    // the EXECUTED adaptive plan, the CountMin discipline.
+  test("assoc rules: the pinned basket relation feeds all four consumers with no re-derivation") {
+    // op (distinct (order,item) + basket-size window + cap) feeds
+    // a-side/b-side/itemCnt/nOrders. Through r18 the consumers shared
+    // only the repartition exchange (ReusedExchange) and re-executed
+    // the distinct+window above it per consumer; since the r19
+    // optimization round the relation is a PartitionedCheckpoint pin —
+    // the executed plan must scan the pinned RDD on every consumer
+    // path (no parquet re-scan of lineitem anywhere) and the pair
+    // self-join must be exchange-free AND sort-free on both sides
+    // (declared hash layout + declared key sort).
     val df = Registry.all.find(_.name == "assoc_rules_lift").get.fn(spark, sfDir)
     df.collect()
-    df.queryExecution.executedPlan.toString should include("ReusedExchange")
+    val p = df.queryExecution.executedPlan.toString
+    p should include("Scan ExistingRDD")
+    p should not include "Scan parquet"
+    p should include("SortMergeJoin")
+    "Exchange hashpartitioning\\(([a-z_0-9]+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet should not contain "ok"
   }
 
   test("transition matrix: one user-keyed window pass; permille division at matrix cardinality") {
