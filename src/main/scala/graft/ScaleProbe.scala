@@ -45,6 +45,10 @@ object ScaleProbe {
     // starved the rest of the r7 probe). Its 100 TB route is the
     // capped MinHash path, which IS probed above.
     "countmin_token_freq", "hashed_linear_score",
+    // r19 optimization round: bloom_semi_join_pruned's restored
+    // prune-before-join plan and the bm25-pinned hybrid fusion are
+    // scale claims — probe rows are their evidence.
+    "bloom_semi_join_pruned", "hybrid_search_rrf",
     // bpe_tokenize_stats is the BPE family member whose plan pays the
     // corpus (word-stream join + per-doc rollup); the other two are
     // vocabulary-scale and probe the learner loop itself.
