@@ -57,6 +57,10 @@ object GraftFunctions {
     // (k-sized state, map-side-combinable) — the no-window-sort top-N
     "topk_pairs" -> { exprs => functions.TopKPairs(exprs(0), exprs(1), exprs(2)) },
     "dot_i64" -> { exprs => functions.DotI64(exprs.head, exprs(1)) },
+    // dot_feats_w(feats, w): sparse (bucket, count) · dense weights —
+    // the perceptron margin as one codegen'd loop (no per-element HOF
+    // interpretation); see functions.DotFeatsW
+    "dot_feats_w" -> { exprs => functions.DotFeatsW(exprs.head, exprs(1)) },
     // lcs_len(a, b): longest common SUBSEQUENCE length over two token
     // arrays — the ROUGE-L core as one codegen'd two-row DP loop
     "lcs_len" -> { exprs => functions.LcsLen(exprs.head, exprs(1)) },

@@ -79,6 +79,11 @@ object Perceptron {
     * is classified by the learned bias sign, not pinned to a class).
     */
   private[text] def featurized(docs: DataFrame): DataFrame = {
+    // idempotent function registration for driver-owned sessions
+    // (scoreCol resolves dot_feats_w at analysis time — the engine's
+    // own sessions carry GraftExtensions, but the correctness harness
+    // calls SparkEntry.queries with its own session)
+    graft.GraftFunctions.register(docs.sparkSession)
     val base = graft.Partitioning.fanOut(docs)
       .select(
         col("doc_id"),
@@ -110,13 +115,19 @@ object Perceptron {
     */
   private def wArrayLit(w: Array[Long]): Column = typedlit(w)
 
-  /** ⟨w, x⟩ as one codegen'd fold over the doc's (bucket, count) array —
-    * the weights ride the plan as a literal array, so the margin pass is
-    * shuffle-free.
+  /** ⟨w, x⟩ over the doc's (bucket, count) array — the weights ride the
+    * plan as a literal array, so the margin pass is shuffle-free.
+    *
+    * r19 optimization round: the former `aggregate(feats, 0L, …)`
+    * higher-order fold interpreted its lambda per feature element, and
+    * the learner re-runs the margin over every document in EVERY
+    * round; [[graft.functions.DotFeatsW]] is the same sum as one
+    * codegen'd primitive loop (identical value, including the
+    * null-on-out-of-range-bucket edge the fold's `element_at` had —
+    * differential property in PerceptronSpec).
     */
   private def scoreCol(wArr: Column, feats: Column): Column =
-    aggregate(feats, lit(0L),
-      (acc, f) => acc + element_at(wArr, (f.getField("b") + lit(1L)).cast("int")) * f.getField("c"))
+    call_function("dot_feats_w", feats, wArr)
 
   /** Run the learner: per-round (round, errors, w_l1, w_nonzero) where
     * errors counts margins ≤ 0 under the PREVIOUS round's weights and

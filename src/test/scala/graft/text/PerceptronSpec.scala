@@ -76,6 +76,37 @@ class PerceptronSpec extends AnyFunSuite with Matchers {
     (7L, "zeta", 10L),
   )
 
+  test("dot_feats_w ≡ the HOF margin fold; out-of-range bucket fails loud like ANSI element_at (r19)") {
+    import org.apache.spark.sql.functions.{aggregate => hofAgg, call_function, col => c, element_at, lit => l, typedlit}
+    graft.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(191)
+    val w = Array.fill(Perceptron.Buckets + 1)(rnd.nextLong() % 1000L)
+    val rows = (1 to 200).map { i =>
+      val feats = Seq.fill(1 + rnd.nextInt(30))(
+        (rnd.nextInt(Perceptron.Buckets + 1).toLong, (rnd.nextInt(9) + 1).toLong))
+      (i.toLong, feats)
+    }
+    val wLit = typedlit(w)
+    val df = rows.toDF("id", "feats")
+      .selectExpr("id", "transform(feats, f -> named_struct('b', f._1, 'c', f._2)) AS feats")
+    val got = df.select(c("id"), call_function("dot_feats_w", c("feats"), wLit).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the exact HOF fold this expression replaced
+    val want = df.select(c("id"), hofAgg(c("feats"), l(0L),
+        (acc, f) => acc + element_at(wLit, (f.getField("b") + l(1L)).cast("int")) * f.getField("c"))
+        .as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe want
+    // an out-of-range bucket means featurizer/model disagreement — it
+    // must THROW (the old fold's ANSI element_at threw; a silent null
+    // would flip `margin <= 0` rows into quietly-correct ones)
+    val bad = Seq((999L, Seq((Perceptron.Buckets + 1L, 3L)))).toDF("id", "feats")
+      .selectExpr("id", "transform(feats, f -> named_struct('b', f._1, 'c', f._2)) AS feats")
+    intercept[Exception] {
+      bad.select(call_function("dot_feats_w", c("feats"), wLit)).collect()
+    }
+  }
+
   test("learn trajectory matches the in-memory reference on edge-case docs") {
     val (refStats, _) = reference(edgeDocs, Perceptron.Rounds)
     val got = Perceptron.learnRounds(toDocsDf(edgeDocs)).collect()
