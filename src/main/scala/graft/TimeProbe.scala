@@ -30,13 +30,17 @@ object TimeProbe {
     val byName = Registry.all.map(q => q.name -> q).toMap
 
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
-    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // Boxed key/value types so remove() on a missing key returns null
+    // (a primitive-typed map unboxes the miss to 0L and the null check
+    // below can never fire — a job whose start event was missed would
+    // record a garbage epoch-sized duration).
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobStart.put(j.jobId, System.nanoTime())
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val t0 = jobStart.remove(j.jobId)
-        if (t0 != null) jobs.add(j.jobId -> (System.nanoTime() - t0))
+        val t0 = jobStart.remove(Integer.valueOf(j.jobId))
+        if (t0 != null) jobs.add(j.jobId -> (System.nanoTime() - t0.longValue()))
       }
     })
 
@@ -53,6 +57,7 @@ object TimeProbe {
       catch { case e: Throwable => System.err.println(s"$name warm failed: $e") }
       cleanup()
       jobs.clear()
+      jobStart.clear() // drop warm-run jobs still in flight so a late end event can't pollute the timed list
       val t0 = System.nanoTime()
       val df = q.fn(spark, sfDir)
       val t1 = System.nanoTime()

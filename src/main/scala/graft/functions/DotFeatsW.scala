@@ -27,6 +27,14 @@ import org.apache.spark.sql.types._
   * featurizer and the model disagree, and a silent null would make
   * `margin <= 0` quietly misclassify the row instead of failing loud
   * (differential property in PerceptronSpec).
+  *
+  * One deliberate divergence OUTSIDE that domain: for a negative
+  * bucket (`b <= -2`) ANSI `element_at(w, b + 1)` indexes from the
+  * END of the array and silently returns a weight, while this
+  * expression throws for ANY `b < 0`. Unreachable while the featurizer
+  * hashes into [0, Buckets], but the "≡ the HOF fold" claim holds only
+  * on that domain — a future featurizer change must not assume literal
+  * equivalence for negative buckets.
   */
 case class DotFeatsW(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -116,16 +116,25 @@ object BloomJoin {
     * surviving condition is five element_at + mask tests on attributes.
     */
   def bloomPrefilter(probe: DataFrame, probeKey: String, bitmap: DataFrame): DataFrame = {
-    // coalesce(…, 0): the position is never null in practice (a null
-    // key cannot survive the exact join either way), but a NULLABLE
-    // position column makes InferFiltersFromConstraints derive
-    // isnotnull(<position>) from the bit-test condition and push it
-    // below this Project as a scan-side Filter that RE-EVALUATES the
+    // isnotnull(probeKey) first: a null key can never pass a semi-join,
+    // and pre-coalesce a null digest made every bit test null (row
+    // dropped) — so dropping nulls here preserves both callers' results
+    // exactly. Without it, coalesce(…, 0) below would map a null key's
+    // five positions all to 0 and pass it iff bit 0 of word 0 is set,
+    // which `bloomStats` (whose n_pass_bloom is oracle-checked exactly)
+    // would expose on any probe relation with null keys. The filter is
+    // on the raw key attribute, so it pushes to the scan for free.
+    //
+    // coalesce(…, 0): positions are non-null after the key filter, but
+    // a NULLABLE position column makes InferFiltersFromConstraints
+    // derive isnotnull(<position>) from the bit-test condition and push
+    // it below this Project as a scan-side Filter that RE-EVALUATES the
     // whole md5+conv chain per hash — doubling the per-row hash work
     // (measured: 5.05s vs 3.2s at sf0.1). Non-nullable output ⇒ no
     // constraint to infer.
     val withPos = (0 until NumHashes).foldLeft(
-      probe.withColumn("__d", md5(col(probeKey).cast("string")))) {
+      probe.where(col(probeKey).isNotNull)
+        .withColumn("__d", md5(col(probeKey).cast("string")))) {
       case (df, i) => df.withColumn(s"__p$i", coalesce(expr(posSql(i)), lit(0L)))
     }
     withPos

@@ -123,8 +123,8 @@ object Perceptron {
     * the learner re-runs the margin over every document in EVERY
     * round; [[graft.functions.DotFeatsW]] is the same sum as one
     * codegen'd primitive loop (identical value, including the
-    * null-on-out-of-range-bucket edge the fold's `element_at` had —
-    * differential property in PerceptronSpec).
+    * fail-loud out-of-range-bucket edge the fold's ANSI `element_at`
+    * had — differential property in PerceptronSpec).
     */
   private def scoreCol(wArr: Column, feats: Column): Column =
     call_function("dot_feats_w", feats, wArr)
