@@ -64,6 +64,23 @@ object GraftFunctions {
     // lcs_len(a, b): longest common SUBSEQUENCE length over two token
     // arrays — the ROUGE-L core as one codegen'd two-row DP loop
     "lcs_len" -> { exprs => functions.LcsLen(exprs.head, exprs(1)) },
+    // unigram_segment(w, m, maxPiece): Viterbi DP + backwalk over one
+    // word under a (pos*8+len → score) candidate map — the unigram-LM
+    // EM hot loop as one codegen'd pass (no per-element HOF
+    // interpretation, no per-step accumulator array copies)
+    "unigram_segment" -> { exprs =>
+      functions.UnigramSegment(
+        exprs.head, exprs(1), exprs(2).eval(null).asInstanceOf[Number].intValue())
+    },
+    // common_run_len(ta, pa, tb, pb, bound, step): maximal aligned
+    // char run extending right (step=+1) or left (step=-1) from two
+    // seed anchors — the winnowing seed extension as one byte-walking
+    // codegen'd pass (no per-block interpreted substring re-scans)
+    "common_run_len" -> { exprs =>
+      functions.CommonRunLen(
+        exprs(0), exprs(1), exprs(2), exprs(3), exprs(4),
+        exprs(5).eval(null).asInstanceOf[Number].intValue())
+    },
     "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
     // char_entropy_q(text): (n, nd, hq) — the fixed-point entropy lane
     // as one tight code-point histogram loop per row (HOF lambdas

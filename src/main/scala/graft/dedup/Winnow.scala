@@ -180,8 +180,12 @@ object Winnow {
     * then scans ≤ ExtBlock chars inside the first mismatching block.
     * 16× fewer fold steps than char-at-a-time — the substring equality
     * short-circuits on the first differing byte anyway.
+    *
+    * No longer on the hot path (r20: [[longestDupSubstrings]] runs the
+    * codegen'd `common_run_len` instead); kept with [[extRefine]] as
+    * WinnowSpec's differential reference.
     */
-  private def extBlocks(dir: Int, bound: String): String = {
+  private[dedup] def extBlocks(dir: Int, bound: String): String = {
     val bw = ExtBlock
     val len = s"least($bw, $bound - (j - 1) * $bw)"
     def block(side: Char) =
@@ -197,8 +201,9 @@ object Winnow {
   /** Final extension length from the block-fold column `blkCol`: every
     * block matched (even acc) → the full bound; else matched blocks
     * plus a ≤ ExtBlock char-at-a-time refine inside the stopped block.
+    * Spec-reference twin of [[extBlocks]] (see its r20 note).
     */
-  private def extRefine(dir: Int, bound: String, blkCol: String): String = {
+  private[dedup] def extRefine(dir: Int, bound: String, blkCol: String): String = {
     val bw = ExtBlock
     val base = s"(($blkCol div 2) * $bw)"
     s"""CASE WHEN $bound < 1 THEN CAST(0 AS BIGINT)
@@ -253,10 +258,18 @@ object Winnow {
       .withColumn("lmax", least(col("pos_a"), col("pos_b")) - 1)
       .withColumn("rmax",
         least(col("la") - col("pos_a"), col("lb") - col("pos_b")) - (K - 1))
-      .withColumn("lblk", expr(extBlocks(-1, "lmax")))
-      .withColumn("rblk", expr(extBlocks(+1, "rmax")))
-      .withColumn("lext", expr(extRefine(-1, "lmax", "lblk")))
-      .withColumn("rext", expr(extRefine(+1, "rmax", "rblk")))
+      // r20 optimization round: the extension used to be the two-level
+      // interpreted fold pair ([[extBlocks]] + [[extRefine]], kept below
+      // as the differential spec's reference) — every fold step re-ran
+      // substring(), which walks from char 0 to find its byte offset.
+      // common_run_len walks each string to its anchor ONCE and steps
+      // code point by code point inside WholeStageCodegen; identical
+      // run lengths (differential property in WinnowSpec).
+      .withColumn("lext", call_function("common_run_len",
+        col("ta"), col("pos_a"), col("tb"), col("pos_b"), col("lmax"), lit(-1)))
+      .withColumn("rext", call_function("common_run_len",
+        col("ta"), col("pos_a") + lit(K - 1), col("tb"), col("pos_b") + lit(K - 1),
+        col("rmax"), lit(1)))
       .select(
         col("doc_a"), col("doc_b"),
         (col("lext") + K + col("rext")).as("mlen"),

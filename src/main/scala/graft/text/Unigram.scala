@@ -138,8 +138,13 @@ object Unigram {
     * evaluated p = 1..MaxPiece with strict >, so score ties go to the
     * SHORTEST candidate — the oracle replays the identical chain.
     * Single chars are always in the vocabulary, so best[j] is total.
+    *
+    * No longer on the hot path (r20: [[segmented]] runs the codegen'd
+    * `unigram_segment` instead); kept as UnigramSpec's differential
+    * reference — the spec proves the codegen loop emits bit-identical
+    * pieces to this fold chain on randomized words and score maps.
     */
-  private val dpExpr: String = {
+  private[text] val dpExpr: String = {
     def vp(p: Int) =
       s"(element_at(acc.best, j - $p + 1) + try_element_at(m, (j - $p + 1) * 8 + $p))"
     var chain = s"named_struct('v', ${vp(1)}, 'p', 1)"
@@ -157,8 +162,9 @@ object Unigram {
 
   /** Backpointer walk (length(w) is an upper bound on steps; the fold
     * idles once j hits 0): emits the chosen pieces, end to start.
+    * Spec-reference twin of [[dpExpr]] (see its r20 note).
     */
-  private val backwalkExpr: String =
+  private[text] val backwalkExpr: String =
     """aggregate(sequence(1, length(w)),
       |  named_struct('j', length(w), 'ps', CAST(array() AS ARRAY<STRING>)),
       |  (acc, i) -> IF(acc.j <= 0, acc, named_struct(
@@ -181,15 +187,25 @@ object Unigram {
     * relation EVERY round, the dominant cost of the 5s
     * unigram_tokenize_stats headline.
     */
-  private def segmented(wc: DataFrame, scores: Map[String, Long]): DataFrame =
+  private def segmented(wc: DataFrame, scores: Map[String, Long]): DataFrame = {
+    graft.GraftFunctions.register(wc.sparkSession)
     subPieces(wc)
       .join(broadcast(scoresDf(wc.sparkSession, scores)), Seq("piece"))
       .groupBy("w", "c")
       .agg(map_from_entries(collect_list(
         struct((col("pos") * 8 + col("len")).as("k"), col("score").as("v")))).as("m"))
-      .withColumn("bp", expr(dpExpr))
-      .withColumn("pieces", expr(backwalkExpr))
+      // r20 optimization round: the DP + backwalk used to be two chained
+      // aggregate() HOF folds ([[dpExpr]]/[[backwalkExpr]], kept below as
+      // the differential spec's reference) — interpreted per element with
+      // O(|w|²) accumulator-array copies, re-paid per word in EVERY EM
+      // round and the final tokenize pass. unigram_segment is the same
+      // DP as one codegen'd primitive loop (bit-identical pieces,
+      // including tie-breaks and the try_element_at null edges —
+      // differential property in UnigramSpec).
+      .withColumn("pieces",
+        call_function("unigram_segment", col("w"), col("m"), lit(MaxPiece)))
       .select("w", "c", "pieces")
+  }
 
   /** The shared learner: seed → `Rounds` hard-EM rounds. Returns the
     * final piece → cnt model (driver-side, bounded by |alphabet| +

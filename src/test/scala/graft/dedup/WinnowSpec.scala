@@ -205,6 +205,51 @@ class WinnowSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("common_run_len ≡ the extBlocks+extRefine fold pair, both directions (r20)") {
+    import org.apache.spark.sql.functions.{call_function, col, expr, lit}
+    graft.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(53)
+    // Pairs sharing an aligned seed with random-length exact runs on
+    // both sides (multi-byte chars included — the byte walk must step
+    // code points, not bytes); bounds derived exactly as
+    // longestDupSubstrings derives them from the window geometry.
+    def noise(n: Int) = Array.fill(n)(
+      if (rnd.nextInt(6) == 0) "é" else ('a' + rnd.nextInt(3)).toChar.toString).mkString
+    val k = Winnow.K
+    val rows = (1 to 120).map { _ =>
+      val core = noise(k + rnd.nextInt(40))
+      val ta = noise(rnd.nextInt(30)) + core + noise(rnd.nextInt(30))
+      val tb = noise(rnd.nextInt(30)) + core + noise(rnd.nextInt(30))
+      // anchor the seed at a random position of the shared core
+      val posA = ta.indexOf(core) + 1 + rnd.nextInt(core.length - k + 1)
+      val posB = tb.indexOf(core) + (posA - ta.indexOf(core))
+      (ta, posA, tb, posB)
+    }
+    val df = rows.toDF("ta", "pos_a", "tb", "pos_b")
+      .withColumn("la", org.apache.spark.sql.functions.length(col("ta")))
+      .withColumn("lb", org.apache.spark.sql.functions.length(col("tb")))
+      .withColumn("lmax", org.apache.spark.sql.functions.least(col("pos_a"), col("pos_b")) - 1)
+      .withColumn("rmax",
+        org.apache.spark.sql.functions.least(
+          col("la") - col("pos_a"), col("lb") - col("pos_b")) - (k - 1))
+      .withColumn("lblk", expr(Winnow.extBlocks(-1, "lmax")))
+      .withColumn("rblk", expr(Winnow.extBlocks(+1, "rmax")))
+      .withColumn("lext_old", expr(Winnow.extRefine(-1, "lmax", "lblk")))
+      .withColumn("rext_old", expr(Winnow.extRefine(+1, "rmax", "rblk")))
+      .withColumn("lext_new", call_function("common_run_len",
+        col("ta"), col("pos_a"), col("tb"), col("pos_b"), col("lmax"), lit(-1)))
+      .withColumn("rext_new", call_function("common_run_len",
+        col("ta"), col("pos_a") + lit(k - 1), col("tb"), col("pos_b") + lit(k - 1),
+        col("rmax"), lit(1)))
+    df.select("ta", "pos_a", "lext_old", "lext_new", "rext_old", "rext_new")
+      .collect().foreach { r =>
+        withClue(s"ta=${r.getString(0)} pos_a=${r.getInt(1)}: ") {
+          r.getLong(3) shouldBe r.getLong(2)
+          r.getLong(5) shouldBe r.getLong(4)
+        }
+      }
+  }
+
   test("longest dup substring: sub-guarantee matches are dropped, not misreported") {
     val rnd = new scala.util.Random(9)
     def noise(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString

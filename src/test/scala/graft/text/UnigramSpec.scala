@@ -132,6 +132,50 @@ class UnigramSpec extends AnyFunSuite with Matchers {
     got shouldBe refTokenize(docs)
   }
 
+  test("unigram_segment ≡ the dpExpr+backwalk HOF folds, incl. missing-key null edges (r20)") {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    graft.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(41)
+    val alpha = "abc"
+    // Randomized (w, m) rows: maps usually carry every (pos, len)
+    // candidate (the learner's reachable domain — single chars always
+    // present), but each trial also drops keys at random, INCLUDING
+    // len-1 keys, to pin the fold's three-valued-logic edge: a missing
+    // p=1 candidate nulls the running best and no longer piece may
+    // replace it (backpointer stays 1).
+    val rows = (1 to 300).map { t =>
+      val L = 1 + rnd.nextInt(12)
+      val w = Array.fill(L)(alpha(rnd.nextInt(alpha.length))).mkString
+      val dropP = if (t % 3 == 0) 0.3 else 0.0 // every 3rd trial is adversarial
+      val m = (for {
+        pos <- 1 to L
+        len <- 1 to math.min(Unigram.MaxPiece, L - pos + 1)
+        if rnd.nextDouble() >= dropP
+      } yield (pos * 8 + len) -> (rnd.nextInt(2000) - 1500).toLong).toMap
+      (w, m)
+    }
+    val df = rows.toDF("w", "m")
+    val got = df
+      .withColumn("bp", org.apache.spark.sql.functions.expr(Unigram.dpExpr))
+      .withColumn("pieces_old", org.apache.spark.sql.functions.expr(Unigram.backwalkExpr))
+      .withColumn("pieces_new",
+        call_function("unigram_segment", col("w"), col("m"), lit(Unigram.MaxPiece)))
+      .select("w", "pieces_old", "pieces_new")
+      .collect()
+    got.foreach { r =>
+      withClue(s"w=${r.getString(0)}: ") {
+        r.getSeq[String](2) shouldBe r.getSeq[String](1)
+      }
+    }
+    // empty word: the documented divergence — the fold would throw under
+    // ANSI (backward sequence hits element_at(..., 0)); the codegen
+    // expression returns an empty piece list
+    val empty = Seq(("", Map.empty[Int, Long])).toDF("w", "m")
+      .select(call_function("unigram_segment", col("w"), col("m"), lit(Unigram.MaxPiece)))
+      .collect()
+    empty.head.getSeq[String](0) shouldBe Seq.empty
+  }
+
   test("every word reconstructs from its learned pieces (coverage invariant)") {
     val docs = Seq((1L, "alpha beta alphabet beta"), (2L, "beta alpha"))
     val model = Unigram.unigramLearn(docs.toDF("doc_id", "text"))
