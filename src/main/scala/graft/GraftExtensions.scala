@@ -81,6 +81,10 @@ object GraftFunctions {
         exprs(0), exprs(1), exprs(2), exprs(3), exprs(4),
         exprs(5).eval(null).asInstanceOf[Number].intValue())
     },
+    // bpe_merge_all(syms, as, bs): sequential greedy-leftmost replay of
+    // a whole BPE merge table, each merge one in-place codegen'd pass
+    // (no chained per-element HOF folds); see functions.BpeMergeAll
+    "bpe_merge_all" -> { exprs => functions.BpeMergeAll(exprs(0), exprs(1), exprs(2)) },
     "nfc_normalize" -> { exprs => functions.NfcNormalize(exprs.head) },
     // char_entropy_q(text): (n, nd, hq) — the fixed-point entropy lane
     // as one tight code-point histogram loop per row (HOF lambdas

