@@ -94,6 +94,10 @@ object ScaleProbe {
     // of its audited parts on the deepened trajectories
     "events_kpi_snapshot", "funnel_three_step",
     "ccnet_perplexity_buckets", "curation_funnel",
+    // r20 optimization round: the ngramZip explode rewrite and the
+    // gopher sumLen change are scale claims — probe rows are their
+    // evidence (bigram stream; the raw gopher-gate projection).
+    "bigram_lm_fluency", "gopher_quality_flags",
     "events_hourly_rollup", "stateful_sessionize", "window_running_sum",
     // skew_join_hot_key is deliberately NOT probed at ≥30× (r12
     // finding): copy scaling grows the hot bucket on BOTH sides, so its
