@@ -40,11 +40,12 @@ object LineDedup {
         count(lit(1)).as("n_lines"),
         count(col("dup")).as("n_dropped"),
         // collect_list skips the null branch → kept lines only; struct
-        // sort restores document order before the rebuild
+        // sort restores document order before the rebuild. Field
+        // extraction is GetArrayStructFields (codegen'd) rather than a
+        // transform() lambda interpreted per line (r20).
         md5(array_join(
-          transform(
-            array_sort(collect_list(when(col("dup").isNull, struct(col("idx"), col("line"))))),
-            s => s.getField("line")),
+          array_sort(collect_list(when(col("dup").isNull, struct(col("idx"), col("line")))))
+            .getField("line"),
           "\n")).as("clean_md5"))
       .select(col("doc_id"), col("n_lines"), col("n_dropped"),
         (col("n_lines") - col("n_dropped")).as("n_kept"), col("clean_md5"))
@@ -75,9 +76,8 @@ object LineDedup {
         count(lit(1)).as("n_paras"),
         count(col("dup")).as("n_dropped"),
         md5(array_join(
-          transform(
-            array_sort(collect_list(when(col("dup").isNull, struct(col("idx"), col("para"))))),
-            s => s.getField("para")),
+          array_sort(collect_list(when(col("dup").isNull, struct(col("idx"), col("para")))))
+            .getField("para"),
           "\n\n")).as("clean_md5"))
       .select(col("doc_id"), col("n_paras"), col("n_dropped"),
         (col("n_paras") - col("n_dropped")).as("n_kept"), col("clean_md5"))
