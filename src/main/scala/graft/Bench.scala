@@ -164,7 +164,14 @@ object Bench {
       "semdedup_prune", "neardup_components", "skew_join_hot_key",
       "bloom_semi_join_pruned", "curated_corpus",
       // the two standing watch items (r15 verdict items 4 and 6)
-      "graph_pagerank_parts", "hybrid_search_rrf")
+      "graph_pagerank_parts", "hybrid_search_rrf",
+      // r20 optimization round: the two headline queries whose hot
+      // paths were rewritten to codegen'd expressions this round
+      // (unigram_segment; the arrays_zip n-gram streams) — in the
+      // trend set so the driver's own artifact carries their level
+      // going forward (+~5s idle per sweep; 3 passes still fit the
+      // 540s deadline at the documented host swing)
+      "unigram_tokenize_stats", "trigram_backoff_fluency")
     val fullHeadline = sys.env.get("SPARK_GRAFT_BENCH_FULL").exists(_ == "1")
     // SPARK_GRAFT_BENCH_ONLY resolves against the FULL registry, not
     // just the headline set — ad-hoc timing of a not-yet-promoted query
